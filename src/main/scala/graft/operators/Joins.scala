@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join surface of the reference, Spark-first.
+  *
+  * The reference's joins (SURVEY §2.4): the DynamicFrame equi-join
+  * (awsglue/transforms/field_transforms.py:384-428), the pipeline's
+  * incremental "insert-only-new-rows" idiom — left join + null-filter +
+  * drop (pipeline.py:125-127 and five more dims; composite-key fact
+  * variant pipeline.py:975-989) — and the upsert-style
+  * mergeDynamicFrame (dynamicframe.py:436-461).
+  *
+  * Scale posture: we emit `left_anti` directly instead of the
+  * reference's join+filter+drop, which halves the shuffled payload (no
+  * probe columns materialized) and lets Catalyst/AQE pick
+  * broadcast-anti when the existing-keys side is small. Dimension
+  * probes should be passed through [[autoBroadcast]].
+  */
+object Joins {
+
+  /** DynamicFrame equi-join (field_transforms.py:384-428): multi-key
+    * equality inner join, both sides' columns kept.
+    */
+  def equiJoin(
+      left: DataFrame, leftKeys: Seq[String],
+      right: DataFrame, rightKeys: Seq[String]): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      "join requires same number of keys on both sides")
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (a, b) => left(a) === right(b) }
+      .reduce(_ && _)
+    left.join(right, cond, "inner")
+  }
+
+  /** Broadcast the frame if it is known-small (dimension tables in the
+    * reference are ≤504 rows — SURVEY §2.4 J5). Catalyst auto-broadcasts
+    * below the threshold, but an explicit hint survives missing stats.
+    */
+  def autoBroadcast(dim: DataFrame): DataFrame = broadcast(dim)
+
+  /** Incremental load anti-join (J3): keep rows of `incoming` whose key
+    * does not exist in `existing`. Equivalent to the reference's
+    * left-join + "key is null" filter + drop (pipeline.py:125-127), but
+    * shuffles only the keys of `existing` and materializes no probe
+    * columns.
+    */
+  def insertOnlyNew(
+      incoming: DataFrame,
+      existing: DataFrame,
+      keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Composite-key fact variant (J4, pipeline.py:975-989). Semantics
+    * note preserved from the reference: SQL anti-join never matches
+    * null-valued keys, so facts with any null key are always
+    * re-inserted — reproduced here by construction.
+    */
+  def insertOnlyNewComposite(
+      incoming: DataFrame,
+      existing: DataFrame,
+      keys: Seq[String]): DataFrame = insertOnlyNew(incoming, existing, keys)
+
+  /** mergeDynamicFrame (dynamicframe.py:436-461): upsert-style merge of
+    * `staging` into `source` by primary keys — unmatched source rows
+    * kept, matched rows replaced by staging rows (staging duplicates are
+    * NOT deduplicated, matching the reference contract).
+    */
+  def mergeFrames(
+      source: DataFrame,
+      staging: DataFrame,
+      keys: Seq[String]): DataFrame =
+    source.join(staging.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(staging, allowMissingColumns = false)
+
+  /** Build a multi-key equality condition between two frames by name. */
+  def keyCondition(l: DataFrame, r: DataFrame, keys: Seq[(String, String)]): Column =
+    keys.map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
+}
