@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.{GlueFrame, GType}
 import graft.functions.GlueFunctions
-import graft.operators.{FieldOps, Joins}
+import graft.operators.{ChoiceOps, FieldOps, Joins, NestedOps}
 import graft.operators.FieldOps.Mapping
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -173,6 +174,112 @@ object SparkEntry {
         .unionByName(o.filter(col("o_orderstatus") === "O"))
     }),
 
+    // ---------------------------------------------------------------- R3
+    "q16_unnest" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      NestedOps.unnest(
+        c.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          struct(col("c_name"), col("c_acctbal")).as("info")))
+    }),
+
+    // ---------------------------------------------------------------- R4
+    "q17_relationalize_root" -> ((s, dir) => {
+      val p = t(s, dir, "part").withColumn("words", split(col("p_name"), " "))
+      NestedOps.relationalize(p, "part", idCol = Some("p_partkey"))("part")
+    }),
+    "q18_relationalize_child" -> ((s, dir) => {
+      val p = t(s, dir, "part").withColumn("words", split(col("p_name"), " "))
+      NestedOps.relationalize(p, "part", idCol = Some("p_partkey"))("part_words")
+    }),
+
+    // ---------------------------------------------------------------- R5
+    "q19_unbox" -> ((s, dir) =>
+      NestedOps.unbox(t(s, dir, "events"), "props", "json",
+        Map("withSchema" -> "k BIGINT"))
+        .select(col("event_id"), col("props").getField("k").as("k"))),
+
+    // ---------------------------------------------------------------- R1
+    "q20_choice_cast" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("props", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+        .select(col("event_id"), col("props").getField("k").as("kv"))
+      val withChoice = ChoiceOps.withChoiceColumn(e, "k", Seq(
+        GType.GLong   -> when(col("event_id") % 2 === 0, col("kv")),
+        GType.GString -> when(col("event_id") % 2 === 1,
+          col("kv").cast("string"))))
+      ChoiceOps.resolveChoice(withChoice, Seq("k" -> "cast:long"))
+        .select(col("event_id"), col("k"))
+    }),
+    "q21_choice_make_cols" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("props", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+        .select(col("event_id"), col("props").getField("k").as("kv"))
+      val withChoice = ChoiceOps.withChoiceColumn(e, "k", Seq(
+        GType.GLong   -> when(col("event_id") % 2 === 0, col("kv")),
+        GType.GString -> when(col("event_id") % 2 === 1,
+          col("kv").cast("string"))))
+      ChoiceOps.resolveChoice(withChoice, Seq("k" -> "make_cols"))
+        .select(col("event_id"), col("k_long"), col("k_string"))
+    }),
+
+    // ------------------------------------------------------- A2 (choice)
+    // Union of frames that disagree on a column's type: the merged
+    // column becomes a choice, then resolves by cast.
+    "q22_union_choice" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+          .cast("long"))
+        .select(col("event_id"), col("k"))
+      val longs   = e.filter(col("event_id") % 2 === 0)
+        .withColumn("v", col("k")).drop("k")
+      val strings = e.filter(col("event_id") % 2 === 1)
+        .withColumn("v", concat(lit("v"), col("k").cast("string"))).drop("k")
+      ChoiceOps.resolveChoice(ChoiceOps.union(longs, strings),
+        Seq("v" -> "cast:string"))
+    }),
+
+    // ---------------------------------------------------------------- R7
+    "q30_drop_nulls" -> ((s, dir) =>
+      FieldOps.dropNullFields(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .withColumn("junk", lit(null))
+          .withColumn("junk2", lit(null)))),
+
+    // ------------------------------------------------------------ P4/C4
+    // Error-channel filter: lookup-style failures drop the row; other
+    // exceptions divert rows to the error channel, keeping data clean.
+    "q31_filter_errors" -> ((s, dir) => {
+      val o  = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val gf = GlueFrame(o).filterRecords({ row =>
+        if (row.getString(1) == "P")
+          throw new RuntimeException("status P unsupported")
+        row.getDouble(2) > 100.0
+      }, stage = "filter1")
+      gf.data
+    }),
+
+    // ------------------------------------------------------------ P5/P6
+    "q32_map_records" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      GlueFrame(o).mapRecords(
+        row => org.apache.spark.sql.Row(
+          row.getLong(0), math.round(row.getDouble(1) * 100)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("total_cents",
+            org.apache.spark.sql.types.LongType)))).data
+    }),
+
     // ---------------------------------------------------------------- A4
     "q23_window_topn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -291,6 +398,54 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus = 'O'""".stripMargin,
+    "q16_unnest" ->
+      """SELECT c_custkey, c_nationkey, c_mktsegment,
+        |  c_name AS "info.c_name", c_acctbal AS "info.c_acctbal"
+        |FROM customer""".stripMargin,
+    "q17_relationalize_root" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+        |  CAST(p_partkey AS BIGINT) AS words
+        |FROM part""".stripMargin,
+    "q18_relationalize_child" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS id,
+        |  CAST(unnest(range(len(arr))) AS INT) AS index,
+        |  unnest(arr) AS "words.val"
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS arr FROM part)""".stripMargin,
+    "q19_unbox" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q20_choice_cast" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q21_choice_make_cols" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN k END AS k_long,
+        |  CASE WHEN event_id % 2 = 1 THEN CAST(k AS VARCHAR) END AS k_string
+        |FROM (SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events)""".stripMargin,
+    "q22_union_choice" ->
+      """SELECT event_id, CAST(k AS VARCHAR) AS v
+        |FROM (SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events) WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, 'v' || CAST(k AS VARCHAR) AS v
+        |FROM (SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events) WHERE event_id % 2 = 1""".stripMargin,
+    "q30_drop_nulls" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders""".stripMargin,
+    "q31_filter_errors" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus <> 'P' AND o_totalprice > 100.0""".stripMargin,
+    "q32_map_records" ->
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        |FROM orders""".stripMargin,
     "q23_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

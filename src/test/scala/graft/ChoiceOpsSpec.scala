@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GType._
+import graft.operators.ChoiceOps
+
+class ChoiceOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def choiceDf = {
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "raw")
+    ChoiceOps.withChoiceColumn(base, "c", Seq(
+      GLong   -> when($"id" % 2 === 0, $"raw"),
+      GString -> when($"id" % 2 === 1, concat(lit("s"), $"raw")))).drop("raw")
+  }
+
+  test("choice columns carry metadata and are discoverable") {
+    assert(ChoiceOps.choiceColumns(choiceDf) == Seq("c"))
+  }
+
+  test("resolveChoice project:long keeps only that branch") {
+    val r = ChoiceOps.resolveChoice(choiceDf, Seq("c" -> "project:long"))
+    assert(r.schema("c").dataType == LongType)
+    assert(r.orderBy("id").select("c").collect().map(_.get(0)).toSeq ==
+      Seq(null, 20L, null))
+  }
+
+  test("resolveChoice cast:string coalesces branches") {
+    val r = ChoiceOps.resolveChoice(choiceDf, Seq("c" -> "cast:string"))
+    assert(r.orderBy("id").select("c").as[String].collect().toSeq ==
+      Seq("s10", "20", "s30"))
+  }
+
+  test("resolveChoice make_struct keeps struct, drops the tag") {
+    val r = ChoiceOps.resolveChoice(choiceDf, Seq("c" -> "make_struct"))
+    assert(r.schema("c").dataType.isInstanceOf[StructType])
+    assert(ChoiceOps.choiceColumns(r).isEmpty)
+  }
+
+  test("resolveChoice make_cols flattens branches in place") {
+    val r = ChoiceOps.resolveChoice(choiceDf, Seq("c" -> "make_cols"))
+    assert(r.columns.toSeq == Seq("id", "c_long", "c_string"))
+    assert(r.orderBy("id").select("c_string").collect().map(_.get(0)).toSeq ==
+      Seq("s10", null, "s30"))
+  }
+
+  test("global choice action applies to every choice column") {
+    val r = ChoiceOps.resolveChoice(choiceDf, choice = "cast:string")
+    assert(r.schema("c").dataType == StringType)
+  }
+
+  test("union merges mismatched types into a choice and pads missing cols") {
+    val a = Seq((1L, 5L)).toDF("id", "x")             // x: long
+    val b = Seq((2L, "s", true)).toDF("id", "x", "y") // x: string, extra y
+    val u = ChoiceOps.union(a, b)
+    assert(u.count() == 2)
+    assert(ChoiceOps.choiceColumns(u) == Seq("x"))
+    val resolved = ChoiceOps.resolveChoice(u, Seq("x" -> "cast:string"))
+    assert(resolved.orderBy("id").select("x").as[String].collect().toSeq ==
+      Seq("5", "s"))
+    // y padded with null on a's side
+    assert(resolved.filter($"id" === 1L).select("y").collect().head.isNullAt(0))
+  }
+
+  test("union of identical schemas stays choice-free") {
+    val a = Seq((1L, "p")).toDF("id", "v")
+    val b = Seq((2L, "q")).toDF("id", "v")
+    val u = ChoiceOps.union(a, b)
+    assert(ChoiceOps.choiceColumns(u).isEmpty)
+    assert(u.count() == 2)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.NestedOps
+
+class NestedOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("unnest flattens deep structs to dotted names") {
+    val df = Seq((1L, ("x", (2.0, true)))).toDF("id", "a")
+      .select($"id", $"a._1".as("s"),
+        struct($"a._2._1".as("d"), struct($"a._2._2".as("b")).as("inner"))
+          .as("nest"))
+    val flat = NestedOps.unnest(df)
+    assert(flat.columns.toSeq == Seq("id", "s", "nest.d", "nest.inner.b"))
+    assert(flat.collect().head.getBoolean(3))
+  }
+
+  test("relationalize with natural key links root and child") {
+    val df = Seq((10L, Seq("a", "b")), (20L, Seq("c")))
+      .toDF("k", "arr")
+    val tables = NestedOps.relationalize(df, "t", idCol = Some("k"))
+    val root  = tables("t")
+    val child = tables("t_arr")
+    assert(root.columns.toSeq == Seq("k", "arr"))
+    assert(root.filter($"k" === 10L).select("arr").as[Long].head() == 10L)
+    assert(child.columns.toSeq == Seq("id", "index", "arr.val"))
+    assert(child.filter($"id" === 10L).count() == 2)
+    assert(child.filter($"id" === 20L).select($"`arr.val`").as[String]
+      .head() == "c")
+  }
+
+  test("relationalize default key is content-deterministic") {
+    val df = Seq((10L, Seq("a")), (20L, Seq("b"))).toDF("k", "arr")
+    val t1 = NestedOps.relationalize(df, "t")
+    val t2 = NestedOps.relationalize(df, "t")
+    // same content → same generated keys on recompute (retry-stable)
+    assert(t1("t").collect().toSet == t2("t").collect().toSet)
+    val rootIds  = t1("t").select("arr").as[Long].collect().toSet
+    val childIds = t1("t_arr").select("id").as[Long].collect().toSet
+    assert(rootIds == childIds)
+  }
+
+  test("relationalize explodes arrays of structs into flat child tables") {
+    val df = Seq((1L, Seq((7L, "x"), (8L, "y"))))
+      .toDF("k", "items")
+      .select($"k", transform($"items",
+        e => struct(e.getField("_1").as("n"), e.getField("_2").as("s")))
+        .as("items"))
+    val child = NestedOps.relationalize(df, "r", idCol = Some("k"))("r_items")
+    assert(child.columns.toSeq == Seq("id", "index", "items.val.n", "items.val.s"))
+    assert(child.orderBy("index").select($"`items.val.s`").as[String]
+      .collect().toSeq == Seq("x", "y"))
+  }
+
+  test("unbox json with explicit schema and with inference") {
+    val df = Seq((1L, """{"a": 5, "b": "x"}"""), (2L, """{"a": 6}"""))
+      .toDF("id", "payload")
+    val explicit = NestedOps.unbox(df, "payload", "json",
+      Map("withSchema" -> "a BIGINT, b STRING"))
+    assert(explicit.schema("payload").dataType.isInstanceOf[StructType])
+    assert(explicit.filter($"id" === 1L).select($"payload.b").as[String]
+      .head() == "x")
+    val inferred = NestedOps.unbox(df, "payload", "json")
+    assert(inferred.filter($"id" === 2L).select($"payload.a").as[Long]
+      .head() == 6L)
+  }
+
+  test("unbox csv with separator") {
+    val df = Seq((1L, "5|x")).toDF("id", "payload")
+    val r = NestedOps.unbox(df, "payload", "csv",
+      Map("withSchema" -> "n INT, s STRING", "separator" -> "|"))
+    assert(r.select($"payload.n").as[Int].head() == 5)
+  }
+
+  test("unnestDdbJson collapses DynamoDB typed structs") {
+    val df = Seq((1L, ("v", null: String)), (2L, (null: String, "9")))
+      .toDF("id", "c")
+      .select($"id", struct($"c._1".as("S"), $"c._2".as("N")).as("c"))
+    val r = NestedOps.unnestDdbJson(df)
+    assert(r.orderBy("id").select("c").as[String].collect().toSeq ==
+      Seq("v", "9"))
+  }
+}
