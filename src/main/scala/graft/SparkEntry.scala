@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{GlueFrame, GType}
-import graft.functions.GlueFunctions
+import graft.functions.{GlueFunctions, SimHash64}
+import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{ChoiceOps, FieldOps, Joins, NestedOps}
 import graft.operators.FieldOps.Mapping
 
@@ -330,6 +331,98 @@ object SparkEntry {
         t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
         granularity = "hour",
         now = to_timestamp(lit("2026-01-01 10:30:00")))),
+
+    // ===================== LLM-data-pipeline operators =====================
+
+    // Exact dedup: smallest doc_id per identical text survives.
+    "q33_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_chars"))),
+
+    // Content fingerprinting (MD5 — engine-portable exact-dup key).
+    "q34_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // Token counting (whitespace tokenizer).
+    "q35_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    // Quality scoring: integer-exact metrics + keep flag.
+    "q36_quality" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          col("n_alpha"), col("mean_word_len_x100"), col("quality_keep"))),
+
+    // Language ID via stopword-hit scoring.
+    "q37_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    "q38_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "embedding", k = 10)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+    }),
+
+    // MinHash+LSH near-dup dedup (survivor ids; no SQL oracle —
+    // rows-only check; exactness covered by MlSpec on planted dups).
+    "q39_minhash_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.minhashDedup(doubled, "text", "doc_id")
+        .select(col("doc_id"))
+    }),
+
+    // SimHash fingerprints via the native Catalyst expression
+    // (custom hash — no SQL oracle; determinism + Hamming behavior
+    // covered by MlSpec).
+    "q40_simhash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))),
+
+    // N-gram Jaccard near-dup pairs: candidates share a shingle hash,
+    // then integer-exact verification (2·|∩| ≥ |∪| ⇔ J ≥ 0.5).
+    "q41_jaccard_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.jaccardPairs(doubled, "text", "doc_id")
+        .select(col("id_a"), col("id_b"),
+          col("intersection").cast("int").as("n_inter"),
+          col("union").cast("int").as("n_union"))
+    }),
+
+    // Multimodal plumbing: binary payload column + batched
+    // feature-extraction over mapPartitions (deterministic fake decode).
+    "q42_multimodal" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.extractFeatures(d, "payload")
+        .select(col("doc_id"),
+          col("features").getField("byte_len").as("byte_len"),
+          col("features").getField("first_byte").as("first_byte"),
+          col("features").getField("width").as("width"),
+          col("features").getField("height").as("height"))
+    }),
+
+    // LSH-bucketed ANN (scale path; recall-dependent → rows-only).
+    "q44_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "embedding",
+        dim = 64, k = 10, planes = 4)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -475,5 +568,95 @@ object SparkEntry {
       """SELECT s_suppkey, s_name, 2026 AS ingest_year, 1 AS ingest_month,
         |  1 AS ingest_day, 10 AS ingest_hour
         |FROM supplier""".stripMargin,
+    "q33_dedup_exact" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+    "q34_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q35_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INT)
+        |    AS n_tokens
+        |FROM documents""".stripMargin,
+    "q36_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(n_alpha AS INT) AS n_alpha,
+        |  CAST(floor((length(text) - n_space) * 100 / greatest(n_tokens, 1)) AS INT)
+        |    AS mean_word_len_x100,
+        |  (n_tokens >= 5 AND n_tokens <= 100000
+        |    AND (length(text) - n_space) <= n_tokens * 15
+        |    AND n_alpha * 2 >= length(text)) AS quality_keep
+        |FROM (SELECT doc_id, text,
+        |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        |  length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS n_space
+        |  FROM documents)""".stripMargin,
+    "q37_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN de >= en AND de >= es AND de >= fr AND de >= 2 THEN 'de'
+        |       WHEN en >= es AND en >= fr AND en >= 2 THEN 'en'
+        |       WHEN es >= fr AND es >= 2 THEN 'es'
+        |       WHEN fr >= 2 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM (SELECT doc_id,
+        |  CAST(list_contains(toks,'the') AS INT) + CAST(list_contains(toks,'a') AS INT)
+        |    + CAST(list_contains(toks,'and') AS INT) + CAST(list_contains(toks,'of') AS INT)
+        |    + CAST(list_contains(toks,'to') AS INT) + CAST(list_contains(toks,'in') AS INT)
+        |    + CAST(list_contains(toks,'is') AS INT) + CAST(list_contains(toks,'that') AS INT)
+        |    + CAST(list_contains(toks,'it') AS INT) + CAST(list_contains(toks,'for') AS INT) AS en,
+        |  CAST(list_contains(toks,'el') AS INT) + CAST(list_contains(toks,'la') AS INT)
+        |    + CAST(list_contains(toks,'de') AS INT) + CAST(list_contains(toks,'que') AS INT)
+        |    + CAST(list_contains(toks,'y') AS INT) + CAST(list_contains(toks,'en') AS INT)
+        |    + CAST(list_contains(toks,'un') AS INT) + CAST(list_contains(toks,'una') AS INT)
+        |    + CAST(list_contains(toks,'los') AS INT) + CAST(list_contains(toks,'por') AS INT) AS es,
+        |  CAST(list_contains(toks,'der') AS INT) + CAST(list_contains(toks,'die') AS INT)
+        |    + CAST(list_contains(toks,'das') AS INT) + CAST(list_contains(toks,'und') AS INT)
+        |    + CAST(list_contains(toks,'ist') AS INT) + CAST(list_contains(toks,'von') AS INT)
+        |    + CAST(list_contains(toks,'mit') AS INT) + CAST(list_contains(toks,'den') AS INT)
+        |    + CAST(list_contains(toks,'ein') AS INT) + CAST(list_contains(toks,'zu') AS INT) AS de,
+        |  CAST(list_contains(toks,'le') AS INT) + CAST(list_contains(toks,'la') AS INT)
+        |    + CAST(list_contains(toks,'les') AS INT) + CAST(list_contains(toks,'de') AS INT)
+        |    + CAST(list_contains(toks,'et') AS INT) + CAST(list_contains(toks,'est') AS INT)
+        |    + CAST(list_contains(toks,'un') AS INT) + CAST(list_contains(toks,'une') AS INT)
+        |    + CAST(list_contains(toks,'dans') AS INT) + CAST(list_contains(toks,'que') AS INT) AS fr
+        |FROM (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents))""".stripMargin,
+    "q38_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT e.vec_id,
+        |  list_sum(list_transform(range(1, len(e.embedding)+1),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(e.embedding,
+        |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(q.qe,
+        |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS raw
+        | FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, round(raw, 4) AS score FROM sc
+        |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
+    "q41_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM d),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(toks)-1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh)) AS n_inter,
+        |  len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(n_inter AS INT) AS n_inter,
+        |  CAST(n_union AS INT) AS n_union
+        |FROM p WHERE n_inter * 2 >= n_union""".stripMargin,
+    "q42_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  ascii(text) AS first_byte,
+        |  CAST(strlen(text) % 640 AS INT) AS width,
+        |  CAST(strlen(text) % 480 AS INT) AS height
+        |FROM documents""".stripMargin,
   )
 }

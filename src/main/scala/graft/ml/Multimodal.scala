@@ -1,0 +1,116 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus batched decode / feature-extract
+  * over `mapPartitions`.
+  *
+  * The actual media codecs are NOT in this container, so the decoder
+  * behind [[MediaDecoder]] is pluggable: [[FakeDecoder]] is a
+  * deterministic stand-in (features derived from the bytes themselves)
+  * and [[CodecDecoder]] marks where a real libjpeg/ffmpeg binding
+  * plugs in. Everything Spark-side — schema, batch shape, partition
+  * behavior, column pruning — is real and tested.
+  *
+  * Scale notes: decode runs partition-local (no shuffle); binary
+  * payloads never enter a wide transformation; metadata-only queries
+  * prune the binary column at the parquet scan (keep media in its own
+  * column so ReadSchema drops it).
+  */
+object Multimodal {
+
+  /** Typed media metadata carried next to the payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("source_url", StringType),
+    StructField("byte_len", LongType)))
+
+  /** Extracted feature schema (decoder output contract). */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType),
+    StructField("first_byte", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("frames", IntegerType)))
+
+  final case class MediaFeatures(
+      byteLen: Long, firstByte: Int, width: Int, height: Int, frames: Int)
+
+  /** Pluggable decode step — the only non-Spark piece. */
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): MediaFeatures
+  }
+
+  /** Deterministic stand-in: features computed from the payload bytes
+    * so tests and oracles are stable. Mirrors the shape of a real
+    * decode (dimensions, frame count).
+    */
+  object FakeDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): MediaFeatures = {
+      val len   = bytes.length.toLong
+      val first = if (bytes.isEmpty) -1 else bytes(0) & 0xff
+      MediaFeatures(len, first,
+        width = (len % 640).toInt, height = (len % 480).toInt,
+        frames = (len % 30).toInt)
+    }
+  }
+
+  /** Real codec binding point — image/audio libs are not available in
+    * this environment; wire jpeg/png/ffmpeg decode here in production.
+    */
+  object CodecDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): MediaFeatures =
+      throw new UnsupportedOperationException(
+        "media codecs not available in this environment; use FakeDecoder " +
+        "or bind a real codec")
+  }
+
+  /** Attach a media struct column (payload + metadata) built from a
+    * binary column.
+    */
+  def packMedia(df: DataFrame, bytesCol: String, mime: String): DataFrame =
+    df.withColumn("media", struct(
+      col(bytesCol).as("bytes"),
+      lit(mime).as("mime"),
+      length(col(bytesCol)).cast("long").as("byte_len")))
+
+  /** Batched decode: partition-local mapPartitions, decoder invoked
+    * per record but batch-amortizable (a real codec would reuse
+    * per-partition native context — that is exactly what the
+    * `Iterator` shape provides).
+    */
+  def extractFeatures(
+      df: DataFrame, bytesCol: String,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    val inSchema  = df.schema
+    val bytesIdx  = inSchema.fieldIndex(bytesCol)
+    val outSchema = StructType(inSchema.fields.toSeq :+
+      StructField("features", featureSchema))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      // per-partition decoder context (native handles would live here)
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](bytesIdx)
+        val f =
+          if (bytes == null) MediaFeatures(-1L, -1, -1, -1, -1)
+          else decoder.decode(bytes)
+        Row.fromSeq(row.toSeq :+
+          Row(f.byteLen, f.firstByte, f.width, f.height, f.frames))
+      }
+    }
+  }
+
+  /** Deterministic frame sampling plan for video-ish payloads: pick
+    * `n` evenly spaced frame indices out of `frames` — pure Column
+    * math, usable to drive a later decode of only those frames.
+    */
+  def sampleFrameIndices(frames: org.apache.spark.sql.Column, n: Int)
+      : org.apache.spark.sql.Column =
+    when(frames <= 0, array())
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), lit(n - 1)),
+        i => (i * frames / n).cast("int"))))
+}

@@ -1,0 +1,110 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline (one scan, one
+  * narrow top-k); the scale path is LSH bucketing via random
+  * hyperplanes: sign-bit codes computed in a single projection, probe
+  * only matching buckets, rerank exactly. Both paths compute in double
+  * precision with a sequential left-fold (`aggregate`) so scores are
+  * reproducible and engine-comparable.
+  */
+object Similarity {
+
+  /** Dot product of two array<numeric> columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** L2-normalize an embedding (into array<double>). */
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+
+  /** Exact brute-force cosine top-k against one query vector.
+    *
+    * The query row is cross-joined (1 row → broadcast by Catalyst);
+    * top-k is an `orderBy(...).limit(k)` which Spark executes as
+    * TakeOrderedAndProject — per-partition heaps + driver merge of k
+    * rows, NOT a global sort: at 1B vectors only k rows per partition
+    * move.
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String,
+      k: Int = 10): DataFrame = {
+    val q = query.select(col(queryVecCol).as("__qvec"))
+    embeddings.crossJoin(broadcast(q))
+      .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** Deterministic random hyperplanes: `planes` vectors of `dim`
+    * components in [-1, 1), derived from `seed` — driver-side
+    * constants, broadcast into codegen as literals.
+    */
+  def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Sign-bit LSH code for an embedding: bit p = sign(v · plane_p).
+    * One projection, no shuffle; cardinality 2^planes buckets.
+    */
+  def lshCode(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+
+  /** ANN top-k: probe only the query's LSH bucket, rerank exactly by
+    * cosine. Recall < 1 by construction; raise `planes` for precision
+    * of buckets, lower it (or multi-probe) for recall. At 100 TB the
+    * bucketed table would be written partitioned by `__lsh_bucket` so
+    * a probe is a partition-pruned scan, not a full pass.
+    */
+  def lshTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String,
+      dim: Int, k: Int = 10, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val ps = hyperplanes(dim, planes, seed)
+    val bucketed = embeddings.withColumn("__lsh_bucket",
+      lshCode(col(vecCol), ps))
+    val q = query.select(col(queryVecCol).as("__qvec"))
+      .withColumn("__lsh_bucket", lshCode(col("__qvec"), ps))
+    bucketed.join(broadcast(q), "__lsh_bucket")
+      .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** All-pairs cosine above a threshold via LSH buckets (embedding
+    * near-dup detection): pairs within the same bucket only.
+    */
+  def nearDupPairs(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double, planes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val ps = hyperplanes(dim, planes, seed)
+    val b = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshCode(col(vecCol), ps).as("bk"))
+    b.as("a").join(b.as("x"),
+        col("a.bk") === col("x.bk") && col("a.id") < col("x.id"))
+      .withColumn("score", cosine(col("a.v"), col("x.v")))
+      .filter(col("score") >= minCosine)
+      .select(col("a.id").as("id_a"), col("x.id").as("id_b"), col("score"))
+  }
+}

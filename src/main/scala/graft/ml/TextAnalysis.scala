@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, and
+  * document fingerprinting.
+  *
+  * Everything here is built-in Column compositions (codegen'd, no UDFs)
+  * so a 100 TB documents scan stays a single whole-stage-codegen pass:
+  * no shuffle, no python workers, filters still push down around it.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (lowercased, trimmed). */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** BPE-ish subword-boundary tokenization: splits on whitespace AND
+    * letter/digit/punct boundaries, the usual pre-tokenizer shape
+    * (e.g. "don't stop2" → don, ', t, stop, 2).
+    */
+  def bpeishTokens(text: Column): Column =
+    filter(
+      split(lower(text), "(?<=[^\\p{L}])(?=[\\p{L}])|(?<=[\\p{L}])(?=[^\\p{L}])|\\s+"),
+      t => length(trim(t)) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Approximate LLM token count: ~chars/4 heuristic upper-bounded by
+    * subword token count; cheap proxy when no tokenizer is available.
+    */
+  def approxBpeTokenCount(text: Column): Column = size(bpeishTokens(text))
+
+  /** Quality metrics (all integer-valued or ratio-free so results are
+    * engine-exact): character count, token count, alphabetic and
+    * punctuation character counts, mean word length ×100 (integer),
+    * and a keep/drop flag from the usual C4-style heuristics
+    * (non-trivial length, words not too long, mostly alphabetic).
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    // explicit ASCII classes (not \p{...}) so the same regex means the
+    // same thing in Java regex and RE2-based engines
+    val text    = col(textCol)
+    val nChars  = length(text)
+    val nTokens = tokenCount(text)
+    val nAlpha  = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val nPunct  = length(regexp_replace(text, "[A-Za-z0-9 \\t\\n\\r]", ""))
+    val nSpace  = length(regexp_replace(text, "[^ \\t\\n\\r]", ""))
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("n_alpha", nAlpha)
+      .withColumn("n_punct", nPunct)
+      .withColumn("mean_word_len_x100",
+        ((nChars - nSpace) * 100 / greatest(nTokens, lit(1))).cast("int"))
+      .withColumn("quality_keep",
+        nTokens >= 5 && nTokens <= 100000 &&
+        (nChars - nSpace) <= nTokens * 15 && // mean word len ≤ 15
+        nAlpha * 2 >= nChars)                // ≥50% alphabetic
+  }
+
+  /** Stopword tables for the n-gram/stopword language heuristic. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans", "que"))
+
+  /** Per-language stopword-hit score: how many distinct stopwords of
+    * `lang` occur as whole tokens.
+    */
+  def stopwordHits(text: Column, lang: String): Column =
+    Stopwords(lang)
+      .map(w => when(array_contains(tokens(text), w), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Language-ID heuristic: the language with the most distinct
+    * stopword hits wins; below `minHits` → "und" (undetermined).
+    * Deterministic tie-break: language code order.
+    */
+  def langId(text: Column, minHits: Int = 2): Column = {
+    val scored = Stopwords.keys.toSeq.sorted.map(l => (l, stopwordHits(text, l)))
+    val bestScore = scored.map(_._2).reduceLeft((a, b) => greatest(a, b))
+    // first language (alphabetical) reaching the best score wins
+    scored.foldLeft(lit("und")) { case (acc, (l, c)) =>
+      when(acc === "und" && c === bestScore && bestScore >= minHits, lit(l))
+        .otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: stable 128-bit hex via MD5 (engine-portable)
+    * — the exact-dup key for [[Dedup.exact]].
+    */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** 64-bit rolling/content hash (xxhash64) — cheaper than MD5 when
+    * portability to other engines doesn't matter.
+    */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class MlSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private val nearDup = base.replace("today", "tonight") // 1-token edit
+  private val other =
+    "completely different content about spark catalyst optimizer rules and codegen stages"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, other), (4L, base)) // 4 = exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per identical text") {
+    val kept = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+  }
+
+  test("minhash LSH drops near-dups and exact dups, keeps distinct docs") {
+    val kept = Dedup.minhashDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 4 (exact dup of 1) must go; 2 (1-token edit) should bucket with 1
+    // under 16 bands × 4 rows with ~73 shared shingles
+    assert(kept.contains(1L) && kept.contains(3L))
+    assert(!kept.contains(4L))
+    assert(!kept.contains(2L))
+  }
+
+  test("jaccard pairs finds the near-dup pair with exact counts") {
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // near-dup
+    assert(pairs.contains((1L, 4L)))  // exact dup
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact-dup pair: intersection == union
+    val r = Dedup.jaccardPairs(docs, "text", "doc_id")
+      .filter($"id_a" === 1L && $"id_b" === 4L)
+      .select($"intersection" === $"union").as[Boolean].head()
+    assert(r)
+  }
+
+  test("simhash: identical → distance 0, near-dup close, distinct far") {
+    val sig = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+    assert(ham(sig(1L), sig(2L)) <= 12)
+  }
+
+  test("simhash expression participates in codegen plans") {
+    // needs a real scan (local relations constant-fold to LocalTableScan)
+    val d = spark.read.parquet(s"${SparkFixture.sfDir}/documents.parquet")
+    val plan = d.select(Dedup.simhash64($"text"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [simhash64"))
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house is that it"),
+      (2L, "el la de que y en un una los por"),
+      (3L, "xyzzy qwerty asdf")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "und")
+  }
+
+  test("brute-force ANN returns the planted nearest neighbor first") {
+    val dim = 8
+    val q   = Array.fill(dim)(1.0f)
+    val near  = q.map(x => x * 0.9f + 0.01f)
+    val anti  = q.map(x => -x)
+    val ortho = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((0L, q.toSeq), (1L, near.toSeq), (2L, anti.toSeq),
+      (3L, ortho.toSeq)).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" =!= 0), "vec_id", "embedding",
+      emb.filter($"vec_id" === 0), "embedding", k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.head == 1L)
+    assert(top.last == 2L) // antiparallel ranks last
+  }
+
+  test("LSH ANN: query bucket contains the near vector (same signs)") {
+    val dim = 8
+    val q    = Array.fill(dim)(1.0f)
+    val near = q.map(x => x * 0.9f + 0.01f)
+    val emb = (Seq((0L, q.toSeq), (1L, near.toSeq)) ++
+      (2L to 40L).map(i => (i, Array.tabulate(dim)(j =>
+        math.sin(i * 31 + j).toFloat).toSeq)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(
+      emb.filter($"vec_id" =!= 0), "vec_id", "embedding",
+      emb.filter($"vec_id" === 0), "embedding",
+      dim = dim, k = 5, planes = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.contains(1L)) // same half-spaces ⇒ same bucket ⇒ found
+  }
+
+  test("multimodal feature extraction is deterministic from bytes") {
+    val d = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val rows = Multimodal.extractFeatures(d, "payload")
+      .select($"doc_id", $"features.byte_len", $"features.first_byte")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(rows(0) == (1L, 5L, 'h'.toInt))
+    assert(rows(1) == (2L, 0L, -1))
+  }
+
+  test("frame sampling indices are evenly spaced and bounded") {
+    val df = Seq(Tuple1(30), Tuple1(7), Tuple1(0)).toDF("frames")
+    val got = df.select(Multimodal.sampleFrameIndices($"frames", 4).as("s"))
+      .as[Seq[Int]].collect().toSeq
+    assert(got(0) == Seq(0, 7, 15, 22))
+    assert(got(1) == Seq(0, 1, 3, 5))
+    assert(got(2) == Seq())
+  }
+}
