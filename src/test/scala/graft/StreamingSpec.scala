@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.MicroBatch
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("parseWindowMillis handles the reference's unit grammar") {
+    assert(MicroBatch.parseWindowMillis("5 seconds") == 5000L)
+    assert(MicroBatch.parseWindowMillis("1 minute") == 60000L)
+    assert(MicroBatch.parseWindowMillis("2 hours") == 7200000L)
+    intercept[IllegalArgumentException](MicroBatch.parseWindowMillis("5 fortnights"))
+  }
+
+  test("runBatch: skips empty batches, no metrics emitted") {
+    var calls = 0
+    var metrics = List.empty[MicroBatch.BatchMetrics]
+    MicroBatch.runBatch(spark.emptyDataFrame, 0L,
+      (_, _) => calls += 1, 3, StorageLevel.MEMORY_ONLY, m => metrics ::= m)
+    assert(calls == 0 && metrics.isEmpty)
+  }
+
+  test("runBatch: retries with backoff then succeeds; metrics counted") {
+    var attempts = 0
+    var sleeps   = List.empty[Long]
+    var metrics  = List.empty[MicroBatch.BatchMetrics]
+    val df = Seq(1, 2, 3).toDF("v")
+    MicroBatch.runBatch(df, 7L, (_, _) => {
+      attempts += 1
+      if (attempts < 3) throw new RuntimeException("flaky")
+    }, batchMaxRetries = 3, StorageLevel.MEMORY_ONLY,
+      m => metrics ::= m, sleepMs = ms => sleeps ::= ms)
+    assert(attempts == 3)
+    assert(sleeps.reverse == List(1000L, 2000L)) // min(attempt,5)s backoff
+    assert(metrics.head.numRecords == 3L)
+    assert(metrics.head.batchId == 7L)
+    assert(metrics.head.attempts == 3)
+  }
+
+  test("runBatch: exhausted retries rethrow") {
+    val df = Seq(1).toDF("v")
+    intercept[RuntimeException] {
+      MicroBatch.runBatch(df, 0L,
+        (_, _) => throw new RuntimeException("always"),
+        batchMaxRetries = 2, StorageLevel.MEMORY_ONLY, _ => (),
+        sleepMs = _ => ())
+    }
+  }
+
+  test("runBatch: rejects batchMaxRetries outside [0,100]") {
+    val df = Seq(1).toDF("v")
+    intercept[IllegalArgumentException] {
+      MicroBatch.runBatch(df, 0L, (_, _) => (), 101,
+        StorageLevel.MEMORY_ONLY, _ => ())
+    }
+  }
+
+  test("forEachBatch end-to-end over a file stream of events") {
+    val src = Files.createTempDirectory("graft_stream_src").toString
+    val ckp = Files.createTempDirectory("graft_stream_ckp").toString
+    // stage the events table as the streamed source
+    val events = spark.read.parquet(s"${SparkFixture.sfDir}/events.parquet")
+      .select($"event_id", $"event_type", $"value")
+    events.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(events.schema)
+      .parquet(src)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    var metrics = List.empty[MicroBatch.BatchMetrics]
+    val q = MicroBatch.forEachBatch(
+      stream,
+      (batch: Dataset[Row], _: Long) => { seen.addAndGet(batch.count()); () },
+      windowSize = "1 seconds",
+      checkpointLocation = ckp,
+      onMetrics = m => metrics.synchronized { metrics ::= m })
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.get() == events.count())
+    assert(metrics.nonEmpty && metrics.map(_.numRecords).sum == events.count())
+  }
+
+  test("sampleStream polls a memory sink and returns a bounded batch") {
+    val src = Files.createTempDirectory("graft_sample_src").toString
+    val events = spark.read.parquet(s"${SparkFixture.sfDir}/events.parquet")
+      .select($"event_id", $"event_type")
+    events.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+    val sample = MicroBatch.sampleStream(spark, stream,
+      windowSize = "1 seconds", pollingTimeMs = 30000, recordPollingLimit = 25)
+    assert(sample.count() == 25)
+    intercept[IllegalArgumentException] {
+      MicroBatch.sampleStream(spark, stream, "10 seconds", pollingTimeMs = 5)
+    }
+  }
+}
