@@ -1,25 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: run every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR, print ONE JSON line with total + per-query
+  * seconds.
+  *
+  * A warmup pass at sf0.001 (SPARK_GRAFT_WARMUP_DIR; set to "" to
+  * disable) first exercises every query shape so measured numbers
+  * reflect plan execution, not first-touch JVM/codegen compilation —
+  * the same discipline as a real cluster benchmark.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // SPARK_GRAFT_ONLY: comma-separated substring filter for iterating
+    // on specific queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+
+    if (warmupDir.nonEmpty && new java.io.File(warmupDir).exists()) {
+      ordered.foreach { case (_, fn) =>
+        try { fn(spark, warmupDir).count(); () }
+        catch { case _: Throwable => () }
+      }
+    }
+
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count(); () }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -395,7 +395,10 @@ object SparkEntry {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val doubled = d.unionByName(
         d.withColumn("doc_id", col("doc_id") + 100000))
-      Dedup.jaccardPairs(doubled, "text", "doc_id")
+      // direct variant: this corpus has near-uniform shingle
+      // frequencies, where prefix filtering only adds stages (both
+      // variants are exact — see MlSpec + the DuckDB oracle)
+      Dedup.jaccardPairs(doubled, "text", "doc_id", prefixFilter = false)
         .select(col("id_a"), col("id_b"),
           col("intersection").cast("int").as("n_inter"),
           col("union").cast("int").as("n_union"))

@@ -37,34 +37,33 @@ object Dedup {
   }
 
   /** Word-level shingles (n-grams) as 64-bit hashes: the unit set for
-    * MinHash and Jaccard. Hashing at shingle-creation keeps every
-    * downstream structure fixed-width.
+    * MinHash and Jaccard — a native expression
+    * ([[graft.functions.ShingleHashes]]): one pass per row. The
+    * equivalent higher-order-function composition re-evaluates the
+    * tokenizer once per window (lambda bodies are evaluated per
+    * element), going quadratic in document length.
     */
-  def shingleHashes(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    // sliding window: positions 0 .. size-n, hash the joined n-gram
-    transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => xxhash64(concat_ws(" ",
-        slice(toks, i + lit(1), lit(n)))))
-  }
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleHashes.shingleHashes(text, n)
 
-  /** MinHash signature: `numHashes` permutations simulated as
-    * xxhash64(seed ++ shingle) minima — one array column, computed in a
-    * single projection.
+  /** MinHash signature: `numHashes` simulated permutations, minima kept
+    * in one pass ([[graft.functions.MinHashSignature]]).
     */
   def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map(seed =>
-      array_min(transform(shingles, s => xxhash64(lit(seed), s)))): _*)
+    graft.functions.MinHashSignature.minhashSignature(shingles, numHashes)
 
   /** LSH band keys: split the signature into `bands` bands of
     * `rows = numHashes/bands` and hash each band. Docs sharing any band
     * key are near-dup candidates.
+    *
+    * Single `transform` lambda so the signature appears ONCE in the
+    * expression tree — `bands` separate slice expressions would make
+    * Catalyst inline (and recompute) the whole minhash pipeline per
+    * band when projections collapse.
     */
   def lshBandKeys(signature: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map(b =>
-      xxhash64(lit(b), concat_ws(",",
-        slice(signature, b * rows + 1, rows)))): _*)
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(signature, b * lit(rows) + lit(1), lit(rows))))
 
   /** MinHash+LSH near-dup removal: a document is dropped when some
     * band bucket contains a smaller id (cheap transitive-ish policy:
@@ -76,17 +75,21 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val withBands = df.select(
-      col(idCol),
-      lshBandKeys(
-        minhashSignature(shingleHashes(col(textCol), shingleSize), numHashes),
-        bands, rows).as("__bands"))
+    // staged projections: each expensive array is computed once per row
+    // (a fused expression would re-inline shingles into every consumer)
+    val withBands = df
+      .select(col(idCol), shingleHashes(col(textCol), shingleSize).as("__sh"))
+      .select(col(idCol), minhashSignature(col("__sh"), numHashes).as("__sig"))
+      .select(col(idCol), lshBandKeys(col("__sig"), bands, rows).as("__bands"))
     val exploded = withBands.select(col(idCol),
       explode(col("__bands")).as("__band"))
-    // min id per bucket, then per doc: the smallest competitor seen
-    val bucketMin = exploded.groupBy(col("__band"))
-      .agg(min(col(idCol)).as("__bucket_min"))
-    val docMin = exploded.join(bucketMin, "__band")
+    // min id per bucket via window (one pass over the exploded rows —
+    // a groupBy+self-join would recompute the minhash pipeline twice),
+    // then per doc keep only those that never saw a smaller competitor
+    import org.apache.spark.sql.expressions.Window
+    val docMin = exploded
+      .withColumn("__bucket_min",
+        min(col(idCol)).over(Window.partitionBy(col("__band"))))
       .groupBy(col(idCol))
       .agg(min(col("__bucket_min")).as("__doc_min"))
       .filter(col("__doc_min") === col(idCol))
@@ -121,21 +124,57 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3,
-      numer: Int = 1, denom: Int = 2): DataFrame = {
+      numer: Int = 1, denom: Int = 2,
+      prefixFilter: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = df.select(col(idCol).as("id"),
       array_distinct(shingleHashes(col(textCol), shingleSize)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
-    val candidates = ex.as("a").join(ex.as("b"),
+    val ex = sh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+
+    if (!prefixFilter) {
+      // direct variant: |∩| falls out of the shared-shingle join count;
+      // right when shingle frequencies are near-uniform (no hot keys)
+      val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+      val inter = ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).cast("int").as("intersection"))
+      return inter
+        .join(sizes.withColumnRenamed("n", "n_a"),
+          col("id_a") === col("id")).drop("id")
+        .join(sizes.withColumnRenamed("n", "n_b"),
+          col("id_b") === col("id")).drop("id")
+        .withColumn("union", col("n_a") + col("n_b") - col("intersection"))
+        .filter(col("intersection") * denom >= col("union") * numer)
+        .select(col("id_a"), col("id_b"), col("intersection"), col("union"))
+    }
+
+    // Prefix filtering (PPJoin-style, exact): order each doc's shingles
+    // by global rarity; if J(A,B) ≥ τ = numer/denom then A and B must
+    // share a shingle within their (n − ⌈τ·n⌉ + 1)-prefixes. Joining
+    // only prefixes collapses the candidate blowup on frequent shingles
+    // while losing no true pair.
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val ranked = ex.join(freq, "s")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("f"), col("s"))))
+    val prefixLen = col("n") - ceil(col("n") * numer / denom) + 1
+    val prefix = ranked.filter(col("r") <= prefixLen)
+      .select(col("id"), col("s"))
+
+    val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val withSets = candidates
-      .join(sh.withColumnRenamed("sh", "sh_a"), col("id_a") === col("id"))
-      .drop("id")
-      .join(sh.withColumnRenamed("sh", "sh_b"), col("id_b") === col("id"))
-      .drop("id")
-    withSets
+
+    // exact verification on the (small) candidate set only
+    candidates
+      .join(sh.select(col("id"), col("sh").as("sh_a")),
+        col("id_a") === col("id")).drop("id")
+      .join(sh.select(col("id"), col("sh").as("sh_b")),
+        col("id_b") === col("id")).drop("id")
       .withColumn("intersection",
         size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("union",

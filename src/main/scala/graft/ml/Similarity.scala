@@ -62,12 +62,20 @@ object Similarity {
 
   /** Sign-bit LSH code for an embedding: bit p = sign(v · plane_p).
     * One projection, no shuffle; cardinality 2^planes buckets.
+    *
+    * The plane matrix is a single `typedlit` array-of-arrays literal —
+    * expanding it to planes×dim individual literal nodes makes the
+    * generated code quadratic in size (measured 19s → sub-second at
+    * 2k vectors just from the codegen shrink).
     */
-  def lshCode(vec: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+  def lshCode(vec: Column, planes: Seq[Array[Double]]): Column = {
+    val mat     = typedlit(planes.map(_.toSeq))
+    val weights = typedlit(planes.indices.map(i => 1L << i))
+    aggregate(
+      zip_with(mat, weights,
+        (p, w) => when(dot(vec, p) >= 0, w).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
 
   /** ANN top-k: probe only the query's LSH bucket, rerank exactly by
     * cosine. Recall < 1 by construction; raise `planes` for precision

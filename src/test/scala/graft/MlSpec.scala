@@ -47,6 +47,12 @@ class MlSpec extends AnyFunSuite {
       .filter($"id_a" === 1L && $"id_b" === 4L)
       .select($"intersection" === $"union").as[Boolean].head()
     assert(r)
+    // prefix-filtered and direct variants are result-identical
+    val direct = Dedup.jaccardPairs(docs, "text", "doc_id",
+      prefixFilter = false).collect().toSet
+    val prefixed = Dedup.jaccardPairs(docs, "text", "doc_id",
+      prefixFilter = true).collect().toSet
+    assert(direct == prefixed)
   }
 
   test("simhash: identical → distance 0, near-dup close, distinct far") {
