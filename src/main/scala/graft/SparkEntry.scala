@@ -417,6 +417,47 @@ object SparkEntry {
           col("features").getField("height").as("height"))
     }),
 
+    // ------------------------------------------------- A4 set operations
+    "q45_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_acctbal") > 0).select(col("c_nationkey"))
+        .intersect(c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_nationkey")))
+    }),
+    "q46_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      c.except(sup)
+    }),
+
+    // ----------------------------------------------- A4 aggregate family
+    "q47_agg_family" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          min(col("o_totalprice")).as("min_total"),
+          max(col("o_totalprice")).as("max_total"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_total"))),
+
+    // ------------------------------------------- F4 scalar string / date
+    "q48_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))),
+    "q49_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"))),
+
     // LSH-bucketed ANN (scale path; recall-dependent → rows-only).
     "q44_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -654,6 +695,37 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n_inter AS INT) AS n_inter,
         |  CAST(n_union AS INT) AS n_union
         |FROM p WHERE n_inter * 2 >= n_union""".stripMargin,
+    "q45_intersect" ->
+      """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+        |INTERSECT
+        |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q46_except" ->
+      """SELECT DISTINCT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT DISTINCT s_nationkey AS nk FROM supplier""".stripMargin,
+    "q47_agg_family" ->
+      """SELECT o_orderstatus,
+        |  min(o_totalprice) AS min_total,
+        |  max(o_totalprice) AS max_total,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS sum_total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q48_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  substring(p_name, 1, 5) AS prefix5,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS snake,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  p_brand || '-' || p_type AS brand_type
+        |FROM part""".stripMargin,
+    "q49_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30
+        |FROM orders""".stripMargin,
     "q42_multimodal" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,

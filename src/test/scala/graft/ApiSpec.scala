@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{GraftContext, GraftFrame}
+import graft.operators.PhysicalOps
+
+class ApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private lazy val ctx = GraftContext(spark)
+
+  test("GraftContext.readTsv gives headerless _cN string columns") {
+    val f = Files.createTempFile("graft_api", ".tsv")
+    Files.write(f, "1\tx\n2\ty".getBytes)
+    val frame = ctx.readTsv(f.toString)
+    assert(frame.df.columns.toSeq == Seq("_c0", "_c1"))
+    assert(frame.count() == 2)
+  }
+
+  test("fluent chain: applyMapping → filter → resolveChoice → write") {
+    val f = Files.createTempFile("graft_api2", ".tsv")
+    Files.write(f, "1\t10\n2\tbad\n3\t30".getBytes)
+    val out = Files.createTempDirectory("graft_api_out").toString + "/t"
+    val chained = ctx.readTsv(f.toString)
+      .applyMapping(Seq(
+        ("_c0", "", "id", "int"),
+        ("_c1", "", "v", "string")))
+      .filter(col("id") =!= 2)
+      .renameField("v", "value")
+      .writeParquet(out, mode = "overwrite")
+    assert(chained.df.columns.toSeq == Seq("id", "value"))
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("splitRows / splitFields return named collections") {
+    val frame = ctx.readParquet(s"${SparkFixture.sfDir}/orders.parquet")
+    val rows = frame.splitRows(Map("o_totalprice" -> Map(">" -> 1000)))
+    assert(rows("matched").count() + rows("unmatched").count() == frame.count())
+    val fields = frame.splitFields(Seq("o_orderkey", "o_orderstatus"))
+    assert(fields("selected").df.columns.length == 2)
+    assert(!fields("remaining").df.columns.contains("o_orderkey"))
+  }
+
+  test("record-level ops keep the error channel through the facade") {
+    val frame = GraftFrame(graft.core.GlueFrame(
+      Seq((1L, "a"), (2L, "boom")).toDF("id", "s")))
+    val filtered = frame.filterRecords({ r =>
+      if (r.getString(1) == "boom") throw new RuntimeException("x")
+      true
+    }, transformationCtx = "fx")
+    assert(filtered.count() == 1)
+    assert(filtered.errorsCount() == 1)
+    assert(filtered.stageErrorsCount("fx") == 1)
+    intercept[IllegalStateException](filtered.assertErrorThreshold(0, 10))
+  }
+
+  test("join / merge / union parity methods") {
+    val o = ctx.readParquet(s"${SparkFixture.sfDir}/orders.parquet")
+      .selectFields(Seq("o_orderkey", "o_custkey"))
+    val c = ctx.readParquet(s"${SparkFixture.sfDir}/customer.parquet")
+      .selectFields(Seq("c_custkey", "c_name"))
+    val joined = o.join(Seq("o_custkey"), Seq("c_custkey"), c)
+    assert(joined.df.columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "c_custkey", "c_name"))
+    assert(joined.count() == o.count()) // every order has a customer
+    val u = o.union(o)
+    assert(u.count() == 2 * o.count())
+  }
+
+  test("physical passthroughs: repartition / coalesce / minPartitions") {
+    val frame = ctx.readParquet(s"${SparkFixture.sfDir}/lineitem.parquet")
+    assert(frame.repartition(6).getNumPartitions == 6)
+    assert(frame.repartition(6).coalesce(2).getNumPartitions == 2)
+    assert(frame.repartition(6).coalesce(12).getNumPartitions == 6) // narrow
+    assert(frame.repartition(6).coalesce(12, shuffle = true)
+      .getNumPartitions == 12)
+    assert(PhysicalOps.getNumPartitions(
+      PhysicalOps.withMinPartitions(frame.df, 4)) >= 4)
+  }
+
+  test("spigot tees a sample and passes the frame through") {
+    val out = Files.createTempDirectory("graft_spigot").toString + "/s"
+    val frame = ctx.readParquet(s"${SparkFixture.sfDir}/nation.parquet")
+    val through = frame.spigot(out, topk = 5)
+    assert(through.count() == 25)
+    assert(spark.read.json(out).count() == 5)
+  }
+
+  test("SQL functions register from the shared registry") {
+    // getOrCreate in this JVM returns the fixture session, so drive the
+    // live-session path; GraftExtensions wraps the same registry
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT simhash64('a b c') AS s, size(shingle_hashes('a b c d', 2)) AS n," +
+      " size(minhash_signature(shingle_hashes('a b c d', 2), 16)) AS m")
+      .collect().head
+    assert(got.getAs[Long]("s") != 0L)
+    assert(got.getAs[Int]("n") == 3)
+    assert(got.getAs[Int]("m") == 16)
+  }
+}
