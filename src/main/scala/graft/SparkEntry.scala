@@ -467,6 +467,35 @@ object SparkEntry {
         dim = 64, k = 10, planes = 4)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
     }),
+
+    // Embedding near-dup pairs, exact threshold variant (oracle-able).
+    "q50_embed_pairs" -> ((s, dir) =>
+      Similarity.nearDupPairsExact(
+        t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.35)),
+
+    // TSV round-trip: write through the TSV sink, read with the S1
+    // reader, restore types — proves the headerless all-string contract.
+    "q51_tsv_roundtrip" -> ((s, dir) => {
+      val path = "target/tmp_tsv/nation"
+      t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").csv(path)
+      FieldOps.castColumns(
+        FieldOps.renamePositional(
+          graft.sources.Sources.readTsv(s, path),
+          Seq("n_nationkey", "n_name", "n_regionkey")),
+        Map("n_nationkey" -> "int", "n_regionkey" -> "int"))
+    }),
+
+    // IVF ANN with full probe (nprobe = nlist): machinery exercised
+    // end-to-end, result provably equal to the exact top-k oracle.
+    "q52_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "embedding",
+        nlist = 8, nprobe = 8, k = 10)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -726,6 +755,31 @@ object SparkEntry {
         |  CAST(day(o_orderdate) AS INT) AS d,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30
         |FROM orders""".stripMargin,
+    "q50_embed_pairs" ->
+      """WITH sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(a.embedding)+1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(a.embedding,
+        |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(b.embedding,
+        |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS raw
+        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
+        |WHERE raw >= 0.35""".stripMargin,
+    "q51_tsv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q52_ann_ivf" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT e.vec_id,
+        |  list_sum(list_transform(range(1, len(e.embedding)+1),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(e.embedding,
+        |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(q.qe,
+        |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS raw
+        | FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, round(raw, 4) AS score FROM sc
+        |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
     "q42_multimodal" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,

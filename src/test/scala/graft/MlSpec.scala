@@ -117,6 +117,28 @@ class MlSpec extends AnyFunSuite {
     assert(top.contains(1L)) // same half-spaces ⇒ same bucket ⇒ found
   }
 
+  test("IVF ANN: full probe is exact; partial probe finds the planted twin") {
+    val dim = 8
+    val q    = Array.fill(dim)(1.0f)
+    val near = q.map(x => x * 0.9f + 0.01f)
+    val emb = (Seq((0L, q.toSeq), (1L, near.toSeq)) ++
+      (2L to 60L).map(i => (i, Array.tabulate(dim)(j =>
+        math.sin(i * 31 + j).toFloat).toSeq)))
+      .toDF("vec_id", "embedding")
+    val base = emb.filter($"vec_id" =!= 0)
+    val query = emb.filter($"vec_id" === 0)
+    val exact = Similarity.bruteForceTopK(base, "vec_id", "embedding",
+      query, "embedding", k = 5).select("vec_id").as[Long].collect().toSeq
+    val fullProbe = Similarity.ivfTopK(base, "vec_id", "embedding",
+      query, "embedding", nlist = 4, nprobe = 4, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(fullProbe == exact) // nprobe = nlist ⇒ identical to brute force
+    val partial = Similarity.ivfTopK(base, "vec_id", "embedding",
+      query, "embedding", nlist = 4, nprobe = 1, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(partial.contains(1L)) // near-identical twin shares the cluster
+  }
+
   test("multimodal feature extraction is deterministic from bytes") {
     val d = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
       .select($"doc_id", $"text".cast("binary").as("payload"))
