@@ -42,6 +42,7 @@ object Bench {
     }
 
     val results = ordered.map { case (name, fn) =>
+      System.gc() // isolate queries from each other's allocation debt
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () }
       catch { case _: Throwable => () }

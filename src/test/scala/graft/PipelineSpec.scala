@@ -97,6 +97,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(names == Seq("productCategorykey", "productCategoryAlternateKey"))
   }
 
+  test("replays all six reference dimension loads, idempotently") {
+    import graft.pipeline.ReferenceLoads
+    assume(new java.io.File(ReferenceLoads.dataDir).exists())
+    val wh = new ParquetWarehouse(spark,
+      Files.createTempDirectory("graft_all_dims").toString)
+    val first = ReferenceLoads.runAll(spark, wh)
+    // cardinalities from the extracts (BASELINE.md)
+    assert(first("DimProductCategory") == 4L)
+    assert(first("DimProductSubCategory") == 37L)
+    assert(first("DimProduct") == 504L)
+    assert(first("DimCurrency") == 105L)
+    assert(first("DimPromotion") == 538L) // junction-table quirk preserved
+    assert(first("DimSalesTerritory") == 10L)
+    assert(first("DimCustomer") == 19820L)
+    val second = ReferenceLoads.runAll(spark, wh)
+    assert(second.values.forall(_ == 0L)) // nothing new on re-run
+    // the customer mislabeling quirk: alternate key carries AccountNumber
+    val c = wh.read("DimCustomer").get
+    assert(c.columns.toSeq ==
+      Seq("customerKey", "salesTerritoryKey", "customerAlternateKey"))
+    assert(c.filter($"customerAlternateKey".startsWith("AW")).count() == 19820L)
+  }
+
   // -------------------------------------------------------- fact replay
 
   test("fact load joins detail+header and anti-joins on composite key") {
