@@ -119,6 +119,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed != null)
   }
 
+  test("session windows group by activity gaps per key") {
+    import graft.streaming.EventTime
+    import org.apache.spark.sql.functions._
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // user 1: two bursts separated by >5min; user 2: one burst
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(2)), (1L, ts(20)), (1L, ts(21)),
+      (2L, ts(5))).toDF("user_id", "ts")
+    val sessions = EventTime.sessionAgg(df, "ts", "5 minutes",
+      keys = Seq($"user_id"), aggs = Seq(count(lit(1)).as("n")))
+    val perUser = sessions.groupBy("user_id").count().as[(Long, Long)]
+      .collect().toMap
+    assert(perUser(1L) == 2L) // the >5min gap splits the session
+    assert(perUser(2L) == 1L)
+    val sizes = sessions.filter($"user_id" === 1L)
+      .select($"n").as[Long].collect().sorted.toSeq
+    assert(sizes == Seq(2L, 2L))
+  }
+
+  test("sliding windows overlap: each event lands in window/slide buckets") {
+    import graft.streaming.EventTime
+    import org.apache.spark.sql.functions._
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val df = Seq((new java.sql.Timestamp(base.getTime + 90000L), 1.0))
+      .toDF("ts", "v")
+    val agg = EventTime.windowedAgg(df, "ts", "2 minutes",
+      aggs = Seq(count(lit(1)).as("n")), slide = Some("1 minute"))
+    assert(agg.count() == 2) // a point event belongs to 2 overlapping windows
+  }
+
   test("dedupWithinWatermark on batch falls back to dropDuplicates") {
     import graft.streaming.EventTime
     val df = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v")
