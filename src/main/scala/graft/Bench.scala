@@ -34,9 +34,17 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
 
+    // Materialize EVERY row fully: a plain count() lets Catalyst prune
+    // unreferenced projections, so projection-only queries would time
+    // the scan, not the operator (r2 verdict). toRdd.count() executes
+    // the physical plan as written — each UnsafeRow is produced.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(); ()
+    }
+
     if (warmupDir.nonEmpty && new java.io.File(warmupDir).exists()) {
       ordered.foreach { case (_, fn) =>
-        try { fn(spark, warmupDir).count(); () }
+        try materialize(fn(spark, warmupDir))
         catch { case _: Throwable => () }
       }
     }
@@ -44,7 +52,7 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       System.gc() // isolate queries from each other's allocation debt
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () }
+      try materialize(fn(spark, sfDir))
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Intersection cardinality of two SORTED array<long> columns via a
+  * single merge scan: O(n+m), zero allocation.
+  *
+  * Why not `size(array_intersect(a, b))`: ArrayIntersect builds a hash
+  * set per evaluation and allocates the materialized intersection
+  * array, only for `size` to throw it away — measured ~10× slower on
+  * the Jaccard verification join (millions of candidate pairs, each
+  * pair evaluated once). Inputs must be sorted ascending (signed long
+  * order, i.e. `sort_array`) and duplicate-free; the caller owns that
+  * invariant (see [[graft.ml.Dedup.jaccardPairs]]).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<bigint> columns, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SortedIntersectCount.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+object SortedIntersectCount {
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var count = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { count += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    count
+  }
+}

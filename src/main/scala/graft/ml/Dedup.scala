@@ -125,11 +125,20 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3,
       numer: Int = 1, denom: Int = 2,
-      prefixFilter: Boolean = true): DataFrame = {
+      prefixFilter: Boolean = true,
+      maxShingleFreq: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The shingle table feeds candidate generation AND both sides of
+    // the verification join — persist it so the text→shingle kernel
+    // runs once, not once per plan reference (the signature table is
+    // ~tens of bytes/doc, far smaller than the corpus). Arrays are kept
+    // sorted so verification can use the zero-allocation merge-scan
+    // intersect ([[graft.functions.SortedIntersectCount]]).
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingleHashes(col(textCol), shingleSize)).as("sh"))
+      sort_array(array_distinct(shingleHashes(col(textCol), shingleSize)))
+        .as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
     val ex = sh.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
 
@@ -161,24 +170,45 @@ object Dedup {
       .withColumn("r", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("f"), col("s"))))
     val prefixLen = col("n") - ceil(col("n") * numer / denom) + 1
-    val prefix = ranked.filter(col("r") <= prefixLen)
-      .select(col("id"), col("s"))
+    // Optional recall knob for adversarial corpora: exclude shingles
+    // whose document frequency exceeds the cap from CANDIDATE
+    // GENERATION only (verification still uses full shingle sets).
+    // With the cap unset the join is exact; with it set, a true pair is
+    // missed only if every prefix shingle it shares is hotter than the
+    // cap — at 100 TB that trades bounded skew for bounded recall loss.
+    // prefix is self-joined — persist so the freq-join + window run
+    // once, not once per join side; (n, r) ride along for the
+    // positional filter
+    val prefix = ranked.filter(col("r") <= prefixLen &&
+        maxShingleFreq.map(cap => col("f") <= cap).getOrElse(lit(true)))
+      .select(col("id"), col("s"), col("n"), col("r"))
+      .persist()
 
+    // Positional filter (PPJoin): for a shared prefix shingle at ranks
+    // (r_a, r_b), |∩| ≤ 1 + min(n_a−r_a, n_b−r_b); J ≥ numer/denom
+    // ⇔ |∩|·(numer+denom) ≥ numer·(n_a+n_b). Safe under OR-semantics:
+    // a true pair's FIRST shared shingle in the global (freq, s) order
+    // has no common element before it, so its bound row always passes.
+    val posBound = (lit(1) +
+      least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))) *
+      (numer + denom) >= (col("a.n") + col("b.n")) * numer
     val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") && posBound)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    // exact verification on the (small) candidate set only
+    // exact verification on the (small) candidate set only; merge-scan
+    // intersect over the sorted arrays, one evaluation per pair
     candidates
       .join(sh.select(col("id"), col("sh").as("sh_a")),
         col("id_a") === col("id")).drop("id")
       .join(sh.select(col("id"), col("sh").as("sh_b")),
         col("id_b") === col("id")).drop("id")
-      .withColumn("intersection",
-        size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("union",
-        size(col("sh_a")) + size(col("sh_b")) - col("intersection"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("sh_a"), col("sh_b")).as("intersection"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .withColumn("union", col("n_a") + col("n_b") - col("intersection"))
       .filter(col("intersection") * denom >= col("union") * numer)
       .select(col("id_a"), col("id_b"), col("intersection"), col("union"))
   }
