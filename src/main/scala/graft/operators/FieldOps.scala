@@ -221,11 +221,56 @@ object FieldOps {
       }
     }
 
+  /** True iff a NullType leaf exists anywhere under `dt` (structs and
+    * array elements recursed, maps skipped — drop_nulls.py:17-37).
+    */
+  private def containsNullType(dt: DataType): Boolean = dt match {
+    case NullType           => true
+    case st: StructType     => st.fields.exists(f => containsNullType(f.dataType))
+    case ArrayType(et, _)   => containsNullType(et)
+    case _                  => false
+  }
+
+  /** True iff pruning NullType leaves from `dt` leaves nothing at all
+    * (the value is null-typed through and through).
+    */
+  private def prunesToNothing(dt: DataType): Boolean = dt match {
+    case NullType         => true
+    case st: StructType   => st.fields.forall(f => prunesToNothing(f.dataType))
+    case ArrayType(et, _) => prunesToNothing(et)
+    case _                => false
+  }
+
+  /** Rebuild `c` (of type `dt`) without its NullType leaves; None when
+    * the whole value is null-typed. Struct members are reassembled with
+    * struct(); array elements are rewritten through a transform()
+    * lambda (Column.dropFields only works on struct columns — applying
+    * a dotted path through an array is an AnalysisException).
+    */
+  private def pruneNullType(c: Column, dt: DataType): Option[Column] = dt match {
+    case _ if prunesToNothing(dt) => None
+    case st: StructType =>
+      val kept = st.fields.toSeq.flatMap { f =>
+        if (!containsNullType(f.dataType)) Some(c.getField(f.name).as(f.name))
+        else pruneNullType(c.getField(f.name), f.dataType).map(_.as(f.name))
+      }
+      Some(struct(kept: _*))
+    case ArrayType(et, _) =>
+      if (!containsNullType(et)) Some(c)
+      else Some(transform(c, x => pruneNullType(x, et).get))
+    case _ => Some(c)
+  }
+
   def dropNullFields(df: DataFrame): DataFrame = {
-    val paths = nullFieldPaths(df.schema)
-      // arrays-of-structs need transform() lambdas; handle top/struct only
-      .map(FieldPath.render)
-    if (paths.isEmpty) df else dropFields(df, paths)
+    if (!df.schema.fields.exists(f => containsNullType(f.dataType))) df
+    else {
+      val cols = df.schema.fields.toSeq.flatMap { f =>
+        if (!containsNullType(f.dataType)) Some(col(FieldPath.quote(f.name)))
+        else pruneNullType(col(FieldPath.quote(f.name)), f.dataType)
+          .map(_.as(f.name))
+      }
+      df.select(cols: _*)
+    }
   }
 
   // --------------------------------------------------------------- casting

@@ -35,16 +35,23 @@ object Sinks {
 
   /** Spigot (dynamicframe.py:296-300; field_transforms.py:431-469): tee
     * a small sample of records to a path mid-pipeline without altering
-    * the flow. `topk` caps the sample; `prob` subsamples. Returns the
-    * input frame unchanged so it chains.
+    * the flow. `topk` caps the sample; `prob` subsamples.
+    *
+    * The input is persisted before the side-write and the PERSISTED
+    * frame is returned, so the upstream plan executes once, not once
+    * for the tee and again for the main flow (SURVEY §2.1 maps the
+    * reference's tee to `df.cache()` + side-write). The caller owns
+    * unpersist after its terminal write.
     */
   def spigot(
       df: DataFrame,
       path: String,
       topk: Int = 100,
       prob: Double = 1.0): DataFrame = {
-    val sampled = if (prob < 1.0) df.sample(withReplacement = false, prob, seed = 42L) else df
+    val cached  = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampled = if (prob < 1.0)
+      cached.sample(withReplacement = false, prob, seed = 42L) else cached
     sampled.limit(topk).write.mode("overwrite").json(path)
-    df
+    cached
   }
 }

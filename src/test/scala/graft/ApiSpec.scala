@@ -91,6 +91,20 @@ class ApiSpec extends AnyFunSuite {
     assert(spark.read.json(out).count() == 5)
   }
 
+  test("spigot executes the upstream plan once (persisted tee)") {
+    val acc = spark.sparkContext.longAccumulator("upstream_rows")
+    val upstream = ctx.readParquet(s"${SparkFixture.sfDir}/nation.parquet")
+      .df.select(col("n_nationkey"))
+      .map { r => acc.add(1); r.getInt(0) }(org.apache.spark.sql.Encoders.scalaInt)
+      .toDF("k")
+    val out = Files.createTempDirectory("graft_spigot_once").toString + "/s"
+    val through = graft.sources.Sinks.spigot(upstream, out, topk = 5)
+    assert(through.count() == 25)   // main flow after the tee
+    assert(acc.value <= 25,         // each row computed at most once
+      s"upstream re-executed: ${acc.value} evaluations for 25 rows")
+    through.unpersist()
+  }
+
   test("SQL functions register from the shared registry") {
     // getOrCreate in this JVM returns the fixture session, so drive the
     // live-session path; GraftExtensions wraps the same registry

@@ -78,4 +78,33 @@ class FieldOpsSpec extends AnyFunSuite {
     assert(r.schema("st").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
       Seq("keep"))
   }
+
+  test("dropNullFields prunes NullType inside arrays of structs") {
+    val df = Seq((1L, "x")).toDF("id", "s")
+      .withColumn("arr", array(
+        struct($"s".as("keep"), lit(null).as("n2")),
+        struct(lit("y").as("keep"), lit(null).as("n2"))))
+      .withColumn("allnull", array(struct(lit(null).as("n3"))))
+    val r = FieldOps.dropNullFields(df)
+    assert(r.columns.toSeq == Seq("id", "s", "arr"))
+    val elem = r.schema("arr").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(elem.fieldNames.toSeq == Seq("keep"))
+    assert(r.select(expr("arr[1].keep")).as[String].head() == "y")
+  }
+
+  test("dropNullFields keeps maps and deep mixed nesting intact") {
+    val df = Seq((1L, "x")).toDF("id", "s")
+      .withColumn("m", map(lit("k"), lit(null)))  // maps are skipped
+      .withColumn("deep", struct(
+        array(struct($"s".as("a"), lit(null).as("b"))).as("arr"),
+        lit(null).as("gone")))
+    val r = FieldOps.dropNullFields(df)
+    assert(r.columns.toSeq == Seq("id", "s", "m", "deep"))
+    val deep = r.schema("deep").dataType.asInstanceOf[StructType]
+    assert(deep.fieldNames.toSeq == Seq("arr"))
+    val elem = deep("arr").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(elem.fieldNames.toSeq == Seq("a"))
+  }
 }
