@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.SparkSession
 
-import graft.pipeline.StarLoad.{DimSpec, Warehouse}
+import graft.pipeline.StarLoad.{DimSpec, FactSpec, Warehouse}
 
 /** The reference pipeline's six dimension loads, spec'd verbatim from
   * pipeline.py (column lists, projections, renames, casts — cited per
@@ -122,6 +122,81 @@ object ReferenceLoads {
       "rowGuid"     -> "customerAlternateKey"),
     casts = Map("customerKey" -> "int", "salesTerritoryKey" -> "int"),
     businessKeys = Seq("customerKey"))
+
+  /** FactInternetSales (EP2, pipeline.py:834-1013) — verbatim column
+    * lists. The source files are empty in the reference checkout
+    * (.MISSING_LARGE_BLOBS:4-5), so callers pass synthesized fixture
+    * paths with these exact shapes (FIXTURES.md §A).
+    *
+    * Quirk decisions (SURVEY §7.3 policy — reproduce observable
+    * outputs, document divergences):
+    * - pipeline.py:885-886 omits a comma, so `"rowGuid" "ModifiedDate"`
+    *   concatenates into ONE positional name `rowGuidModifiedDate`,
+    *   shifting every later name: the header's rowGuid column is named
+    *   rowGuidModifiedDate, its ModifiedDate column is named
+    *   CreditCardId, and the real CreditCardId column keeps `_c25`.
+    *   PRESERVED here — all three mislabeled columns are dropped by the
+    *   final 15-column select, so the fact output is unaffected.
+    * - pipeline.py:896-912 renames productId→productKey (lower p), then
+    *   the cast loop's withColumn("ProductKey", ...) re-cases it under
+    *   case-insensitive resolution (same for the other keys). The
+    *   renames below go straight to the final capitalization — the
+    *   observable schema (pipeline.py:953 select) is identical.
+    * - `.drop("soh.SalesOrderId")` (pipeline.py:938) is a no-op in the
+    *   reference (qualified-name drop never matches); the join key is
+    *   excluded by the final select either way.
+    */
+  def factInternetSales(detailPath: String, headerPath: String): FactSpec =
+    FactSpec(
+      table = "FactInternetSales",
+      detailPath = detailPath,
+      // SALES_ORDER_DETAIL_COLUMN, pipeline.py:839-850
+      detailColumns = Seq("salesOrderId", "salesOrderDetailId",
+        "carrierTrackingNumber", "orderQty", "productId", "specialOfferId",
+        "unitPrice", "unitPriceDiscount", "lineTotal", "rowGuid",
+        "modifiedDate"),
+      headerPath = headerPath,
+      // SALES_ORDER_HEADER_COLUMN, pipeline.py:861-888 — 24 effective
+      // names (the :885-886 literal-concat quirk, see class doc)
+      headerColumns = Seq("SalesOrderId", "RevisionNumber", "OrderDate",
+        "DueDate", "ShipDate", "Status", "OnlineOrderFlag",
+        "SalesOrderNumber", "PurchaseOrderNumber", "AccountNumber",
+        "CustomerId", "ContactId", "SalesPersonId", "TerritoryId",
+        "BillToAddressId", "ShipMethodId", "CreditCardApprovalCode",
+        "CurrencyRateId", "SubTotal", "TaxAmt", "Freight", "TotalDue",
+        "Comment", "rowGuidModifiedDate", "CreditCardId"),
+      // pipeline.py:933-938 — inner join on SalesOrderId
+      joinKey = "SalesOrderId",
+      // mapping dict, pipeline.py:896-912 (final capitalization, see doc)
+      renames = Map(
+        "productId"             -> "ProductKey",
+        "CustomerId"            -> "CustomerKey",
+        "specialOfferId"        -> "PromotionKey",
+        "TerritoryId"           -> "SalesTerritoryKey",
+        "orderQty"              -> "OrderQuantity",
+        "unitPrice"             -> "UnitPrice",
+        "unitPriceDiscount"     -> "UnitPriceDiscount",
+        "carrierTrackingNumber" -> "CarrierTrackingNumber"),
+      // timestamp_columns / integer_columns / real_value_columns,
+      // pipeline.py:807-827 + cast loops :943-950
+      casts = Map(
+        "OrderDate" -> "timestamp", "DueDate" -> "timestamp",
+        "ShipDate" -> "timestamp",
+        "ProductKey" -> "int", "CustomerKey" -> "int",
+        "PromotionKey" -> "int", "SalesTerritoryKey" -> "int",
+        "RevisionNumber" -> "int",
+        "OrderQuantity" -> "float", "UnitPrice" -> "float",
+        "UnitPriceDiscount" -> "float", "TaxAmt" -> "float",
+        "Freight" -> "float"),
+      // FACT_INTERNET_SALES_COLUMNS, pipeline.py:915-931/:953
+      projection = Seq("ProductKey", "CustomerKey", "PromotionKey",
+        "SalesTerritoryKey", "SalesOrderNumber", "RevisionNumber",
+        "OrderQuantity", "UnitPrice", "UnitPriceDiscount", "TaxAmt",
+        "Freight", "CarrierTrackingNumber", "OrderDate", "DueDate",
+        "ShipDate"),
+      // 4-way composite anti-join, pipeline.py:975-989
+      businessKeys = Seq("ProductKey", "CustomerKey", "PromotionKey",
+        "SalesTerritoryKey"))
 
   def allDims(dir: String = dataDir): Seq[DimSpec] = Seq(
     productCategory(dir), productSubCategory(dir), product(dir),

@@ -122,6 +122,107 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------------- fact replay
 
+  /** FIXTURES.md §A synthesized SalesOrderDetail: 600 rows over 200
+    * orders (3 lines each); rows where i % 60 == 0 carry an EMPTY
+    * productId (→ null ProductKey after the int cast) to exercise the
+    * reference's nullable-composite-key semantics (pipeline.py:975-989).
+    */
+  private def synthSalesOrderDetail(): (String, Int, Int) = {
+    val rows = (0 until 600).map { i =>
+      val orderId   = 43659 + i / 3
+      val productId = if (i % 60 == 0) "" else (707 + i % 50).toString
+      val qty       = 1 + i % 5
+      val price     = f"${20.0 + (i % 7) * 1.25}%.4f"
+      Seq(orderId, 1 + i, s"4911-403C-${i % 98}", qty, productId,
+        1 + i % 5, price, "0.0000", f"${qty * (20.0 + (i % 7) * 1.25)}%.6f",
+        s"{B207C96D-D9E6-402B-8470-${"%012d".format(i)}}",
+        "2008-06-01 00:00:00").mkString("\t")
+    }
+    (writeTsv(rows), 600, (0 until 600).count(_ % 60 == 0))
+  }
+
+  /** FIXTURES.md §A synthesized SalesOrderHeader: 200 orders, 26
+    * physical columns in the order pipeline.py:861-888 INTENDED (the
+    * missing comma then mislabels the last three at rename time).
+    */
+  private def synthSalesOrderHeader(): String = {
+    val rows = (0 until 200).map { h =>
+      val orderId = 43659 + h
+      Seq(
+        orderId, 8,
+        "2008-06-01 00:00:00", "2008-06-13 00:00:00", "2008-06-08 00:00:00",
+        5, 1, s"SO$orderId", s"PO$orderId", s"10-4030-${"%06d".format(h)}",
+        11000 + h % 120,                 // CustomerId
+        100 + h,                         // ContactId
+        275 + h % 17,                    // SalesPersonId
+        1 + h % 10,                      // TerritoryId
+        900 + h,                         // BillToAddressId
+        5,                               // ShipMethodId
+        s"105041Vi$h",                   // CreditCardApprovalCode
+        "",                              // CurrencyRateId
+        "100.0000", "8.0000", "2.5000", "110.5000",
+        "",                              // Comment
+        s"{79B65321-39CA-4115-9CBA-${"%012d".format(h)}}", // rowGuid
+        "2008-06-08 00:00:00",           // ModifiedDate
+        h % 19                           // CreditCardId
+      ).mkString("\t")
+    }
+    writeTsv(rows)
+  }
+
+  test("replays FactInternetSales verbatim (EP2) incl. the rename quirk") {
+    import graft.pipeline.ReferenceLoads
+    import graft.operators.FieldOps
+    import graft.sources.Sources
+    val (detailPath, nDetail, nNullKey) = synthSalesOrderDetail()
+    val headerPath = synthSalesOrderHeader()
+    val spec = ReferenceLoads.factInternetSales(detailPath, headerPath)
+
+    // the :885-886 literal-concat quirk, observable on the renamed header:
+    // 24 effective names over 26 physical columns — the header's rowGuid
+    // column is named rowGuidModifiedDate, its ModifiedDate column is
+    // named CreditCardId, and the true CreditCardId column keeps _c25
+    val namedHeader = FieldOps.renamePositional(
+      Sources.readTsv(spark, headerPath), spec.headerColumns)
+    assert(namedHeader.columns.length == 26)
+    assert(namedHeader.columns.contains("rowGuidModifiedDate"))
+    assert(namedHeader.columns.last == "_c25")
+    assert(namedHeader.select($"rowGuidModifiedDate").as[String].head()
+      .startsWith("{79B65321")) // rowGuid data under the concatenated name
+    assert(namedHeader.select($"CreditCardId").as[String].head()
+      == "2008-06-08 00:00:00") // ModifiedDate data under CreditCardId
+
+    val wh = new ParquetWarehouse(spark,
+      Files.createTempDirectory("graft_fact_replay").toString)
+    assert(StarLoad.loadFact(spark, spec, wh) == nDetail.toLong)
+
+    val stored = wh.read("FactInternetSales").get
+    // 15-column fact schema, exact order and post-cast types
+    // (pipeline.py:953; redshift/ddl.sql:78-93)
+    assert(stored.columns.toSeq == Seq("ProductKey", "CustomerKey",
+      "PromotionKey", "SalesTerritoryKey", "SalesOrderNumber",
+      "RevisionNumber", "OrderQuantity", "UnitPrice", "UnitPriceDiscount",
+      "TaxAmt", "Freight", "CarrierTrackingNumber", "OrderDate", "DueDate",
+      "ShipDate"))
+    import org.apache.spark.sql.types._
+    val byName = stored.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("ProductKey") == IntegerType)
+    assert(byName("RevisionNumber") == IntegerType)
+    assert(byName("OrderQuantity") == FloatType)
+    assert(byName("UnitPrice") == FloatType)
+    assert(byName("OrderDate") == TimestampType)
+    assert(byName("SalesOrderNumber") == StringType)
+    assert(byName("CarrierTrackingNumber") == StringType)
+
+    // re-run: rows with a null composite key NEVER match the anti-join,
+    // so exactly the null-ProductKey rows are re-inserted — the
+    // reference's preserved J4 semantics (pipeline.py:975-989)
+    assert(StarLoad.loadFact(spark, spec, wh) == nNullKey.toLong)
+    assert(wh.read("FactInternetSales").get.count() ==
+      (nDetail + nNullKey).toLong)
+    assert(stored.filter($"ProductKey".isNull).count() == nNullKey.toLong)
+  }
+
   test("fact load joins detail+header and anti-joins on composite key") {
     val detail = writeTsv(Seq(
       "100\t1\t5\t2.5", // orderId, line, productKey, amount
