@@ -498,6 +498,16 @@ object SparkEntry {
         Map("n_nationkey" -> "int", "n_regionkey" -> "int"))
     }),
 
+    // Embedding near-dup pairs via LSH buckets — the SCALE path for
+    // q50's exact variant: candidates only within a bucket, normalized
+    // dot for the score. The oracle replays the deterministic
+    // bucketing, so this is exact-checked without a recall assumption.
+    "q53_embed_pairs_lsh" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, planes = 4)
+        .select(col("id_a"), col("id_b"),
+          round(col("score"), 4).as("score"))),
+
     // IVF ANN with full probe (nprobe = nlist): machinery exercised
     // end-to-end, result provably equal to the exact top-k oracle.
     "q52_ann_ivf" -> ((s, dir) => {
@@ -509,6 +519,53 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 4).as("score"))
     }),
   )
+
+  /** The q44 hyperplane matrix as a DuckDB array literal — generated
+    * from the SAME deterministic [[graft.ml.Similarity.hyperplanes]]
+    * call the Spark query makes, so the oracle buckets with bit-equal
+    * plane constants (Double.toString round-trips exactly).
+    */
+  private def lshPlaneMatrixSql: String =
+    graft.ml.Similarity.hyperplanes(64, 4, 42L)
+      .map(_.map(_.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  /** 64-bit wrap-around helpers for the q39/q40 oracles, as DuckDB SQL
+    * fragments over HUGEINT (DuckDB integer ops trap on overflow, so
+    * mod-2^64 arithmetic is explicit):
+    * - xor64: xor via 32-bit halves (BIGINT xor, halves always fit);
+    * - mul64 by a constant: split the constant into 32-bit halves so
+    *   every product stays below 2^127;
+    * - the FNV-1a step multiplies directly (the prime is < 2^41).
+    */
+  private def sqlXor64(a: String, b: String): String =
+    s"(xor(CAST(($a) // 4294967296 AS BIGINT), CAST(($b) // 4294967296 AS BIGINT))::HUGEINT * 4294967296" +
+    s" + xor(CAST(($a) % 4294967296 AS BIGINT), CAST(($b) % 4294967296 AS BIGINT))::HUGEINT)"
+
+  private def sqlMul64(u: String, c: Long): String = {
+    val hi = java.lang.Long.divideUnsigned(c, 4294967296L)
+    val lo = java.lang.Long.remainderUnsigned(c, 4294967296L)
+    s"(((($u) % 4294967296) * $lo" +
+    s" + (((($u) % 4294967296) * $hi + (($u) // 4294967296) * $lo) % 4294967296) * 4294967296" +
+    s") % 18446744073709551616)"
+  }
+
+  /** FNV-1a reduce over a byte-step list (one xor-then-multiply step
+    * per element) starting from the FNV offset basis; yields HUGEINT in
+    * [0, 2^64). `steps` must be a DuckDB list<int> expression.
+    */
+  private def sqlFnv(steps: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(14695981039346656037 AS HUGEINT), $steps),
+       |  (acc, b) -> ((acc // 65536) * 65536
+       |      + xor(CAST(acc % 65536 AS BIGINT), CAST(b AS BIGINT)))
+       |    * 1099511628211 % 18446744073709551616)""".stripMargin
+
+  /** One splitmix64 finalizer stage pair (shift-xor then multiply) as a
+    * chained CTE body: z := mul64(xor64(z, z >> shift), const).
+    */
+  private def sqlMixStage(shift: Int, const: Long): String =
+    sqlMul64(sqlXor64("z", s"z // ${1L << shift}"), const)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -721,6 +778,109 @@ object SparkEntry {
         | FROM embeddings e, q WHERE e.vec_id <> 0)
         |SELECT vec_id, round(raw, 4) AS score FROM sc
         |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
+    // MinHash+LSH dedup: full kernel replay — FNV-1a shingle hashes
+    // (token separator is ONE 0x20 step), splitmix64 signature minima
+    // over SIGNED longs, 16×4 band grouping by band CONTENT (equivalent
+    // to Spark's band-hash buckets absent 64-bit hash collisions), a
+    // doc survives iff no band bucket holds a smaller id.
+    "q39_minhash_dedup" -> {
+      val mix1 = sqlMixStage(30, 0xbf58476d1ce4e5b9L)
+      val mix2 = sqlMixStage(27, 0x94d049bb133111ebL)
+      val mix3 = sqlXor64("z", s"z // ${1L << 31}")
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents
+         |),
+         |tok AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM d),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |      i -> ${sqlFnv(
+        """flatten(list_transform(
+          |            list_filter([toks[i], toks[i + 1], toks[i + 2]], t -> t IS NOT NULL),
+          |            t -> list_append(
+          |              flatten(list_transform(string_split(t, ''),
+          |                ch -> [unicode(ch) % 256, unicode(ch) // 256])), 32))
+          |          )[:-1]""".stripMargin)})) AS s_u
+         |  FROM tok
+         |),
+         |z0 AS (SELECT doc_id, seed,
+         |    (s_u + (seed + 1) * 11400714819323198485) % 18446744073709551616 AS z
+         |  FROM sh, (SELECT unnest(range(0, 64)) AS seed)),
+         |z1 AS (SELECT doc_id, seed, $mix1 AS z FROM z0),
+         |z2 AS (SELECT doc_id, seed, $mix2 AS z FROM z1),
+         |z3 AS (SELECT doc_id, seed, $mix3 AS z FROM z2),
+         |sig AS (
+         |  SELECT doc_id, seed,
+         |    min(CASE WHEN z >= 9223372036854775808
+         |        THEN CAST(z - 18446744073709551616 AS BIGINT)
+         |        ELSE CAST(z AS BIGINT) END) AS v
+         |  FROM z3 GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, seed // 4 AS b, list(v ORDER BY seed) AS content
+         |  FROM sig GROUP BY doc_id, seed // 4),
+         |bucket_min AS (
+         |  SELECT b, content, min(doc_id) AS m FROM bands GROUP BY b, content)
+         |SELECT bands.doc_id FROM bands
+         |JOIN bucket_min USING (b, content)
+         |GROUP BY bands.doc_id
+         |HAVING min(m) = bands.doc_id""".stripMargin
+    },
+    // SimHash64: FNV-1a per token (two byte-steps per UTF-16 unit),
+    // ±1 votes per bit via 32-bit halves, sign bits reassembled into a
+    // signed BIGINT.
+    "q40_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents
+         |),
+         |h AS (
+         |  SELECT doc_id, ${sqlFnv(
+        """flatten(list_transform(string_split(tok, ''),
+          |          ch -> [unicode(ch) % 256, unicode(ch) // 256]))""".stripMargin)} AS hu
+         |  FROM t
+         |),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    CASE WHEN b < 32
+         |      THEN (CAST(hu % 4294967296 AS BIGINT) >> b) & 1
+         |      ELSE (CAST(hu // 4294967296 AS BIGINT) >> (b - 32)) & 1
+         |    END AS bit
+         |  FROM h, (SELECT unnest(range(0, 64)) AS b)
+         |),
+         |votes AS (
+         |  SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM bits GROUP BY doc_id, b
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN v > 0 AND b < 63 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+         |    + sum(CASE WHEN v > 0 AND b = 63 THEN -9223372036854775808 ELSE 0 END)
+         |    AS BIGINT) AS sig
+         |FROM votes GROUP BY doc_id""".stripMargin,
+    // LSH ANN: the oracle replays the deterministic bucketing with the
+    // SAME plane constants (inlined literals), then reranks the bucket
+    // exactly — checks bucket membership AND scores, not just shape.
+    "q44_ann_lsh" ->
+      s"""WITH coded AS (
+         |  SELECT vec_id, embedding,
+         |    list_sum(list_transform(range(1, 5), p ->
+         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> CAST(embedding[i] AS DOUBLE) * ($lshPlaneMatrixSql)[p][i])) >= 0
+         |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS qe, bk AS qbk FROM coded WHERE vec_id = 0),
+         |sc AS (SELECT c.vec_id,
+         |  list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(c.embedding,
+         |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(q.qe,
+         |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS raw
+         | FROM coded c, q WHERE c.vec_id <> 0 AND c.bk = q.qbk)
+         |SELECT vec_id, round(raw, 4) AS score FROM sc
+         |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
     "q41_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),
@@ -780,6 +940,26 @@ object SparkEntry {
         |WHERE raw >= 0.35""".stripMargin,
     "q51_tsv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // Same plane-literal bucketing as q44; pairs share a bucket, score
+    // is the dot of L2-normalized vectors (4dp-stable across engines).
+    "q53_embed_pairs_lsh" ->
+      s"""WITH coded AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u,
+         |    list_sum(list_transform(range(1, 5), p ->
+         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> CAST(embedding[i] AS DOUBLE) * ($lshPlaneMatrixSql)[p][i])) >= 0
+         |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
+         |  FROM embeddings),
+         |sc AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+         |  list_sum(list_transform(range(1, len(a.u) + 1),
+         |    i -> a.u[i] * x.u[i])) AS raw
+         | FROM coded a, coded x
+         | WHERE a.bk = x.bk AND a.vec_id < x.vec_id)
+         |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
+         |WHERE raw >= 0.35""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

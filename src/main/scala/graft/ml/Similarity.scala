@@ -215,18 +215,26 @@ object Similarity {
   }
 
   /** All-pairs cosine above a threshold via LSH buckets (embedding
-    * near-dup detection): pairs within the same bucket only.
+    * near-dup detection): pairs within the same bucket only — the
+    * candidate join key is the bucket code, so the pair count is
+    * Σ_bucket n_b², never the global n². Vectors are L2-normalized once
+    * per side BEFORE the join (the q50 lesson: cosine() per pair
+    * recomputes both norms for every pair).
+    *
+    * At 100 TB the coded table is written partitioned by `bk`; the
+    * self-join is then partition-local with no shuffle.
     */
   def nearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double, planes: Int = 8,
       seed: Long = 42L): DataFrame = {
     val ps = hyperplanes(dim, planes, seed)
-    val b = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val b = embeddings.select(col(idCol).as("id"),
+      normalize(col(vecCol)).as("u"),
       lshCode(col(vecCol), ps).as("bk"))
     b.as("a").join(b.as("x"),
         col("a.bk") === col("x.bk") && col("a.id") < col("x.id"))
-      .withColumn("score", cosine(col("a.v"), col("x.v")))
+      .withColumn("score", dot(col("a.u"), col("x.u")))
       .filter(col("score") >= minCosine)
       .select(col("a.id").as("id_a"), col("x.id").as("id_b"), col("score"))
   }

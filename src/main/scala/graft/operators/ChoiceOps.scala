@@ -63,18 +63,46 @@ object ChoiceOps {
   }
 
   /** resolveChoice with per-path specs; `choice` applies one action to
-    * every choice column (the reference's global form).
+    * every choice column (the reference's global form, incl.
+    * MATCH_CATALOG with database/tableName —
+    * resolve_choice.py:15-85, dynamicframe.py:394-434).
     */
   def resolveChoice(
       df: DataFrame,
       specs: Seq[(String, String)] = Nil,
-      choice: String = null): DataFrame = {
+      choice: String = null,
+      database: String = null,
+      tableName: String = null): DataFrame = {
+    if (choice == "MATCH_CATALOG")
+      return resolveChoiceMatchCatalog(df, database, tableName)
     val resolved: Seq[(String, Action)] =
       if (specs.nonEmpty) specs.map { case (p, a) => (p, Action.parse(a)) }
       else choiceColumns(df).map(c => (c, Action.parse(choice)))
     resolved.foldLeft(df) { case (acc, (path, action)) =>
       resolveOne(acc, path, action)
     }
+  }
+
+  /** MATCH_CATALOG (resolve_choice.py:15-85): resolve every choice
+    * column by casting to the type the catalog table declares for it.
+    * The catalog is Spark's own (metastore tables and temp views both
+    * resolve through spark.table). Choice columns the catalog does not
+    * know stay unresolved — the caller can follow up with explicit
+    * specs, mirroring Glue's partial-resolution behavior.
+    */
+  def resolveChoiceMatchCatalog(
+      df: DataFrame, database: String, tableName: String): DataFrame = {
+    require(tableName != null && tableName.nonEmpty,
+      "MATCH_CATALOG requires a table name")
+    val qualified =
+      if (database == null || database.isEmpty) tableName
+      else s"$database.$tableName"
+    val catalogSchema = df.sparkSession.table(qualified).schema
+    val specs = choiceColumns(df).flatMap { c =>
+      catalogSchema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(f => c -> s"cast:${f.dataType.simpleString}")
+    }
+    if (specs.isEmpty) df else resolveChoice(df, specs)
   }
 
   private def branchFields(df: DataFrame, name: String): Seq[StructField] =

@@ -127,8 +127,12 @@ object NestedOps {
           schema.asInstanceOf[StructType],
           Map("sep" -> sep) ++ (options - "withSchema" - "separator")))
       case "avro" =>
-        sys.error("unbox avro requires the avro reader; use from_avro with " +
-          "an explicit schema (spark-avro module)")
+        // unbox.py:15-112 lists avro first; withSchema here is the Avro
+        // JSON schema (Avro binaries are not self-describing). Decoded
+        // with the Apache Avro library directly — see [[AvroUnbox]].
+        val avroSchema = options.getOrElse("withSchema",
+          sys.error("unbox avro requires withSchema (Avro JSON schema)"))
+        AvroUnbox.unbox(df, field, avroSchema)
       case other => sys.error(s"unbox: unsupported format $other")
     }
   }

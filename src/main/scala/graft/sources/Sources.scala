@@ -73,6 +73,21 @@ object Sources {
     */
   def sample(df: DataFrame, num: Int): DataFrame = df.limit(num)
 
+  /** RDD source (S6, context.py:152-156 create_dynamic_frame_from_rdd):
+    * wrap an existing RDD as a frame. Row RDDs need the schema; Product
+    * (case-class) RDDs derive it from the type.
+    */
+  def fromRdd(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(rdd, schema)
+
+  def fromRdd[A <: Product : scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[A]): DataFrame =
+    spark.createDataFrame(rdd)
+
   /** Min-partitions control on read (context.py:73-84): widen small
     * scans so downstream parallelism is not bottlenecked by file count.
     */

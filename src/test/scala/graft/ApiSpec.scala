@@ -105,6 +105,40 @@ class ApiSpec extends AnyFunSuite {
     through.unpersist()
   }
 
+  test("fromRdd wraps Row and case-class RDDs (S6)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val rows = spark.sparkContext.parallelize(Seq(Row(1L, "a"), Row(2L, "b")))
+    val df = graft.sources.Sources.fromRdd(spark, rows, schema)
+    assert(df.columns.toSeq == Seq("id", "v"))
+    assert(df.count() == 2)
+    val prods = spark.sparkContext.parallelize(Seq((3L, "c"), (4L, "d")))
+    assert(graft.sources.Sources.fromRdd(spark, prods).count() == 2)
+  }
+
+  test("transform registry lists all 22 reference transforms (C5)") {
+    import graft.operators.TransformRegistry
+    // ALL_TRANSFORMS, awsglue/transforms/__init__.py:30-33
+    val expected = Set("Unbox", "RenameField", "DropFields", "SplitFields",
+      "SelectFields", "SplitRows", "UnnestFrame", "Relationalize",
+      "SelectFromCollection", "MapToCollection", "ErrorsAsDynamicFrame",
+      "FlatMap", "DropNullFields", "Join", "ApplyMapping", "Repartition",
+      "ResolveChoice", "Spigot", "Filter", "Map", "Coalesce", "Union")
+    assert(TransformRegistry.names.toSet == expected)
+    assert(TransformRegistry.names.length == 22)
+    // case-insensitive lookup like get_transform (__init__.py:40-42)
+    assert(TransformRegistry.getTransform("resolvechoice").isDefined)
+    assert(TransformRegistry.getTransform("nope").isEmpty)
+    // describe emits parseable JSON with the transform.py:76-83 shape
+    val json = TransformRegistry.describeTransform("ApplyMapping")
+    assert(json.contains("\"name\": \"ApplyMapping\""))
+    assert(json.contains("\"args\""))
+    assert(json.contains("\"location\": \"graft.operators.FieldOps.applyMapping\""))
+    assert(TransformRegistry.describeTransform("nope") == "{}")
+  }
+
   test("SQL functions register from the shared registry") {
     // getOrCreate in this JVM returns the fixture session, so drive the
     // live-session path; GraftExtensions wraps the same registry

@@ -53,6 +53,25 @@ class ChoiceOpsSpec extends AnyFunSuite {
     assert(r.schema("c").dataType == StringType)
   }
 
+  test("resolveChoice MATCH_CATALOG casts choices to the catalog type") {
+    // catalog table declaring c as STRING (temp views resolve through
+    // spark.table exactly like metastore tables)
+    Seq((0L, "x")).toDF("id", "c").createOrReplaceTempView("cat_target")
+    val r = ChoiceOps.resolveChoice(choiceDf,
+      choice = "MATCH_CATALOG", tableName = "cat_target")
+    assert(r.schema("c").dataType == StringType)
+    assert(ChoiceOps.choiceColumns(r).isEmpty)
+    assert(r.orderBy("id").select("c").as[String].collect().toSeq ==
+      Seq("s10", "20", "s30"))
+  }
+
+  test("MATCH_CATALOG leaves choice columns the catalog does not know") {
+    Seq((0L, 1.0)).toDF("id", "unrelated").createOrReplaceTempView("cat_miss")
+    val r = ChoiceOps.resolveChoice(choiceDf,
+      choice = "MATCH_CATALOG", tableName = "cat_miss")
+    assert(ChoiceOps.choiceColumns(r) == Seq("c")) // unresolved, not dropped
+  }
+
   test("union merges mismatched types into a choice and pads missing cols") {
     val a = Seq((1L, 5L)).toDF("id", "x")             // x: long
     val b = Seq((2L, "s", true)).toDF("id", "x", "y") // x: string, extra y

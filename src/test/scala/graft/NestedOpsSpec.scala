@@ -77,6 +77,37 @@ class NestedOpsSpec extends AnyFunSuite {
     assert(r.select($"payload.n").as[Int].head() == 5)
   }
 
+  test("unbox avro decodes binary records (round-trip via avro writer)") {
+    val schemaJson =
+      """{"type": "record", "name": "rec", "fields": [
+        |  {"name": "a", "type": "long"},
+        |  {"name": "b", "type": ["null", "string"]},
+        |  {"name": "tags", "type": {"type": "array", "items": "string"}}]}"""
+        .stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    def encode(a: Long, b: String, tags: Seq[String]): Array[Byte] = {
+      import scala.jdk.CollectionConverters._
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("a", a); rec.put("b", b); rec.put("tags", tags.asJava)
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema).write(rec, enc)
+      enc.flush(); out.toByteArray
+    }
+    val df = Seq((1L, encode(10L, "x", Seq("t1", "t2"))),
+      (2L, encode(20L, null, Nil))).toDF("id", "payload")
+    val r = NestedOps.unbox(df, "payload", "avro",
+      Map("withSchema" -> schemaJson))
+    assert(r.schema("payload").dataType.isInstanceOf[StructType])
+    assert(r.orderBy("id").select($"payload.a").as[Long].collect().toSeq ==
+      Seq(10L, 20L))
+    assert(r.orderBy("id").select($"payload.b").collect().map(_.get(0)).toSeq ==
+      Seq("x", null))
+    assert(r.filter($"id" === 1L).select($"payload.tags").as[Seq[String]]
+      .head() == Seq("t1", "t2"))
+  }
+
   test("unnestDdbJson collapses DynamoDB typed structs") {
     val df = Seq((1L, ("v", null: String)), (2L, (null: String, "9")))
       .toDF("id", "c")
