@@ -17,10 +17,18 @@ import graft.operators.FieldOps.Mapping
   * the Spark plan and the oracle SQL are kept identical (the driver's
   * compare sorts columns by name before hashing).
   *
-  * Numeric-stability policy for oracles: double-typed SUM/AVG go
-  * through DECIMAL on both sides (float addition order would otherwise
-  * differ between engines); double→int casts go through FLOOR (DuckDB
-  * rounds, Spark truncates).
+  * Numeric-stability policy for oracles:
+  * - double-typed SUM/AVG go through DECIMAL on both sides (float
+  *   addition order would otherwise differ between engines);
+  * - double→int casts go through FLOOR (DuckDB rounds, Spark
+  *   truncates);
+  * - final decimal-typed OUTPUT columns are cast to DOUBLE on both
+  *   sides — the driver's hasher represents decimals inconsistently
+  *   between the Spark parquet dump and the DuckDB result. The
+  *   decimal→double cast is value-exact only while the scaled unscaled
+  *   value stays below 2^53 (~9e13 currency units at scale 2); a
+  *   larger-SF run that trips a hash mismatch on a sum column should
+  *   check this bound first.
   */
 object SparkEntry {
 
@@ -57,8 +65,9 @@ object SparkEntry {
     // Sums route through DECIMAL for engine-exact addition, then the
     // FINAL column is cast to DOUBLE: the driver's hasher represents
     // decimal outputs differently between the Spark parquet dump and
-    // the DuckDB result even when values are equal (round-1 lesson —
-    // decimal(18,2)→double is exact at these magnitudes).
+    // the DuckDB result even when values are equal (round-1 lesson).
+    // Exact while sums stay below 2^53/10^scale — see the header
+    // policy; holds through sf0.1 with ~9 orders of magnitude to spare.
     "q01_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
