@@ -141,27 +141,75 @@ object NestedOps {
     try DataType.fromDDL(ddl)
     catch { case _: Exception => DataType.fromJson(ddl) }
 
-  /** unnest_ddb_json (R6, dynamicframe.py:390-392): collapse the
-    * DynamoDB typed encoding ({"S": "x"} / {"N": "1"} / {"BOOL": b})
-    * struct columns into plain values.
+  /** unnest_ddb_json (R6, dynamicframe.py:390-392): collapse the full
+    * DynamoDB typed encoding into plain values, recursively —
+    * scalars ({"S"}, {"N"}, {"B"}, {"BOOL"}, {"NULL"}), string sets
+    * ({"SS"}, {"NS"}, {"BS"} → array<string>), lists ({"L"} → array of
+    * collapsed elements) and maps ({"M"} → struct of collapsed fields).
+    *
+    * Scalar kinds coalesce to one string column (numbers stay the
+    * strings DynamoDB exports them as; BOOL renders "true"/"false" —
+    * follow with `cast`/`resolveChoice` for typed columns). An
+    * attribute whose rows mix a scalar kind with a complex kind (L/M)
+    * cannot collapse to a single type; its branches are collapsed in
+    * place and the struct kept, mirroring the choice-struct encoding.
+    * Pure schema recursion — the whole op stays one Project.
     */
   def unnestDdbJson(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.toIndexedSeq.map { f =>
-      f.dataType match {
-        case st: StructType =>
-          val names = st.fieldNames.toSet
-          if (names.subsetOf(Set("S", "N", "B", "BOOL", "NULL")) && names.nonEmpty) {
-            val c = col(f.name)
-            val parts = Seq(
-              if (names("S")) Some(c.getField("S")) else None,
-              if (names("N")) Some(c.getField("N")) else None,
-              if (names("BOOL")) Some(c.getField("BOOL").cast("string")) else None
-            ).flatten
-            coalesce(parts: _*).as(f.name)
-          } else col(f.name)
-        case _ => col(f.name)
-      }
+      collapseDdb(col(graft.core.FieldPath.quote(f.name)), f.dataType).as(f.name)
     }
     df.select(cols: _*)
+  }
+
+  private val DdbScalarKeys = Set("S", "N", "B", "BOOL", "NULL")
+  private val DdbSetKeys    = Set("SS", "NS", "BS")
+  private val DdbKeys       = DdbScalarKeys ++ DdbSetKeys ++ Set("L", "M")
+
+  private def isDdbTyped(st: StructType): Boolean =
+    st.fieldNames.nonEmpty && st.fieldNames.toSet.subsetOf(DdbKeys)
+
+  /** The collapsed value of one DDB-typed struct branch. */
+  private def ddbBranch(c: Column, name: String, dt: DataType): Column =
+    name match {
+      case "S" | "N" | "B" => c
+      case "BOOL"          => c.cast("string")
+      case "NULL"          => lit(null).cast("string")
+      case "SS" | "NS" | "BS" => c
+      case "L" => dt match {
+        case ArrayType(et, _) => transform(c, e => collapseDdb(e, et))
+        case _                => c
+      }
+      case "M" => collapseDdb(c, dt)
+      case _   => c
+    }
+
+  private def collapseDdb(c: Column, dt: DataType): Column = dt match {
+    case st: StructType if isDdbTyped(st) =>
+      val scalarFields  = st.fields.toSeq.filter(f => DdbScalarKeys(f.name))
+      val complexFields = st.fields.toSeq.filterNot(f => DdbScalarKeys(f.name))
+      (scalarFields, complexFields) match {
+        case (ss, Nil) => // scalar kinds only → one string value
+          coalesce(ss.map(f =>
+            ddbBranch(c.getField(f.name), f.name, f.dataType)): _*)
+        case (Nil, Seq(one)) => // exactly one complex kind → its collapse
+          ddbBranch(c.getField(one.name), one.name, one.dataType)
+        case _ => // mixed kinds: collapse branches in place, keep struct
+          struct(st.fields.toSeq.map(f =>
+            ddbBranch(c.getField(f.name), f.name, f.dataType).as(f.name)): _*)
+      }
+    case st: StructType => // plain struct (e.g. under M): recurse fields
+      struct(st.fields.toSeq.map(f =>
+        collapseDdb(c.getField(f.name), f.dataType).as(f.name)): _*)
+    case ArrayType(et, _) if containsDdbTyped(et) =>
+      transform(c, e => collapseDdb(e, et))
+    case _ => c
+  }
+
+  private def containsDdbTyped(dt: DataType): Boolean = dt match {
+    case st: StructType   =>
+      isDdbTyped(st) || st.fields.exists(f => containsDdbTyped(f.dataType))
+    case ArrayType(et, _) => containsDdbTyped(et)
+    case _                => false
   }
 }

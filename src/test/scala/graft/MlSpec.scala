@@ -55,6 +55,33 @@ class MlSpec extends AnyFunSuite {
     assert(direct == prefixed)
   }
 
+  test("jaccard maxShingleFreq caps candidate generation, not verification") {
+    // with a generous cap nothing is lost (every shared shingle here has
+    // frequency <= 3: base, nearDup, and the exact dup)
+    val capped = Dedup.jaccardPairs(docs, "text", "doc_id",
+      maxShingleFreq = Some(10L)).collect().toSet
+    val uncapped = Dedup.jaccardPairs(docs, "text", "doc_id").collect().toSet
+    assert(capped == uncapped)
+    // cap of 0 excludes every shingle from candidate generation → no pairs
+    assert(Dedup.jaccardPairs(docs, "text", "doc_id",
+      maxShingleFreq = Some(0L)).count() == 0L)
+  }
+
+  test("sorted_intersect_count matches array_intersect on sorted arrays") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(3L, 5L, 7L)),
+      (Seq(-5L, -1L, 2L), Seq(-5L, 2L, 8L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue))
+    ).toDF("a", "b")
+    val r = df.select(
+      graft.functions.SortedIntersectCount
+        .sortedIntersectCount($"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).as("ref"))
+      .collect()
+    r.foreach(row => assert(row.getInt(0) == row.getInt(1)))
+  }
+
   test("simhash: identical → distance 0, near-dup close, distinct far") {
     val sig = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
       .as[(Long, Long)].collect().toMap

@@ -116,4 +116,33 @@ class NestedOpsSpec extends AnyFunSuite {
     assert(r.orderBy("id").select("c").as[String].collect().toSeq ==
       Seq("v", "9"))
   }
+
+  test("unnestDdbJson collapses nested M / L / SS / NS encodings") {
+    // one DynamoDB-export item: attrs is M{name: S, scores: NS,
+    // tags: L[S], flag: BOOL}
+    val json =
+      """{"id": 1, "attrs": {"M": {
+        |  "name":   {"S": "x"},
+        |  "scores": {"NS": ["1", "2"]},
+        |  "tags":   {"L": [{"S": "a"}, {"S": "b"}]},
+        |  "flag":   {"BOOL": true}}}}""".stripMargin.replace("\n", " ")
+    val df = spark.read.json(Seq(json).toDS)
+    val r  = NestedOps.unnestDdbJson(df)
+    assert(r.select($"attrs.name").as[String].head() == "x")
+    assert(r.select($"attrs.scores").as[Seq[String]].head() == Seq("1", "2"))
+    assert(r.select($"attrs.tags").as[Seq[String]].head() == Seq("a", "b"))
+    assert(r.select($"attrs.flag").as[String].head() == "true")
+  }
+
+  test("unnestDdbJson keeps mixed scalar+complex kinds as a struct") {
+    // rows disagree: one S, one L — cannot collapse to a single type
+    val j1 = """{"id": 1, "v": {"S": "plain"}}"""
+    val j2 = """{"id": 2, "v": {"L": [{"S": "in-list"}]}}"""
+    val df = spark.read.json(Seq(j1, j2).toDS)
+    val r  = NestedOps.unnestDdbJson(df)
+    assert(r.schema("v").dataType.isInstanceOf[StructType])
+    assert(r.filter($"id" === 1).select($"v.S").as[String].head() == "plain")
+    assert(r.filter($"id" === 2).select($"v.L").as[Seq[String]].head() ==
+      Seq("in-list"))
+  }
 }
