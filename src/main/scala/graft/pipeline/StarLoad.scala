@@ -63,12 +63,21 @@ object StarLoad {
   }
 
   /** Production sink: JDBC append (write_dynamic_frame_from_jdbc_conf,
-    * awsglue/context.py:407-436).
+    * awsglue/context.py:407-436). A missing target table reads as None
+    * (first-load branch), matching [[ParquetWarehouse]] — the reference
+    * assumes pre-created Redshift tables (ddl.sql) but guards on
+    * count()>0; this keeps the same observable flow without the DDL
+    * prerequisite.
     */
   final class JdbcWarehouse(spark: SparkSession, options: Map[String, String])
       extends Warehouse {
     def read(table: String): Option[DataFrame] =
-      Some(spark.read.format("jdbc").options(options + ("dbtable" -> table)).load())
+      try {
+        val df = spark.read.format("jdbc")
+          .options(options + ("dbtable" -> table)).load()
+        df.schema // schema resolution probes the table eagerly
+        Some(df)
+      } catch { case _: Exception => None }
     def append(table: String, df: DataFrame): Unit =
       df.write.format("jdbc").mode("append")
         .options(options + ("dbtable" -> table)).save()
