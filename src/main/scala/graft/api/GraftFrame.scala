@@ -203,6 +203,18 @@ final case class GraftContext(spark: SparkSession) {
   def sampleFrame(frame: GraftFrame, num: Int): GraftFrame =
     GraftFrame(frame.gf.copy(data = Sources.sample(frame.df, num)))
 
+  /** with_frame_schema (R9, dynamicframe.py:65-67): attach a known
+    * schema instead of inferring — columns are matched by name, cast
+    * and reordered to the declared shape.
+    */
+  def withFrameSchema(frame: GraftFrame, ddl: String): GraftFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    GraftFrame(frame.gf.copy(data = frame.df.select(
+      schema.fields.toIndexedSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+          .as(f.name)): _*)))
+  }
+
   /** add_ingestion_time_columns (context.py:666-674). */
   def addIngestionTimeColumns(frame: GraftFrame,
       granularity: String = "hour"): GraftFrame =

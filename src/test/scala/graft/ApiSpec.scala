@@ -105,6 +105,42 @@ class ApiSpec extends AnyFunSuite {
     through.unpersist()
   }
 
+  test("catalog sink + source round-trip (S4/S10)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    spark.sql("DROP TABLE IF EXISTS graft_cat_t")
+    // the in-memory catalog forgets tables across JVMs but their
+    // managed locations persist — clear any leftover
+    val loc = java.nio.file.Paths.get("spark-warehouse/graft_cat_t")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.delete(p))
+    }
+    graft.sources.Sinks.write(df, "catalog",
+      options = Map("table" -> "graft_cat_t"))
+    val back = graft.sources.Sources.fromCatalog(spark, "default", "graft_cat_t")
+    assert(back.count() == 2)
+    // push-down predicate is sugar for where()
+    assert(graft.sources.Sources.fromCatalog(spark, "default", "graft_cat_t",
+      pushDownPredicate = Some(col("id") === 1L)).count() == 1)
+  }
+
+  test("sampled source caps rows (S5/A3)") {
+    val frame = ctx.readParquet(s"${SparkFixture.sfDir}/orders.parquet")
+    assert(ctx.sampleFrame(frame, 7).count() == 7)
+  }
+
+  test("withFrameSchema attaches a declared schema (R9)") {
+    val f = Files.createTempFile("graft_r9", ".tsv")
+    Files.write(f, "1\tx\n2\ty".getBytes)
+    val typed = ctx.withFrameSchema(
+      ctx.readTsv(f.toString).renameField("_c0", "id").renameField("_c1", "v"),
+      "id INT, v STRING")
+    assert(typed.df.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(typed.df.select(sum(col("id"))).collect().head.getLong(0) == 3L)
+  }
+
   test("fromRdd wraps Row and case-class RDDs (S6)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
