@@ -113,4 +113,78 @@ object Multimodal {
       .otherwise(array_distinct(transform(
         sequence(lit(0), lit(n - 1)),
         i => (i * frames / n).cast("int"))))
+
+  /** Pluggable payload transcoder (resize / re-encode). */
+  trait MediaTranscoder extends Serializable {
+    def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte]
+    def frame(bytes: Array[Byte], frameIdx: Int): Array[Byte]
+  }
+
+  /** Deterministic stand-in transcoder: resize truncates/zero-pads to
+    * width×height bytes; frame extraction slices a 256-byte window at
+    * the frame offset. Same shapes a real codec produces (smaller
+    * payload per resize, one payload per sampled frame).
+    */
+  object FakeTranscoder extends MediaTranscoder {
+    def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] =
+      java.util.Arrays.copyOf(bytes, width * height)
+    def frame(bytes: Array[Byte], frameIdx: Int): Array[Byte] = {
+      val start = math.min(frameIdx * 256, math.max(bytes.length - 1, 0))
+      java.util.Arrays.copyOfRange(bytes, start,
+        math.min(start + 256, bytes.length))
+    }
+  }
+
+  /** Resize plumbing: replace the payload with the transcoded one,
+    * partition-local, no shuffle — the binary column stays prunable and
+    * a real codec reuses per-partition native context via the iterator.
+    */
+  def resizeMedia(
+      df: DataFrame, bytesCol: String, width: Int, height: Int,
+      transcoder: MediaTranscoder = FakeTranscoder): DataFrame = {
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
+    implicit val enc: Encoder[Row] = Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val vals = row.toSeq.toArray
+        val bytes = row.getAs[Array[Byte]](bytesIdx)
+        vals(bytesIdx) =
+          if (bytes == null) null else transcoder.resize(bytes, width, height)
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+  }
+
+  /** Frame sampling: one output row per (row, sampled frame) with
+    * `frame_idx` and the extracted `frame_bytes`. Frame count comes
+    * from the decoder; indices are the evenly spaced
+    * [[sampleFrameIndices]] plan. flatMap keeps it partition-local —
+    * the fan-out is rows×n but each output carries only its own frame
+    * payload, never the source video.
+    */
+  def sampleFrames(
+      df: DataFrame, bytesCol: String, n: Int,
+      decoder: MediaDecoder = FakeDecoder,
+      transcoder: MediaTranscoder = FakeTranscoder): DataFrame = {
+    val inSchema  = df.schema
+    val bytesIdx  = inSchema.fieldIndex(bytesCol)
+    val outSchema = StructType(inSchema.fields.toSeq ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("frame_bytes", BinaryType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](bytesIdx)
+        if (bytes == null) Iterator.empty
+        else {
+          val frames = decoder.decode(bytes).frames
+          val picked =
+            if (frames <= 0) Seq.empty
+            else (0 until n).map(i => i * frames / n).distinct
+          picked.iterator.map(idx => Row.fromSeq(
+            row.toSeq ++ Seq(idx, transcoder.frame(bytes, idx))))
+        }
+      }
+    }
+  }
 }

@@ -184,4 +184,31 @@ class MlSpec extends AnyFunSuite {
     assert(got(1) == Seq(0, 1, 3, 5))
     assert(got(2) == Seq())
   }
+
+  test("resize plumbing replaces the payload, schema unchanged") {
+    val d = Seq((1L, Array.fill[Byte](1000)(7)), (2L, null))
+      .toDF("doc_id", "payload")
+    val r = Multimodal.resizeMedia(d, "payload", width = 8, height = 4)
+    assert(r.schema == d.schema)
+    val sizes = r.orderBy("doc_id").select($"payload").collect()
+      .map(row => Option(row.getAs[Array[Byte]](0)).map(_.length))
+    assert(sizes.toSeq == Seq(Some(32), None)) // 8×4 bytes; null passes
+  }
+
+  test("frame extraction fans out to (frame_idx, frame_bytes) rows") {
+    // 1000 bytes → FakeDecoder.frames = 1000 % 30 = 10 frames, n=4
+    // samples indices 0,2,5,7 (i*10/4)
+    val d = Seq((1L, Array.tabulate[Byte](1000)(_.toByte)))
+      .toDF("doc_id", "payload")
+    val r = Multimodal.sampleFrames(d, "payload", n = 4)
+    assert(r.columns.toSeq == Seq("doc_id", "payload", "frame_idx",
+      "frame_bytes"))
+    val rows = r.orderBy("frame_idx")
+      .select($"frame_idx", length($"frame_bytes").cast("int"))
+      .as[(Int, Int)].collect().toSeq
+    assert(rows.map(_._1) == Seq(0, 2, 5, 7))
+    // one window per frame, clamped at the payload end
+    assert(rows.forall(r => r._2 > 0 && r._2 <= 256))
+    assert(rows.head._2 == 256)
+  }
 }
