@@ -425,6 +425,25 @@ object SparkEntry {
           col("union").cast("int").as("n_union"))
     }),
 
+    // ---------------------------------------------------------------- R6
+    // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
+    // set) constructed from events, collapsed recursively to plain
+    // values in one Project.
+    "q54_ddb_unnest" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"),
+        struct(struct(
+          struct(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).as("S"))
+            .as("k_attr"),
+          struct(col("event_id").cast("string").as("N")).as("n_attr"))
+          .as("M")).as("attrs"),
+        struct(array(lit("x"), lit("y")).as("SS")).as("tags"))
+      NestedOps.unnestDdbJson(e)
+        .select(col("event_id"),
+          col("attrs").getField("k_attr").as("k_val"),
+          col("attrs").getField("n_attr").as("n_val"),
+          size(col("tags")).as("n_tags"))
+    }),
+
     // Multimodal plumbing: binary payload column + batched
     // feature-extraction over mapPartitions (deterministic fake decode).
     "q42_multimodal" -> ((s, dir) => {
@@ -981,6 +1000,12 @@ object SparkEntry {
         | FROM embeddings e, q WHERE e.vec_id <> 0)
         |SELECT vec_id, round(raw, 4) AS score FROM sc
         |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
+    "q54_ddb_unnest" ->
+      """SELECT event_id,
+        |  regexp_extract(props, '"k": ([0-9]+)', 1) AS k_val,
+        |  CAST(event_id AS VARCHAR) AS n_val,
+        |  2 AS n_tags
+        |FROM events""".stripMargin,
     "q42_multimodal" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,
