@@ -158,6 +158,58 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("mapGroupsWithState totals carry across micro-batches") {
+    import graft.streaming.Stateful
+    val src = Files.createTempDirectory("graft_state_src").toString
+    val ckp = Files.createTempDirectory("graft_state_ckp").toString
+    // two files => two micro-batches with maxFilesPerTrigger=1, both
+    // containing the same keys, so state MUST survive the batch boundary
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq(("a", 10.0), ("b", 20.0), ("c", 5.0)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/f2")
+    val stream = spark.readStream
+      .schema("k STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val q = Stateful.runningTotals(stream, "k", "v").toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckp)
+      .format("memory").queryName("graft_state_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per key carries the cross-batch running totals
+    val last = spark.table("graft_state_out")
+      .groupBy($"key").agg(
+        org.apache.spark.sql.functions.max($"count").as("count"),
+        org.apache.spark.sql.functions.max($"sum").as("sum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(last("a") == (2L, 11.0))
+    assert(last("b") == (2L, 22.0))
+    assert(last("c") == (1L, 5.0))
+  }
+
+  test("flatMapGroupsWithState emits each key exactly once over the stream") {
+    import graft.streaming.Stateful
+    val src = Files.createTempDirectory("graft_first_src").toString
+    val ckp = Files.createTempDirectory("graft_first_ckp").toString
+    Seq("a", "b").toDF("k").coalesce(1).write.parquet(s"$src/f1")
+    Seq("a", "c", "b").toDF("k").coalesce(1).write.parquet(s"$src/f2")
+    val stream = spark.readStream
+      .schema("k STRING")
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val q = Stateful.firstSeen(stream, "k").toDF("k")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckp)
+      .format("memory").queryName("graft_first_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val seen = spark.table("graft_first_out").as[String].collect().toSeq
+    assert(seen.sorted == Seq("a", "b", "c")) // no second emission of a/b
+  }
+
   test("sampleStream polls a memory sink and returns a bounded batch") {
     val src = Files.createTempDirectory("graft_sample_src").toString
     val events = spark.read.parquet(s"${SparkFixture.sfDir}/events.parquet")
