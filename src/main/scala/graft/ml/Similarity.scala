@@ -100,6 +100,41 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** Persist the LSH layout: vectors written partitioned by bucket
+    * code. The planes are derived from (dim, planes, seed), so a probe
+    * needs no stored metadata — recompute the query's code and read one
+    * partition directory.
+    */
+  def writeLshIndex(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, planes: Int = 8, seed: Long = 42L): Unit =
+    embeddings
+      .withColumn("__lsh_bucket", lshCode(col(vecCol),
+        hyperplanes(dim, planes, seed)))
+      .write.mode("overwrite").partitionBy("__lsh_bucket")
+      .parquet(s"$path/vectors")
+
+  /** Probe a persisted LSH index: one partition-pruned scan of the
+    * query's bucket directory, exact rerank.
+    */
+  def lshTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String,
+      dim: Int, k: Int = 10, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val ps = hyperplanes(dim, planes, seed)
+    val q = query.select(col(queryVecCol).as("__qvec"))
+      .withColumn("__b", lshCode(col("__qvec"), ps))
+    val bucket = q.select(col("__b")).head().getLong(0)
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("__lsh_bucket") === bucket) // partition pruning
+      .crossJoin(broadcast(q.select(col("__qvec"))))
+      .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   // ------------------------------------------------------------ IVF
 
   /** Deterministic IVF index: `nlist` centroids initialized from the
@@ -172,6 +207,58 @@ object Similarity {
     val qAssigned = assignClustersProbe(q, "__qvec", centroids, nprobe)
     assigned.join(broadcast(qAssigned),
         array_contains(col("__probes"), col("__cluster")))
+      .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** Persist an IVF index: the assigned vector table written
+    * partitioned by cluster (`$path/vectors/__cluster=N/...`) plus the
+    * centroid matrix (`$path/centroids`). This is the 100 TB layout the
+    * in-memory [[ivfTopK]] models: once on disk, a probe reads only
+    * `nprobe` partition directories — partition pruning, not a scan.
+    */
+  def writeIvfIndex(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int, iters: Int = 3, seed: Long = 42L): Unit = {
+    val centroids = ivfCentroids(embeddings, idCol, vecCol, nlist, iters, seed)
+    assignClusters(embeddings, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("__cluster")
+      .parquet(s"$path/vectors")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted IVF index: nearest `nprobe` centroids are
+    * picked driver-side from the (nlist×dim) centroid metadata, the
+    * vector scan is filtered on the PARTITION column `__cluster` (the
+    * physical plan prunes to those directories), candidates rerank
+    * exactly by cosine.
+    */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String,
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val centroids: Seq[(Int, Seq[Double])] =
+      spark.read.parquet(s"$path/centroids")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    val qVec = query.select(col(queryVecCol)).head()
+      .getSeq[Any](0).map(x => x.toString.toDouble)
+    val probes = centroids
+      .map { case (i, c) =>
+        i -> c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
+    val q = query.select(col(queryVecCol).as("__qvec"))
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("__cluster").isin(probes: _*)) // partition pruning
+      .crossJoin(broadcast(q))
       .withColumn("score", cosine(col(vecCol), col("__qvec")))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)

@@ -166,6 +166,43 @@ class MlSpec extends AnyFunSuite {
     assert(partial.contains(1L)) // near-identical twin shares the cluster
   }
 
+  test("persisted IVF index probes with partition pruning, same results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val base  = e.filter($"vec_id" =!= 0)
+    val query = e.filter($"vec_id" === 0)
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", dir, nlist = 8)
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir,
+      "vec_id", "embedding", query, "embedding", nprobe = 8, k = 10)
+    // full probe over the index == the in-memory full-probe == exact
+    val inMemory = Similarity.ivfTopK(base, "vec_id", "embedding",
+      query, "embedding", nlist = 8, nprobe = 8, k = 10)
+    assert(fromIndex.select("vec_id").as[Long].collect().toSeq ==
+      inMemory.select("vec_id").as[Long].collect().toSeq)
+    // the probe scan is partition-pruned on __cluster, not a full scan
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("__cluster"), s"no partition pruning in:\n$plan")
+  }
+
+  test("persisted LSH index probes one bucket partition, same results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val base  = e.filter($"vec_id" =!= 0)
+    val query = e.filter($"vec_id" === 0)
+    Similarity.writeLshIndex(base, "vec_id", "embedding", dir,
+      dim = 64, planes = 4)
+    val fromIndex = Similarity.lshTopKFromIndex(spark, dir,
+      "vec_id", "embedding", query, "embedding", dim = 64, k = 10, planes = 4)
+    val inMemory = Similarity.lshTopK(base, "vec_id", "embedding",
+      query, "embedding", dim = 64, k = 10, planes = 4)
+    assert(fromIndex.select("vec_id").as[Long].collect().toSeq ==
+      inMemory.select("vec_id").as[Long].collect().toSeq)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("__lsh_bucket"), s"no partition pruning in:\n$plan")
+  }
+
   test("multimodal feature extraction is deterministic from bytes") {
     val d = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
       .select($"doc_id", $"text".cast("binary").as("payload"))
