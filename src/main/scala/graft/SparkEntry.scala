@@ -406,6 +406,17 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))),
 
+    // SimHash near-dup dedup, end to end: rotated prefix buckets +
+    // exact Hamming verification, min-id winner — survivors of the
+    // doubled corpus (clones are Hamming-0 and always drop).
+    "q55_simhash_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.simhashDedup(doubled, "text", "doc_id")
+        .select(col("doc_id"))
+    }),
+
     // N-gram Jaccard near-dup pairs: candidates share a shingle hash,
     // then integer-exact verification (2·|∩| ≥ |∪| ⇔ J ≥ 0.5).
     "q41_jaccard_pairs" -> ((s, dir) => {
@@ -594,6 +605,42 @@ object SparkEntry {
     */
   private def sqlMixStage(shift: Int, const: Long): String =
     sqlMul64(sqlXor64("z", s"z // ${1L << shift}"), const)
+
+  /** The SimHash64 kernel replay as a CTE chain over `source`
+    * (doc_id, text), ending in `sigs(doc_id, sig BIGINT)` — shared by
+    * the q40 fingerprint oracle and the q55 dedup oracle.
+    */
+  private def sqlSimhashSigs(source: String): String =
+    s"""t AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |  FROM $source
+       |),
+       |h AS (
+       |  SELECT doc_id, ${sqlFnv(
+      """flatten(list_transform(string_split(tok, ''),
+        |          ch -> [unicode(ch) % 256, unicode(ch) // 256]))""".stripMargin)} AS hu
+       |  FROM t
+       |),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN b < 32
+       |      THEN (CAST(hu % 4294967296 AS BIGINT) >> b) & 1
+       |      ELSE (CAST(hu // 4294967296 AS BIGINT) >> (b - 32)) & 1
+       |    END AS bit
+       |  FROM h, (SELECT unnest(range(0, 64)) AS b)
+       |),
+       |votes AS (
+       |  SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM bits GROUP BY doc_id, b
+       |),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0 AND b < 63 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+       |      + sum(CASE WHEN v > 0 AND b = 63 THEN -9223372036854775808 ELSE 0 END)
+       |      AS BIGINT) AS sig
+       |  FROM votes GROUP BY doc_id
+       |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -859,34 +906,38 @@ object SparkEntry {
     // ±1 votes per bit via 32-bit halves, sign bits reassembled into a
     // signed BIGINT.
     "q40_simhash" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-         |  FROM documents
+      s"""WITH ${sqlSimhashSigs("documents")}
+         |SELECT doc_id, sig FROM sigs""".stripMargin,
+    // SimHash dedup: same signature pipeline over the doubled corpus,
+    // then the 4 rotated 16-bit prefix buckets (rotate-left in unsigned
+    // HUGEINT arithmetic: (u·2^k mod 2^64) + u÷2^(64−k)), exact Hamming
+    // verification, and the min-id drop policy.
+    "q55_simhash_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents
          |),
-         |h AS (
-         |  SELECT doc_id, ${sqlFnv(
-        """flatten(list_transform(string_split(tok, ''),
-          |          ch -> [unicode(ch) % 256, unicode(ch) // 256]))""".stripMargin)} AS hu
-         |  FROM t
+         |${sqlSimhashSigs("d")},
+         |u AS (SELECT doc_id, sig,
+         |  CASE WHEN sig < 0 THEN CAST(sig AS HUGEINT) + 18446744073709551616
+         |       ELSE CAST(sig AS HUGEINT) END AS us FROM sigs),
+         |bk AS (
+         |  SELECT doc_id, sig, t,
+         |    ((us * c) % 18446744073709551616 + us // inv) // 281474976710656 AS b
+         |  FROM u, (VALUES
+         |    (0, CAST(1 AS HUGEINT), CAST(18446744073709551616 AS HUGEINT)),
+         |    (1, CAST(65536 AS HUGEINT), CAST(281474976710656 AS HUGEINT)),
+         |    (2, CAST(4294967296 AS HUGEINT), CAST(4294967296 AS HUGEINT)),
+         |    (3, CAST(281474976710656 AS HUGEINT), CAST(65536 AS HUGEINT))
+         |  ) ts(t, c, inv)
          |),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |    CASE WHEN b < 32
-         |      THEN (CAST(hu % 4294967296 AS BIGINT) >> b) & 1
-         |      ELSE (CAST(hu // 4294967296 AS BIGINT) >> (b - 32)) & 1
-         |    END AS bit
-         |  FROM h, (SELECT unnest(range(0, 64)) AS b)
-         |),
-         |votes AS (
-         |  SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM bits GROUP BY doc_id, b
+         |dropped AS (
+         |  SELECT DISTINCT x.doc_id FROM bk a
+         |  JOIN bk x ON a.t = x.t AND a.b = x.b AND a.doc_id < x.doc_id
+         |  WHERE bit_count(xor(a.sig, x.sig)) <= 3
          |)
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN v > 0 AND b < 63 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-         |    + sum(CASE WHEN v > 0 AND b = 63 THEN -9223372036854775808 ELSE 0 END)
-         |    AS BIGINT) AS sig
-         |FROM votes GROUP BY doc_id""".stripMargin,
+         |SELECT doc_id FROM sigs
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
     // LSH ANN: the oracle replays the deterministic bucketing with the
     // SAME plane constants (inlined literals), then reranks the bucket
     // exactly — checks bucket membership AND scores, not just shape.

@@ -111,6 +111,46 @@ object Dedup {
   def simhashBucket(sim: Column, prefixBits: Int = 16): Column =
     shiftright(sim, 64 - prefixBits)
 
+  /** SimHash near-dup removal, end to end: `tables` rotated prefix
+    * buckets (rotation t·(64/tables) bits, top `prefixBits` bits as the
+    * key) generate candidates; candidates verify with the exact Hamming
+    * distance; a doc is dropped when a SMALLER id within `maxHamming`
+    * shares any bucket (same deterministic min-winner policy as
+    * [[minhashDedup]]). Returns survivors.
+    *
+    * Scale: the only shuffles are (table, bucket) candidate keys and
+    * the id-keyed drop set — signatures are 8 bytes, documents never
+    * move; bucket sizes bound the pairwise verification.
+    */
+  def simhashDedup(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, prefixBits: Int = 16,
+      tables: Int = 4): DataFrame = {
+    val rot = 64 / tables
+    val s = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+      .persist()
+    // one row per (doc, table) with the rotated prefix bucket; the
+    // per-table rotations are static, cheap long ops over the
+    // persisted signature
+    val bucketCols = (0 until tables).map { t =>
+      val k = t * rot
+      val rotated =
+        if (k == 0) col("sig")
+        else shiftleft(col("sig"), k)
+          .bitwiseOR(shiftrightunsigned(col("sig"), 64 - k))
+      struct(lit(t).as("t"),
+        shiftrightunsigned(rotated, 64 - prefixBits).as("b"))
+    }
+    val bucketed = s.select(col("id"), col("sig"),
+      explode(array(bucketCols: _*)).as("bk"))
+    val dropped = bucketed.as("a").join(bucketed.as("x"),
+        col("a.bk") === col("x.bk") && col("a.id") < col("x.id"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("x.sig"))) <= maxHamming)
+      .select(col("x.id").as("id"))
+      .distinct()
+    df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** N-gram Jaccard near-dup pairs: candidate pairs share at least one
     * shingle hash (a long-keyed self-join — no text moves), then the
     * exact Jaccard over distinct shingle sets is verified with integer

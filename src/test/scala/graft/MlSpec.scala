@@ -82,6 +82,14 @@ class MlSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getInt(0) == row.getInt(1)))
   }
 
+  test("simhashDedup drops exact and near dups, keeps distinct docs") {
+    val kept = Dedup.simhashDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.contains(1L) && kept.contains(3L)) // min ids + distinct doc
+    assert(!kept.contains(4L)) // exact dup: Hamming 0, always dropped
+    assert(!kept.contains(2L)) // 1-token edit: within maxHamming
+  }
+
   test("simhash: identical → distance 0, near-dup close, distinct far") {
     val sig = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
       .as[(Long, Long)].collect().toMap
