@@ -82,12 +82,16 @@ class MlSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getInt(0) == row.getInt(1)))
   }
 
-  test("simhashDedup drops exact and near dups, keeps distinct docs") {
-    val kept = Dedup.simhashDedup(docs, "text", "doc_id")
+  test("simhashDedup drops exact dups always, near dups per threshold") {
+    // default maxHamming=3 is strict: the exact dup (Hamming 0) drops,
+    // the 1-token edit (Hamming ≤ 12, > 3) survives
+    val strict = Dedup.simhashDedup(docs, "text", "doc_id")
       .select("doc_id").as[Long].collect().sorted.toSeq
-    assert(kept.contains(1L) && kept.contains(3L)) // min ids + distinct doc
-    assert(!kept.contains(4L)) // exact dup: Hamming 0, always dropped
-    assert(!kept.contains(2L)) // 1-token edit: within maxHamming
+    assert(strict == Seq(1L, 2L, 3L))
+    // a loose threshold also drops the near-dup but keeps distinct docs
+    val loose = Dedup.simhashDedup(docs, "text", "doc_id", maxHamming = 12)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(loose == Seq(1L, 3L))
   }
 
   test("simhash: identical → distance 0, near-dup close, distinct far") {
