@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SimHash64, SortedIntersectCount}
 
 /** SQL registration of the engine's native expressions.
   *
@@ -39,6 +39,19 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "minhash_signature(shingles, numHashes)")
         MinHashSignature(args.head, intArg(args(1), "minhash_signature numHashes"))
+      }),
+    (new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_count(a, b)")
+        SortedIntersectCount(args.head, args(1))
+      }),
+    (new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product(a, b)")
+        DotProduct(args.head, args(1))
       }))
 
   /** Register into a live session's function registry. */
