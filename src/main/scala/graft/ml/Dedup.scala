@@ -81,15 +81,21 @@ object Dedup {
       .select(col(idCol), shingleHashes(col(textCol), shingleSize).as("__sh"))
       .select(col(idCol), minhashSignature(col("__sh"), numHashes).as("__sig"))
       .select(col(idCol), lshBandKeys(col("__sig"), bands, rows).as("__bands"))
+    // (id, band) pairs are ~16 bytes/row — persist so the minhash
+    // pipeline runs once even though the resolution references the
+    // exploded table twice
     val exploded = withBands.select(col(idCol),
       explode(col("__bands")).as("__band"))
-    // min id per bucket via window (one pass over the exploded rows —
-    // a groupBy+self-join would recompute the minhash pipeline twice),
-    // then per doc keep only those that never saw a smaller competitor
-    import org.apache.spark.sql.expressions.Window
-    val docMin = exploded
-      .withColumn("__bucket_min",
-        min(col(idCol)).over(Window.partitionBy(col("__band"))))
+      .persist()
+    // bucket minima via groupBy (map-side combine collapses hot bands
+    // BEFORE the shuffle — a window over the band partition would sort
+    // and shuffle every exploded row and skew on hot buckets), joined
+    // back (bucket-min table is tiny → broadcast; AQE falls back to a
+    // shuffle join when band cardinality grows at scale), then per doc
+    // keep only those that never saw a smaller competitor
+    val bucketMin = exploded.groupBy(col("__band"))
+      .agg(min(col(idCol)).as("__bucket_min"))
+    val docMin = exploded.join(bucketMin, "__band")
       .groupBy(col(idCol))
       .agg(min(col("__bucket_min")).as("__doc_min"))
       .filter(col("__doc_min") === col(idCol))
