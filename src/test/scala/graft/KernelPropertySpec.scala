@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+import graft.functions.{MinHashSignature, ShingleHashes, SimHash64, SortedIntersectCount}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests for the native kernels (pure JVM statics — no Spark
+  * session needed, so hundreds of cases run in milliseconds).
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A], cases: Int = 300)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var n    = 0
+    while (n < cases) {
+      g.apply(Gen.Parameters.default, seed).foreach { a => f(a); n += 1 }
+      seed = seed.next
+    }
+  }
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)), Gen.const(" "), Gen.const("\t"),
+    Gen.const("\n"))).map(_.mkString(" "))
+
+  private val sortedArrayGen: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      .map(_.distinct.sorted.toArray)
+
+  test("sorted_intersect_count equals set intersection, symmetric") {
+    forAll(Gen.zip(sortedArrayGen, sortedArrayGen)) { case (a, b) =>
+      val expect = a.toSet.intersect(b.toSet).size
+      val ad = new GenericArrayData(a)
+      val bd = new GenericArrayData(b)
+      assert(SortedIntersectCount.compute(ad, bd) == expect)
+      assert(SortedIntersectCount.compute(bd, ad) == expect)
+      assert(SortedIntersectCount.compute(ad, ad) == a.length)
+    }
+  }
+
+  test("shingle count is max(tokens - n + 1, 1) for non-empty text") {
+    forAll(Gen.zip(textGen, Gen.chooseNum(1, 5))) { case (s, n) =>
+      val tokens = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val got = ShingleHashes.compute(UTF8String.fromString(s), n).numElements()
+      if (tokens.isEmpty) assert(got == 0)
+      else assert(got == math.max(tokens.length - n + 1, 1))
+    }
+  }
+
+  test("shingles are case- and surrounding-whitespace-insensitive") {
+    forAll(textGen) { s =>
+      val a = ShingleHashes.compute(UTF8String.fromString(s), 3)
+      val b = ShingleHashes.compute(
+        UTF8String.fromString("  " + s.toUpperCase + "\n"), 3)
+      assert(a.toLongArray().toSeq == b.toLongArray().toSeq)
+    }
+  }
+
+  test("minhash signature has fixed length, dominated by element minima") {
+    forAll(Gen.zip(sortedArrayGen, Gen.chooseNum(1, 64))) { case (a, k) =>
+      val sig = MinHashSignature.compute(new GenericArrayData(a), k)
+      assert(sig.numElements() == k)
+      // signature of a superset is element-wise <= (min can only drop)
+      val sup = MinHashSignature.compute(
+        new GenericArrayData(a :+ 12345L), k)
+      sig.toLongArray().zip(sup.toLongArray()).foreach { case (x, y) =>
+        assert(y <= x)
+      }
+    }
+  }
+
+  test("simhash is deterministic and whitespace-split-stable") {
+    forAll(textGen) { s =>
+      val a = SimHash64.compute(UTF8String.fromString(s))
+      assert(a == SimHash64.compute(UTF8String.fromString(s)))
+      // collapsing runs of whitespace does not change the token stream
+      val collapsed = s.trim.replaceAll("\\s+", " ")
+      assert(a == SimHash64.compute(UTF8String.fromString(collapsed)))
+    }
+  }
+}
