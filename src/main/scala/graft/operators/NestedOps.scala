@@ -49,11 +49,36 @@ object NestedOps {
 
   /** Result: `name` → root table; `name_<arrayPath>` → one child table
     * per array column with (id, index, <val or flattened struct>).
+    *
+    * `stagingPath` reproduces the reference's staging behavior
+    * (relationalize.py:36-46: pivoted tables written out and read
+    * back): every member table is written to
+    * `stagingPath/<tableName>` as parquet and the returned frames scan
+    * the staged copies — a materialization barrier, so downstream
+    * consumers of several members never recompute the source per
+    * member. Without it, members are lazy plans over the input.
     */
   def relationalize(
       df: DataFrame,
       name: String,
-      idCol: Option[String] = None): Map[String, DataFrame] = {
+      idCol: Option[String] = None,
+      stagingPath: Option[String] = None): Map[String, DataFrame] = {
+    val tables = relationalizePlans(df, name, idCol)
+    stagingPath match {
+      case None => tables
+      case Some(base) =>
+        tables.map { case (tbl, frame) =>
+          val path = s"$base/$tbl"
+          frame.write.mode("overwrite").parquet(path)
+          tbl -> df.sparkSession.read.parquet(path)
+        }
+    }
+  }
+
+  private def relationalizePlans(
+      df: DataFrame,
+      name: String,
+      idCol: Option[String]): Map[String, DataFrame] = {
     val flat = unnest(df)
     val arrayCols = flat.schema.fields.toSeq.collect {
       case f if f.dataType.isInstanceOf[ArrayType] => f.name

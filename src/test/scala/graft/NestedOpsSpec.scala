@@ -57,6 +57,24 @@ class NestedOpsSpec extends AnyFunSuite {
       .collect().toSeq == Seq("x", "y"))
   }
 
+  test("relationalize stagingPath stages members and reads them back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel_stage")
+      .toString
+    val df = Seq((10L, Seq("a", "b")), (20L, Seq("c"))).toDF("k", "arr")
+    val staged = NestedOps.relationalize(df, "t", idCol = Some("k"),
+      stagingPath = Some(dir))
+    // staged parquet exists per member, and the frames scan the staging
+    assert(new java.io.File(s"$dir/t").exists())
+    assert(new java.io.File(s"$dir/t_arr").exists())
+    assert(staged("t").count() == 2)
+    assert(staged("t_arr").count() == 3)
+    val plan = staged("t_arr").queryExecution.executedPlan.toString
+    assert(plan.contains("t_arr"), s"child does not scan staging:\n$plan")
+    // same content as the unstaged plans
+    val lazyTables = NestedOps.relationalize(df, "t", idCol = Some("k"))
+    assert(staged("t_arr").collect().toSet == lazyTables("t_arr").collect().toSet)
+  }
+
   test("unbox json with explicit schema and with inference") {
     val df = Seq((1L, """{"a": 5, "b": "x"}"""), (2L, """{"a": 6}"""))
       .toDF("id", "payload")
