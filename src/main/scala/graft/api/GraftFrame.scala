@@ -84,10 +84,14 @@ final case class GraftFrame(gf: GlueFrame) {
 
   // -------------------------------------------------------- schema ops
 
-  /** resolveChoice (dynamicframe.py:394-434). */
+  /** resolveChoice (dynamicframe.py:394-434), incl. the MATCH_CATALOG
+    * global action with database/tableName.
+    */
   def resolveChoice(specs: Seq[(String, String)] = Nil,
-      choice: String = null): GraftFrame =
-    next(ChoiceOps.resolveChoice(df, specs, choice))
+      choice: String = null,
+      database: String = null,
+      tableName: String = null): GraftFrame =
+    next(ChoiceOps.resolveChoice(df, specs, choice, database, tableName))
 
   /** unnest (dynamicframe.py:310-322). */
   def unnest(): GraftFrame = next(NestedOps.unnest(df))
