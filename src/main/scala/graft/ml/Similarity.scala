@@ -249,7 +249,11 @@ object Similarity {
       spark.read.parquet(s"$path/centroids")
         .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
     val qVec = query.select(col(queryVecCol)).head()
-      .getSeq[Any](0).map(x => x.toString.toDouble)
+      .getSeq[Any](0).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }
     val probes = centroids
       .map { case (i, c) =>
         i -> c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
