@@ -25,7 +25,7 @@ sh AS (  -- FNV-1a hashed 3-gram shingles; token separator is ONE 0x20 step
             t -> list_append(
               flatten(list_transform(string_split(t, ''),
                 ch -> [unicode(ch) % 256, unicode(ch) // 256])), 32))
-          )[:-1]),  -- last separator removed: n-1 separators for n tokens
+          )[:-2]),  -- drop trailing separator (DuckDB slice bounds are INCLUSIVE)
         (acc, b) -> ((acc // 65536) * 65536
             + xor(CAST(acc % 65536 AS BIGINT), CAST(b AS BIGINT)))
           * 1099511628211 % 18446744073709551616))) AS s_u

@@ -872,12 +872,16 @@ object SparkEntry {
          |  SELECT doc_id,
          |    unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
          |      i -> ${sqlFnv(
+        // [:-2] drops the trailing separator: DuckDB slice bounds are
+        // INCLUSIVE, so [:-1] keeps the whole list (sf0.1 lesson — the
+        // stray 0x20 step made a consistent-but-wrong hash family that
+        // only diverged observably on one near-dup pair)
         """flatten(list_transform(
           |            list_filter([toks[i], toks[i + 1], toks[i + 2]], t -> t IS NOT NULL),
           |            t -> list_append(
           |              flatten(list_transform(string_split(t, ''),
           |                ch -> [unicode(ch) % 256, unicode(ch) // 256])), 32))
-          |          )[:-1]""".stripMargin)})) AS s_u
+          |          )[:-2]""".stripMargin)})) AS s_u
          |  FROM tok
          |),
          |z0 AS (SELECT doc_id, seed,
