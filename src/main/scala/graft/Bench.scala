@@ -42,10 +42,25 @@ object Bench {
       df.queryExecution.toRdd.count(); ()
     }
 
+    // Queries are independent jobs (on a cluster each is its own
+    // application). Several operators persist intermediates for the
+    // duration of their own plan (jaccard prefix table, ANN indexes,
+    // LSH signatures); the persists outlive the query's action, so
+    // without this the block manager accumulates every prior query's
+    // cached RDDs and by mid-bench the 8g heap is mostly dead cache —
+    // r4 measured q41 at 65s in-bench vs 3.1s isolated, pure GC/evict
+    // interference. Releasing after each query makes per-query numbers
+    // reflect the operator, not its neighbors.
+    def release(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
+    }
+
     if (warmupDir.nonEmpty && new java.io.File(warmupDir).exists()) {
       ordered.foreach { case (_, fn) =>
         try materialize(fn(spark, warmupDir))
         catch { case _: Throwable => () }
+        release()
       }
     }
 
@@ -54,7 +69,9 @@ object Bench {
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      release()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
