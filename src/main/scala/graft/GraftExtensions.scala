@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SimHash64, SortedIntersectCount}
+import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SimHash64, SortedIntersectCount, Winnow}
 
 /** SQL registration of the engine's native expressions.
   *
@@ -52,6 +52,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product(a, b)")
         DotProduct(args.head, args(1))
+      }),
+    (new FunctionIdentifier("winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "winnow"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "winnow(hashes, w)")
+        Winnow(args.head, intArg(args(1), "winnow w"))
       }))
 
   /** Register into a live session's function registry. */

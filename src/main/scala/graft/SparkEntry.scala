@@ -436,6 +436,17 @@ object SparkEntry {
           col("union").cast("int").as("n_union"))
     }),
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    // positional 3-gram FNV hashes, minimum of every 4-hash window,
+    // distinct per doc — the standard plagiarism/overlap fingerprint
+    // at ~2/(w+1) the density of the full shingle set. Both kernels
+    // are native expressions; one codegen pass per row, no shuffle.
+    "q43_winnow" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowFingerprint(col("text"), 3, 4))
+            .as("fp"))),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -979,6 +990,33 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n_inter AS INT) AS n_inter,
         |  CAST(n_union AS INT) AS n_union
         |FROM p WHERE n_inter * 2 >= n_union""".stripMargin,
+    // Winnowing: the q39 FNV-1a 3-gram kernel kept POSITIONAL (no
+    // distinct/sort), signed view, then the min of every 4-hash window
+    // (DuckDB slices are 1-based INCLUSIVE: h[i:i+3] is 4 elements,
+    // clipped at the end for short docs → the single clipped window).
+    "q43_winnow" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id, list_transform(
+         |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |      i -> ${sqlFnv(
+        """flatten(list_transform(
+          |            list_filter([toks[i], toks[i + 1], toks[i + 2]], t -> t IS NOT NULL),
+          |            t -> list_append(
+          |              flatten(list_transform(string_split(t, ''),
+          |                ch -> [unicode(ch) % 256, unicode(ch) // 256])), 32))
+          |          )[:-2]""".stripMargin)}),
+         |    u -> CASE WHEN u >= 9223372036854775808
+         |      THEN CAST(u - 18446744073709551616 AS BIGINT)
+         |      ELSE CAST(u AS BIGINT) END) AS h
+         |  FROM tok)
+         |SELECT doc_id,
+         |  unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(h) - 3, 1) + 1),
+         |    i -> list_aggregate(h[i:i+3], 'min')))) AS fp
+         |FROM hs""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

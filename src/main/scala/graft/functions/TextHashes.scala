@@ -155,3 +155,70 @@ object MinHashSignature {
     new GenericArrayData(sig)
   }
 }
+
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
+  * 2003): over the POSITIONAL rolling-hash sequence, slide a window of
+  * `w` hashes and keep each window's minimum (signed 64-bit order);
+  * the distinct selected values, ascending, are the fingerprint. Any
+  * shared substring of length ≥ w+shingle−1 tokens between two
+  * documents is guaranteed to share a fingerprint hash.
+  * Input array<long> (positional — NOT deduplicated/sorted) →
+  * output sorted array<long>. Fewer than `w` hashes → one window over
+  * what exists; empty input → empty fingerprint.
+  */
+case class Winnow(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"winnow window must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow requires array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Winnow.compute(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Winnow.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow"
+}
+
+object Winnow {
+
+  def winnow(c: Column, w: Int): Column =
+    GraftBridge.column(Winnow(GraftBridge.expression(c), w))
+
+  /** O(n) sliding-window minima via a monotonic index deque, then
+    * distinct + sort of the selected values.
+    */
+  def compute(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Long](0))
+    val deque = new Array[Int](n) // indices, values increasing
+    var head = 0
+    var tail = 0 // exclusive
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val v = hashes.getLong(i)
+      while (tail > head && hashes.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      // first complete window ends at i = w-1; shorter inputs emit
+      // their single clipped window at the last element
+      if (i >= w - 1 || i == n - 1) selected.add(hashes.getLong(deque(head)))
+      i += 1
+    }
+    val out = new Array[Long](selected.size())
+    val it = selected.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}

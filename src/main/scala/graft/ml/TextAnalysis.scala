@@ -133,4 +133,17 @@ object TextAnalysis {
     * portability to other engines doesn't matter.
     */
   def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    * rolling FNV-1a hashes over token `shingleSize`-grams, then the
+    * minimum of every `window` consecutive hashes — any shared token
+    * run of length ≥ window+shingleSize−1 between two documents
+    * guarantees a shared fingerprint hash, at ~2/(window+1) the
+    * density of the full shingle set. Both stages are native
+    * codegen'd expressions: one pass per row, no shuffle.
+    */
+  def winnowFingerprint(
+      text: Column, shingleSize: Int = 3, window: Int = 4): Column =
+    graft.functions.Winnow.winnow(
+      graft.functions.ShingleHashes.shingleHashes(text, shingleSize), window)
 }

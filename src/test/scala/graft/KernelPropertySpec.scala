@@ -5,7 +5,7 @@ import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 
-import graft.functions.{MinHashSignature, ShingleHashes, SimHash64, SortedIntersectCount}
+import graft.functions.{MinHashSignature, ShingleHashes, SimHash64, SortedIntersectCount, Winnow}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Property tests for the native kernels (pure JVM statics — no Spark
@@ -79,6 +79,39 @@ class KernelPropertySpec extends AnyFunSuite {
       // collapsing runs of whitespace does not change the token stream
       val collapsed = s.trim.replaceAll("\\s+", " ")
       assert(a == SimHash64.compute(UTF8String.fromString(collapsed)))
+    }
+  }
+
+  private val hashArrayGen: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)).map(_.toArray)
+
+  test("winnow equals the naive min-per-window reference") {
+    forAll(Gen.zip(hashArrayGen, Gen.chooseNum(1, 8))) { case (h, w) =>
+      val naive =
+        if (h.isEmpty) Array.empty[Long]
+        else (0 to math.max(h.length - w, 0))
+          .map(i => h.slice(i, math.min(i + w, h.length)).min)
+          .distinct.sorted.toArray
+      val got = Winnow.compute(new GenericArrayData(h), w).toLongArray()
+      assert(got.sameElements(naive), s"w=$w h=${h.mkString(",")}")
+    }
+  }
+
+  test("winnow selects a subset of the input at w>1 density") {
+    forAll(Gen.zip(hashArrayGen, Gen.chooseNum(2, 8))) { case (h, w) =>
+      val got = Winnow.compute(new GenericArrayData(h), w).toLongArray()
+      val set = h.toSet
+      assert(got.forall(set.contains))
+      assert(got.length <= math.max(h.length - w + 1, math.min(h.length, 1)))
+      // shared-run guarantee: winnow(h ++ noise) and winnow(noise2 ++ h)
+      // share a hash when |h| >= w (both contain a full window inside h)
+      if (h.length >= w) {
+        val l = Winnow.compute(
+          new GenericArrayData(h ++ Array(7L, 8L, 9L)), w).toLongArray().toSet
+        val r = Winnow.compute(
+          new GenericArrayData(Array(1L, 2L, 3L) ++ h), w).toLongArray().toSet
+        assert(l.intersect(r).nonEmpty)
+      }
     }
   }
 }

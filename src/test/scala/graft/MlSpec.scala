@@ -112,6 +112,24 @@ class MlSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [simhash64"))
   }
 
+  test("winnow fingerprints overlap for near-dups and stay codegen'd") {
+    val fp = docs.select($"doc_id",
+        TextAnalysis.winnowFingerprint($"text", 3, 4).as("fp"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(fp(1L).sameElements(fp(4L)))              // exact dup: identical
+    val j = fp(1L).toSet.intersect(fp(2L).toSet).size.toDouble /
+      fp(1L).toSet.union(fp(2L).toSet).size
+    assert(j > 0.5, s"near-dup fingerprint jaccard $j") // 1-token edit
+    assert(fp(1L).toSet.intersect(fp(3L).toSet).isEmpty) // unrelated
+    // density: no more fingerprints than windows
+    assert(fp(1L).length < base.split("\\s+").length - 2)
+    // whole-stage codegen over a real scan
+    val d = spark.read.parquet(s"${SparkFixture.sfDir}/documents.parquet")
+    val plan = d.select(TextAnalysis.winnowFingerprint($"text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [winnow"))
+  }
+
   test("language id picks the stopword-dominant language") {
     val df = Seq(
       (1L, "the cat and the dog of a house is that it"),
