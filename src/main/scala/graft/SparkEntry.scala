@@ -447,6 +447,35 @@ object SparkEntry {
           explode(TextAnalysis.winnowFingerprint(col("text"), 3, 4))
             .as("fp"))),
 
+    // Gopher-style repetition signals: duplicate-token ratio and
+    // dominant-bigram count, integer-exact, one codegen pass per row.
+    "q56_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionMetrics(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.n_distinct").as("n_distinct"),
+          col("r.top_bigram").as("top_bigram"))),
+
+    // TF-IDF top-5 keywords per document: TF and DF map-side-combined
+    // aggregations, token-keyed join of count triples (text never
+    // shuffles), broadcast corpus size, windowed top-k.
+    "q57_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", k = 5)),
+
+    // PII redaction over a corpus seeded with synthetic emails/ids —
+    // engine-portable ASCII regex classes, replacement verified
+    // string-exact against the oracle.
+    "q58_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(concat(col("text"),
+            lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com case 123456789"))).as("redacted"))),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -1017,6 +1046,55 @@ object SparkEntry {
          |    range(1, greatest(len(h) - 3, 1) + 1),
          |    i -> list_aggregate(h[i:i+3], 'min')))) AS fp
          |FROM hs""".stripMargin,
+    // Repetition metrics: bigram mode via unnest + GROUP BY (the
+    // relational mirror of the engine's in-row run-length pass).
+    "q56_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS b
+        |  FROM tok),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |top AS (SELECT doc_id, CAST(max(c) AS INT) AS top_bigram
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |  coalesce(top.top_bigram, 0) AS top_bigram
+        |FROM tok t LEFT JOIN top ON t.doc_id = top.doc_id""".stripMargin,
+    // TF-IDF: DF derived from the TF table, natural-log scores rounded
+    // to 4 dp BEFORE ranking, (score desc, token) tie-break.
+    "q57_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS INT) AS tf
+        |  FROM tok GROUP BY doc_id, token),
+        |dft AS (SELECT token, CAST(count(*) AS INT) AS df_t
+        |  FROM tf GROUP BY token),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+        |scored AS (SELECT doc_id, token, tf, df_t,
+        |    round(tf * ln(n_docs / df_t), 4) AS score
+        |  FROM tf JOIN dft USING (token), n),
+        |rk AS (SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+        |  FROM scored)
+        |SELECT doc_id, token, tf, df_t, score, CAST(rk AS INT) AS rk
+        |FROM rk WHERE rk <= 5""".stripMargin,
+    // PII redaction: same ASCII-class regexes (no lookarounds — they
+    // mean the same thing to Java regex and RE2), global replacement.
+    "q58_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact: user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com case 123456789',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+        |      '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS redacted
+        |FROM documents""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

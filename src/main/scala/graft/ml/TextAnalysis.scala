@@ -124,6 +124,54 @@ object TextAnalysis {
     }), 1)
   }
 
+  /** TF-IDF top-k keywords per document — the canonical distributed
+    * two-aggregation shape. The (doc, token) term frequencies and the
+    * corpus document frequencies are map-side-combined groupBys (the
+    * DF table derives from the TF table, so AQE's ReuseExchange runs
+    * the tokenize+TF shuffle once); the token-keyed join moves only
+    * (doc, token, tf) triples — the text never shuffles — and the
+    * corpus size joins in as a broadcast scalar, not a driver-side
+    * collect. Per-doc top-k is a window over doc-sized groups (bounded
+    * by tokens-per-doc, so no skew at corpus scale).
+    *
+    * Scores are rounded to 4 dp BEFORE ranking and tie-broken by
+    * token so rankings are reproducible across engines.
+    */
+  def tfidfTopK(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as(idCol),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(idCol, "token")
+      .agg(count(lit(1)).cast("int").as("tf"))
+    val dfT = tf.groupBy("token")
+      .agg(count(lit(1)).cast("int").as("df_t"))
+    val n = tf.agg(countDistinct(col(idCol)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfT, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs") / col("df_t")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df_t"),
+        col("score"), col("rk"))
+  }
+
+  /** PII redaction: emails then long digit runs (7+) replaced by typed
+    * placeholder tags. Patterns are plain ASCII classes with no
+    * lookarounds or \p classes, so the same regex means the same thing
+    * in Java regex and RE2-based engines; two codegen'd regexp passes,
+    * no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
+
   /** Content fingerprint: stable 128-bit hex via MD5 (engine-portable)
     * — the exact-dup key for [[Dedup.exact]].
     */
@@ -133,6 +181,40 @@ object TextAnalysis {
     * portability to other engines doesn't matter.
     */
   def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Repetition metrics (Gopher-style repetition signals, all
+    * integer-valued so results are engine-exact): token count, distinct
+    * token count, and the occurrence count of the most frequent token
+    * bigram. A high duplicate-token ratio or a dominant bigram flags
+    * boilerplate/generated spam for training-data filtering.
+    *
+    * One tokenizer pass: every metric reads one bound reference of the
+    * token array (lambda variables bind once — see [[langId]]); the
+    * bigram mode is a run-length maximum over the SORTED bigram list,
+    * a single `aggregate` pass with a struct accumulator instead of a
+    * per-doc groupBy (no shuffle — stays inside the scan's codegen
+    * stage at 100 TB).
+    */
+  def repetitionMetrics(text: Column): Column =
+    element_at(transform(array(tokens(text)), t => {
+      val n = size(t)
+      val bigrams = sort_array(transform(
+        when(n >= 2, sequence(lit(1), n - 1))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      val top = aggregate(bigrams,
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1).otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      struct(n.as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        top.as("top_bigram"))
+    }), 1)
 
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     * rolling FNV-1a hashes over token `shingleSize`-grams, then the

@@ -130,6 +130,44 @@ class MlSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [winnow"))
   }
 
+  test("repetition metrics count tokens, distincts, and the bigram mode") {
+    val df = Seq(
+      (1L, "a b a b a b"),        // bigram "a b" x3 (of 5 windows)
+      (2L, "all unique words here"),
+      (3L, "x")                    // no bigram
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        TextAnalysis.repetitionMetrics($"text").as("r"))
+      .select($"doc_id", $"r.n_tokens", $"r.n_distinct", $"r.top_bigram")
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((6, 2, 3)))
+    assert(got(2L) == ((4, 4, 1)))
+    assert(got(3L) == ((1, 1, 0)))
+  }
+
+  test("tfidf ranks document-specific terms above corpus-wide ones") {
+    val df = Seq(
+      (1L, "spark shuffle shuffle partition common"),
+      (2L, "duckdb vector fusion common"),
+      (3L, "flink watermark state common")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(df, "text", "doc_id", k = 2)
+    val rows = top.select($"doc_id", $"token", $"rk")
+      .as[(Long, String, Int)].collect()
+    assert(rows.length == 6) // 3 docs x k=2
+    // "common" appears in every doc -> idf 0, never ranks
+    assert(!rows.exists(_._2 == "common"))
+    // doc 1's top term is its double-frequency token
+    assert(rows.collect { case (1L, tok, 1) => tok }.head == "shuffle")
+  }
+
+  test("pii redaction replaces emails and long digit runs") {
+    val df = Seq((1L, "mail me at jane.doe+x@corp.example.org or call 5551234567 ext 42"))
+      .toDF("doc_id", "text")
+    val got = df.select(TextAnalysis.redactPii($"text")).as[String].head()
+    assert(got == "mail me at <EMAIL> or call <NUM> ext 42")
+  }
+
   test("language id picks the stopword-dominant language") {
     val df = Seq(
       (1L, "the cat and the dog of a house is that it"),
