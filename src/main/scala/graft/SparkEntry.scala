@@ -476,6 +476,32 @@ object SparkEntry {
             lit(" contact: user"), col("doc_id").cast("string"),
             lit("@example.com case 123456789"))).as("redacted"))),
 
+    // As-of join (point-in-time lookup): every event picks up the most
+    // recent purchase by the same user at-or-before its timestamp.
+    // Union-sort shape: one key shuffle, a running-last window, no
+    // range cross-product. The purchase side is pre-deduplicated to
+    // one row per (user, ts) so ties are deterministic in any engine.
+    "q59_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"),
+          max_by(col("value"), col("event_id")).as("purchase_value"))
+      Joins.asOfJoin(
+        e.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("purchase_id"), col("purchase_value"))
+    }),
+
+    // Int8 scalar quantization + quantized ANN: explicit-floor affine
+    // codes (bit-identical across engines), 64-bit integer dot-product
+    // scores — the 4×-compressed storage/scan path for 100 TB
+    // embedding tables.
+    "q60_ann_quantized" -> ((s, dir) =>
+      Similarity.quantizedTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -1095,6 +1121,39 @@ object SparkEntry {
         |      '<EMAIL>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g') AS redacted
         |FROM documents""".stripMargin,
+    // As-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    // engine's union-sort implementation (backward, inclusive).
+    "q59_asof" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id,
+        |    arg_max(value, event_id) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT e.event_id, p.purchase_id, p.purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    // Quantized ANN: the oracle replays the explicit-floor affine
+    // quantization (same IEEE double steps) and the integer dot.
+    "q60_ann_quantized" ->
+      """WITH base AS (SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)), 'min') AS mn,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)), 'max') AS mx
+        |  FROM embeddings),
+        |c AS (SELECT vec_id,
+        |    CASE WHEN mx = mn THEN list_transform(embedding, x -> 0)
+        |      ELSE list_transform(embedding, x ->
+        |        CAST(floor((CAST(x AS DOUBLE) - mn)
+        |          / ((mx - mn) / 255) + 0.5) AS INT))
+        |    END AS codes
+        |  FROM base),
+        |q AS (SELECT codes AS qc FROM c WHERE vec_id = 0),
+        |sc AS (SELECT c.vec_id,
+        |    list_sum(list_transform(range(1, len(codes) + 1),
+        |      i -> CAST(codes[i] AS BIGINT) * qc[i])) AS score
+        |  FROM c, q WHERE c.vec_id <> 0)
+        |SELECT vec_id, CAST(score AS BIGINT) AS score FROM sc
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

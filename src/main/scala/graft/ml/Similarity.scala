@@ -27,10 +27,13 @@ object Similarity {
     dot(a, b) / (norm(a) * norm(b))
 
   /** L2-normalize an embedding (into array<double>). */
-  def normalize(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => x.cast("double") / n)
-  }
+  def normalize(a: Column): Column =
+    // bind the norm ONCE via a 1-element transform: a non-lambda
+    // subexpression inside a lambda body is otherwise re-evaluated per
+    // element, turning the O(d) norm into O(d²) per row (see
+    // functions/TextHashes.scala scaladoc for the general trap)
+    element_at(transform(array(norm(a)), n =>
+      transform(a, x => x.cast("double") / n)), 1)
 
   /** Exact brute-force cosine top-k against one query vector.
     *
@@ -47,6 +50,61 @@ object Similarity {
     val q = query.select(col(queryVecCol).as("__qvec"))
     embeddings.crossJoin(broadcast(q))
       .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** Int8 scalar quantization of an embedding: per-vector affine codes
+    * `q_i = floor((x_i − min)/scale + 0.5)` ∈ [0, 255] with
+    * `scale = (max − min)/255` → struct(codes array<int>, mn double,
+    * scale double). 4× smaller than float32 at 100 TB, and quantized
+    * scoring is integer arithmetic. Constant vectors (max = min) code
+    * to all-zeros with scale 0. Every step is IEEE double with an
+    * explicit floor (no banker's-rounding ambiguity), so codes are
+    * bit-identical across engines; min/max/scale bind once via the
+    * 1-element-transform trick (see [[normalize]]).
+    */
+  def scalarQuantize(vec: Column): Column =
+    element_at(transform(array(struct(
+        array_min(transform(vec, _.cast("double"))).as("mn"),
+        array_max(transform(vec, _.cast("double"))).as("mx"))), s => {
+      val mn    = s.getField("mn")
+      val mx    = s.getField("mx")
+      val scale = (mx - mn) / lit(255.0)
+      struct(
+        transform(vec, x => when(mx === mn, lit(0))
+          .otherwise(floor((x.cast("double") - mn) / scale + lit(0.5))
+            .cast("int"))).as("codes"),
+        mn.as("mn"), scale.as("scale"))
+    }), 1)
+
+  /** Reconstruct approximate values from [[scalarQuantize]] output:
+    * `x̂_i = codes_i · scale + mn` (max error scale/2).
+    */
+  def dequantize(quant: Column): Column =
+    element_at(transform(array(quant), q =>
+      transform(q.getField("codes"), c =>
+        c.cast("double") * q.getField("scale") + q.getField("mn"))), 1)
+
+  /** Top-k by integer dot product over quantized codes against the
+    * vector with id `queryId`: the 1-row query side broadcasts, scores
+    * are exact 64-bit integer sums (no float comparisons anywhere), and
+    * the top-k runs as TakeOrderedAndProject — per-partition heaps,
+    * only k rows per partition reach the driver.
+    */
+  def quantizedTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int = 10): DataFrame = {
+    val quant = embeddings.select(col(idCol),
+      scalarQuantize(col(vecCol)).getField("codes").as("codes"))
+    val q = quant.filter(col(idCol) === queryId)
+      .select(col("codes").as("__qc"))
+    quant.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        aggregate(zip_with(col("codes"), col("__qc"),
+          (x, y) => x.cast("long") * y.cast("long")), lit(0L), _ + _))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))

@@ -77,4 +77,58 @@ object Joins {
   /** Build a multi-key equality condition between two frames by name. */
   def keyCondition(l: DataFrame, r: DataFrame, keys: Seq[(String, String)]): Column =
     keys.map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
+
+  /** As-of join (point-in-time lookup): for every left row, attach the
+    * right row with the greatest `rightTime` ≤ `leftTime` within the
+    * same key group (backward, inclusive — ANSI/DuckDB `ASOF LEFT
+    * JOIN ON l.k = r.k AND l.t >= r.t` semantics); left rows before the
+    * first right row get nulls.
+    *
+    * Implemented as the union-sort pattern, not a join: both sides
+    * shuffle ONCE on the key, the per-key running `last(..,
+    * ignoreNulls)` window carries the most recent right payload
+    * forward (right rows sort before left rows at equal timestamps),
+    * and left rows are filtered back out. No join blow-up, no range
+    * cross-product — cost is a sort per key group, the same shape
+    * Flink/pandas `merge_asof` uses, so it survives corpus-scale
+    * event tables. Ties inside `right` on (key, time) are resolved by
+    * whichever sorts last — pre-deduplicate `right` to one row per
+    * (key, time) for deterministic output.
+    *
+    * Right's non-key, non-time columns are attached with their own
+    * names; the caller renames collisions beforehand.
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "asOfJoin requires at least one key")
+    val payloadCols = right.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == rightTime)
+    require(payloadCols.nonEmpty, "right side has no payload columns")
+    val payload = struct(payloadCols.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
+
+    val lPayload = struct(left.columns.map(col).toSeq: _*)
+    val lPayloadType = left.select(lPayload).schema.head.dataType
+
+    val rSide = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__side"),
+        payload.as("__rv"), lit(null).cast(lPayloadType).as("__lv")): _*)
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__rv"), lPayload.as("__lv")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rSide.unionByName(lSide)
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.toSeq.map(c =>
+        col("__lv").getField(c).as(c)) ++
+        payloadCols.map(c => col("__match").getField(c).as(c)): _*)
+  }
 }

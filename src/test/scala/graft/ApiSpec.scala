@@ -72,6 +72,21 @@ class ApiSpec extends AnyFunSuite {
     assert(u.count() == 2 * o.count())
   }
 
+  test("asOfJoin attaches the latest right row at or before left time") {
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"),
+      (2L, 50L, "e3")).toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 60L, 600.0))
+      .toDF("k", "rt", "v")
+    val out = graft.operators.Joins.asOfJoin(left, right, Seq("k"), "t", "rt")
+    assert(out.columns.toSeq == Seq("k", "t", "name", "v"))
+    val got = out.select($"name", $"v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got("e0").isEmpty)         // before the first right row
+    assert(got("e1").contains(100.0)) // inclusive at equal time
+    assert(got("e2").contains(150.0)) // greatest rt <= 20
+    assert(got("e3").isEmpty)         // right row is in the future
+  }
+
   test("physical passthroughs: repartition / coalesce / minPartitions") {
     val frame = ctx.readParquet(s"${SparkFixture.sfDir}/lineitem.parquet")
     assert(frame.repartition(6).getNumPartitions == 6)

@@ -168,6 +168,22 @@ class MlSpec extends AnyFunSuite {
     assert(got == "mail me at <EMAIL> or call <NUM> ext 42")
   }
 
+  test("scalar quantization codes stay in [0,255], reconstruct within half a step") {
+    val e = spark.read
+      .parquet(s"${SparkFixture.sfDir}/embeddings.parquet").limit(50)
+    val q = e.select($"embedding",
+      graft.ml.Similarity.scalarQuantize($"embedding").as("q"))
+    val rng = q.select(explode($"q.codes").as("c"))
+      .agg(min($"c"), max($"c")).as[(Int, Int)].head()
+    assert(rng._1 >= 0 && rng._2 <= 255)
+    val violations = q.select(explode(zip_with(
+        graft.ml.Similarity.dequantize($"q"), $"embedding",
+        (a, b) => abs(a - b.cast("double")) > $"q.scale" * 0.5 + lit(1e-9)))
+        .as("viol"))
+      .filter($"viol").count()
+    assert(violations == 0)
+  }
+
   test("language id picks the stopword-dominant language") {
     val df = Seq(
       (1L, "the cat and the dog of a house is that it"),
