@@ -78,6 +78,37 @@ object Joins {
   def keyCondition(l: DataFrame, r: DataFrame, keys: Seq[(String, String)]): Column =
     keys.map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
 
+  /** Salted inner equi-join for skewed keys: the left (skewed) side
+    * gets a deterministic row-hash salt in [0, salts); the right side
+    * replicates each row once per salt value; the join key becomes
+    * (key, salt), so one hot key's rows spread over `salts` tasks
+    * instead of one straggler. Result-identical to [[equiJoin]] (every
+    * left row still meets every matching right row exactly once).
+    *
+    * AQE's skew-join split already handles sort-merge skew at runtime;
+    * reach for explicit salting when AQE can't split — bucketed
+    * inputs, skewed aggregation upstream, or a hot key inside a single
+    * post-shuffle partition. Cost: right side × salts, so size
+    * `salts` to the hot key's excess, not to parallelism.
+    */
+  def saltedJoin(
+      left: DataFrame, leftKeys: Seq[String],
+      right: DataFrame, rightKeys: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val sl = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts.toLong))
+        .cast("int"))
+    val sr = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    val cond = (leftKeys.zip(rightKeys)
+      .map { case (a, b) => sl(a) === sr(b) } :+
+      (sl("__salt") === sr("__salt"))).reduce(_ && _)
+    sl.join(sr, cond, "inner")
+      .select(left.columns.map(sl(_)).toSeq ++
+        right.columns.map(sr(_)).toSeq: _*)
+  }
+
   /** As-of join (point-in-time lookup): for every left row, attach the
     * right row with the greatest `rightTime` ≤ `leftTime` within the
     * same key group (backward, inclusive — ANSI/DuckDB `ASOF LEFT

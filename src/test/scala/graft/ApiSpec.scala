@@ -72,6 +72,22 @@ class ApiSpec extends AnyFunSuite {
     assert(u.count() == 2 * o.count())
   }
 
+  test("saltedJoin is result-identical to the plain equi-join") {
+    // skewed left: 90% of rows share one key
+    val left = (1 to 200).map(i =>
+      (if (i <= 180) 7L else i.toLong % 5, s"l$i")).toDF("lk", "lv")
+    val right = Seq((7L, "hot"), (1L, "r1"), (2L, "r2"), (9L, "miss"))
+      .toDF("rk", "rv")
+    val plain = graft.operators.Joins
+      .equiJoin(left, Seq("lk"), right, Seq("rk"))
+      .collect().map(_.toSeq).toSet
+    val salted = graft.operators.Joins
+      .saltedJoin(left, Seq("lk"), right, Seq("rk"), salts = 8)
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("asOfJoin attaches the latest right row at or before left time") {
     val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"),
       (2L, 50L, "e3")).toDF("k", "t", "name")
