@@ -18,12 +18,19 @@ object Scratch {
 
     // Ad-hoc timing of one query in isolation:
     //   sbt "runMain graft.Scratch q41_jaccard_pairs /root/testdata/sf0.1"
+    // SPARK_GRAFT_EXPLAIN=1 additionally prints the formatted plan.
     val name  = if (args.length > 0) args(0) else "q01_agg"
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     SparkEntry.queries.get(name).foreach { fn =>
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+        fn(spark, sfDir).explain("formatted")
       val t0 = System.nanoTime()
-      val n  = fn(spark, sfDir).queryExecution.toRdd.count()
+      val df = fn(spark, sfDir)
+      val n  = df.queryExecution.toRdd.count()
       println(f"[scratch] $name: rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // post-execution: the FINAL adaptive plan (shows ReusedExchange)
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("2"))
+        println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

@@ -143,11 +143,22 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol).as(idCol),
       explode(tokens(col(textCol))).as("token"))
+    // The TF table feeds the join probe AND the DF aggregation. A
+    // DataFrame referenced from multiple plan positions re-executes
+    // its whole subtree per reference (AQE does NOT reuse these
+    // exchanges — verified on the executed plan), which would scan and
+    // tokenize the corpus once per consumer — so persist the
+    // (doc, token, tf) triples once; they are a fraction of the text
+    // they summarize. The corpus size deliberately counts the RAW
+    // input instead: a column-pruned count-only scan (no text decode,
+    // no tokenize) is cheaper than another pass over tf, and every doc
+    // yields ≥1 token so the counts agree.
     val tf = tok.groupBy(idCol, "token")
       .agg(count(lit(1)).cast("int").as("tf"))
+      .persist()
     val dfT = tf.groupBy("token")
       .agg(count(lit(1)).cast("int").as("df_t"))
-    val n = tf.agg(countDistinct(col(idCol)).cast("double").as("n_docs"))
+    val n = df.agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("score").desc, col("token"))
     tf.join(dfT, "token")
