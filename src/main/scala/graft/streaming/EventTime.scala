@@ -58,4 +58,26 @@ object EventTime {
     if (df.isStreaming)
       df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
     else df.dropDuplicates(keys)
+
+  /** Streaming near-duplicate filter: drop documents whose SimHash
+    * fingerprint was already seen within the watermark. The signature
+    * is a codegen'd per-row kernel (no shuffle added beyond the dedup
+    * state store); state is keyed by one 8-byte long per kept doc and
+    * ages out with the watermark — bounded regardless of stream
+    * length. Hamming-0 (exact and trivially-rewritten) duplicates
+    * drop; near-dups beyond bit-identity need the batch
+    * [[graft.ml.Dedup.simhashDedup]] bucket pass.
+    */
+  def nearDupFilterWithinWatermark(
+      df: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame = {
+    val sig = df.withColumn("__simhash",
+      graft.ml.Dedup.simhash64(col(textCol)))
+    val deduped =
+      if (df.isStreaming)
+        sig.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark(Seq("__simhash"))
+      else sig.dropDuplicates("__simhash")
+    deduped.drop("__simhash")
+  }
 }

@@ -158,6 +158,45 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("streaming near-dup filter drops repeated texts across batches") {
+    import graft.streaming.EventTime
+    val src = Files.createTempDirectory("graft_neardup_src").toString
+    // two micro-batches; "alpha beta gamma" recurs in both, the second
+    // batch also repeats it within itself
+    Seq((1L, "alpha beta gamma"), (2L, "unrelated content here"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq((3L, "alpha beta gamma"), (4L, "alpha beta gamma"),
+      (5L, "fresh third document"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+      .coalesce(1).write.parquet(s"$src/f2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val filtered = EventTime.nearDupFilterWithinWatermark(
+      stream, "text", "ts", "1 hour")
+    val q = filtered.writeStream.outputMode("append")
+      .format("memory").queryName("graft_neardup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("graft_neardup_out")
+      .select($"text").as[String].collect().toSeq
+    assert(kept.count(_ == "alpha beta gamma") == 1) // state spans batches
+    assert(kept.toSet.size == 3)
+    // batch fallback: plain dedup by signature
+    val batchKept = EventTime.nearDupFilterWithinWatermark(
+      Seq((1L, "x y z"), (2L, "x y z"), (3L, "other"))
+        .toDF("doc_id", "text")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.current_timestamp()),
+      "text", "ts", "1 hour")
+    assert(batchKept.count() == 2)
+    assert(batchKept.columns.toSeq == Seq("doc_id", "text", "ts"))
+  }
+
   test("mapGroupsWithState totals carry across micro-batches") {
     import graft.streaming.Stateful
     val src = Files.createTempDirectory("graft_state_src").toString
