@@ -103,6 +103,25 @@ class ApiSpec extends AnyFunSuite {
     assert(got("e3").isEmpty)         // right row is in the future
   }
 
+  test("asOfJoin matches a brute-force reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val right = (1 to 80).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong * 10))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k,t)
+    val got = graft.operators.Joins.asOfJoin(
+        left.toDF("k", "t", "lid"), right.toDF("k", "rt", "payload"),
+        Seq("k"), "t", "rt")
+      .select($"lid", $"payload").as[(Long, Option[Long])].collect().toMap
+    assert(got.size == left.size)
+    left.foreach { case (k, t, lid) =>
+      val expect = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(lid) == expect, s"lid=$lid k=$k t=$t")
+    }
+  }
+
   test("physical passthroughs: repartition / coalesce / minPartitions") {
     val frame = ctx.readParquet(s"${SparkFixture.sfDir}/lineitem.parquet")
     assert(frame.repartition(6).getNumPartitions == 6)
