@@ -68,6 +68,39 @@ object Multimodal {
         "or bind a real codec")
   }
 
+  /** Real container-header parsing — no codec libraries required:
+    * PNG IHDR (big-endian dims at offsets 16/20), GIF logical screen
+    * descriptor (little-endian u16 at 6/8), BMP DIB header
+    * (little-endian i32 at 18/22). Unknown magic → dims −1 with the
+    * payload still profiled. Header dimensions are what a filtering /
+    * bucketing pipeline actually needs (drop tiny images, partition by
+    * aspect ratio) — full pixel decode stays a [[CodecDecoder]]
+    * binding point.
+    */
+  object HeaderDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): MediaFeatures = {
+      val len   = bytes.length.toLong
+      val first = if (bytes.isEmpty) -1 else bytes(0) & 0xff
+      def be32(i: Int): Int =
+        ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      def le16(i: Int): Int =
+        (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+      def le32(i: Int): Int =
+        (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+      if (len >= 24 && (bytes(0) & 0xff) == 0x89 &&
+          bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+        MediaFeatures(len, first, be32(16), be32(20), frames = 1)
+      else if (len >= 10 &&
+          bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+        MediaFeatures(len, first, le16(6), le16(8), frames = 1)
+      else if (len >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
+        MediaFeatures(len, first, le32(18), le32(22), frames = 1)
+      else MediaFeatures(len, first, -1, -1, -1)
+    }
+  }
+
   /** Attach a media struct column (payload + metadata) built from a
     * binary column.
     */

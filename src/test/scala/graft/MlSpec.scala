@@ -297,6 +297,35 @@ class MlSpec extends AnyFunSuite {
     assert(rows(1) == (2L, 0L, -1))
   }
 
+  test("header decoder reads real PNG/GIF/BMP dimensions") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](24)
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+        0, 0, 0, 13, 'I', 'H', 'D', 'R')                  // IHDR chunk
+        .zipWithIndex.foreach { case (v, i) => b(i) = v.toByte }
+      for (i <- 0 until 4) b(16 + i) = (w >>> (24 - 8 * i)).toByte
+      for (i <- 0 until 4) b(20 + i) = (h >>> (24 - 8 * i)).toByte
+      b
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](10)
+      "GIF89a".getBytes.zipWithIndex.foreach { case (v, i) => b(i) = v }
+      b(6) = (w & 0xff).toByte; b(7) = ((w >> 8) & 0xff).toByte
+      b(8) = (h & 0xff).toByte; b(9) = ((h >> 8) & 0xff).toByte
+      b
+    }
+    val d = Seq(
+      (1L, png(640, 480)), (2L, gif(320, 200)),
+      (3L, "not an image".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.extractFeatures(d, "payload",
+        decoder = Multimodal.HeaderDecoder)
+      .select($"doc_id", $"features.width", $"features.height")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(got(0) == (1L, 640, 480))
+    assert(got(1) == (2L, 320, 200))
+    assert(got(2) == (3L, -1, -1))
+  }
+
   test("frame sampling indices are evenly spaced and bounded") {
     val df = Seq(Tuple1(30), Tuple1(7), Tuple1(0)).toDF("frames")
     val got = df.select(Multimodal.sampleFrameIndices($"frames", 4).as("s"))
