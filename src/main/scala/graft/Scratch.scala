@@ -21,6 +21,47 @@ object Scratch {
     // SPARK_GRAFT_EXPLAIN=1 additionally prints the formatted plan.
     val name  = if (args.length > 0) args(0) else "q01_agg"
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+
+    if (name == "jaccard_profile") {
+      import org.apache.spark.sql.expressions.Window
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val sh = doubled.select(col("doc_id").as("id"),
+        sort_array(array_distinct(graft.ml.Dedup.shingleHashes(col("text"), 3))).as("sh"))
+        .filter(size(col("sh")) > 0).persist()
+      timed("sh")(sh.count())
+      val ex = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("f"))
+      val ranked = ex.join(freq, "s")
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("f"), col("s"))))
+      val prefixLen = col("n") - ceil(col("n") * 1 / 2) + 1
+      val prefix = ranked.filter(col("r") <= prefixLen)
+        .select(col("id"), col("s"), col("n"), col("r")).persist()
+      println("[prof] ex rows=" + timed("ex")(ex.count()))
+      println("[prof] prefix rows=" + timed("prefix")(prefix.count()))
+      val posBound = (lit(1) +
+        least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))) * 3 >=
+        (col("a.n") + col("b.n")) * 1
+      val candRaw = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") && posBound)
+      println("[prof] candRaw rows=" + timed("candRaw")(candRaw.count()))
+      val candidates = candRaw.select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct().persist()
+      println("[prof] cand rows=" + timed("cand")(candidates.count()))
+      val verified = candidates
+        .join(sh.select(col("id"), col("sh").as("sh_a")), col("id_a") === col("id")).drop("id")
+        .join(sh.select(col("id"), col("sh").as("sh_b")), col("id_b") === col("id")).drop("id")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.SortedIntersectCount.sortedIntersectCount(col("sh_a"), col("sh_b")).as("i"),
+          size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      println("[prof] verified rows=" + timed("verify")(verified.count()))
+      spark.stop(); return
+    }
     SparkEntry.queries.get(name).foreach { fn =>
       if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
         fn(spark, sfDir).explain("formatted")
