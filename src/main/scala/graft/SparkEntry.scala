@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GlueFrame, GType}
 import graft.functions.{GlueFunctions, SimHash64}
-import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.operators.{ChoiceOps, FieldOps, Joins, NestedOps}
+import graft.ml.{Dedup, Graph, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.operators.{ChoiceOps, FieldOps, Joins, NestedOps, Sessionize}
 import graft.operators.FieldOps.Mapping
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -502,6 +502,103 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
+    // Gap-based sessionization: one key shuffle, two windows over the
+    // same sort order, one aggregation — no self-join, no range
+    // blow-up. Timestamps truncated to epoch-MICROS on both sides
+    // (events.ts reads as nanos-long under nanosAsLong, but the
+    // oracle engine's timestamp type is micro-precision), 30-minute
+    // gap in the same unit.
+    "q61_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(
+        t(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ts_us")),
+        "user_id", "ts_us", gap = 1800L * 1000 * 1000)
+        .select(col("user_id"), col("session_seq").cast("long")
+          .as("session_seq"),
+          col("session_start"), col("session_end"), col("n_events"))),
+
+    // Pivot: per-user event-type counts over an EXPLICIT value list
+    // (no driver-side distinct scan — the two-arg pivot with inferred
+    // values runs an extra job and makes the schema data-dependent).
+    "q62_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +: types.map(v =>
+        coalesce(col(v), lit(0L)).as(s"n_$v")): _*)
+    }),
+
+    // CUBE over orders: all four grouping sets in one pass (Expand +
+    // single aggregation — Spark rewrites cube to one shuffle, not
+    // 2^k scans). Sum routes through DECIMAL per the header policy.
+    "q63_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))),
+
+    // Deterministic stratified sampling: keep iff mix64(doc_id) mod
+    // 1024 clears the stratum's integer threshold — a stateless
+    // codegen'd projection (no shuffle, no RNG state), reproducible
+    // under task retry/re-splitting, downsampling the dominant
+    // language 4× harder than the rest (the usual corpus-balancing
+    // move).
+    "q64_stratified_sample" -> ((s, dir) =>
+      Sketches.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        rates1024 = Map("en" -> 128, "de" -> 512, "es" -> 512,
+          "fr" -> 512, "zh" -> 512), seed = 7)),
+
+    // Exact heavy hitters + count-min cross-check: top-20 corpus
+    // tokens by exact frequency, each with its CMS estimate (4×1024
+    // counter matrix, mergeable by addition; est ≥ exact always, the
+    // gap is collision error).
+    "q65_heavy_hitters" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      Sketches.heavyHitters(tok, "token", k = 20)
+    }),
+
+    // Per-doc token Shannon entropy: boilerplate/diffuse-repetition
+    // quality signal; integer counts, 4-dp-rounded double output.
+    "q66_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(
+        t(s, dir, "documents"), "text", "doc_id")),
+
+    // Near-dup CLUSTERS: connected components over the exact Jaccard
+    // pair graph — pairs to transitive keep/drop decisions, the step
+    // every dedup pipeline needs after candidate verification.
+    // Min-label propagation, one (id,label)-keyed shuffle per round,
+    // converges in ≤ diameter rounds (dup clusters are clique-ish).
+    "q67_dedup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 100000))
+      val pairs = Dedup.jaccardPairs(doubled, "text", "doc_id")
+        .select(col("id_a"), col("id_b"))
+      Graph.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id"), col("component"))
+    }),
+
+    // Bloom-prefiltered semi-join: lineitems of high-value orders.
+    // The probe side sheds non-matching rows in a codegen'd stateless
+    // pass BEFORE the shuffle (8 KiB driver-built bitset, portable
+    // mix64 hashes); the exact semi-join on survivors makes the
+    // result identical to the plain semi-join.
+    "q68_bloom_semi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val hot = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"))
+      Joins.bloomSemiJoin(li, "l_orderkey", hot, "o_orderkey")
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -671,6 +768,21 @@ object SparkEntry {
     */
   private def sqlMixStage(shift: Int, const: Long): String =
     sqlMul64(sqlXor64("z", s"z // ${1L << shift}"), const)
+
+  /** Unsigned decimal literal for the mix64 seed step (seed+1)·golden
+    * mod 2^64 — precomputed HERE so the SQL replay adds a constant.
+    */
+  private def sqlMixAdd(seed: Int): String =
+    java.lang.Long.toUnsignedString((seed + 1).toLong * 0x9e3779b97f4a7c15L)
+
+  /** The three splitmix64 finalizer stages as chained CTEs z1..z3 over
+    * a caller-provided z0 (HUGEINT column `z` plus `carry` columns) —
+    * the SQL replay of [[graft.functions.Mix64]].
+    */
+  private def sqlMixFinal(carry: String): String =
+    s"""z1 AS (SELECT $carry, ${sqlMixStage(30, 0xbf58476d1ce4e5b9L)} AS z FROM z0),
+       |z2 AS (SELECT $carry, ${sqlMixStage(27, 0x94d049bb133111ebL)} AS z FROM z1),
+       |z3 AS (SELECT $carry, ${sqlXor64("z", "z // 2147483648")} AS z FROM z2)""".stripMargin
 
   /** The SimHash64 kernel replay as a CTE chain over `source`
     * (doc_id, text), ending in `sigs(doc_id, sig BIGINT)` — shared by
@@ -1154,6 +1266,116 @@ object SparkEntry {
         |  FROM c, q WHERE c.vec_id <> 0)
         |SELECT vec_id, CAST(score AS BIGINT) AS score FROM sc
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    // Sessionization: same lag/cumsum windows with an EXPLICIT ROWS
+    // frame (DuckDB's default with ORDER BY is RANGE, which merges
+    // tie rows); tie order inside (user, ts) cannot change session
+    // assignment (gap 0 never opens a boundary).
+    "q61_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
+        |b AS (SELECT user_id, tsn,
+        |  CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn) IS NULL
+        |         OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn)
+        |            > 1800000000
+        |       THEN 1 ELSE 0 END AS nb
+        |  FROM e),
+        |s AS (SELECT user_id, tsn,
+        |  sum(nb) OVER (PARTITION BY user_id ORDER BY tsn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM b)
+        |SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
+        |  min(tsn) AS session_start, max(tsn) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, seq""".stripMargin,
+    "q62_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q63_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    // Stratified sample: full mix64 kernel replay on doc_id (seed 7),
+    // low 10 bits vs per-language integer thresholds.
+    "q64_stratified_sample" ->
+      s"""WITH z0 AS (SELECT doc_id, lang,
+         |    (CAST(doc_id AS HUGEINT) + ${sqlMixAdd(7)})
+         |      % 18446744073709551616 AS z
+         |  FROM documents),
+         |${sqlMixFinal("doc_id, lang")}
+         |SELECT doc_id, lang FROM z3
+         |WHERE z % 1024 < CASE WHEN lang = 'en' THEN 128 ELSE 512 END""".stripMargin,
+    // Heavy hitters: exact top-20 plus the count-min estimate — the
+    // counter matrix replayed from per-distinct-token FNV hashes (the
+    // same q39 byte-step kernel) through the 4 seeded mix64 chains
+    // (seed constants precomputed mod 2^64), counters summed from
+    // exact token counts (all occurrences of a token share buckets).
+    "q65_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array(
+         |    trim(lower(text)), '\\s+')) AS token FROM documents),
+         |tc AS (SELECT token, count(*) AS c FROM tok
+         |       WHERE token <> '' GROUP BY token),
+         |h AS (SELECT token, c, ${sqlFnv(
+        """flatten(list_transform(string_split(token, ''),
+          |          ch -> [unicode(ch) % 256, unicode(ch) // 256]))""".stripMargin)} AS hu
+         |  FROM tc),
+         |z0 AS (SELECT token, c, d, (hu + k) % 18446744073709551616 AS z
+         |  FROM h, (VALUES
+         |    (0, CAST(${sqlMixAdd(1000)} AS HUGEINT)),
+         |    (1, CAST(${sqlMixAdd(1001)} AS HUGEINT)),
+         |    (2, CAST(${sqlMixAdd(1002)} AS HUGEINT)),
+         |    (3, CAST(${sqlMixAdd(1003)} AS HUGEINT))) sd(d, k)),
+         |${sqlMixFinal("token, c, d")},
+         |bk AS (SELECT token, c, d, CAST(z % 1024 AS INT) AS bucket FROM z3),
+         |counters AS (SELECT d, bucket, sum(c) AS cnt2
+         |             FROM bk GROUP BY d, bucket),
+         |exact AS (SELECT token, c AS cnt FROM tc
+         |          ORDER BY c DESC, token LIMIT 20)
+         |SELECT e.token, e.cnt, CAST(min(c2.cnt2) AS BIGINT) AS cms_est
+         |FROM exact e JOIN bk USING (token) JOIN counters c2 USING (d, bucket)
+         |GROUP BY e.token, e.cnt""".stripMargin,
+    "q66_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+        |    trim(lower(text)), '\s+')) AS token FROM documents),
+        |tc AS (SELECT doc_id, token, count(*) AS c
+        |       FROM tok GROUP BY doc_id, token),
+        |a AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s2
+        |      FROM tc GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  round(log2(CAST(n AS DOUBLE)) - s2 / n, 4) AS entropy
+        |FROM a""".stripMargin,
+    // Dedup clusters: the q41 pair graph closed transitively with a
+    // recursive CTE — min reachable id per node is the component.
+    "q67_dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM d),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(toks)-1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh)) * 2 >=
+        |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |nd AS (SELECT DISTINCT src AS id FROM e),
+        |cc(id, comp) AS (
+        |  SELECT id, id FROM nd
+        |  UNION
+        |  SELECT e.dst, cc.comp FROM cc JOIN e ON cc.id = e.src
+        |)
+        |SELECT id, min(comp) AS component FROM cc GROUP BY id""".stripMargin,
+    // Bloom prefilter admits only false positives; the exact semi-join
+    // removes them, so the oracle is the plain semi-join.
+    "q68_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

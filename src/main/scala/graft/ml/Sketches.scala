@@ -1,0 +1,160 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HllRho, Mix64}
+
+/** Distributed sketch operators for corpus-scale statistics: HLL-style
+  * distinct counting, count-min frequency estimation, and
+  * deterministic hash sampling.
+  *
+  * Scale posture (100 TB):
+  * - every sketch here reduces to a map-side-combinable groupBy over a
+  *   FIXED key space (2^p registers, depth×width counters) — the
+  *   shuffle payload is bounded by the sketch size, not the data, and
+  *   partial aggregation collapses each partition's contribution
+  *   before anything moves;
+  * - sampling is a stateless projection (hash + mask compare): no
+  *   shuffle, no RNG state, reproducible across retries/splits — the
+  *   property Bernoulli RNG sampling loses under task re-execution;
+  * - all kernels are the engine-portable [[Mix64]]/FNV family so
+  *   results hash-match a replay in any engine (the driver's DuckDB
+  *   oracle replays them in mod-2^64 SQL arithmetic).
+  */
+object Sketches {
+
+  /** HLL-style register table over the hashed key column: register =
+    * low `p` bits of mix64(key), rank = trailing-zero rho of the
+    * remaining bits ([[HllRho]]). Returns one row per OCCUPIED
+    * register: (register int, rho int) — the integer-exact sketch
+    * state; merge across shards/engines = max per register.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 10): DataFrame = {
+    val z = Mix64.mix64(col(keyCol).cast("long"), 0)
+    df.select(
+        z.bitwiseAND(lit((1L << p) - 1)).cast("int").as("register"),
+        HllRho.hllRho(z, p).as("rho"))
+      .groupBy(col("register"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Distinct-count estimate from a register table: the classic
+    * `alpha_m · m² / Σ 2^{−M_j}` with the small-range linear-counting
+    * correction; unoccupied registers count as 2^0. Register tables
+    * are at most 2^p rows, so this aggregates to one row — driver
+    * receives a single double.
+    */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    val alpha =
+      if (p == 4) 0.673 else if (p == 5) 0.697
+      else if (p == 6) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .agg(
+        sum(pow(lit(2.0), -col("rho"))).as("occSum"),
+        count(lit(1)).as("occ"))
+      .select(
+        (lit(alpha * m.toDouble * m.toDouble) /
+          (col("occSum") + (lit(m) - col("occ")).cast("double"))).as("raw"),
+        (lit(m) - col("occ")).as("zeros"))
+      .select(
+        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")).as("estimate"))
+  }
+
+  /** Count-min sketch counter table over a token column: for each of
+    * `depth` seeded hash rows, bucket = mix64(fnv(token), seed) masked
+    * to `width` buckets. Returns (d int, bucket int, cnt long) — the
+    * full counter matrix, depth×width rows max, mergeable by
+    * addition. Tokens are pre-hashed with the FNV-1a shingle kernel
+    * (n = 1) so the shuffle key is a long, never the token text.
+    */
+  def cmsCounters(
+      tok: DataFrame, tokenCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val fnv = element_at(
+      graft.functions.ShingleHashes.shingleHashes(col(tokenCol), 1), 1)
+    tok.select(fnv.as("__h"))
+      .select(col("__h"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d"),
+        seededBucket(col("__h"), col("d"), depth, width).as("bucket"))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** mix64 with a data-driven seed (the CMS depth index): the native
+    * [[Mix64]] kernel takes a LITERAL seed (it's baked into codegen),
+    * so the small static depth domain is expanded into a CASE chain —
+    * `depth` branches of the codegen'd kernel, exact under any SQL
+    * arithmetic mode.
+    */
+  private def seededBucket(
+      h: Column, d: Column, depth: Int, width: Int): Column = {
+    val cases = (0 until depth).foldLeft(lit(null).cast("long")) { (acc, s) =>
+      when(d === lit(s), Mix64.mix64(h, 1000 + s)).otherwise(acc)
+    }
+    cases.bitwiseAND(lit(width.toLong - 1)).cast("int")
+  }
+
+  /** CMS point-estimate for given tokens: min over depth rows of the
+    * counter at that token's bucket. `counters` is the (d, bucket,
+    * cnt) matrix; `items` any frame with `tokenCol`. The counter
+    * matrix is depth×width rows — broadcastable by construction.
+    */
+  def cmsEstimate(
+      counters: DataFrame, items: DataFrame, tokenCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val fnv = element_at(
+      graft.functions.ShingleHashes.shingleHashes(col(tokenCol), 1), 1)
+    val probes = items
+      .withColumn("__h", fnv)
+      .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", seededBucket(col("__h"), col("d"), depth, width))
+    // the counter column is renamed before the join: `items` may carry
+    // its own count column of the same name
+    probes
+      .join(broadcast(counters.withColumnRenamed("cnt", "__cms_cnt")),
+        Seq("d", "bucket"), "left")
+      .groupBy(items.columns.map(col): _*)
+      .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff the low 10 bits
+    * of mix64(key) fall under the stratum's rate (rates expressed in
+    * 1024ths for integer-exact thresholds). Stateless projection — no
+    * shuffle, no RNG, stable under task retry and input re-splitting;
+    * the sample of a 100 TB table is reproducible from the key alone.
+    * `rates1024` maps stratum value → threshold in [0, 1024]; strata
+    * not present in the map are dropped.
+    */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      rates1024: Map[String, Int], seed: Int = 7): DataFrame = {
+    val bucket = Mix64.mix64(col(keyCol).cast("long"), seed)
+      .bitwiseAND(lit(1023L))
+    val threshold = rates1024.foldLeft(lit(-1L)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === lit(k), lit(v.toLong)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** Exact heavy hitters with CMS cross-check: top-k tokens by exact
+    * corpus frequency (groupBy + TakeOrdered — partial aggregation
+    * collapses per-partition counts before the shuffle) with each
+    * token's count-min estimate joined on. est ≥ exact always; the
+    * gap measures collision error at the configured width.
+    */
+  def heavyHitters(
+      tok: DataFrame, tokenCol: String, k: Int = 20,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val exact = tok.groupBy(col(tokenCol))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(tokenCol))
+      .limit(k)
+    val counters = cmsCounters(tok, tokenCol, depth, width)
+    cmsEstimate(counters, exact, tokenCol, depth, width)
+      .orderBy(col("cnt").desc, col(tokenCol))
+  }
+}

@@ -227,6 +227,31 @@ object TextAnalysis {
         top.as("top_bigram"))
     }), 1)
 
+  /** Per-document token Shannon entropy (bits): a low-entropy document
+    * is repetitive boilerplate, a training-data quality signal
+    * complementing [[repetitionMetrics]] (entropy catches diffuse
+    * repetition the dominant-bigram count misses). Computed as
+    * H = log2(n) − (Σ c·log2 c)/n over per-doc token counts — one
+    * explode + two map-side-combined aggregations, text never
+    * shuffles (only (doc, token-hashable) count triples move).
+    * Rounded to 4 dp: the count arithmetic is integer-exact, the two
+    * log2 reductions are double, and 4 dp absorbs cross-engine /
+    * cross-partition summation-order ulps (same policy as the ANN
+    * score oracles).
+    */
+  def tokenEntropy(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tc = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log2(col("c"))).as("s"))
+      .select(col(idCol), col("n").cast("int").as("n_tokens"),
+        round(log2(col("n").cast("double")) - col("s") / col("n"), 4)
+          .as("entropy"))
+  }
+
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     * rolling FNV-1a hashes over token `shingleSize`-grams, then the
     * minimum of every `window` consecutive hashes — any shared token

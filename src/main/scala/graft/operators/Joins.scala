@@ -109,6 +109,65 @@ object Joins {
         right.columns.map(sr(_)).toSeq: _*)
   }
 
+  /** Bloom-filter-accelerated semi-join: build a deterministic Bloom
+    * filter over `right`'s keys, pre-filter `left` with it (a
+    * stateless codegen'd projection — no shuffle), then finish with
+    * the exact semi-join on the survivors. Result-identical to the
+    * plain semi-join (the Bloom pass only admits false POSITIVES, and
+    * the exact join removes them); the win is that the big probe side
+    * sheds non-matching rows BEFORE the shuffle — the manual form of
+    * Spark's runtime bloom-filter pushdown, usable when the optimizer
+    * can't inject one (disk-materialized intermediates, non-equi
+    * pre-stages, or a build side behind a barrier).
+    *
+    * The filter is an `Array[Long]` bitset built on the driver —
+    * numBits/8 bytes (default 8 KiB) regardless of build-side row
+    * count; only DISTINCT bit positions are collected (≤ numBits
+    * rows), so a 100 TB probe side meets a fixed-size broadcast, and
+    * the build side is assumed dimension-sized (the same assumption
+    * the optimizer's own runtime filter makes). Hashing is the
+    * engine-portable [[graft.functions.Mix64]] family, so the
+    * pre-filter is deterministic across retries and engines.
+    */
+  def bloomSemiJoin(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      numBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 64, got $numBits")
+    require(numHashes >= 1 && numHashes <= 8,
+      s"numHashes must be in [1,8], got $numHashes")
+    import graft.functions.Mix64
+    val mask = numBits.toLong - 1
+
+    def positions(key: Column): Seq[Column] =
+      (0 until numHashes).map(s =>
+        Mix64.mix64(key.cast("long"), 50 + s).bitwiseAND(lit(mask)))
+
+    val posRows = right
+      .select(explode(array(positions(col(rightKey)): _*)).as("p"))
+      .distinct()
+      .collect()
+    val words = new Array[Long](numBits / 64)
+    posRows.foreach { r =>
+      val p = r.getLong(0).toInt
+      words(p >> 6) |= (1L << (p & 63))
+    }
+    val wordsCol = typedLit(words.toSeq)
+
+    val bitChecks = positions(col(leftKey)).map { p =>
+      val word = element_at(wordsCol,
+        shiftrightunsigned(p, 6).cast("int") + lit(1))
+      // column-typed shift amount: the SQL-layer function accepts an
+      // expression where the Scala API only takes a literal Int
+      call_function("shiftrightunsigned", word, p.bitwiseAND(lit(63L)))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }
+    left.filter(bitChecks.reduce(_ && _))
+      .join(right.select(col(rightKey)),
+        col(leftKey) === col(rightKey), "left_semi")
+  }
+
   /** As-of join (point-in-time lookup): for every left row, attach the
     * right row with the greatest `rightTime` ≤ `leftTime` within the
     * same key group (backward, inclusive — ANSI/DuckDB `ASOF LEFT

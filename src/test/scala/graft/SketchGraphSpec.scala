@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{HllRho, Mix64}
+import graft.ml.{Graph, Sketches}
+import graft.operators.{Joins, Sessionize}
+
+/** Specs for the round-5 additions: sketches (HLL, CMS, deterministic
+  * sampling), connected components, sessionization, and the
+  * Bloom-prefiltered semi-join.
+  */
+class SketchGraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ kernels
+
+  test("mix64 matches the splitmix64 reference values") {
+    // reference: seed chain used by MinHashSignature with seed index 0
+    def ref(x: Long, seed: Int): Long = {
+      var z = x + (seed + 1) * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val rows = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 42L)
+      .toDF("x")
+      .select(col("x"), Mix64.mix64(col("x"), 7).as("z"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (x, z) => assert(z == ref(x, 7), s"x=$x") }
+  }
+
+  test("hll_rho is trailing zeros + 1 of the post-register bits") {
+    val p = 10
+    val cases = Seq(
+      (1L << p, 1),            // lowest post-register bit set
+      (1L << (p + 5), 6),      // five post-register trailing zeros
+      (0L, 64 - p + 1),        // all-zero remainder saturates
+      (-1L, 1))                // all ones
+    val got = cases.map(_._1).toDF("z")
+      .select(HllRho.hllRho(col("z"), p)).as[Int].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  // ---------------------------------------------------------------- HLL
+
+  test("hll estimate is within 5% of the true distinct count") {
+    val n = 20000
+    val df = (1 to n).map(i => i.toLong * 2654435761L).toDF("k")
+    val regs = Sketches.hllRegisters(df, "k", p = 12)
+    val est = Sketches.hllEstimate(regs, p = 12)
+      .as[Double].head()
+    assert(math.abs(est - n) / n < 0.05, s"estimate $est for $n distinct")
+  }
+
+  test("hll registers merge by max — sharded build equals global build") {
+    val all = (1 to 5000).map(_.toLong).toDF("k")
+    val a = Sketches.hllRegisters(all.filter($"k" <= 2500), "k", p = 8)
+    val b = Sketches.hllRegisters(all.filter($"k" > 2500), "k", p = 8)
+    val merged = a.unionByName(b).groupBy("register")
+      .agg(max("rho").as("rho"))
+    val global = Sketches.hllRegisters(all, "k", p = 8)
+    assert(merged.collect().toSet == global.collect().toSet)
+  }
+
+  // ---------------------------------------------------------------- CMS
+
+  test("cms estimate upper-bounds the exact count and is exact for hot keys") {
+    val tok = (Seq.fill(500)("alpha") ++ Seq.fill(100)("beta") ++
+      (1 to 400).map(i => s"tail$i")).toDF("token")
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val counters = Sketches.cmsCounters(tok, "token", depth = 4, width = 1024)
+    val est = Sketches.cmsEstimate(counters, exact, "token")
+      .select("token", "cnt", "cms_est")
+      .as[(String, Long, Long)].collect()
+    est.foreach { case (t, c, e) => assert(e >= c, s"$t: est $e < exact $c") }
+    val hot = est.find(_._1 == "alpha").get
+    // 1000 tokens over 4×1024 counters: collisions may inflate the tail
+    // but the hot key estimate stays near-exact with 4 rows
+    assert(hot._3 - hot._2 <= 10)
+  }
+
+  test("heavy hitters returns exact top-k in frequency order") {
+    val tok = (Seq.fill(9)("a") ++ Seq.fill(5)("b") ++ Seq.fill(2)("c") ++
+      Seq("d")).toDF("token")
+    val hh = Sketches.heavyHitters(tok, "token", k = 3)
+      .select("token", "cnt").as[(String, Long)].collect().toSeq
+    assert(hh == Seq(("a", 9L), ("b", 5L), ("c", 2L)))
+  }
+
+  // ----------------------------------------------------------- sampling
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val df = (1 to 20000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val rates = Map("en" -> 128, "de" -> 512) // 12.5% / 50%
+    val s1 = Sketches.stratifiedSample(df, "id", "lang", rates)
+    val s2 = Sketches.stratifiedSample(df, "id", "lang", rates)
+    assert(s1.collect().toSet == s2.collect().toSet) // no RNG state
+    val byLang = s1.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(math.abs(byLang("en") / 10000.0 - 0.125) < 0.02)
+    assert(math.abs(byLang("de") / 10000.0 - 0.5) < 0.02)
+    // a stratum absent from the rate map is dropped entirely
+    val s3 = Sketches.stratifiedSample(df, "id", "lang", Map("en" -> 512))
+    assert(s3.filter($"lang" === "de").count() == 0)
+  }
+
+  // --------------------------------------------------- connected comps
+
+  test("connected components labels each node with its component minimum") {
+    // two chains and an isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (21L, 20L), (21L, 22L)).toDF("a", "b")
+    val cc = Graph.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components converges on a long path within maxIter") {
+    // path 1-2-3-...-12: diameter 11, min-label propagation needs
+    // ~diameter rounds; default maxIter=20 must reach the fixpoint
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Graph.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L))
+    assert(cc.keySet == (1L to 12L).toSet)
+  }
+
+  // ------------------------------------------------------ sessionization
+
+  test("sessionize splits on gaps and numbers sessions per key") {
+    val events = Seq(
+      (1L, 1000L), (1L, 1500L), (1L, 5000L), (1L, 5100L), (1L, 9000L),
+      (2L, 100L)).toDF("user", "ts")
+    val s = Sessionize.sessions(events, "user", "ts", gap = 1000L)
+      .orderBy("user", "session_seq")
+      .select("user", "session_seq", "session_start", "session_end",
+        "n_events")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(s == Seq(
+      (1L, 1L, 1000L, 1500L, 2L),
+      (1L, 2L, 5000L, 5100L, 2L),
+      (1L, 3L, 9000L, 9000L, 1L),
+      (2L, 1L, 100L, 100L, 1L)))
+  }
+
+  test("sessionize assigns equal timestamps to the same session") {
+    val events = Seq((1L, 100L), (1L, 100L), (1L, 100L)).toDF("user", "ts")
+    val seqs = Sessionize.sessionize(events, "user", "ts", gap = 10L)
+      .select("session_seq").as[Long].collect().toSeq
+    assert(seqs == Seq(1L, 1L, 1L))
+  }
+
+  // ------------------------------------------------------- bloom join
+
+  test("bloom semi-join equals the exact semi-join and prunes pre-shuffle") {
+    val left = (1L to 10000L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val right = (1L to 100L).map(i => Tuple1(i * 97L)).toDF("rk")
+    val viaBloom = Joins.bloomSemiJoin(left, "k", right, "rk")
+      .select("k").as[Long].collect().toSet
+    val exact = left.join(right, $"k" === $"rk", "left_semi")
+      .select("k").as[Long].collect().toSet
+    assert(viaBloom == exact)
+    // the pre-filter itself must shed most non-matching rows: with
+    // 100 keys × 3 hashes in 2^16 bits, false-positive rate ≲ 1e-7
+    val mask = (1 << 16).toLong - 1
+    val words = new Array[Long]((1 << 16) / 64)
+    right.select(explode(array((0 until 3).map(s =>
+      Mix64.mix64(col("rk"), 50 + s).bitwiseAND(lit(mask))): _*)).as("p"))
+      .distinct().as[Long].collect()
+      .foreach(p => words(p.toInt >> 6) |= (1L << (p.toInt & 63)))
+    def hits(k: Long): Boolean = (0 until 3).forall { s =>
+      val p = Mix64.compute(k, 50 + s) & mask
+      (words(p.toInt >> 6) >> (p.toInt & 63) & 1L) == 1L
+    }
+    val passed = (1L to 10000L).count(hits)
+    assert(passed <= 110, s"bloom admitted $passed of 10000")
+  }
+}
