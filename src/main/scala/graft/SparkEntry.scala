@@ -599,6 +599,45 @@ object SparkEntry {
       Joins.bloomSemiJoin(li, "l_orderkey", hot, "o_orderkey")
     }),
 
+    // Corpus-wide line dedup (C4 preprocessing): documents are chunked
+    // into deterministic 8-token lines (the corpus has no newlines),
+    // then every line is kept only at its first (doc_id, idx)
+    // occurrence and documents reassemble from survivors. Two
+    // map-side-combined shuffles, no join — line text crosses the wire
+    // at most once per distinct line.
+    "q69_line_dedup" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val chunked = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(
+            transform(
+              sequence(lit(0), floor((size(toks) - 1) / 8).cast("int")),
+              i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")),
+            "\n").as("text"))
+      Dedup.dedupLines(chunked, "text", "doc_id")
+        .select(col("doc_id"), col("n_kept"),
+          col("text").as("clean_text"))
+    }),
+
+    // Benchmark contamination (GPT-3/PaLM decontamination): distinct
+    // 3-gram overlap of every document against an eval split (here
+    // doc_id % 50 = 0). Eval shingles broadcast; corpus text never
+    // shuffles — only (id, count) partial-agg rows move.
+    "q70_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.ngramContamination(
+        d, d.filter(col("doc_id") % 50 === 0), "text", "doc_id")
+    }),
+
+    // Exact column profile over orders: one aggregation job (Expand for
+    // the exact distincts), exploded to a row per column. The 100 TB
+    // variant is Profile.approxProfile (single-pass HLL++, no Expand) —
+    // same shape, asserted against this exact one in ApiSpec.
+    "q71_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+        t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -1376,6 +1415,60 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)""".stripMargin,
+    // Line dedup: same deterministic 8-token chunking (DuckDB slices
+    // are 1-based inclusive: toks[a : a+7] is 8 elements, clipped at
+    // the end), first occurrence by (doc_id, idx) via row_number.
+    "q69_line_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |ch AS (SELECT doc_id,
+        |  list_transform(range(0, (len(toks) - 1) // 8 + 1),
+        |    i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '))
+        |  AS lines FROM tok),
+        |l AS (SELECT doc_id, unnest(range(len(lines))) AS idx,
+        |  unnest(lines) AS line FROM ch),
+        |r AS (SELECT doc_id, idx, line, row_number() OVER (
+        |  PARTITION BY line ORDER BY doc_id, idx) AS rn FROM l),
+        |k AS (SELECT doc_id, idx, line FROM r WHERE rn = 1)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY idx) AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin,
+    // Contamination: distinct trigram overlap vs the doc_id % 50 = 0
+    // eval split — string shingles here, hashed shingles in the engine;
+    // counts agree (same policy as q41's oracle).
+    "q70_contamination" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(toks)-1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t),
+        |ref AS (SELECT DISTINCT unnest(sh) AS sg FROM s
+        |        WHERE doc_id % 50 = 0),
+        |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM s
+        |      WHERE len(sh) > 0)
+        |SELECT e.doc_id, CAST(max(e.n_sh) AS INT) AS n_sh,
+        |  CAST(sum(CASE WHEN ref.sg IS NULL THEN 0 ELSE 1 END) AS INT)
+        |    AS n_hit
+        |FROM e LEFT JOIN ref ON e.sg = ref.sg
+        |GROUP BY e.doc_id""".stripMargin,
+    "q71_profile" ->
+      """SELECT 'o_orderkey' AS col_name,
+        |  count(o_orderkey) AS n_nonnull,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+        |  CAST(max(o_orderkey) AS DOUBLE) AS max_val FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+        |FROM orders""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

@@ -157,6 +157,77 @@ object Dedup {
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Corpus-wide line-level exact dedup (the C4 preprocessing step):
+    * every line (split on `sep`) is kept only at its FIRST occurrence
+    * in the corpus — ordered by (doc id, line index) — and each
+    * document is reassembled from its surviving lines.
+    *
+    * Returns (idCol, n_kept, textCol): documents whose every line was
+    * first seen elsewhere produce no output row.
+    *
+    * Scale posture (100 TB): two shuffles, no join, no persist.
+    * Shuffle 1 partitions by the 8-byte line fingerprint with a
+    * map-side `min(struct(id, idx, line))` partial aggregate, so each
+    * distinct line's text crosses the wire at most once per input
+    * partition (duplicates collapse BEFORE the exchange — exactly
+    * where boilerplate lines are legion). Shuffle 2 regroups winners
+    * by document for reassembly; its payload is the deduped corpus,
+    * which is the output itself.
+    */
+  def dedupLines(
+      df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("idx", "line")))
+    // (id, idx) is globally unique, so the struct min is decided before
+    // the line field ever compares — the text rides along as payload.
+    val winners = lines
+      .groupBy(xxhash64(col("line")).as("__fp"))
+      .agg(min(struct(col("id"), col("idx"), col("line"))).as("w"))
+      .select(col("w.id").as("id"), col("w.idx").as("idx"),
+        col("w.line").as("line"))
+    winners.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("line"))))
+        .as("__ls"))
+      .select(col("id").as(idCol),
+        size(col("__ls")).as("n_kept"),
+        array_join(transform(col("__ls"), x => x.getField("line")), sep)
+          .as(textCol))
+  }
+
+  /** Benchmark-contamination counts (the GPT-3/PaLM decontamination
+    * check): for each corpus document, how many of its distinct word
+    * `shingleSize`-grams appear anywhere in the reference (eval) set.
+    *
+    * Returns (idCol, n_sh, n_hit) — documents with fewer than
+    * `shingleSize` tokens have no shingles and produce no row.
+    *
+    * Scale posture: the eval set is benchmarks (MBs), so its distinct
+    * shingle hashes broadcast; corpus text never shuffles — the only
+    * exchange is the (id, count) partial-aggregate rows. The join is a
+    * marker left-join (not left_semi) so zero-hit documents — the ones
+    * you get to keep — still appear in the output.
+    */
+  def ngramContamination(
+      corpus: DataFrame, ref: DataFrame,
+      textCol: String, idCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val docSh = corpus.select(col(idCol).as("id"),
+        array_distinct(shingleHashes(col(textCol), shingleSize)).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s"))
+    val refSh = ref.select(
+        explode(array_distinct(shingleHashes(col(textCol), shingleSize)))
+          .as("s"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    docSh.join(broadcast(refSh), Seq("s"), "left")
+      .groupBy(col("id").as(idCol), col("n_sh"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("int").as("n_hit"))
+      .select(col(idCol), col("n_sh"), col("n_hit"))
+  }
+
   /** N-gram Jaccard near-dup pairs: candidate pairs share at least one
     * shingle hash (a long-keyed self-join — no text moves), then the
     * exact Jaccard over distinct shingle sets is verified with integer

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column profiling: per-column non-null counts, distinct counts, and
+  * min/max, delivered as one row per column — the data-quality summary
+  * a warehouse load (SURVEY §1.5) runs before trusting a feed, and a
+  * training-data pipeline runs per shard.
+  *
+  * Two variants with the same output schema
+  * (col_name, n_nonnull, n_distinct, min_val, max_val):
+  *
+  * - [[profile]] is exact. Multiple `count(DISTINCT ...)` aggregates
+  *   make Catalyst plan an Expand (one input replica per distinct
+  *   aggregate) — exactness costs a ×columns blowup of the scan rows
+  *   into the partial aggregate. Right for audits and as the oracle.
+  * - [[approxProfile]] swaps distinct counts for HyperLogLog++
+  *   (`approx_count_distinct`): a single pass, no Expand, constant
+  *   memory per column — the variant to run over 100 TB, where the
+  *   exact version's replicated shuffle is the bottleneck and a ~2%
+  *   cardinality error changes no decision.
+  *
+  * Both collapse to ONE aggregation job: the per-column results come
+  * back as a single row of scalars (columns × 4 values — bytes on the
+  * driver), which is then exploded into the row-per-column shape, so
+  * profiling N columns never means N scans.
+  */
+object Profile {
+
+  private def shape(df: DataFrame, cols: Seq[String],
+      distinctAgg: Column => Column): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        distinctAgg(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"__n_$c").as("n_nonnull"),
+        col(s"__d_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Exact profile: min/max are cast to DOUBLE, so pass numeric (or
+    * date/timestamp-free) columns; exact while values round-trip
+    * through a double (|v| < 2^53).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    shape(df, cols, countDistinct(_))
+
+  /** Single-pass profile with HLL++ distinct estimates (default
+    * relative standard deviation 0.05, tightened here to 0.01 — the
+    * sketch is still bytes per column).
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.01): DataFrame =
+    shape(df, cols, c => approx_count_distinct(c, rsd))
+}

@@ -225,6 +225,27 @@ class ApiSpec extends AnyFunSuite {
     assert(TransformRegistry.describeTransform("nope") == "{}")
   }
 
+  test("profile computes exact per-column stats; approxProfile agrees on shape") {
+    import graft.operators.Profile
+    val df = Seq(
+      (1L, Some(10.5), "a"), (2L, Some(10.5), "b"),
+      (3L, None, "a"), (4L, Some(-2.0), "c")
+    ).toDF("k", "v", "s")
+    val p = Profile.profile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(p("k") == ((4L, 4L, 1.0, 4.0)))
+    assert(p("v") == ((3L, 2L, -2.0, 10.5)))
+    // approx variant: same schema, same row set, nulls/min/max exact,
+    // HLL++ distinct within its rsd on tiny cardinalities (= exact here)
+    val a = Profile.approxProfile(df, Seq("k", "v"))
+    assert(a.schema == Profile.profile(df, Seq("k", "v")).schema)
+    val am = a.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(am("k")._1 == 4L && am("k")._3 == 1.0 && am("k")._4 == 4.0)
+    assert(am("k")._2 == 4L && am("v")._2 == 2L)
+  }
+
   test("SQL functions register from the shared registry") {
     // getOrCreate in this JVM returns the fixture session, so drive the
     // live-session path; GraftExtensions wraps the same registry

@@ -67,6 +67,45 @@ class MlSpec extends AnyFunSuite {
       maxShingleFreq = Some(0L)).count() == 0L)
   }
 
+  test("dedupLines keeps each line's first (id, idx) occurrence and reassembles") {
+    val df = Seq(
+      (1L, "alpha beta\ngamma delta\nalpha beta"), // 3rd line dups its own 1st
+      (2L, "gamma delta\nepsilon zeta"),           // 1st line dup of doc 1
+      (3L, "alpha beta")                           // whole doc already seen
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "text", "doc_id")
+      .select("doc_id", "n_kept", "text")
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    // doc 3 loses its only line → no output row
+    assert(out == Seq(
+      (1L, 2, "alpha beta\ngamma delta"),
+      (2L, 1, "epsilon zeta")))
+  }
+
+  test("dedupLines is idempotent") {
+    val df = Seq(
+      (1L, "a b\nc d"), (2L, "c d\ne f"), (3L, "e f\na b\ng h")
+    ).toDF("doc_id", "text")
+    val once = Dedup.dedupLines(df, "text", "doc_id")
+    val twice = Dedup.dedupLines(once, "text", "doc_id")
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("ngramContamination counts eval-set trigram overlap, zero-hit docs kept") {
+    val corpus = Seq(
+      (1L, base),                  // in the eval set: full overlap
+      (2L, nearDup),               // near-dup of eval doc: partial overlap
+      (3L, other)                  // disjoint: zero hits, must still appear
+    ).toDF("doc_id", "text")
+    val ref = corpus.filter($"doc_id" === 1L)
+    val out = Dedup.ngramContamination(corpus, ref, "text", "doc_id")
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    val byId = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(1L)._1 == byId(1L)._2)            // eval doc: all hit
+    assert(byId(2L)._2 > 0 && byId(2L)._2 < byId(2L)._1) // partial
+    assert(byId(3L)._2 == 0)                      // zero-hit row present
+  }
+
   test("sorted_intersect_count matches array_intersect on sorted arrays") {
     val df = Seq(
       (Seq(1L, 3L, 5L, 9L), Seq(3L, 5L, 7L)),
