@@ -638,6 +638,49 @@ object SparkEntry {
         t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_totalprice"))),
 
+    // Salted skewed join, graduated to a correctness row: lineitem's
+    // hot order keys spread over 4 salts (deterministic row-hash), the
+    // urgent-orders side replicated 4× — result-identical to the plain
+    // equi-join (the oracle). The variant for skew AQE's sort-merge
+    // split can't reach: bucketed inputs, hot post-shuffle partitions.
+    "q72_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Joins.saltedJoin(li, Seq("l_orderkey"), urgent, Seq("o_orderkey"),
+          salts = 4)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("o_totalprice"))
+    }),
+
+    // Partition-layout ETL: write orders hive-partitioned by status,
+    // read back with a partition filter — at 100 TB this is the
+    // difference between scanning a directory and scanning the lake
+    // (the plan's PartitionFilters row, asserted in ApiSpec).
+    "q73_partitioned_etl" -> ((s, dir) => {
+      val path = "target/tmp_part/orders"
+      t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+    }),
+
+    // JSONL round-trip: write documents through the JSON-lines sink,
+    // read back with schema inference — the interchange format every
+    // crawl/training-data feed actually arrives in.
+    "q74_jsonl_roundtrip" -> ((s, dir) => {
+      val path = "target/tmp_jsonl/documents"
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").json(path)
+      s.read.json(path)
+        .select(col("doc_id"), col("lang"), col("text"))
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -1469,6 +1512,18 @@ object SparkEntry {
         |  count(DISTINCT o_totalprice),
         |  CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
         |FROM orders""".stripMargin,
+    // Salting is an execution-layer trick; relationally it IS the join.
+    "q72_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    // The partition round-trip must not change a row.
+    "q73_partitioned_etl" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    // Neither must the JSONL round-trip.
+    "q74_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents",
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

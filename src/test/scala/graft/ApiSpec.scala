@@ -246,6 +246,22 @@ class ApiSpec extends AnyFunSuite {
     assert(am("k")._2 == 4L && am("v")._2 == 2L)
   }
 
+  test("partitioned parquet read-back prunes partitions in the scan") {
+    val path = "target/tmp_part_spec/t"
+    Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("k", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(path)
+    val rd = spark.read.parquet(path).filter($"p" === "a")
+    assert(rd.count() == 2L)
+    // the partition predicate must land in PartitionFilters (pruned at
+    // planning — directories for p=b are never listed into tasks), not
+    // in a post-scan Filter
+    val scan = rd.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("(p"), s"partition filter not pushed:\n$scan")
+  }
+
   test("SQL functions register from the shared registry") {
     // getOrCreate in this JVM returns the fixture session, so drive the
     // live-session path; GraftExtensions wraps the same registry
