@@ -681,6 +681,37 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("text"))
     }),
 
+    // Data-mixture resampling: English 1.5 epochs (one copy always,
+    // a second for half the ids by mix64 bucket), everything else
+    // down-sampled to 0.5 — stateless projection + explode, no
+    // shuffle, task-retry-reproducible.
+    "q75_data_mixture" -> ((s, dir) =>
+      Sketches.weightedMix(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 1536), default1024 = 512)),
+
+    // Sequence-packing manifest: global token offsets via distributed
+    // prefix sum (range partition → parallel local sums → broadcast
+    // partition totals), then each doc's fixed-512-token sequence
+    // range. The oracle's global window IS the single-task plan this
+    // operator exists to avoid.
+    "q76_seq_pack" -> ((s, dir) =>
+      TextAnalysis.packingManifest(
+        t(s, dir, "documents"), "doc_id", "text", seqLen = 512)),
+
+    // Incremental ingestion dedup: a new crawl batch (two thirds of it
+    // verbatim re-crawls) anti-joined on fingerprint against the base
+    // corpus — only genuinely new text survives.
+    "q77_incremental_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = base.select(
+        (col("doc_id") + 200000).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" fresh tail")))
+          .otherwise(col("text")).as("text"))
+      Dedup.incrementalExact(batch, base, "text")
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -1524,6 +1555,46 @@ object SparkEntry {
     // Neither must the JSONL round-trip.
     "q74_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
+    // Mixture: the q64 mix64 bucket replay, plus whole-epoch copies
+    // unnested from range(copies).
+    "q75_data_mixture" ->
+      s"""WITH z0 AS (SELECT doc_id, lang,
+         |    (CAST(doc_id AS HUGEINT) + ${sqlMixAdd(7)})
+         |      % 18446744073709551616 AS z
+         |  FROM documents),
+         |${sqlMixFinal("doc_id, lang")},
+         |c AS (SELECT doc_id, lang,
+         |  (CASE WHEN lang = 'en' THEN 1536 ELSE 512 END) // 1024
+         |  + CASE WHEN z % 1024 <
+         |      (CASE WHEN lang = 'en' THEN 1536 ELSE 512 END) % 1024
+         |    THEN 1 ELSE 0 END AS copies
+         |  FROM z3)
+         |SELECT doc_id, lang, CAST(e AS INT) AS epoch FROM
+         |  (SELECT doc_id, lang, unnest(range(copies)) AS e
+         |   FROM c WHERE copies > 0)""".stripMargin,
+    // Packing manifest: the relational mirror is one global window —
+    // exactly the single-task plan the engine-side prefix sum avoids.
+    "q76_seq_pack" ->
+      """WITH n AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |    AS BIGINT) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS "offset" FROM n)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, "offset",
+        |  "offset" // 512 AS seq_first,
+        |  ("offset" + n_tokens - 1) // 512 AS seq_last FROM o""".stripMargin,
+    // Incremental dedup: NOT EXISTS on the text itself (the engine
+    // compares 16-byte fingerprints — identical modulo md5 collision).
+    "q77_incremental_dedup" ->
+      """WITH batch AS (SELECT doc_id + 200000 AS doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' fresh tail'
+        |       ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, text FROM batch b
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM documents d WHERE d.text = b.text)""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

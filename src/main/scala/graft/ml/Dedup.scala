@@ -157,6 +157,29 @@ object Dedup {
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Incremental exact dedup: drop every new-batch document whose text
+    * already exists in the base corpus — the per-snapshot ingestion
+    * step (each crawl deduped against the accumulated store). Keyed on
+    * the 16-byte fingerprint, so in production the base side is the
+    * stored fingerprint column, not the corpus text. Within-batch
+    * duplicates are NOT collapsed here — compose with [[exact]] when
+    * the batch needs internal dedup too.
+    *
+    * Scale posture: anti-join on a 16-byte key; neither side's text
+    * shuffles (fingerprints are computed before the exchange), and a
+    * small batch against a huge base stays a broadcast of the BATCH
+    * side under AQE (left_anti preserves the streamed base scan).
+    */
+  def incrementalExact(
+      newDf: DataFrame, baseDf: DataFrame, textCol: String): DataFrame = {
+    val baseFp = baseDf
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    newDf.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(baseFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Corpus-wide line-level exact dedup (the C4 preprocessing step):
     * every line (split on `sep`) is kept only at its FIRST occurrence
     * in the corpus — ordered by (doc id, line index) — and each

@@ -129,6 +129,38 @@ object Sketches {
     * `rates1024` maps stratum value → threshold in [0, 1024]; strata
     * not present in the map are dropped.
     */
+  /** Deterministic data-mixture resampling: each stratum (source,
+    * language, quality band …) gets a weight in 1024ths that may
+    * EXCEED 1024 — whole multiples replicate the row (training
+    * epochs), the fractional remainder samples it by the same
+    * [[Mix64]] bucket rule as [[stratifiedSample]]. A row with weight
+    * 1536 appears once always plus once more iff bucket < 512; weight
+    * 2048 appears exactly twice. Output adds an `epoch` column
+    * (0-based copy index) so downstream shuffles can tell replicas
+    * apart.
+    *
+    * Scale posture: a stateless projection + explode — no shuffle, no
+    * RNG state; replicas are generated where the row is read, and
+    * re-executed tasks regenerate identical output.
+    */
+  def weightedMix(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      weights1024: Map[String, Int], default1024: Int = 0,
+      seed: Int = 7): DataFrame = {
+    val w = weights1024.foldLeft(lit(default1024.toLong)) {
+      case (acc, (k, v)) =>
+        when(col(stratumCol) === lit(k), lit(v.toLong)).otherwise(acc)
+    }
+    val bucket = Mix64.mix64(col(keyCol).cast("long"), seed)
+      .bitwiseAND(lit(1023L))
+    val copies = (floor(w / lit(1024)).cast("long") +
+      when(bucket < w % 1024, lit(1L)).otherwise(lit(0L))).cast("int")
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   def stratifiedSample(
       df: DataFrame, keyCol: String, stratumCol: String,
       rates1024: Map[String, Int], seed: Int = 7): DataFrame = {

@@ -264,4 +264,54 @@ object TextAnalysis {
       text: Column, shingleSize: Int = 3, window: Int = 4): Column =
     graft.functions.Winnow.winnow(
       graft.functions.ShingleHashes.shingleHashes(text, shingleSize), window)
+
+  /** Sequence-packing manifest: lay the corpus's token stream out in
+    * `idCol` order and assign every document its global token offset
+    * and the range of fixed-`seqLen` training sequences it lands in —
+    * the plan a packing writer needs to emit pretraining batches
+    * without ever materializing the concatenated stream.
+    *
+    * Returns (idCol, n_tokens, offset, seq_first, seq_last).
+    *
+    * The global running sum is a DISTRIBUTED prefix sum, not a global
+    * window (`Window.orderBy` with no partition collapses all data
+    * into one task — the classic scale-killer): range-repartition by
+    * id, per-partition running sums in parallel, then one
+    * partition-count-sized total table broadcast back to lift local
+    * offsets to global ones. The counted table is persisted because
+    * the totals and the join both consume it — and because
+    * `repartitionByRange` samples its boundaries, so recomputing it
+    * per consumer could assign different partition ids to each branch.
+    */
+  def packingManifest(
+      df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val local = df
+      .select(col(idCol).as("id"), tokenCount(col(textCol)).as("n_tokens"))
+      .repartitionByRange(p, col("id"))
+      .sortWithinPartitions(col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local",
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy(col("__pid")).orderBy(col("id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .persist()
+    val prefixes = local.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__t")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__prefix"))
+    local.join(broadcast(prefixes), Seq("__pid"))
+      .withColumn("offset", col("__local") + col("__prefix"))
+      .select(col("id").as(idCol), col("n_tokens"), col("offset"),
+        floor(col("offset") / seqLen).cast("long").as("seq_first"),
+        floor((col("offset") + col("n_tokens") - 1) / seqLen).cast("long")
+          .as("seq_last"))
+  }
 }

@@ -106,6 +106,63 @@ class MlSpec extends AnyFunSuite {
     assert(byId(3L)._2 == 0)                      // zero-hit row present
   }
 
+  test("incrementalExact drops batch docs whose text exists in the base") {
+    val baseDf = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                  // verbatim re-crawl → dropped
+      (11L, other),                 // verbatim re-crawl → dropped
+      (12L, base + " extended")     // new text → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(batch, baseDf, "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(12L))
+    // batch-internal dups are intentionally preserved
+    val twin = Seq((20L, "brand new"), (21L, "brand new"))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalExact(twin, baseDf, "text").count() == 2L)
+  }
+
+  test("weightedMix: whole epochs replicate exactly, remainder samples") {
+    import graft.ml.Sketches
+    val df = (0L until 256L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    // en → exactly 2 copies each; de → 1024/1024ths = exactly 1 copy
+    val exact = Sketches.weightedMix(df, "doc_id", "lang",
+      Map("en" -> 2048, "de" -> 1024))
+    val byLang = exact.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(byLang("en") == 256L && byLang("de") == 128L)
+    // epochs are 0-based copy indices
+    assert(exact.filter($"lang" === "en" && $"epoch" === 1).count() == 128L)
+    // fractional 1536/1024: every en doc once, roughly half twice;
+    // default 0 drops the de stratum entirely
+    val frac = Sketches.weightedMix(df, "doc_id", "lang", Map("en" -> 1536))
+    val n = frac.count()
+    assert(frac.filter($"lang" === "de").count() == 0L)
+    assert(n >= 128L && n <= 256L)
+    // deterministic: same seed, same output
+    assert(frac.collect().toSet ==
+      Sketches.weightedMix(df, "doc_id", "lang", Map("en" -> 1536))
+        .collect().toSet)
+  }
+
+  test("packingManifest offsets are a prefix sum in id order across partitions") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f"), (4L, "g h i j"), (5L, "k")
+    ).toDF("doc_id", "text")
+    // force several range partitions so the partition-total lift runs
+    val out = TextAnalysis.packingManifest(df, "doc_id", "text",
+        seqLen = 4, partitions = 3)
+      .select("doc_id", "n_tokens", "offset", "seq_first", "seq_last")
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3, 0L, 0L, 0L),   // tokens 0-2   → seq 0
+      (2L, 2, 3L, 0L, 1L),   // tokens 3-4   → seqs 0-1
+      (3L, 1, 5L, 1L, 1L),
+      (4L, 4, 6L, 1L, 2L),   // tokens 6-9   → seqs 1-2
+      (5L, 1, 10L, 2L, 2L)))
+  }
+
   test("sorted_intersect_count matches array_intersect on sorted arrays") {
     val df = Seq(
       (Seq(1L, 3L, 5L, 9L), Seq(3L, 5L, 7L)),
