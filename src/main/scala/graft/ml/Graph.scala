@@ -37,11 +37,16 @@ object Graph {
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
-    // Symmetrize once; (src,dst) longs only.
+    // Symmetrize once; (src,dst) longs only. Pre-partitioned on the
+    // join key so the per-round join reuses this layout instead of
+    // re-exchanging the (2×edge) table every iteration — on a real
+    // cluster the edge table is the big side and this is the
+    // difference between one edge shuffle total and one per round.
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(
         col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Each round's label table is localCheckpoint'ed: without lineage
@@ -51,27 +56,44 @@ object Graph {
     // (id, label) pairs and restarts the plan from them — on a
     // cluster this is also what bounds recomputation on executor
     // loss mid-iteration.
-    var labels = sym.select(col("src").as("id"))
-      .distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
-
+    //
+    // Convergence is decided INSIDE the round's aggregation: label
+    // rows ride the union tagged `own = true`, so min(component)
+    // (the new label) and min(own ? component) (the previous label)
+    // fall out of the same shuffle. The changed-row count is then a
+    // filter over the just-checkpointed pairs — a local scan, not the
+    // join + second shuffle per round this loop used to pay.
     var iter = 0
     var converged = false
+    var labels: DataFrame = null
+    var prevCheckpoint: DataFrame = null
     while (iter < maxIter && !converged) {
-      // neighbor messages: each edge forwards its src's current label
-      val msgs = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"))
-      val next = msgs.unionByName(labels)
+      // neighbor messages: each edge forwards its src's current label.
+      // Round 1's join with labels would be the identity (label == id),
+      // so the edge table IS the message table — skip the join.
+      val msgs =
+        if (iter == 0)
+          sym.select(col("dst").as("id"), col("src").as("component"),
+            lit(false).as("own"))
+        else
+          sym.join(labels, sym("src") === labels("id"))
+            .select(col("dst").as("id"), col("component"),
+              lit(false).as("own"))
+      val ownRows =
+        if (iter == 0)
+          sym.select(col("src").as("id"), col("src").as("component"),
+            lit(true).as("own"))
+        else labels.withColumn("own", lit(true))
+      val next = msgs.unionByName(ownRows)
         .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("own"), col("component"))).as("prev"))
         .localCheckpoint()
-      // one aggregate job decides convergence; no rows reach the driver
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-          Seq("id"))
-        .filter(col("component") =!= col("old"))
-        .count()
-      labels = next
+      // local scan of the checkpointed pairs; no rows reach the driver
+      val changed = next.filter(col("component") =!= col("prev")).count()
+      if (prevCheckpoint != null) prevCheckpoint.unpersist()
+      prevCheckpoint = next
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0L
       iter += 1
     }
