@@ -62,6 +62,37 @@ object Scratch {
       println("[prof] verified rows=" + timed("verify")(verified.count()))
       spark.stop(); return
     }
+    if (name == "minhash_profile") {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      for (round <- 1 to 2; nPart <- Seq(0, 32)) {
+        println(s"[prof] --- round $round nPart=$nPart")
+        val base = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+        val doubled = if (nPart > 0) base.repartition(nPart) else base
+        val sig = doubled
+          .select(col("doc_id"), graft.ml.Dedup.shingleHashes(col("text"), 3).as("__sh"))
+          .select(col("doc_id"), graft.functions.MinHashSignature.minhashSignature(col("__sh"), 64).as("__sig"))
+        timed("kernel-only")(sig.queryExecution.toRdd.count())
+        val withBands = sig
+          .select(col("doc_id"), graft.ml.Dedup.lshBandKeys(col("__sig"), 16, 4).as("__bands"))
+        val exploded = withBands.select(col("doc_id"), explode(col("__bands")).as("__band")).persist()
+        timed("exploded")(exploded.count())
+        val bucketMin = exploded.groupBy(col("__band")).agg(min(col("doc_id")).as("__bucket_min"))
+        timed("bucketMin")(bucketMin.count())
+        val docMin = exploded.join(bucketMin, "__band")
+          .groupBy(col("doc_id")).agg(min(col("__bucket_min")).as("__doc_min"))
+          .filter(col("__doc_min") === col("doc_id")).select(col("doc_id"))
+        timed("docMin")(docMin.count())
+        val out = doubled.join(docMin, Seq("doc_id"), "left_semi")
+        timed("semi")(out.queryExecution.toRdd.count())
+        exploded.unpersist()
+      }
+      spark.stop(); return
+    }
     SparkEntry.queries.get(name).foreach { fn =>
       if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
         fn(spark, sfDir).explain("formatted")

@@ -76,8 +76,10 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     val rows = numHashes / bands
     // staged projections: each expensive array is computed once per row
-    // (a fused expression would re-inline shingles into every consumer)
-    val withBands = df
+    // (a fused expression would re-inline shingles into every consumer);
+    // the signature kernel is CPU-dense (numHashes finalizers per
+    // shingle) so a small scan is re-split across all slots first
+    val withBands = graft.operators.PhysicalOps.ensureParallelism(df)
       .select(col(idCol), shingleHashes(col(textCol), shingleSize).as("__sh"))
       .select(col(idCol), minhashSignature(col("__sh"), numHashes).as("__sig"))
       .select(col(idCol), lshBandKeys(col("__sig"), bands, rows).as("__bands"))
@@ -274,9 +276,10 @@ object Dedup {
     // ~tens of bytes/doc, far smaller than the corpus). Arrays are kept
     // sorted so verification can use the zero-allocation merge-scan
     // intersect ([[graft.functions.SortedIntersectCount]]).
-    val sh = df.select(col(idCol).as("id"),
-      sort_array(array_distinct(shingleHashes(col(textCol), shingleSize)))
-        .as("sh"))
+    val sh = graft.operators.PhysicalOps.ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        sort_array(array_distinct(shingleHashes(col(textCol), shingleSize)))
+          .as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
     val ex = sh.select(col("id"), size(col("sh")).as("n"),

@@ -204,14 +204,20 @@ object Similarity {
   def ivfCentroids(
       embeddings: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3, seed: Long = 42L): Seq[Seq[Double]] = {
-    var centroids: Seq[Seq[Double]] = embeddings
+    // The build re-reads the vectors iters+1 times: persist the id+vec
+    // projection for the duration of the build (the same caching
+    // discipline as Spark MLlib's KMeans; MEMORY_AND_DISK spills at
+    // 100 TB).
+    val src = embeddings.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Seq[Seq[Double]] = src
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
       .limit(nlist)
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
       .collect().map(_.getSeq[Double](0)).toSeq
     var it = 0
     while (it < iters) {
-      val assigned = assignClusters(embeddings, vecCol, centroids)
+      val assigned = assignClusters(src, vecCol, centroids)
       // element-wise means per cluster: explode dims, two-level agg —
       // shuffles (cluster, dim) pairs only, never whole vectors twice
       val means = assigned
@@ -231,6 +237,7 @@ object Similarity {
       }
       it += 1
     }
+    src.unpersist()
     centroids
   }
 
