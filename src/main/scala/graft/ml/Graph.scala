@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -13,88 +13,123 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** Connected components by iterated min-label propagation: every
-    * node's label converges to the smallest node id in its component.
-    * Returns (id, component) for every node appearing in `edges`.
+  /** Connected components by min-label propagation with pointer
+    * shortcutting: every node's label converges to the smallest node
+    * id in its component. Returns (id, component) for every node
+    * appearing in `edges`. Duplicate and self edges are tolerated
+    * (the per-node min is idempotent), so inputs need no distinct.
     *
-    * Each round is one shuffle: neighbor labels union node labels,
-    * min per node. Rounds needed = graph diameter — near-dup clusters
-    * are dense (clique-ish), so 2-4 rounds in practice; `maxIter`
-    * bounds adversarial chains. Convergence is detected with a
-    * changed-label count per round (an aggregate over the label
-    * table, NOT a collect of it) so the loop stops as soon as labels
-    * are stable.
+    * Round structure: neighbor labels union node labels, min per node
+    * (one key shuffle), then one path-halving hop — each node's new
+    * label is looked up in the previous label table
+    * (`label := label(label)`), so label distance to the component
+    * minimum roughly DOUBLES per round instead of shrinking by one.
+    * Plain propagation needs diameter rounds; with shortcutting a
+    * diameter-d chain converges in ~log2(d) rounds (the same O(log)
+    * regime as the large-star/small-star rewrite of Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14, without rewriting
+    * the edge table). Dup clusters are clique-ish and converge in 2
+    * rounds; `maxIter` bounds adversarial inputs.
+    *
+    * Each round is exactly ONE job: the label table is checkpointed
+    * (truncating lineage — otherwise the plan nests one join per round
+    * and planning time grows without bound) and the changed-label
+    * count rides the same job as an [[Observation]] metric, so
+    * convergence costs no second pass and no extra action. Round 1
+    * folds the identity-label join into a single aggregation over the
+    * edge table: with label(id)=id the neighbor-min is just min(src)
+    * per dst, and the symmetrized table lists every node as a dst.
     *
     * Scale posture (100 TB): the working set is (id, label) pairs —
-    * 16 bytes/node — never documents; each iteration's shuffle is
-    * keyed on node id, so AQE handles skewed hub nodes. Labels are
-    * persisted per round and the previous round freed, keeping one
-    * label-table copy live. For graphs with whale components beyond
-    * diameter ~20, swap the propagation step for the large-star/
-    * small-star rewrite (Kiveris et al., "Connected Components in
-    * MapReduce", SoCC'14) — same (id,label) layout, O(log²) rounds.
+    * 16 bytes/node — never documents. The symmetrized edge table is
+    * produced from ONE scan of `edges` (explode of both directions,
+    * not a self-union: the input's lineage is typically an expensive
+    * near-dup pair kernel, and a union would evaluate it once per
+    * branch), hash-partitioned on the join key with the partition
+    * count pinned to `spark.sql.shuffle.partitions` so the per-round
+    * join reuses its layout, and persisted. Pass `checkpointDir` on a
+    * real cluster for RELIABLE label checkpoints that survive executor
+    * loss; the local-checkpoint default stores blocks on executors and
+    * is only appropriate for single-node / fast-retry runs. Superseded
+    * local-checkpoint blocks are freed at RDD level (Dataset.unpersist
+    * does not route to them), keeping one label table live.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
-    // Symmetrize once; (src,dst) longs only. Pre-partitioned on the
-    // join key so the per-round join reuses this layout instead of
-    // re-exchanging the (2×edge) table every iteration — on a real
-    // cluster the edge table is the big side and this is the
-    // difference between one edge shuffle total and one per round.
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionByName(edges.select(
-        col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
-      .repartition(col("src"))
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
+    val spark = edges.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    val sym = edges
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(nPart, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Each round's label table is localCheckpoint'ed: without lineage
-    // truncation the plan NESTS one join+agg per round and both
-    // planning time and driver memory grow without bound (the classic
-    // iterative-DataFrame failure); the checkpoint materializes the
-    // (id, label) pairs and restarts the plan from them — on a
-    // cluster this is also what bounds recomputation on executor
-    // loss mid-iteration.
-    //
-    // Convergence is decided INSIDE the round's aggregation: label
-    // rows ride the union tagged `own = true`, so min(component)
-    // (the new label) and min(own ? component) (the previous label)
-    // fall out of the same shuffle. The changed-row count is then a
-    // filter over the just-checkpointed pairs — a local scan, not the
-    // join + second shuffle per round this loop used to pay.
-    var iter = 0
-    var converged = false
+    // eager in both modes; reliable mode writes to checkpointDir
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+    // Local-checkpoint blocks live outside the CacheManager, so
+    // Dataset.unpersist is a no-op on them; unpersist the underlying
+    // RDD instead. Reliable checkpoints are files — nothing to free
+    // here (the ContextCleaner removes them with the reference).
+    def free(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty) df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+
+    var current: DataFrame = null
     var labels: DataFrame = null
-    var prevCheckpoint: DataFrame = null
-    while (iter < maxIter && !converged) {
-      // neighbor messages: each edge forwards its src's current label.
-      // Round 1's join with labels would be the identity (label == id),
-      // so the edge table IS the message table — skip the join.
-      val msgs =
+    var changed = 1L
+    var iter = 0
+    while (iter < maxIter && changed != 0L) {
+      val prop =
         if (iter == 0)
-          sym.select(col("dst").as("id"), col("src").as("component"),
-            lit(false).as("own"))
-        else
-          sym.join(labels, sym("src") === labels("id"))
-            .select(col("dst").as("id"), col("component"),
+          sym.groupBy(col("dst"))
+            .agg(min(col("src")).as("m"))
+            .select(col("dst").as("id"),
+              least(col("m"), col("dst")).as("component"),
+              col("dst").as("prev"))
+        else {
+          val msgs = sym.join(labels, sym("src") === labels("id"))
+            .select(sym("dst").as("id"), col("component"),
               lit(false).as("own"))
-      val ownRows =
-        if (iter == 0)
-          sym.select(col("src").as("id"), col("src").as("component"),
-            lit(true).as("own"))
-        else labels.withColumn("own", lit(true))
-      val next = msgs.unionByName(ownRows)
-        .groupBy(col("id"))
-        .agg(min(col("component")).as("component"),
-          min(when(col("own"), col("component"))).as("prev"))
-        .localCheckpoint()
-      // local scan of the checkpointed pairs; no rows reach the driver
-      val changed = next.filter(col("component") =!= col("prev")).count()
-      if (prevCheckpoint != null) prevCheckpoint.unpersist()
-      prevCheckpoint = next
+          val propagated = msgs
+            .unionByName(labels.withColumn("own", lit(true)))
+            .groupBy(col("id"))
+            .agg(min(col("component")).as("component"),
+              min(when(col("own"), col("component"))).as("prev"))
+          // Path-halving hop: labels decrease monotonically (every
+          // label table maps id -> value <= id), so the looked-up
+          // label can only improve on the propagated one; left join +
+          // coalesce keeps the row when the label already IS the
+          // component minimum.
+          propagated.as("n").join(labels.as("l"),
+              col("n.component") === col("l.id"), "left")
+            .select(col("n.id").as("id"),
+              coalesce(col("l.component"), col("n.component"))
+                .as("component"),
+              col("n.prev").as("prev"))
+        }
+      // the changed count rides the checkpoint job itself
+      val obs = new Observation(s"cc_changed_$iter")
+      val next = materialize(prop.observe(obs,
+        sum(when(col("component") =!= col("prev"), 1L).otherwise(0L))
+          .as("changed")))
+      // sum over zero rows is null -> converged-empty
+      changed = obs.get.get("changed").flatMap(Option(_))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (current != null) free(current)
+      current = next
       labels = next.select(col("id"), col("component"))
-      converged = changed == 0L
       iter += 1
     }
     sym.unpersist()

@@ -130,6 +130,37 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(cc.keySet == (1L to 12L).toSet)
   }
 
+  test("connected components handles diameter far beyond maxIter") {
+    // path 1-...-101: diameter 100 > default maxIter=20 — the
+    // path-halving shortcut must reach the fixpoint in ~log2 rounds,
+    // where plain per-round propagation would stall at distance 20
+    val edges = (1L until 101L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Graph.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.keySet == (1L to 101L).toSet)
+    assert(cc.values.toSet == Set(1L))
+  }
+
+  test("connected components rejects maxIter < 1") {
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents(edges, "a", "b", maxIter = 0)
+    }
+  }
+
+  test("connected components with a reliable checkpoint dir") {
+    // cluster-durable mode: label tables checkpoint to files instead
+    // of executor-local blocks; result must be identical
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val cc = Graph.connectedComponents(edges, "a", "b",
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L))
+  }
+
   // ------------------------------------------------------ sessionization
 
   test("sessionize splits on gaps and numbers sessions per key") {
