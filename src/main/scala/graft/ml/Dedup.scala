@@ -128,12 +128,19 @@ object Dedup {
     *
     * Scale: the only shuffles are (table, bucket) candidate keys and
     * the id-keyed drop set — signatures are 8 bytes, documents never
-    * move; bucket sizes bound the pairwise verification.
+    * move; bucket sizes bound the pairwise verification. That bound is
+    * only real with `maxBucketSize` set: boilerplate-heavy corpora
+    * concentrate on hot prefixes, and one over-full bucket makes the
+    * self-join quadratic. The cap excludes over-full buckets from
+    * CANDIDATE GENERATION only (the same recall-for-skew trade as
+    * [[jaccardPairs]]' `maxShingleFreq`): a true near-dup is missed
+    * only if EVERY table buckets it hot. Unset = exact, for oracle
+    * parity.
     */
   def simhashDedup(
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, prefixBits: Int = 16,
-      tables: Int = 4): DataFrame = {
+      tables: Int = 4, maxBucketSize: Option[Long] = None): DataFrame = {
     val rot = 64 / tables
     val s = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
       .persist()
@@ -149,8 +156,18 @@ object Dedup {
       struct(lit(t).as("t"),
         shiftrightunsigned(rotated, 64 - prefixBits).as("b"))
     }
-    val bucketed = s.select(col("id"), col("sig"),
+    val all = s.select(col("id"), col("sig"),
       explode(array(bucketCols: _*)).as("bk"))
+    // semi-join against the under-cap bucket list; map-side combine
+    // collapses the size count before its shuffle, so the cap costs
+    // one (bk, count) aggregation — never a widened row
+    val bucketed = maxBucketSize match {
+      case Some(cap) =>
+        val small = all.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= cap).select(col("bk"))
+        all.join(small, Seq("bk"), "left_semi")
+      case None => all
+    }
     val dropped = bucketed.as("a").join(bucketed.as("x"),
         col("a.bk") === col("x.bk") && col("a.id") < col("x.id"))
       .filter(bit_count(col("a.sig").bitwiseXOR(col("x.sig"))) <= maxHamming)

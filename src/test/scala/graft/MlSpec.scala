@@ -190,6 +190,29 @@ class MlSpec extends AnyFunSuite {
     assert(loose == Seq(1L, 3L))
   }
 
+  test("simhashDedup bucket cap bounds a planted hot bucket") {
+    // 40 identical docs all land in the same bucket of every rotated
+    // table (identical signature): a 40-wide bucket means 780
+    // candidate pairs per table from one key — the quadratic shape the
+    // cap exists to stop. With the cap below the clique size every
+    // hot bucket is excluded from candidate generation, so nothing is
+    // dropped (documented recall trade); an under-cap near-dup pair
+    // elsewhere still dedups.
+    val hot = (1L to 40L).map(i => (i, "the same boilerplate banner"))
+    val pair = Seq(
+      (100L, "a genuinely unique document about rivers"),
+      (101L, "a genuinely unique document about rivers"))
+    val df = (hot ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.simhashDedup(df, "text", "doc_id",
+        maxBucketSize = Some(10L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(capped == ((1L to 40L) :+ 100L))
+    // uncapped remains exact: the clique collapses to its min id
+    val exact = Dedup.simhashDedup(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exact == Seq(1L, 100L))
+  }
+
   test("simhash: identical → distance 0, near-dup close, distinct far") {
     val sig = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
       .as[(Long, Long)].collect().toMap
