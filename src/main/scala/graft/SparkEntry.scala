@@ -712,6 +712,29 @@ object SparkEntry {
       Dedup.incrementalExact(batch, base, "text")
     }),
 
+    // Choice inference on read — the Glue-distinctive ingest path:
+    // JSON lines whose "v" is an int for most keys but a quoted
+    // string for every third; the reader folds per-record variant
+    // schemas through the ported mergeDataTypes, surfaces the
+    // conflict as an encoded choice column, and resolveChoice
+    // cast:string flattens it for output.
+    "q78_choice_infer" -> ((s, dir) => {
+      val path = "target/tmp_choice_json/customer"
+      t(s, dir, "customer")
+        .select(concat(
+          lit("{\"k\": "), col("c_custkey").cast("string"),
+          lit(", \"v\": "),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit("\"id-"), col("c_custkey").cast("string"),
+              lit("\"")))
+            .otherwise(col("c_custkey").cast("string")),
+          lit("}")).as("value"))
+        .write.mode("overwrite").text(path)
+      val inferred = graft.sources.ChoiceInfer.readJson(s, path)
+      ChoiceOps.resolveChoice(inferred, Seq("v" -> "cast:string"))
+        .select(col("k"), col("v"))
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -1595,6 +1618,15 @@ object SparkEntry {
         |SELECT doc_id, text FROM batch b
         |WHERE NOT EXISTS
         |  (SELECT 1 FROM documents d WHERE d.text = b.text)""".stripMargin,
+    // Choice inference: the JSON detour is invisible relationally —
+    // the oracle rebuilds the same mixed values straight from the
+    // source column.
+    "q78_choice_infer" ->
+      """SELECT c_custkey AS k,
+        |  CASE WHEN c_custkey % 3 = 0
+        |       THEN 'id-' || CAST(c_custkey AS VARCHAR)
+        |       ELSE CAST(c_custkey AS VARCHAR) END AS v
+        |FROM customer""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

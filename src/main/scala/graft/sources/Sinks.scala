@@ -1,6 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core.GlueFrame
 
 /** Sink dispatch (SURVEY §2.1 S8-S11).
   *
@@ -31,6 +35,57 @@ object Sinks {
     case "catalog" =>
       df.write.mode(mode).saveAsTable(options("table"))
     case other => sys.error(s"unsupported sink connection type: $other")
+  }
+
+  /** Sink write returning the errors frame — the reference contract:
+    * every `DataSink.write` returns an errors DynamicFrame
+    * (awsglue/data_sink.py:32-43; `writeFrame` ×6 in pipeline.py), so
+    * "write and inspect the rejects" is a first-class path.
+    *
+    * When `targetSchema` is given (the sink's table schema), rows with
+    * a value that fails its column cast are split OFF before the
+    * write — they land in the returned errors frame as
+    * (record JSON, errorMessage, stage) alongside the frame's
+    * accumulated upstream errors; surviving rows are written cast to
+    * the target types, in target-column order. Without a schema the
+    * write is as-is and only upstream errors are returned.
+    *
+    * The input is persisted (caller owns unpersist, as with [[spigot]])
+    * so the write action and the lazy reject scan share one upstream
+    * evaluation. try_cast keeps the split inside codegen — no row
+    * lambdas, no ANSI cast throw.
+    */
+  def writeFrame(
+      frame: GlueFrame,
+      connectionType: String,
+      format: String = null,
+      options: Map[String, String] = Map.empty,
+      mode: String = "append",
+      targetSchema: Option[StructType] = None,
+      stage: String = "sink"): DataFrame = targetSchema match {
+    case None =>
+      write(frame.data, connectionType, format, options, mode)
+      frame.errors
+    case Some(schema) =>
+      val df = frame.data
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fields = schema.fields.toSeq
+        .filter(f => df.columns.contains(f.name))
+      def failsCast(f: org.apache.spark.sql.types.StructField) =
+        col(f.name).isNotNull && col(f.name).try_cast(f.dataType).isNull
+      val rejected = fields.map(failsCast)
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val ok = df.filter(!rejected)
+        .select(fields.map(f =>
+          col(f.name).try_cast(f.dataType).as(f.name)): _*)
+      write(ok, connectionType, format, options, mode)
+      val bad = df.filter(rejected).select(
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("record"),
+        concat(lit("sink cast failed: "), concat_ws(",",
+          array(fields.map(f => when(failsCast(f), lit(f.name))): _*)))
+          .as("errorMessage"),
+        lit(stage).as("stage"))
+      frame.errors.unionByName(bad)
   }
 
   /** Spigot (dynamicframe.py:296-300; field_transforms.py:431-469): tee

@@ -72,6 +72,54 @@ class ChoiceOpsSpec extends AnyFunSuite {
     assert(ChoiceOps.choiceColumns(r) == Seq("c")) // unresolved, not dropped
   }
 
+  test("choice inference on read: mixed JSON surfaces choice columns") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-choice-infer").toString + "/j"
+    val lines = Seq(
+      """{"id": 1, "v": 10, "meta": {"tag": "a"}}""",
+      """{"id": 2, "v": "ten", "meta": {"tag": 7}}""",
+      """{"id": 3, "v": 30}""",
+      """{"id": 4, "v": null}""",
+      "not json at all")
+    lines.toDF("value").repartition(2).write.text(dir)
+    val df = graft.sources.ChoiceInfer.readJson(spark, dir)
+    // unparseable record dropped; null/missing absorbed by the merge
+    assert(df.count() == 4)
+    assert(graft.operators.ChoiceOps.choiceColumns(df) == Seq("v"))
+    // branch routing respects the per-record JSON type: the quoted
+    // "ten" must NOT land in the long branch (variant gets coerce;
+    // the kind guard is what keeps the branches honest)
+    val rows = df.selectExpr("id", "v.long", "v.string")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(rows == Set(
+      (1L, Some(10L), None), (2L, None, Some("ten")),
+      (3L, Some(30L), None), (4L, None, None)))
+    // nested choice under a struct gets its own encoded column
+    val tag = df.select(col("meta.tag")).schema.head
+    assert(graft.core.GlueTypes.isChoiceField(tag))
+    // end-to-end: resolve the way a user would
+    val resolved = ChoiceOps.resolveChoice(df, Seq("v" -> "cast:string"))
+    assert(resolved.schema("v").dataType == StringType)
+    assert(resolved.select("v").as[Option[String]].collect().toSet ==
+      Set(Some("10"), Some("ten"), Some("30"), None))
+  }
+
+  test("choice inference round-trips through the ported merge algebra") {
+    // raw records -> inferred GStruct: the same shape mergeDataTypes
+    // (gluetypes.py:395-432) computes — long+string conflict becomes a
+    // canonical two-branch choice; pure paths stay atomic
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-choice-rt").toString + "/j"
+    Seq("""{"a": 1, "b": 2.5}""", """{"a": "x", "b": 3}""")
+      .toDF("value").write.text(dir)
+    val parsed = spark.read.text(dir)
+      .select(try_parse_json(col("value")).as("v"))
+    val inferred = graft.sources.ChoiceInfer.inferSchema(parsed)
+    assert(inferred == GStruct(Seq(
+      GField("a", GChoice.of(Seq(GLong, GString))),
+      GField("b", GChoice.of(Seq(GDouble, GLong))))))
+  }
+
   test("union merges mismatched types into a choice and pads missing cols") {
     val a = Seq((1L, 5L)).toDF("id", "x")             // x: long
     val b = Seq((2L, "s", true)).toDF("id", "x", "y") // x: string, extra y

@@ -72,6 +72,46 @@ class GlueFrameSpec extends AnyFunSuite {
     assert(gf.errorsCount() == 2)
   }
 
+  test("writeFrame returns sink-cast rejects as the errors frame") {
+    // data_sink.py:32-43 contract: write returns the errors frame.
+    // "123" casts to the target int; "abc" and "12.5.6" reject.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sink-errors").toString
+    val in = Seq((1L, "123"), (2L, "abc"), (3L, "12.5.6"))
+      .toDF("id", "qty")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType)))
+    val errs = graft.sources.Sinks.writeFrame(GlueFrame(in), "file",
+      options = Map("path" -> s"$dir/t"), targetSchema = Some(target))
+    val bad = errs.collect()
+    assert(bad.length == 2)
+    assert(bad.forall(_.getAs[String]("stage") == "sink"))
+    assert(bad.forall(_.getAs[String]("errorMessage")
+      .contains("sink cast failed: qty")))
+    assert(bad.map(_.getAs[String]("record")).sorted.toSeq
+      .map(r => r.contains("abc") || r.contains("12.5.6"))
+      .forall(identity))
+    // the written table holds only the surviving row, cast to the
+    // target schema
+    val written = spark.read.parquet(s"$dir/t")
+    assert(written.schema == target)
+    assert(written.as[(Long, Int)].collect().toSeq == Seq((1L, 123)))
+    in.unpersist()
+  }
+
+  test("writeFrame without a schema passes upstream errors through") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sink-plain").toString
+    val gf = GlueFrame(df).filterRecords({ r =>
+      if (r.getString(1) == "boom") throw new RuntimeException("boom")
+      true
+    }, stage = "s1")
+    val errs = graft.sources.Sinks.writeFrame(gf, "file",
+      options = Map("path" -> s"$dir/t"))
+    assert(errs.collect().map(_.getAs[String]("stage")).toSeq == Seq("s1"))
+    assert(spark.read.parquet(s"$dir/t").count() == 3)
+  }
+
   test("collection: select/map/flatMap, missing key → empty frame") {
     implicit val s = spark
     val coll = GlueFrameCollection(Map(
