@@ -37,6 +37,51 @@ object Sinks {
     case other => sys.error(s"unsupported sink connection type: $other")
   }
 
+  /** Staged warehouse write — the reference's COPY shape
+    * (context.py:407-436): Glue never row-inserts into Redshift; it
+    * stages the frame to S3 files, then issues ONE bulk COPY. Same
+    * two-phase split here: stage the frame to `stagingDir` as parquet
+    * (columnar, schema-carrying), then bulk-load the staged files
+    * over JDBC. The point of staging is decoupling the expensive
+    * distributed compute from the warehouse load: a failed load
+    * re-runs from the staged files via [[loadStagedJdbc]] without
+    * recomputing the frame.
+    */
+  def writeJdbcStaged(
+      df: DataFrame,
+      stagingDir: String,
+      options: Map[String, String],
+      mode: String = "append",
+      keyColumns: Seq[String] = Nil): Unit = {
+    df.write.mode("overwrite").parquet(stagingDir)
+    loadStagedJdbc(df.sparkSession, stagingDir, options, mode, keyColumns)
+  }
+
+  /** The load phase alone — rerunnable after a warehouse failure.
+    * With `keyColumns` the load is retry-safe: staged rows whose key
+    * already landed are anti-joined away against the target (the
+    * key-only read prunes columns through the JDBC source), so a
+    * crashed-then-retried load never duplicates. Without keys it is a
+    * plain bulk append, exactly COPY's contract.
+    */
+  def loadStagedJdbc(
+      spark: org.apache.spark.sql.SparkSession,
+      stagingDir: String,
+      options: Map[String, String],
+      mode: String = "append",
+      keyColumns: Seq[String] = Nil): Unit = {
+    val staged = spark.read.parquet(stagingDir)
+    val toLoad =
+      if (keyColumns.isEmpty) staged
+      else scala.util.Try(
+          spark.read.format("jdbc").options(options).load()
+            .select(keyColumns.map(col): _*))
+        .toOption // absent table -> first load
+        .fold(staged)(existing =>
+          staged.join(existing, keyColumns, "left_anti"))
+    toLoad.write.format("jdbc").mode(mode).options(options).save()
+  }
+
   /** Sink write returning the errors frame — the reference contract:
     * every `DataSink.write` returns an errors DynamicFrame
     * (awsglue/data_sink.py:32-43; `writeFrame` ×6 in pipeline.py), so

@@ -52,6 +52,25 @@ class JdbcSpec extends AnyFunSuite {
     assert(wh.read("t_dim").get.count() == 4L)
   }
 
+  test("staged jdbc write: stage once, reload retry-safe (S9 COPY shape)") {
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-staging").toString + "/t"
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    Sinks.writeJdbcStaged(df, staging, opts("t_staged"),
+      keyColumns = Seq("id"))
+    def loaded() =
+      Sources.source(spark, "jdbc", options = opts("t_staged")).count()
+    assert(loaded() == 3)
+    // retrying the LOAD phase from the same staged files (the
+    // crashed-mid-load scenario) must not duplicate keyed rows
+    Sinks.loadStagedJdbc(spark, staging, opts("t_staged"),
+      keyColumns = Seq("id"))
+    assert(loaded() == 3)
+    // without keys the load is COPY's plain bulk append
+    Sinks.loadStagedJdbc(spark, staging, opts("t_staged"))
+    assert(loaded() == 6)
+  }
+
   private def writeTsv(rows: Seq[String]): String = {
     val f = java.nio.file.Files.createTempFile("graft_jdbc", ".tsv")
     java.nio.file.Files.write(f, rows.mkString("\n").getBytes("UTF-8"))

@@ -249,6 +249,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.sorted == Seq("a", "b", "c")) // no second emission of a/b
   }
 
+  test("kafka option mapping translates the Glue vocabulary (S7)") {
+    val glue = Map(
+      "connectionName"    -> "my-conn",          // job-side, dropped
+      "classification"    -> "json",             // payload format, dropped
+      "bootstrap.servers" -> "b-1:9092,b-2:9092",
+      "topicName"         -> "clicks",
+      "startingOffsets"   -> "earliest",
+      "maxOffsetsPerTrigger" -> "10000",
+      "pollTimeoutMs"     -> "1200",
+      "security.protocol" -> "SASL_SSL",
+      "kafka.fetch.min.bytes" -> "1",
+      "numRetries"        -> "3")                // Glue retry knob, dropped
+    val mapped = graft.streaming.StreamSources.kafkaOptions(glue)
+    assert(mapped == Map(
+      "kafka.bootstrap.servers" -> "b-1:9092,b-2:9092",
+      "subscribe"               -> "clicks",
+      "startingOffsets"         -> "earliest",
+      "maxOffsetsPerTrigger"    -> "10000",
+      "kafkaConsumer.pollTimeoutMs" -> "1200",
+      "kafka.security.protocol" -> "SASL_SSL",
+      "kafka.fetch.min.bytes"   -> "1"))
+    // the two mandatory pieces are validated
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamSources.kafkaOptions(
+        Map("topicName" -> "clicks"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamSources.kafkaOptions(
+        Map("bootstrap.servers" -> "b:9092"))
+    }
+  }
+
+  test("fileStream constructs a schema'd streaming source") {
+    val src = Files.createTempDirectory("graft_filestream").toString
+    val events = spark.read.parquet(s"${SparkFixture.sfDir}/events.parquet")
+      .select($"event_id", $"event_type")
+    events.limit(10).write.mode("overwrite").parquet(src)
+    val stream = graft.streaming.StreamSources.fileStream(
+      spark, "parquet", src, events.schema)
+    assert(stream.isStreaming)
+    assert(stream.schema == events.schema)
+  }
+
   test("sampleStream polls a memory sink and returns a bounded batch") {
     val src = Files.createTempDirectory("graft_sample_src").toString
     val events = spark.read.parquet(s"${SparkFixture.sfDir}/events.parquet")
