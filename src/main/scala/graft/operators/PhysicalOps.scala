@@ -22,12 +22,36 @@ object PhysicalOps {
   def coalesce(df: DataFrame, n: Int, shuffle: Boolean = false): DataFrame =
     if (shuffle) df.repartition(n) else df.coalesce(n)
 
-  /** X3: getNumPartitions (dynamicframe.py:477-479). */
-  def getNumPartitions(df: DataFrame): Int = df.rdd.getNumPartitions
+  /** Leaf-scan partition count WITHOUT executing anything: collect
+    * the physical plan's leaves and ask each one's lazily-constructed
+    * RDD. `df.rdd` would build the ADAPTIVE plan, and AQE materializes
+    * every upstream shuffle stage just to answer the question — a
+    * separate QueryExecution whose work the real query cannot reuse.
+    * Leaves have no upstream stages, so their RDDs cost nothing to
+    * build. The number is the SCAN parallelism (summed across leaves),
+    * which is what both callers — read-time widening and pre-kernel
+    * re-split — reason about; post-shuffle parallelism is AQE's job.
+    */
+  def scanPartitions(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collectLeaves()
+      .map(_.execute().getNumPartitions).sum
 
-  /** X4: min-partitions control after read (context.py:73-84). */
+  /** X3: getNumPartitions (dynamicframe.py:477-479). Exact answer —
+    * including post-shuffle — so this one does pay plan execution on
+    * AQE plans with shuffles; prefer [[scanPartitions]] inside
+    * operators. toRdd is the raw physical RDD (no row-conversion
+    * stage appended, unlike Dataset.rdd).
+    */
+  def getNumPartitions(df: DataFrame): Int =
+    df.queryExecution.toRdd.getNumPartitions
+
+  /** X4: min-partitions control after read (context.py:73-84): widen
+    * small scans; never shrinks. Decided from leaf-scan partitioning,
+    * so asking costs no execution.
+    */
   def withMinPartitions(df: DataFrame, minPartitions: Int): DataFrame =
-    if (getNumPartitions(df) >= minPartitions) df else df.repartition(minPartitions)
+    if (scanPartitions(df) >= minPartitions) df
+    else df.repartition(minPartitions)
 
   /** X5: persist/unpersist with Glue's default level
     * (MEMORY_AND_DISK, context.py:632-637).

@@ -89,9 +89,10 @@ object Sources {
     spark.createDataFrame(rdd)
 
   /** Min-partitions control on read (context.py:73-84): widen small
-    * scans so downstream parallelism is not bottlenecked by file count.
+    * scans so downstream parallelism is not bottlenecked by file
+    * count. Decided from leaf-scan partitioning (no plan execution) —
+    * see [[graft.operators.PhysicalOps.withMinPartitions]].
     */
   def withMinPartitions(df: DataFrame, minPartitions: Int): DataFrame =
-    if (df.rdd.getNumPartitions >= minPartitions) df
-    else df.repartition(minPartitions)
+    graft.operators.PhysicalOps.withMinPartitions(df, minPartitions)
 }
