@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * disable) first exercises every query shape so measured numbers
   * reflect plan execution, not first-touch JVM/codegen compilation —
   * the same discipline as a real cluster benchmark.
+  *
+  * Scaling gate: unless SPARK_GRAFT_SCALING=0, the measured run also
+  * covers the smaller scale factors, and the JSON line carries a
+  * "scaling" section — per-query seconds across scales plus a
+  * "flagged" list of queries whose last 10x data step cost more than
+  * 15x the time (with a 2s floor so fixed per-query overhead does not
+  * flag trivia). A constant-factor surprise like an accidentally
+  * quadratic candidate stage shows up here as a flag, not as a
+  * next-round verdict.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,6 +26,7 @@ object Bench {
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
+    val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,6 +66,17 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    def measure(dir: String): Seq[(String, Double)] =
+      ordered.map { case (name, fn) =>
+        System.gc() // isolate queries from each other's allocation debt
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, dir))
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        release()
+        name -> dt
+      }
+
     if (warmupDir.nonEmpty && new java.io.File(warmupDir).exists()) {
       ordered.foreach { case (_, fn) =>
         try materialize(fn(spark, warmupDir))
@@ -64,19 +85,41 @@ object Bench {
       }
     }
 
-    val results = ordered.map { case (name, fn) =>
-      System.gc() // isolate queries from each other's allocation debt
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      release()
-      name -> dt
-    }
+    // smaller scales first (measured, post-warmup), main dir last
+    val scaleDirs =
+      if (!scaling) Seq(sfDir)
+      else (Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+        .filter(d => d != sfDir && new java.io.File(d).exists())
+        :+ sfDir)
+    val byDir = scaleDirs.map(d => d -> measure(d))
+    val results = byDir.last._2
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val scalingJson =
+      if (scaleDirs.length < 2) ""
+      else {
+        val names = results.map(_._1)
+        val perQuery = names.map { n =>
+          val times = byDir.map(_._2.toMap.apply(n))
+          s"\"$n\":" + times.map(t => f"$t%.3f").mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+        // last step is a 10x data jump; >15x time with a 2s floor
+        // flags a super-linear operator
+        val flagged = names.flatMap { n =>
+          val times = byDir.map(_._2.toMap.apply(n))
+          val (prev, last) = (times(times.length - 2), times.last)
+          val ratio = if (prev > 0) last / prev else 0.0
+          if (last > 2.0 && ratio > 15.0)
+            Some(s"""{"query":"$n","ratio":${f"$ratio%.1f"}}""")
+          else None
+        }.mkString("[", ",", "]")
+        val dirs = scaleDirs.map(d => "\"" +
+          d.split('/').last + "\"").mkString("[", ",", "]")
+        s""","scaling":{"dirs":$dirs,"queries":$perQuery,"flagged":$flagged}"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}""")
     spark.stop()
   }
 }
