@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GlueFrame, GType}
 import graft.functions.{GlueFunctions, SimHash64}
-import graft.ml.{Dedup, Graph, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ml.{Curation, Dedup, Graph, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.operators.{ChoiceOps, FieldOps, Joins, NestedOps, Sessionize}
 import graft.operators.FieldOps.Mapping
 
@@ -733,6 +733,31 @@ object SparkEntry {
       val inferred = graft.sources.ChoiceInfer.readJson(s, path)
       ChoiceOps.resolveChoice(inferred, Seq("v" -> "cast:string"))
         .select(col("k"), col("v"))
+    }),
+
+    // Per-domain document caps (C4/RefinedWeb curation): at most 10
+    // docs per URL host, smallest doc_ids win deterministically.
+    // Two bounded aggregations, not a window — a hot domain never
+    // lands in one task.
+    "q79_domain_cap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(lit("https://"), col("source"),
+            lit(".example.com/doc/"), col("doc_id").cast("string"))
+            .as("url"))
+      Curation.domainCap(d, "url", "doc_id", maxPerDomain = 10)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // End-to-end fuzzy dedup: verified Jaccard pairs -> transitive
+    // closure -> keep each cluster's min id + unpaired docs. The
+    // oracle replays the closure with a recursive CTE.
+    "q80_fuzzy_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.fuzzyDedup(doubled, "text", "doc_id")
+        .select(col("doc_id"))
     }),
 
     // ---------------------------------------------------------------- R6
@@ -1627,6 +1652,40 @@ object SparkEntry {
         |       THEN 'id-' || CAST(c_custkey AS VARCHAR)
         |       ELSE CAST(c_custkey AS VARCHAR) END AS v
         |FROM customer""".stripMargin,
+    // Domain cap: the relational mirror IS the window the operator
+    // avoids — fine at oracle scale.
+    "q79_domain_cap" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY source || '.example.com'
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 10""".stripMargin,
+    // Fuzzy dedup: q41's exact pair kernel + a recursive-CTE
+    // transitive closure; a doc survives iff nothing smaller is
+    // reachable over the pair graph (the component min reaches only
+    // itself-or-larger).
+    "q80_fuzzy_dedup" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM d),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(toks)-1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh)) * 2 >=
+        |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM p
+        |        UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+        |m AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+        |SELECT d.doc_id FROM d LEFT JOIN m ON m.id = d.doc_id
+        |WHERE m.id IS NULL OR m.mn >= d.doc_id""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

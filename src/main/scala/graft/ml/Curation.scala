@@ -1,0 +1,50 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: source-level controls a training-data
+  * pipeline applies before any content-level dedup — the C4 /
+  * RefinedWeb "cap documents per domain" step that stops one crawl
+  * whale (a forum mirror, a link farm) from dominating the corpus.
+  */
+object Curation {
+
+  /** Host part of a URL column (the capping key; subdomain-inclusive,
+    * as RefinedWeb caps). Null for unparseable URLs.
+    */
+  def hostOf(url: Column): Column = try_parse_url(url, lit("HOST"))
+
+  /** Keep at most `maxPerDomain` documents per URL host, chosen
+    * deterministically as the smallest `idCol` values (stable across
+    * runs and retries — no sampling state).
+    *
+    * Scale posture (100 TB): per-group top-k via TWO bounded
+    * aggregations, not a window. A window (`row_number` over the
+    * domain partition) sorts and shuffles every row and puts each hot
+    * domain in ONE task — exactly the skew this operator exists to
+    * correct. Here each input partition first reduces every domain it
+    * sees to its local k smallest ids (partial aggregation bounds
+    * state at k per (domain, partition)); the merge pass then keeps
+    * the global k per domain from ≤ k·partitions candidates. Only
+    * (domain, id) pairs shuffle; the survivor set joins back
+    * left_semi on the id.
+    */
+  def domainCap(
+      df: DataFrame, urlCol: String, idCol: String,
+      maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1")
+    val k = maxPerDomain
+    val local = df
+      .select(hostOf(col(urlCol)).as("__dom"), col(idCol))
+      .filter(col("__dom").isNotNull)
+      .groupBy(col("__dom"), spark_partition_id().as("__p"))
+      .agg(slice(sort_array(collect_list(col(idCol))), 1, k).as("__ids"))
+    val winners = local
+      .select(col("__dom"), explode(col("__ids")).as(idCol))
+      .groupBy(col("__dom"))
+      .agg(slice(sort_array(collect_list(col(idCol))), 1, k).as("__ids"))
+      .select(explode(col("__ids")).as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+}

@@ -176,6 +176,32 @@ object Dedup {
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** End-to-end fuzzy dedup: [[jaccardPairs]] candidates+verification,
+    * transitive closure over the verified pair graph
+    * ([[Graph.connectedComponents]]), keep each cluster's smallest id
+    * plus every unpaired document. This is the full MinHash-paper
+    * pipeline a corpus pass actually runs — pairs alone under-delete
+    * (A~B, B~C must drop BOTH B and C even when A!~C directly).
+    *
+    * Scale posture inherits from the parts: pair generation is
+    * prefix-filtered, the closure shuffles (id,label) pairs only, and
+    * the final anti-join is keyed on the id. Pass `checkpointDir` on
+    * a real cluster (see [[Graph.connectedComponents]]).
+    */
+  def fuzzyDedup(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numer: Int = 1, denom: Int = 2,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = jaccardPairs(df, textCol, idCol, shingleSize, numer, denom)
+      .select(col("id_a"), col("id_b"))
+    val losers = Graph
+      .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Incremental exact dedup: drop every new-batch document whose text
     * already exists in the base corpus — the per-snapshot ingestion
     * step (each crawl deduped against the accumulated store). Keyed on

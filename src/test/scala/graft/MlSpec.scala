@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ml.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 class MlSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
@@ -33,6 +33,32 @@ class MlSpec extends AnyFunSuite {
     assert(kept.contains(1L) && kept.contains(3L))
     assert(!kept.contains(4L))
     assert(!kept.contains(2L))
+  }
+
+  test("fuzzy dedup drops the transitive closure, not just pairs") {
+    // chain: a~b (1 edit), b~c (1 more edit), a!~c below threshold is
+    // irrelevant — the closure must still drop both b and c
+    val a = base
+    val b = base.replace("today", "tonight")
+    val c = b.replace("quick", "rapid")
+    val chain = Seq((10L, a), (11L, b), (12L, c), (13L, other))
+      .toDF("doc_id", "text")
+    val kept = Dedup.fuzzyDedup(chain, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 13L))
+  }
+
+  test("domain cap keeps the k smallest ids per host") {
+    val rows = (1L to 30L).map { i =>
+      val host = if (i % 3 == 0) "a.example.com" else "b.example.com"
+      (i, s"https://$host/page/$i")
+    } :+ (99L, "not a url")
+    val df = rows.toDF("doc_id", "url")
+    val kept = Curation.domainCap(df, "url", "doc_id", maxPerDomain = 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // a.example.com: multiples of 3 -> 3,6,9,12; b: 1,2,4,5;
+    // unparseable URL rows are dropped (no host to cap under)
+    assert(kept == Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L, 12L))
   }
 
   test("jaccard pairs finds the near-dup pair with exact counts") {
