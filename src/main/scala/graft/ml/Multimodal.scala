@@ -101,6 +101,79 @@ object Multimodal {
     }
   }
 
+  /** Audio metadata (decoder output contract for sound payloads). */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType)))
+
+  final case class AudioMeta(
+      byteLen: Long, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nSamples: Long, durationMs: Long)
+
+  /** WAV/RIFF header parsing — no codec libraries required, mirroring
+    * [[HeaderDecoder]] for images: walk the RIFF chunk list, read the
+    * fmt chunk (little-endian: channels at +2, sample rate at +4,
+    * bits per sample at +14) and the data chunk size, derive sample
+    * count and duration. Filtering/bucketing pipelines need exactly
+    * this (drop sub-second clips, partition by sample rate); PCM
+    * decode stays a codec binding point. Non-RIFF payloads profile as
+    * (-1, ...) with the byte length kept.
+    */
+  object WavHeaderDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): AudioMeta = {
+      val len = if (bytes == null) -1L else bytes.length.toLong
+      def le16(i: Int): Int =
+        (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+      def le32(i: Int): Long =
+        ((bytes(i) & 0xffL)) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+      def tag(i: Int, s: String): Boolean =
+        bytes(i) == s(0) && bytes(i + 1) == s(1) &&
+        bytes(i + 2) == s(2) && bytes(i + 3) == s(3)
+      if (len < 44 || !tag(0, "RIFF") || !tag(8, "WAVE"))
+        return AudioMeta(len, -1, -1, -1, -1L, -1L)
+      var rate = -1; var ch = -1; var bits = -1; var dataLen = -1L
+      var off = 12
+      while (off + 8 <= len) {
+        val size = le32(off + 4)
+        if (tag(off, "fmt ") && off + 24 <= len) {
+          ch = le16(off + 10); rate = le32(off + 12).toInt
+          bits = le16(off + 22)
+        } else if (tag(off, "data")) dataLen = size
+        // chunks are word-aligned: odd sizes carry a pad byte
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0)
+        return AudioMeta(len, rate, ch, bits, -1L, -1L)
+      val frameBytes = ch * (bits / 8)
+      val n = if (frameBytes > 0) dataLen / frameBytes else -1L
+      val ms = if (n >= 0) n * 1000L / rate else -1L
+      AudioMeta(len, rate, ch, bits, n, ms)
+    }
+  }
+
+  /** Batched audio-metadata extraction: partition-local, payloads
+    * never shuffle, same iterator shape as [[extractFeatures]].
+    */
+  def extractAudioMeta(df: DataFrame, bytesCol: String): DataFrame = {
+    val inSchema  = df.schema
+    val bytesIdx  = inSchema.fieldIndex(bytesCol)
+    val outSchema = StructType(inSchema.fields.toSeq :+
+      StructField("audio", audioMetaSchema))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val a = WavHeaderDecoder.decode(row.getAs[Array[Byte]](bytesIdx))
+        Row.fromSeq(row.toSeq :+ Row(a.byteLen, a.sampleRate, a.channels,
+          a.bitsPerSample, a.nSamples, a.durationMs))
+      }
+    }
+  }
+
   /** Attach a media struct column (payload + metadata) built from a
     * binary column.
     */

@@ -471,6 +471,31 @@ class MlSpec extends AnyFunSuite {
     assert(got(2) == (3L, -1, -1))
   }
 
+  test("wav header decoder walks RIFF chunks to real audio metadata") {
+    // minimal valid WAV: RIFF/WAVE + a LIST chunk BEFORE fmt (so the
+    // walker must actually walk, not assume fixed offsets) + fmt +
+    // data. 16-bit stereo 8kHz, 1600 frames -> 200ms.
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val dataBytes = 1600 * 2 * 2
+    val wav: Array[Byte] =
+      "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(4) ++ "INFO".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+        le32(8000) ++ le32(8000 * 2 * 2) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(dataBytes) ++
+        new Array[Byte](dataBytes)
+    val d = Seq((1L, wav), (2L, "not audio".getBytes))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.extractAudioMeta(d, "payload")
+      .select($"doc_id", $"audio.sample_rate", $"audio.channels",
+        $"audio.bits_per_sample", $"audio.n_samples", $"audio.duration_ms")
+      .as[(Long, Int, Int, Int, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == (1L, 8000, 2, 16, 1600L, 200L))
+    assert(got(1) == (2L, -1, -1, -1, -1L, -1L))
+  }
+
   test("frame sampling indices are evenly spaced and bounded") {
     val df = Seq(Tuple1(30), Tuple1(7), Tuple1(0)).toDF("frames")
     val got = df.select(Multimodal.sampleFrameIndices($"frames", 4).as("s"))
