@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Storage lifecycle ops (SURVEY §2.1 S12; context.py:461-545
+  * `purge_s3_path` / `purge_table`): delete data files older than a
+  * retention period, optionally writing the reference's
+  * Success.csv / Failed.csv manifests, and — for catalog tables —
+  * drop partitions the purge emptied.
+  *
+  * Spark-first shape: the reference's backend is an S3 batch job;
+  * here the same contract runs on the Hadoop FileSystem API, so one
+  * implementation serves s3a:// on a real cluster and file:/ in
+  * tests. Listing streams on the driver (a metadata scan — S3 LIST /
+  * namenode ops, no data moves); the DELETES are distributed over the
+  * cluster as a Dataset of paths, because removing millions of
+  * objects one RPC at a time from the driver is the actual bottleneck
+  * at lake scale. Only (path, ok) strings shuffle.
+  *
+  * `transition_*` (S3 storage-class changes) stays environment-bound:
+  * storage classes do not exist in the FileSystem abstraction — on a
+  * real deployment that is an S3 lifecycle/Batch-Operations concern,
+  * not a plan concern (SURVEY §2.1).
+  */
+object Lifecycle {
+
+  final case class PurgeResult(deleted: Long, failed: Long, retained: Long)
+
+  /** Delete files under `path` older than `retentionHours` (default
+    * 168 = 7 days, the reference's default). Directories are left in
+    * place ([[purgeTable]] handles partition dropping, where emptiness
+    * has catalog meaning).
+    */
+  def purgePath(
+      spark: SparkSession, path: String,
+      retentionHours: Int = 168,
+      manifestFilePath: Option[String] = None): PurgeResult = {
+    val (ok, bad, retained) = purgeOnce(spark, path, retentionHours)
+    manifestFilePath.foreach(writeManifest(spark, _, ok, bad))
+    PurgeResult(ok.length.toLong, bad.length.toLong, retained)
+  }
+
+  /** Purge a catalog table's files; partitions whose every file was
+    * purged are dropped from the catalog, as the reference documents.
+    * `partitionPredicate` (SQL over the partition columns) restricts
+    * which partitions are considered — evaluated against the
+    * catalog's partition list, never the data.
+    */
+  def purgeTable(
+      spark: SparkSession, table: String,
+      retentionHours: Int = 168,
+      partitionPredicate: String = "",
+      manifestFilePath: Option[String] = None): PurgeResult = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ident)
+    val partCols = meta.partitionColumnNames
+    if (partCols.isEmpty)
+      return purgePath(spark, meta.location.toString,
+        retentionHours, manifestFilePath)
+
+    val parts = cat.listPartitions(ident)
+    val selected =
+      if (partitionPredicate.trim.isEmpty) parts
+      else {
+        // evaluate the predicate on a LOCAL frame of partition values
+        // (strings, as the metastore stores them) — the filter reads
+        // catalog metadata, never table data
+        val rows = parts.map(p =>
+          org.apache.spark.sql.Row.fromSeq(partCols.map(p.spec(_))))
+        val schema = org.apache.spark.sql.types.StructType(partCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType)))
+        val keySet = spark
+          .createDataFrame(new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            schema)
+          .filter(expr(partitionPredicate))
+          .select(partCols.map(col): _*)
+          .collect()
+          .map(_.toSeq.map(String.valueOf)).toSet
+        parts.filter(p => keySet.contains(partCols.map(p.spec(_))))
+      }
+
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    var allOk = Seq.empty[String]; var allBad = Seq.empty[String]
+    var retained = 0L
+    selected.foreach { p =>
+      val loc = p.location.toString
+      val (ok, bad, ret) = purgeOnce(spark, loc, retentionHours)
+      allOk ++= ok; allBad ++= bad; retained += ret
+      val fs = new Path(loc).getFileSystem(hadoopConf)
+      val empty = !fs.exists(new Path(loc)) ||
+        !fs.listFiles(new Path(loc), true).hasNext
+      if (empty) {
+        val spec = partCols.map(c => s"$c='${p.spec(c)}'").mkString(", ")
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+      }
+    }
+    manifestFilePath.foreach(writeManifest(spark, _, allOk, allBad))
+    PurgeResult(allOk.length.toLong, allBad.length.toLong, retained)
+  }
+
+  /** One path's purge pass: driver-side streaming list, distributed
+    * deletes. Returns (deletedPaths, failedPaths, retainedCount).
+    */
+  private def purgeOnce(
+      spark: SparkSession, path: String,
+      retentionHours: Int): (Seq[String], Seq[String], Long) = {
+    require(retentionHours >= 0, "retentionHours must be >= 0")
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(hadoopConf)
+    if (!fs.exists(root)) return (Nil, Nil, 0L)
+    val cutoff = System.currentTimeMillis() - retentionHours * 3600000L
+
+    val candidates = scala.collection.mutable.ArrayBuffer.empty[String]
+    var retained = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        if (st.getModificationTime < cutoff)
+          candidates += st.getPath.toString
+        else retained += 1
+      }
+    }
+    if (candidates.isEmpty) return (Nil, Nil, retained)
+
+    // distributed delete: each task opens the FS once per partition
+    // and deletes its slice; the broadcast carries the Hadoop conf so
+    // executors resolve the same filesystem the driver listed
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(hadoopConf))
+    import spark.implicits._
+    val outcomes = spark.createDataset(candidates.toSeq)
+      .mapPartitions { paths =>
+        var taskFs: org.apache.hadoop.fs.FileSystem = null
+        paths.map { s =>
+          val p = new Path(s)
+          if (taskFs == null) taskFs = p.getFileSystem(confB.value.value)
+          val ok = try taskFs.delete(p, false)
+          catch { case scala.util.control.NonFatal(_) => false }
+          (s, ok)
+        }
+      }
+      .collect() // bounded by the candidate list the driver already holds
+
+    val (okPairs, badPairs) = outcomes.partition(_._2)
+    (okPairs.map(_._1).toSeq, badPairs.map(_._1).toSeq, retained)
+  }
+
+  /** Hadoop Configuration is not Serializable; ship it via its own
+    * Writable encoding (the standard wrapper pattern).
+    */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  // reference manifest contract: Success.csv / Failed.csv under the
+  // manifest path (context.py:474-476)
+  private def writeManifest(
+      spark: SparkSession, dir: String,
+      ok: Seq[String], bad: Seq[String]): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def write(name: String, lines: Seq[String]): Unit = {
+      val out = fs.create(new Path(dir, name), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    write("Success.csv", ok)
+    write("Failed.csv", bad)
+  }
+}
