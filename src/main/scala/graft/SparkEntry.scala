@@ -1311,10 +1311,14 @@ object SparkEntry {
         |s AS (SELECT doc_id, list_distinct(list_transform(
         |  range(1, len(toks)-1),
         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |pg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM pg x JOIN pg y ON x.g = y.g AND x.doc_id < y.doc_id),
+        |p AS (SELECT id_a, id_b,
         |  len(list_intersect(a.sh, b.sh)) AS n_inter,
         |  len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
-        |  FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |  FROM cand JOIN s a ON a.doc_id = cand.id_a
+        |            JOIN s b ON b.doc_id = cand.id_b)
         |SELECT id_a, id_b, CAST(n_inter AS INT) AS n_inter,
         |  CAST(n_union AS INT) AS n_union
         |FROM p WHERE n_inter * 2 >= n_union""".stripMargin,
@@ -1673,9 +1677,13 @@ object SparkEntry {
         |  range(1, len(toks)-1),
         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
         |  FROM t WHERE len(toks) >= 3),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a, s b WHERE a.doc_id < b.doc_id
-        |    AND len(list_intersect(a.sh, b.sh)) * 2 >=
+        |pg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM pg x JOIN pg y ON x.g = y.g AND x.doc_id < y.doc_id),
+        |p AS (SELECT id_a, id_b
+        |  FROM cand JOIN s a ON a.doc_id = cand.id_a
+        |            JOIN s b ON b.doc_id = cand.id_b
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 2 >=
         |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
         |sym AS (SELECT id_a AS a, id_b AS b FROM p
         |        UNION ALL SELECT id_b, id_a FROM p),
