@@ -760,6 +760,29 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Governed-table transactions (context.py:676-683): two committed
+    // appends and one cancelled write against a manifest-versioned
+    // table; the latest-snapshot read must see exactly the committed
+    // rows. The oracle is the relational shadow of the two commits.
+    "q81_governed_txn" -> ((s, dir) => {
+      val path = "target/tmp_governed/nation"
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+        .delete(new org.apache.hadoop.fs.Path(path), true) // fresh re-runs
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val t1 = graft.sources.GovernedTable.startTransaction(s, path)
+      graft.sources.GovernedTable.write(s, t1, n.filter(col("n_regionkey") <= 1))
+      graft.sources.GovernedTable.commitTransaction(s, t1)
+      val bad = graft.sources.GovernedTable.startTransaction(s, path)
+      graft.sources.GovernedTable.write(s, bad, n.filter(col("n_regionkey") === 2))
+      graft.sources.GovernedTable.cancelTransaction(s, bad)
+      val t2 = graft.sources.GovernedTable.startTransaction(s, path)
+      graft.sources.GovernedTable.write(s, t2, n.filter(col("n_regionkey") >= 3))
+      graft.sources.GovernedTable.commitTransaction(s, t2)
+      graft.sources.GovernedTable.read(s, path)
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -1694,6 +1717,11 @@ object SparkEntry {
         |m AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
         |SELECT d.doc_id FROM d LEFT JOIN m ON m.id = d.doc_id
         |WHERE m.id IS NULL OR m.mn >= d.doc_id""".stripMargin,
+    // Governed txns: the cancelled write (region 2) is invisible, so
+    // the snapshot is exactly the two committed append predicates.
+    "q81_governed_txn" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey <= 1 OR n_regionkey >= 3""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

@@ -1,0 +1,244 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Governed-table transactions (SURVEY §2.1 S13; context.py:676-683
+  * `start_transaction` / `commit_transaction` / `cancel_transaction`,
+  * plus the `erieTxId` / `asOfTime` read options at context.py:241).
+  *
+  * The reference delegates to a lake-governance service; the
+  * Spark-first analogue is a manifest-based commit protocol over the
+  * Hadoop FileSystem API — the public Delta/Iceberg design (Armbrust
+  * et al., "Delta Lake: High-Performance ACID Table Storage over
+  * Cloud Object Stores", VLDB 2020):
+  *
+  *   table/
+  *     _txlog/v00000001.txt   committed snapshot manifests
+  *     data/txn-<id>-<k>/     parquet written by one transaction
+  *
+  * A transaction stages parquet under uniquely-named `data/txn-*`
+  * directories (never visible to readers — visibility is decided
+  * only by manifests), then commit publishes `_txlog/v<N>.txt` with
+  * `create(overwrite = false)`, so exactly one writer wins each
+  * version number. Appends retry against the new head (append ∘
+  * append commutes); overwrites detect a moved head and abort, the
+  * optimistic-concurrency rule governed tables document. Cancel
+  * deletes the staged directories and nothing else.
+  *
+  * Scale posture: a manifest lists a snapshot's data files — pure
+  * metadata; no data file is ever moved or rewritten by commit,
+  * cancel, or time travel, so commit cost is independent of table
+  * size. O(files) manifest text per version is the same trade Delta
+  * makes before checkpoint compaction; a 100 TB deployment would add
+  * periodic manifest checkpoints (concatenate head, drop history) —
+  * an offline metadata rewrite, not a protocol change. On stores
+  * without atomic create-if-absent (S3 before conditional PUTs) the
+  * version create needs a coordination service, exactly as Delta on
+  * S3 ships; HDFS/ABFS/GCS and conditional-PUT S3 satisfy it natively.
+  */
+object GovernedTable {
+
+  /** One transaction's driver-side state. `baseVersion` pins the
+    * snapshot all reads inside the transaction see (snapshot
+    * isolation); `staged` collects this transaction's parquet dirs.
+    */
+  final class Txn private[GovernedTable] (
+      val id: String,
+      val tableDir: String,
+      val readOnly: Boolean,
+      val baseVersion: Long) {
+    private[GovernedTable] val staged = mutable.Buffer.empty[String]
+    private[GovernedTable] var overwrite = false
+    private[GovernedTable] var done = false
+  }
+
+  /** context.py:676-677. Pins the current committed version as the
+    * transaction's read snapshot.
+    */
+  def startTransaction(
+      spark: SparkSession, tableDir: String,
+      readOnly: Boolean = false): Txn = {
+    val fs = fileSystem(spark, tableDir)
+    new Txn(java.util.UUID.randomUUID().toString.take(12), tableDir,
+      readOnly, latestVersion(fs, tableDir))
+  }
+
+  /** Stage a write inside the transaction. `mode` is "append" or
+    * "overwrite"; an overwrite anywhere makes the whole transaction
+    * an overwrite (its commit publishes only this transaction's
+    * files, and conflicts if the head moved since start).
+    */
+  def write(spark: SparkSession, txn: Txn, df: DataFrame,
+      mode: String = "append"): Unit = {
+    require(!txn.readOnly, s"transaction ${txn.id} is read-only")
+    require(!txn.done, s"transaction ${txn.id} already ended")
+    require(mode == "append" || mode == "overwrite",
+      s"unknown write mode '$mode'")
+    if (mode == "overwrite") { txn.overwrite = true; txn.staged.clear() }
+    val dir = s"${txn.tableDir}/data/txn-${txn.id}-${txn.staged.size}"
+    df.write.parquet(dir)
+    txn.staged += dir
+  }
+
+  /** context.py:679-680. Publishes the transaction's staged files as
+    * the next table version; returns whether the commit took effect.
+    * The version-manifest create is the atomic commit point
+    * (`waitForCommit` has nothing to wait for — the rename-free
+    * create IS the durable publish), so both waitForCommit modes
+    * return after the same call.
+    */
+  def commitTransaction(spark: SparkSession, txn: Txn,
+      waitForCommit: Boolean = true): Boolean = {
+    require(!txn.done, s"transaction ${txn.id} already ended")
+    if (txn.staged.isEmpty) { txn.done = true; return true } // read-only commit
+    val fs = fileSystem(spark, txn.tableDir)
+    val staged = txn.staged.flatMap(listParquet(fs, _)).toSeq
+    var attempts = 0
+    while (attempts < 20) {
+      val head = latestVersion(fs, txn.tableDir)
+      if (txn.overwrite && head != txn.baseVersion)
+        return false // head moved under an overwrite: abort, caller cancels
+      val files =
+        if (txn.overwrite) staged
+        else snapshotFiles(fs, txn.tableDir, head) ++ staged
+      val mode = if (txn.overwrite) "overwrite" else "append"
+      if (publish(fs, txn.tableDir, head + 1, txn.id, mode, files)) {
+        txn.done = true
+        return true
+      }
+      attempts += 1 // another append won this version; re-read the head
+    }
+    false
+  }
+
+  /** context.py:682-683. Deletes the staged data; committed
+    * transactions cannot be cancelled.
+    */
+  def cancelTransaction(spark: SparkSession, txn: Txn): Unit = {
+    require(!txn.done, s"transaction ${txn.id} already committed")
+    val fs = fileSystem(spark, txn.tableDir)
+    txn.staged.foreach(d => fs.delete(new Path(d), true))
+    txn.staged.clear()
+    txn.done = true
+  }
+
+  /** Latest committed snapshot. */
+  def read(spark: SparkSession, tableDir: String): DataFrame = {
+    val fs = fileSystem(spark, tableDir)
+    readVersion(spark, tableDir, latestVersion(fs, tableDir))
+  }
+
+  /** Time travel to an explicit version. */
+  def readVersion(spark: SparkSession, tableDir: String,
+      version: Long): DataFrame = {
+    require(version >= 1, s"no committed version $version in $tableDir")
+    val files = snapshotFiles(fileSystem(spark, tableDir), tableDir, version)
+    spark.read.parquet(files: _*)
+  }
+
+  /** The `asOfTime` read (context.py:241): the newest version
+    * committed at or before the timestamp.
+    */
+  def readAsOf(spark: SparkSession, tableDir: String,
+      timestampMillis: Long): DataFrame = {
+    val fs = fileSystem(spark, tableDir)
+    val v = (1L to latestVersion(fs, tableDir))
+      .filter(committedAt(fs, tableDir, _) <= timestampMillis)
+    require(v.nonEmpty, s"no version of $tableDir committed by $timestampMillis")
+    readVersion(spark, tableDir, v.max)
+  }
+
+  /** The `erieTxId` read: the transaction's pinned snapshot plus its
+    * own staged writes — a transaction reads its own uncommitted
+    * data, never anyone else's.
+    */
+  def readWithTxn(spark: SparkSession, txn: Txn): DataFrame = {
+    val fs = fileSystem(spark, txn.tableDir)
+    val base =
+      if (txn.overwrite) Seq.empty
+      else snapshotFiles(fs, txn.tableDir, txn.baseVersion)
+    val files = base ++ txn.staged.flatMap(listParquet(fs, _))
+    require(files.nonEmpty,
+      s"transaction ${txn.id} has no visible snapshot of ${txn.tableDir}")
+    spark.read.parquet(files: _*)
+  }
+
+  // ----------------------------------------------------------------- log
+
+  private def fileSystem(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def logDir(tableDir: String) = new Path(tableDir, "_txlog")
+
+  private def versionPath(tableDir: String, v: Long) =
+    new Path(logDir(tableDir), f"v$v%08d.txt")
+
+  private def latestVersion(fs: FileSystem, tableDir: String): Long = {
+    val dir = logDir(tableDir)
+    if (!fs.exists(dir)) return 0L
+    fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Manifest wire format: `key=value` header lines then one data
+    * file path per line. Plain text keeps the log greppable and the
+    * reader dependency-free.
+    */
+  private def publish(fs: FileSystem, tableDir: String, version: Long,
+      txnId: String, mode: String, files: Seq[String]): Boolean = {
+    val header = Seq(
+      s"version=$version",
+      s"committedAt=${System.currentTimeMillis()}",
+      s"txnId=$txnId",
+      s"mode=$mode")
+    val body = (header ++ files).mkString("\n") + "\n"
+    val target = versionPath(tableDir, version)
+    fs.mkdirs(target.getParent)
+    try {
+      val out = fs.create(target, false) // atomic commit point
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  private def readManifest(fs: FileSystem, tableDir: String,
+      version: Long): Seq[String] = {
+    val p = versionPath(tableDir, version)
+    require(fs.exists(p), s"no committed version $version in $tableDir")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  private val HeaderKeys = Seq("version=", "committedAt=", "txnId=", "mode=")
+
+  private def snapshotFiles(fs: FileSystem, tableDir: String,
+      version: Long): Seq[String] =
+    if (version == 0L) Seq.empty // the empty pre-creation snapshot
+    else readManifest(fs, tableDir, version)
+      .filterNot(l => HeaderKeys.exists(l.startsWith)) // paths may contain '='
+
+  private def committedAt(fs: FileSystem, tableDir: String,
+      version: Long): Long =
+    readManifest(fs, tableDir, version)
+      .collectFirst { case l if l.startsWith("committedAt=") =>
+        l.stripPrefix("committedAt=").toLong }
+      .getOrElse(0L)
+
+  private def listParquet(fs: FileSystem, dir: String): Seq[String] = {
+    val out = mutable.Buffer.empty[String]
+    val it = fs.listFiles(new Path(dir), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        out += st.getPath.toString
+    }
+    out.toSeq
+  }
+}
