@@ -93,6 +93,25 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "fuzzy_profile") {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val pairs = timed("pairs construct")(
+        graft.ml.Dedup.jaccardPairs(doubled, "text", "doc_id")
+          .select(col("id_a"), col("id_b")))
+      val labels = timed("cc")(
+        graft.ml.Graph.connectedComponents(pairs, "id_a", "id_b"))
+      val losers = labels.filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val out = doubled.join(losers, Seq("doc_id"), "left_anti")
+      timed("anti-join")(out.queryExecution.toRdd.count())
+      spark.stop(); return
+    }
     SparkEntry.queries.get(name).foreach { fn =>
       if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
         fn(spark, sfDir).explain("formatted")
