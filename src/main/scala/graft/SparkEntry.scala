@@ -783,6 +783,37 @@ object SparkEntry {
       graft.sources.GovernedTable.read(s, path)
     }),
 
+    // Bucketed co-located join: orders and lineitem written bucketBy
+    // the order key, then joined and aggregated with ZERO exchanges —
+    // the write-once-join-often layout (BucketingSpec asserts the
+    // exchange-free plan; this query gates the numbers).
+    "q82_bucketed_join" -> ((s, dir) => {
+      // a fresh JVM has an empty in-memory catalog but the managed
+      // location survives on disk — clear both before the write
+      Seq("graft_b_orders", "graft_b_lineitem").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val wh = s.sessionState.conf.warehousePath
+        new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(s"$wh/$tbl"), true)
+      }
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      graft.operators.Bucketing.writeBucketed(
+        o, "graft_b_orders", Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"))
+      graft.operators.Bucketing.writeBucketed(
+        l, "graft_b_lineitem", Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"))
+      graft.operators.Bucketing
+        .bucketedJoin(s, "graft_b_orders", "graft_b_lineitem", Seq("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -1722,6 +1753,14 @@ object SparkEntry {
     "q81_governed_txn" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey <= 1 OR n_regionkey >= 3""".stripMargin,
+    // Bucketing is physical layout only — relationally it is the
+    // plain join+agg.
+    "q82_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT
