@@ -814,6 +814,15 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    // Deterministic epoch shuffle: every epoch is a reproducible
+    // pseudo-random permutation — (shard, pos) assigned from the
+    // epoch-keyed mix64, no RNG state. The oracle replays the mix in
+    // SQL and ranks within shards.
+    "q83_epoch_shuffle" -> ((s, dir) =>
+      Curation.epochShuffle(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", epoch = 3, numShards = 8)),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -1761,6 +1770,23 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    // Epoch shuffle: splitmix64 replay, then Spark's SIGNED long view
+    // of the key drives both the pmod shard and the rank order.
+    "q83_epoch_shuffle" ->
+      s"""WITH z0 AS (SELECT doc_id, lang,
+         |    (CAST(doc_id AS HUGEINT) + ${sqlMixAdd(3)})
+         |      % 18446744073709551616 AS z
+         |  FROM documents),
+         |${sqlMixFinal("doc_id, lang")},
+         |sgn AS (SELECT doc_id, lang,
+         |  CASE WHEN z >= 9223372036854775808
+         |       THEN z - 18446744073709551616 ELSE z END AS sk
+         |  FROM z3)
+         |SELECT doc_id, lang,
+         |  CAST(((sk % 8) + 8) % 8 AS INT) AS shard,
+         |  row_number() OVER (PARTITION BY ((sk % 8) + 8) % 8
+         |                     ORDER BY sk, doc_id) - 1 AS pos
+         |FROM sgn""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

@@ -47,4 +47,33 @@ object Curation {
       .select(explode(col("__ids")).as(idCol))
     df.join(winners, Seq(idCol), "left_semi")
   }
+
+  /** Deterministic epoch shuffle: the reproducible global training
+    * order. Each document gets a `(shard, pos)` — shard by the
+    * epoch-keyed [[graft.functions.Mix64]] of its id, position by the
+    * rank of that key within the shard — so every epoch is a fresh
+    * pseudo-random permutation that any retry, resumed job, or
+    * downstream reader reproduces exactly (no sampling state, no RNG).
+    *
+    * Scale posture (100 TB): one hash shuffle on the 8-byte key;
+    * ranking runs per shard, so `numShards` must be sized like output
+    * files — small enough that one shard's (id, key) pairs sort in
+    * one task (~1M docs/shard is comfortable; the sort never touches
+    * document text). The alternative — a global total order — is the
+    * single-task plan this operator exists to avoid.
+    */
+  def epochShuffle(
+      df: DataFrame, idCol: String, epoch: Int,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1 (got $numShards)")
+    import org.apache.spark.sql.expressions.Window
+    val key = graft.functions.Mix64.mix64(col(idCol).cast("long"), epoch)
+    df.withColumn("__key", key)
+      .withColumn("shard",
+        pmod(col("__key"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__key"), col(idCol))) - 1).cast("long"))
+      .drop("__key")
+  }
 }

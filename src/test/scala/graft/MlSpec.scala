@@ -61,6 +61,27 @@ class MlSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L, 12L))
   }
 
+  test("epoch shuffle is a reproducible per-epoch permutation") {
+    val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val e3a = Curation.epochShuffle(df, "doc_id", epoch = 3, numShards = 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val e3b = Curation.epochShuffle(df, "doc_id", epoch = 3, numShards = 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(e3a == e3b, "same epoch must reproduce the identical order")
+    // every doc appears once; within each shard positions are 0..n-1
+    assert(e3a.map(_._1) == (1L to 200L))
+    e3a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == rows.indices.map(_.toLong))
+    }
+    // a different epoch produces a different order
+    val e4 = Curation.epochShuffle(df, "doc_id", epoch = 4, numShards = 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(e3a != e4)
+  }
+
   test("jaccard pairs finds the near-dup pair with exact counts") {
     val pairs = Dedup.jaccardPairs(docs, "text", "doc_id")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
