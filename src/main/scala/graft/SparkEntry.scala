@@ -823,6 +823,34 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", epoch = 3, numShards = 8)),
 
+    // Corpus n-gram LM familiarity scoring (CCNet-shaped quality
+    // signal): trigram counts trained on the corpus itself, Zipf tail
+    // pruned below minCount, every doc scored by an integer
+    // floor(log2) log-likelihood proxy — engine-exact, no floating
+    // point log.
+    "q84_ngram_lm_score" -> ((s, dir) =>
+      TextAnalysis.ngramLmScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id")),
+
+    // Fuzzy incremental ingestion dedup: a re-crawl batch where most
+    // docs differ from the corpus only by a boilerplate tail (which
+    // defeats q77's exact fingerprint anti-join) and every fifth doc
+    // is genuinely novel; LSH band collision against the corpus index
+    // drops the near-dups, the novel docs survive.
+    "q85_incremental_minhash" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = base.select(
+        (col("doc_id") + 200000).as("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("novel crawl page "), col("doc_id").cast("string"),
+            lit(" entirely unseen content "),
+            (col("doc_id") * 31).cast("string")))
+          .otherwise(concat(col("text"), lit(" boilerplate tail")))
+          .as("text"))
+      Dedup.incrementalMinhash(batch, base, "text", "doc_id")
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -1007,6 +1035,53 @@ object SparkEntry {
     s"""z1 AS (SELECT $carry, ${sqlMixStage(30, 0xbf58476d1ce4e5b9L)} AS z FROM z0),
        |z2 AS (SELECT $carry, ${sqlMixStage(27, 0x94d049bb133111ebL)} AS z FROM z1),
        |z3 AS (SELECT $carry, ${sqlXor64("z", "z // 2147483648")} AS z FROM z2)""".stripMargin
+
+  /** The MinHash band replay as a CTE chain over `source`
+    * (doc_id, text): token trigram FNV shingles, the 64-seed splitmix
+    * kernel, per-seed minima, 16 bands of 4 ordered values — ending in
+    * `<p>bands(doc_id, b, content)`. Band equality is compared on
+    * (b, content) directly, so the engine's xxhash64 band-key step
+    * needs no replay. CTE names carry prefix `p` so two corpora can be
+    * banded in one statement (q85). Shared by the q39 dedup oracle.
+    */
+  private def sqlMinhashBands(source: String, p: String): String = {
+    val mix1 = sqlMixStage(30, 0xbf58476d1ce4e5b9L)
+    val mix2 = sqlMixStage(27, 0x94d049bb133111ebL)
+    val mix3 = sqlXor64("z", s"z // ${1L << 31}")
+    s"""${p}tok AS (SELECT doc_id,
+       |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM $source),
+       |${p}sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+       |      i -> ${sqlFnv(
+      // [:-2] drops the trailing separator: DuckDB slice bounds are
+      // INCLUSIVE, so [:-1] keeps the whole list (sf0.1 lesson — the
+      // stray 0x20 step made a consistent-but-wrong hash family that
+      // only diverged observably on one near-dup pair)
+      """flatten(list_transform(
+        |            list_filter([toks[i], toks[i + 1], toks[i + 2]], t -> t IS NOT NULL),
+        |            t -> list_append(
+        |              flatten(list_transform(string_split(t, ''),
+        |                ch -> [unicode(ch) % 256, unicode(ch) // 256])), 32))
+        |          )[:-2]""".stripMargin)})) AS s_u
+       |  FROM ${p}tok
+       |),
+       |${p}z0 AS (SELECT doc_id, seed,
+       |    (s_u + (seed + 1) * 11400714819323198485) % 18446744073709551616 AS z
+       |  FROM ${p}sh, (SELECT unnest(range(0, 64)) AS seed)),
+       |${p}z1 AS (SELECT doc_id, seed, $mix1 AS z FROM ${p}z0),
+       |${p}z2 AS (SELECT doc_id, seed, $mix2 AS z FROM ${p}z1),
+       |${p}z3 AS (SELECT doc_id, seed, $mix3 AS z FROM ${p}z2),
+       |${p}sig AS (
+       |  SELECT doc_id, seed,
+       |    min(CASE WHEN z >= 9223372036854775808
+       |        THEN CAST(z - 18446744073709551616 AS BIGINT)
+       |        ELSE CAST(z AS BIGINT) END) AS v
+       |  FROM ${p}z3 GROUP BY doc_id, seed),
+       |${p}bands AS (
+       |  SELECT doc_id, seed // 4 AS b, list(v ORDER BY seed) AS content
+       |  FROM ${p}sig GROUP BY doc_id, seed // 4)""".stripMargin
+  }
 
   /** The SimHash64 kernel replay as a CTE chain over `source`
     * (doc_id, text), ending in `sigs(doc_id, sig BIGINT)` — shared by
@@ -1260,54 +1335,18 @@ object SparkEntry {
     // over SIGNED longs, 16×4 band grouping by band CONTENT (equivalent
     // to Spark's band-hash buckets absent 64-bit hash collisions), a
     // doc survives iff no band bucket holds a smaller id.
-    "q39_minhash_dedup" -> {
-      val mix1 = sqlMixStage(30, 0xbf58476d1ce4e5b9L)
-      val mix2 = sqlMixStage(27, 0x94d049bb133111ebL)
-      val mix3 = sqlXor64("z", s"z // ${1L << 31}")
+    "q39_minhash_dedup" ->
       s"""WITH d AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 100000, text FROM documents
          |),
-         |tok AS (SELECT doc_id,
-         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM d),
-         |sh AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-         |      i -> ${sqlFnv(
-        // [:-2] drops the trailing separator: DuckDB slice bounds are
-        // INCLUSIVE, so [:-1] keeps the whole list (sf0.1 lesson — the
-        // stray 0x20 step made a consistent-but-wrong hash family that
-        // only diverged observably on one near-dup pair)
-        """flatten(list_transform(
-          |            list_filter([toks[i], toks[i + 1], toks[i + 2]], t -> t IS NOT NULL),
-          |            t -> list_append(
-          |              flatten(list_transform(string_split(t, ''),
-          |                ch -> [unicode(ch) % 256, unicode(ch) // 256])), 32))
-          |          )[:-2]""".stripMargin)})) AS s_u
-         |  FROM tok
-         |),
-         |z0 AS (SELECT doc_id, seed,
-         |    (s_u + (seed + 1) * 11400714819323198485) % 18446744073709551616 AS z
-         |  FROM sh, (SELECT unnest(range(0, 64)) AS seed)),
-         |z1 AS (SELECT doc_id, seed, $mix1 AS z FROM z0),
-         |z2 AS (SELECT doc_id, seed, $mix2 AS z FROM z1),
-         |z3 AS (SELECT doc_id, seed, $mix3 AS z FROM z2),
-         |sig AS (
-         |  SELECT doc_id, seed,
-         |    min(CASE WHEN z >= 9223372036854775808
-         |        THEN CAST(z - 18446744073709551616 AS BIGINT)
-         |        ELSE CAST(z AS BIGINT) END) AS v
-         |  FROM z3 GROUP BY doc_id, seed),
-         |bands AS (
-         |  SELECT doc_id, seed // 4 AS b, list(v ORDER BY seed) AS content
-         |  FROM sig GROUP BY doc_id, seed // 4),
+         |${sqlMinhashBands("d", "")},
          |bucket_min AS (
          |  SELECT b, content, min(doc_id) AS m FROM bands GROUP BY b, content)
          |SELECT bands.doc_id FROM bands
          |JOIN bucket_min USING (b, content)
          |GROUP BY bands.doc_id
-         |HAVING min(m) = bands.doc_id""".stripMargin
-    },
+         |HAVING min(m) = bands.doc_id""".stripMargin,
     // SimHash64: FNV-1a per token (two byte-steps per UTF-16 unit),
     // ±1 votes per bit via 32-bit halves, sign bits reassembled into a
     // signed BIGINT.
@@ -1787,6 +1826,48 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY ((sk % 8) + 8) % 8
          |                     ORDER BY sk, doc_id) - 1 AS pos
          |FROM sgn""".stripMargin,
+    // N-gram LM scoring: string trigrams stand in for the engine's
+    // 64-bit shingle hashes (counts agree absent hash collisions —
+    // the q41 equivalence), floor(log2) replayed as exact string
+    // arithmetic on the binary representation.
+    "q84_ngram_lm_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |gr AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(list_filter(
+        |      [toks[i], toks[i + 1], toks[i + 2]], x -> x IS NOT NULL),
+        |      ' '))) AS g
+        |  FROM t),
+        |m AS (SELECT g, count(*) AS c FROM gr GROUP BY g
+        |      HAVING count(*) >= 2)
+        |SELECT gr.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_ngrams,
+        |  CAST(count(CASE WHEN m.c IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_rare,
+        |  CAST(coalesce(sum(length(bin(m.c)) - 1), 0) AS BIGINT)
+        |    AS bits_score
+        |FROM gr LEFT JOIN m USING (g)
+        |GROUP BY gr.doc_id""".stripMargin,
+    // Incremental MinHash: both corpora run the full band replay;
+    // batch docs sharing any (b, content) band with the corpus drop.
+    "q85_incremental_minhash" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |batch AS (SELECT doc_id + 200000 AS doc_id,
+         |  CASE WHEN doc_id % 5 = 0
+         |       THEN 'novel crawl page ' || CAST(doc_id AS VARCHAR)
+         |         || ' entirely unseen content '
+         |         || CAST(doc_id * 31 AS VARCHAR)
+         |       ELSE text || ' boilerplate tail' END AS text
+         |  FROM documents),
+         |${sqlMinhashBands("base", "c")},
+         |${sqlMinhashBands("batch", "n")},
+         |hit AS (SELECT DISTINCT nbands.doc_id FROM nbands
+         |  JOIN cbands ON nbands.b = cbands.b
+         |             AND nbands.content = cbands.content)
+         |SELECT doc_id, text FROM batch
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

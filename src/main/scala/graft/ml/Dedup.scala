@@ -65,6 +65,30 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(signature, b * lit(rows) + lit(1), lit(rows))))
 
+  /** The (id, band key) table behind every MinHash/LSH operator: one
+    * row per (document, band). Staged projections ensure each
+    * expensive array is computed once per row (a fused expression
+    * would re-inline shingles into every consumer); the signature
+    * kernel is CPU-dense (numHashes finalizers per shingle) so a
+    * small scan is re-split across all slots first.
+    *
+    * This is also the PERSISTABLE index shape for recurring
+    * incremental runs: write it out once per corpus snapshot and feed
+    * it to [[incrementalMinhash]] as `corpusBands` instead of
+    * re-signing 100 TB per arriving batch.
+    */
+  def minhashBandTable(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    graft.operators.PhysicalOps.ensureParallelism(df)
+      .select(col(idCol), shingleHashes(col(textCol), shingleSize).as("__sh"))
+      .select(col(idCol), minhashSignature(col("__sh"), numHashes).as("__sig"))
+      .select(col(idCol), lshBandKeys(col("__sig"), bands, rows).as("__bands"))
+      .select(col(idCol), explode(col("__bands")).as("band"))
+  }
+
   /** MinHash+LSH near-dup removal: a document is dropped when some
     * band bucket contains a smaller id (cheap transitive-ish policy:
     * deterministic, one shuffle on band keys, no pairwise join).
@@ -223,6 +247,44 @@ object Dedup {
     newDf.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .join(baseFp, Seq("__fp"), "left_anti")
       .drop("__fp")
+  }
+
+  /** Fuzzy incremental ingestion dedup — the near-dup twin of
+    * [[incrementalExact]]: a batch document is dropped when ANY of its
+    * LSH band keys collides with a band key of the existing corpus, so
+    * re-crawls that differ by a boilerplate tail (which defeat the
+    * fingerprint anti-join) still dedup away. Batch-internal dups are
+    * NOT collapsed — compose with [[minhashDedup]] for that.
+    *
+    * `corpusBands` accepts either the corpus documents themselves or a
+    * pre-computed [[minhashBandTable]] snapshot (pass
+    * `corpusIsBandTable = true`): at 100 TB the corpus is signed ONCE
+    * per snapshot, written out as (id, band) — a few hundred bytes per
+    * document — and every arriving batch anti-joins against that index
+    * instead of re-hashing the lake.
+    *
+    * Scale posture: the corpus side reduces to DISTINCT 8-byte band
+    * keys before the join (map-side combine — hot bands collapse
+    * pre-exchange); the anti-join ships batch (id, band) pairs only;
+    * batch text never shuffles and a small batch against a huge index
+    * broadcasts the batch side under AQE.
+    */
+  def incrementalMinhash(
+      newDf: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3,
+      corpusIsBandTable: Boolean = false): DataFrame = {
+    val corpusKeys = (if (corpusIsBandTable) corpus.select(col("band"))
+      else minhashBandTable(corpus, textCol, idCol,
+        numHashes, bands, shingleSize).select(col("band")))
+      .distinct()
+    val batchBands =
+      minhashBandTable(newDf, textCol, idCol, numHashes, bands, shingleSize)
+    val dropped = batchBands
+      .join(corpusKeys, Seq("band"), "left_semi")
+      .select(col(idCol)).distinct()
+    newDf.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Corpus-wide line-level exact dedup (the C4 preprocessing step):

@@ -314,4 +314,55 @@ object TextAnalysis {
         floor((col("offset") + col("n_tokens") - 1) / seqLen).cast("long")
           .as("seq_last"))
   }
+
+  /** Corpus n-gram LM familiarity scoring (the CCNet/KenLM-shaped
+    * quality signal, integer-exact): train word-`n`-gram occurrence
+    * counts over the corpus itself, prune the Zipf tail below
+    * `minCount`, then score every document by how familiar its
+    * n-grams are to the trained table. Documents full of n-grams the
+    * corpus has never seen twice are boilerplate-free but also
+    * gibberish-prone; documents whose every n-gram is corpus-common
+    * are template spam — both ends of the score distribution are
+    * filter candidates.
+    *
+    * Returns (idCol, n_ngrams, n_rare, bits_score):
+    *  - `n_ngrams`    — n-gram occurrences in the doc (multiset);
+    *  - `n_rare`      — occurrences whose n-gram fell below `minCount`
+    *                    corpus-wide (unknown to the "model");
+    *  - `bits_score`  — Σ floor(log2(corpusCount)) over known
+    *                    occurrences: an integer log-likelihood proxy
+    *                    (floor(log2) computed as `length(bin(c)) - 1`,
+    *                    exact string arithmetic — no floating-point
+    *                    log whose last bit could differ across
+    *                    engines). Normalize by `n_ngrams` caller-side
+    *                    for a per-token score.
+    *
+    * Scale posture (100 TB): the count table groups 8-byte shingle
+    * hashes (map-side combine collapses hot n-grams before the
+    * exchange) and the `minCount` prune drops the Zipf tail — the
+    * singleton mass that dominates raw n-gram tables — before the
+    * table is ever joined. The scoring join is a 1:1 enrich on a long
+    * key (no row blowup on hot n-grams: the count side is unique per
+    * hash), and the final per-doc aggregation ships (id, partial sums)
+    * only. Document text never shuffles; both passes read the corpus
+    * scan, shuffling only hashes and counts.
+    */
+  def ngramLmScore(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minCount: Long = 2): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(Dedup.shingleHashes(col(textCol), n)).as("g"))
+    val model = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+    grams.join(model, Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        count(when(col("__c").isNull, 1)).as("n_rare"),
+        coalesce(sum(length(bin(col("__c"))) - 1), lit(0L))
+          .cast("long").as("bits_score"))
+      .select(col("id").as(idCol), col("n_ngrams"), col("n_rare"),
+        col("bits_score"))
+  }
 }

@@ -169,6 +169,43 @@ class MlSpec extends AnyFunSuite {
     assert(Dedup.incrementalExact(twin, baseDf, "text").count() == 2L)
   }
 
+  test("incrementalMinhash drops near-dup re-crawls, keeps novel docs") {
+    val baseDf = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                        // verbatim re-crawl → dropped
+      (11L, base + " boilerplate tail"),  // near-dup (exact miss) → dropped
+      (12L, "entirely novel page about distributed minhash band indexes")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalMinhash(batch, baseDf, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(12L))
+    // the exact twin misses the tail variant — that's the gap this closes
+    assert(Dedup.incrementalExact(batch, baseDf, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 12L))
+    // a pre-computed band-table snapshot gives identical answers
+    val index = Dedup.minhashBandTable(baseDf, "text", "doc_id")
+    val viaIndex = Dedup.incrementalMinhash(batch, index, "text", "doc_id",
+        corpusIsBandTable = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaIndex == Seq(12L))
+  }
+
+  test("ngramLmScore: integer familiarity algebra on a hand-checked corpus") {
+    // unigrams, minCount=2: counts a=4 (floor log2 = 2), b=2 (1); c is
+    // a singleton → pruned from the model
+    val df = Seq((1L, "a a a"), (2L, "a b"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLmScore(df, "text", "doc_id",
+        n = 1, minCount = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_ngrams", "n_rare", "bits_score")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, 6L),   // three a's: 3 × floor(log2 4)
+      (2L, 2L, 0L, 3L),   // a (2 bits) + b (1 bit)
+      (3L, 2L, 1L, 1L)))  // b known (1 bit), c rare
+  }
+
   test("weightedMix: whole epochs replicate exactly, remainder samples") {
     import graft.ml.Sketches
     val df = (0L until 256L).map(i => (i, if (i % 2 == 0) "en" else "de"))
