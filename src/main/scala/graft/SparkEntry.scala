@@ -851,6 +851,16 @@ object SparkEntry {
       Dedup.incrementalMinhash(batch, base, "text", "doc_id")
     }),
 
+    // SemDeDup (semantic dedup over embeddings): q53's LSH-bucketed
+    // pairs -> transitive closure -> keep each cluster's min id +
+    // every unpaired vector. The oracle replays the deterministic
+    // bucketing and closes over the pair graph with a recursive CTE.
+    "q86_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dim = 64, minCosine = 0.35, planes = 4)
+        .select(col("vec_id"))),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -1932,6 +1942,34 @@ object SparkEntry {
          | WHERE a.bk = x.bk AND a.vec_id < x.vec_id)
          |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
          |WHERE raw >= 0.35""".stripMargin,
+    // SemDeDup: the q53 bucketing+scoring replay feeds a recursive
+    // transitive closure (the q80 pattern); survivors are unpaired
+    // vectors plus each cluster's min id.
+    "q86_semdedup" ->
+      s"""WITH RECURSIVE coded AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u,
+         |    list_sum(list_transform(range(1, 5), p ->
+         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> CAST(embedding[i] AS DOUBLE) * ($lshPlaneMatrixSql)[p][i])) >= 0
+         |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b
+         | FROM coded a, coded x
+         | WHERE a.bk = x.bk AND a.vec_id < x.vec_id
+         |   AND list_sum(list_transform(range(1, len(a.u) + 1),
+         |     i -> a.u[i] * x.u[i])) >= 0.35),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM p
+         |        UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+         |m AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+         |SELECT e.vec_id FROM embeddings e LEFT JOIN m ON m.id = e.vec_id
+         |WHERE m.id IS NULL OR m.mn >= e.vec_id""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

@@ -394,4 +394,36 @@ object Similarity {
       .filter(col("score") >= minCosine)
       .select(col("a.id").as("id_a"), col("x.id").as("id_b"), col("score"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * drop every embedding whose vector is near-duplicate — cosine ≥
+    * `minCosine` — of a kept one, resolving chains transitively. The
+    * pipeline is [[nearDupPairs]] (LSH-bucketed candidates, exact
+    * cosine verify) → [[Graph.connectedComponents]] over the pair
+    * graph → keep each cluster's smallest id plus every unpaired row.
+    * Pairs alone under-delete: A~B and B~C must drop both B and C
+    * even when A!~C directly — same reason [[Dedup.fuzzyDedup]]
+    * closes over text pairs.
+    *
+    * Scale posture inherits from the parts: the candidate join is
+    * Σ_bucket n_b² (never global n²), the closure shuffles 16-byte
+    * (id, label) pairs only, and the final anti-join keys on the id —
+    * embeddings themselves never move after the coded projection.
+    * Pass `checkpointDir` on a real cluster (see
+    * [[Graph.connectedComponents]]).
+    */
+  def semDedup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double, planes: Int = 8,
+      seed: Long = 42L, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs =
+      nearDupPairs(embeddings, idCol, vecCol, dim, minCosine, planes, seed)
+        .select(col("id_a"), col("id_b"))
+    val losers = Graph
+      .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    embeddings.join(losers, Seq(idCol), "left_anti")
+  }
 }

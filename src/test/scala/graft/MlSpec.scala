@@ -48,6 +48,25 @@ class MlSpec extends AnyFunSuite {
     assert(kept == Seq(10L, 13L))
   }
 
+  test("semDedup drops transitive embedding chains, keeps min + singletons") {
+    val dim = 8
+    val a = Array.fill(dim)(1.0 / math.sqrt(dim))
+    val b = Array.tabulate(dim)(i =>
+      (if (i % 2 == 0) 1.0 else -1.0) / math.sqrt(dim))
+    def v(theta: Double): Seq[Float] = Array.tabulate(dim)(i =>
+      (math.cos(theta) * a(i) + math.sin(theta) * b(i)).toFloat).toSeq
+    val emb = Seq(
+      (1L, v(0)), (2L, v(math.Pi / 6)), (3L, v(math.Pi / 3)),
+      (4L, v(math.Pi))).toDF("vec_id", "embedding")
+    // planes = 0 puts everything in one bucket, isolating the closure:
+    // cos(1,2) = cos(2,3) = 0.866 >= 0.8 but cos(1,3) = 0.5 — the
+    // chain still collapses to one cluster; 4 is antiparallel, kept
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding",
+        dim = dim, minCosine = 0.8, planes = 0)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
+
   test("domain cap keeps the k smallest ids per host") {
     val rows = (1L to 30L).map { i =>
       val host = if (i % 3 == 0) "a.example.com" else "b.example.com"
