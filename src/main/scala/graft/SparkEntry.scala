@@ -861,6 +861,22 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64, minCosine = 0.35, planes = 4)
         .select(col("vec_id"))),
 
+    // Exact distributed quantiles (no global sort): value histogram ->
+    // range-partitioned prefix sums -> broadcast rank probe. The
+    // oracle computes the same lower-interpolation ranks by window.
+    "q87_exact_quantiles" -> ((s, dir) =>
+      Sketches.exactQuantiles(
+        t(s, dir, "lineitem").select(col("l_extendedprice")),
+        "l_extendedprice", Seq(0.01, 0.25, 0.5, 0.75, 0.99))),
+
+    // Inverted index with df-band pruning: census first ([minDf,
+    // maxDf] — the upper bound keeps every posting-assembly task
+    // bounded), postings only for surviving terms.
+    "q88_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", minDf = 2, maxDf = 4000)),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -1970,6 +1986,29 @@ object SparkEntry {
          |m AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
          |SELECT e.vec_id FROM embeddings e LEFT JOIN m ON m.id = e.vec_id
          |WHERE m.id IS NULL OR m.mn >= e.vec_id""".stripMargin,
+    // Exact quantiles: lower-interpolation rank floor(p*(n-1))+1
+    // probed against the full window rank (small table in DuckDB; the
+    // engine side computes the same ranks distributed).
+    "q87_exact_quantiles" ->
+      """WITH s AS (SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem),
+        |ps AS (SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS p)
+        |SELECT p, v AS l_extendedprice FROM ps
+        |JOIN s ON s.rn = CAST(floor(p * (n - 1)) AS BIGINT) + 1""".stripMargin,
+    // Inverted index: per-doc distinct whitespace tokens, df census
+    // banded to [2, 100], ordered posting lists.
+    "q88_inverted_index" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    unnest(list_distinct(list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> ''))) AS term
+        |  FROM documents),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY term
+        |      HAVING count(*) BETWEEN 2 AND 4000)
+        |SELECT term, df, list(id ORDER BY id) AS postings
+        |FROM t JOIN d USING (term) GROUP BY term, df""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

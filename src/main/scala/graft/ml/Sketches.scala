@@ -189,4 +189,69 @@ object Sketches {
     cmsEstimate(counters, exact, tokenCol, depth, width)
       .orderBy(col("cnt").desc, col(tokenCol))
   }
+
+  /** EXACT quantiles of a column without a global sort — the profiling
+    * primitive `approx_percentile` trades away and `Window.orderBy`
+    * (no partition) cannot survive at scale (it collapses the table
+    * into one task). For each requested fraction `p` the value at
+    * 1-based rank `floor(p * (n-1)) + 1` of the sorted column is
+    * returned — the same "lower interpolation" rule as DuckDB's
+    * `quantile_disc`/numpy's `interpolation='lower'`.
+    *
+    * Plan shape (all stages distributed):
+    *  1. value histogram: `groupBy(value).count()` — map-side combine
+    *     collapses duplicates before the only data-sized shuffle;
+    *  2. range-repartition the (value, count) table by value and take
+    *     per-partition running sums in parallel;
+    *  3. lift local sums to global rank intervals with a
+    *     partition-count-sized prefix table (broadcast) — the
+    *     [[TextAnalysis.packingManifest]] distributed-prefix-sum
+    *     pattern;
+    *  4. each quantile's rank probes the interval table with a
+    *     broadcast range join — `ps.length` rows against the
+    *     histogram, never data × data.
+    *
+    * The histogram is persisted: range boundaries are sampled, so the
+    * totals pass and the probe join must see one consistent
+    * partitioning (recomputation could re-sample different bounds).
+    *
+    * Returns (p double, value) sorted by p.
+    */
+  def exactQuantiles(
+      df: DataFrame, valueCol: String, ps: Seq[Double],
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"fractions must be in [0, 1], got $ps")
+    val nPart = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val hist = df.select(col(valueCol).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .repartitionByRange(nPart, col("v"))
+      .sortWithinPartitions(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__hi_local",
+        sum(col("c")).over(Window.partitionBy(col("__pid"))
+          .orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .persist()
+    val prefixes = hist.groupBy(col("__pid"))
+      .agg(sum(col("c")).as("__t"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__t")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__prefix"))
+    val ranks = hist.agg(sum(col("c")).as("__n"))
+      .select(explode(typedlit(ps.sorted)).as("p"), col("__n"))
+      .select(col("p"),
+        (floor(col("p") * (col("__n") - 1)) + 1).cast("long").as("__k"))
+    hist.join(broadcast(prefixes), Seq("__pid"))
+      .withColumn("__hi", col("__prefix") + col("__hi_local"))
+      .withColumn("__lo", col("__hi") - col("c") + 1)
+      .join(broadcast(ranks),
+        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+      .select(col("p"), col("v").as(valueCol))
+      .orderBy(col("p"))
+  }
 }

@@ -347,6 +347,41 @@ object TextAnalysis {
     * only. Document text never shuffles; both passes read the corpus
     * scan, shuffling only hashes and counts.
     */
+  /** Distributed inverted index: term → sorted posting list of doc
+    * ids, with document frequency. Terms outside `[minDf, maxDf]` are
+    * dropped — `minDf` prunes the hapax tail, and `maxDf` is the
+    * SCALE bound, not a tuning nicety: it excludes stopword-class
+    * terms BEFORE posting assembly, so no `collect_list` ever gathers
+    * more than `maxDf` ids in one key's task (the unbounded hot-term
+    * posting list is the classic index-build OOM). A real index
+    * doesn't want those terms anyway — a posting list matching half
+    * the corpus filters nothing.
+    *
+    * Plan shape: tokens are deduped per document in the scan
+    * projection (array_distinct — no shuffle), the DF census is one
+    * map-side-combined groupBy over (term) pairs, the band of
+    * surviving terms broadcasts back as a semi-join filter, and only
+    * then do (term, id) pairs shuffle for assembly — text never
+    * moves, and every shuffled pair belongs to a bounded posting.
+    *
+    * Returns (term, df, postings array<id> ascending).
+    */
+  def invertedIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      minDf: Long = 2, maxDf: Long = 10000): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf, got [$minDf, $maxDf]")
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(filter(tokens(col(textCol)),
+        t => length(t) > 0))).as("term"))
+    val dfs = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    toks.join(dfs, Seq("term"))
+      .groupBy(col("term"), col("df"))
+      .agg(sort_array(collect_list(col("id"))).as("postings"))
+  }
+
   def ngramLmScore(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minCount: Long = 2): DataFrame = {

@@ -225,6 +225,22 @@ class MlSpec extends AnyFunSuite {
       (3L, 2L, 1L, 1L)))  // b known (1 bit), c rare
   }
 
+  test("invertedIndex bands df and returns ordered postings") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta"),
+      (3L, "alpha delta delta"), // per-doc distinct: delta counts once
+      (4L, "delta alpha")).toDF("doc_id", "text")
+    val ix = TextAnalysis.invertedIndex(docs, "text", "doc_id",
+        minDf = 2, maxDf = 3)
+      .orderBy("term")
+      .as[(String, Long, Seq[Long])].collect().toSeq
+    // alpha df=4 > maxDf (stopword class) and gamma df=1 < minDf
+    // (hapax) both prune; postings are ascending doc ids
+    assert(ix == Seq(("beta", 2L, Seq(1L, 2L)),
+      ("delta", 2L, Seq(3L, 4L))))
+  }
+
   test("weightedMix: whole epochs replicate exactly, remainder samples") {
     import graft.ml.Sketches
     val df = (0L until 256L).map(i => (i, if (i % 2 == 0) "en" else "de"))

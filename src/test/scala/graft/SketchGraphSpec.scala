@@ -90,6 +90,33 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(hh == Seq(("a", 9L), ("b", 5L), ("c", 2L)))
   }
 
+  test("exactQuantiles matches hand-computed lower-interpolation ranks") {
+    // 1..100 shuffled: rank k = floor(p*99)+1 → p=0 →1, .5 →50, 1 →100
+    val df = scala.util.Random.shuffle((1 to 100).toList)
+      .map(_.toDouble).toDF("x")
+    val qs = Sketches.exactQuantiles(df, "x", Seq(0.0, 0.5, 0.9, 1.0))
+      .as[(Double, Double)].collect().toSeq
+    assert(qs == Seq((0.0, 1.0), (0.5, 50.0), (0.9, 90.0), (1.0, 100.0)))
+    // duplicate mass: [1,1,1,2] → p=0.5 hits rank 2, still value 1
+    val dup = Seq(1.0, 1.0, 1.0, 2.0).toDF("x")
+    val m = Sketches.exactQuantiles(dup, "x", Seq(0.5, 1.0))
+      .as[(Double, Double)].collect().toSeq
+    assert(m == Seq((0.5, 1.0), (1.0, 2.0)))
+  }
+
+  test("exactQuantiles: every data-sized window is partition-local") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val q = Sketches.exactQuantiles(df, "x", Seq(0.5))
+    q.collect()
+    val specs = "windowspecdefinition\\([^)]*\\)".r
+      .findAllIn(q.queryExecution.executedPlan.toString).toList
+    // the running sum over the value histogram must carry the __pid
+    // partition key; the only global-order window is over the
+    // partition-count-sized totals table (no v# reference)
+    val dataSpecs = specs.filter(_.contains("v#"))
+    assert(dataSpecs.nonEmpty && dataSpecs.forall(_.contains("__pid")))
+  }
+
   // ----------------------------------------------------------- sampling
 
   test("stratified sample is deterministic and respects per-stratum rates") {
