@@ -851,6 +851,19 @@ object SparkEntry {
       Dedup.incrementalMinhash(batch, base, "text", "doc_id")
     }),
 
+    // Corpus-overlap estimate: two snapshots (half the docs replaced
+    // by novel text) reduce to 64-row corpus MinHash signatures; the
+    // estimator is the fraction of agreeing seeds — no corpus join.
+    "q90_corpus_overlap" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val snap = base.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("novel snapshot page "), col("doc_id").cast("string"),
+            lit(" fresh content "), (col("doc_id") * 17).cast("string")))
+          .otherwise(col("text")).as("text"))
+      Dedup.corpusOverlap(base, snap, "text")
+    }),
+
     // SemDeDup (semantic dedup over embeddings): q53's LSH-bucketed
     // pairs -> transitive closure -> keep each cluster's min id +
     // every unpaired vector. The oracle replays the deterministic
@@ -1986,6 +1999,26 @@ object SparkEntry {
          |m AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
          |SELECT e.vec_id FROM embeddings e LEFT JOIN m ON m.id = e.vec_id
          |WHERE m.id IS NULL OR m.mn >= e.vec_id""".stripMargin,
+    // Corpus overlap: both snapshots run the splitmix64 band replay;
+    // corpus minima per seed agree exactly or not at all.
+    "q90_corpus_overlap" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |snap AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0
+         |       THEN 'novel snapshot page ' || CAST(doc_id AS VARCHAR)
+         |         || ' fresh content ' || CAST(doc_id * 17 AS VARCHAR)
+         |       ELSE text END AS text
+         |  FROM documents),
+         |${sqlMinhashBands("base", "c")},
+         |${sqlMinhashBands("snap", "n")},
+         |ca AS (SELECT seed, min(v) AS v FROM csig GROUP BY seed),
+         |nb AS (SELECT seed, min(v) AS v FROM nsig GROUP BY seed)
+         |SELECT count(*) AS n_seeds,
+         |  count(CASE WHEN ca.v = nb.v THEN 1 END) AS n_equal,
+         |  CAST(count(CASE WHEN ca.v = nb.v THEN 1 END) AS DOUBLE)
+         |    / count(*) AS jaccard_est
+         |FROM ca JOIN nb USING (seed)""".stripMargin,
+
     // Exact quantiles: lower-interpolation rank floor(p*(n-1))+1
     // probed against the full window rank (small table in DuckDB; the
     // engine side computes the same ranks distributed).

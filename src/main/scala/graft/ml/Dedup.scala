@@ -287,6 +287,53 @@ object Dedup {
     newDf.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-level MinHash signature: one (seed, min-hash) row per
+    * permutation — the min over the UNION of every document's shingle
+    * set, which equals the element-wise min of per-document
+    * signatures. This is the mergeable sketch for whole-corpus
+    * comparisons: signatures of shards/snapshots combine by the same
+    * element-wise min, so a 100 TB corpus is summarized shard-by-shard
+    * with no global pass.
+    *
+    * Scale posture: signatures are computed in the scan projection;
+    * after map-side combine, at most `numHashes` (seed, min) pairs
+    * leave each partition — the shuffle is bounded by the sketch size,
+    * not the corpus (the [[Sketches]] discipline).
+    */
+  def corpusSignature(
+      df: DataFrame, textCol: String,
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
+    graft.operators.PhysicalOps.ensureParallelism(df)
+      .select(minhashSignature(
+        shingleHashes(col(textCol), shingleSize), numHashes).as("__sig"))
+      .select(posexplode(col("__sig")).as(Seq("seed", "v")))
+      .groupBy(col("seed")).agg(min(col("v")).as("v"))
+
+  /** Estimated Jaccard overlap between two corpora's shingle sets —
+    * the "how much of B have we already got in A" census question
+    * (crawl-snapshot overlap, benchmark-vs-corpus contamination rate,
+    * dataset-vendor dedup diligence) answered WITHOUT a join between
+    * the corpora: each side reduces to its `numHashes`-row
+    * [[corpusSignature]] and the estimate is the fraction of seeds
+    * whose corpus-minima agree (the classic MinHash estimator,
+    * Broder '97).
+    *
+    * Returns one row: (n_seeds, n_equal, jaccard_est = n_equal /
+    * n_seeds). Standard error ≈ 1/sqrt(numHashes).
+    */
+  def corpusOverlap(
+      a: DataFrame, b: DataFrame, textCol: String,
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val sa = corpusSignature(a, textCol, numHashes, shingleSize)
+    val sb = corpusSignature(b, textCol, numHashes, shingleSize)
+      .withColumnRenamed("v", "vb")
+    sa.join(sb, Seq("seed"))
+      .agg(count(lit(1)).as("n_seeds"),
+        count(when(col("v") === col("vb"), 1)).as("n_equal"))
+      .select(col("n_seeds"), col("n_equal"),
+        (col("n_equal").cast("double") / col("n_seeds")).as("jaccard_est"))
+  }
+
   /** Corpus-wide line-level exact dedup (the C4 preprocessing step):
     * every line (split on `sep`) is kept only at its FIRST occurrence
     * in the corpus — ordered by (doc id, line index) — and each

@@ -225,6 +225,27 @@ class MlSpec extends AnyFunSuite {
       (3L, 2L, 1L, 1L)))  // b known (1 bit), c rare
   }
 
+  test("corpusOverlap: identical=1.0, disjoint=0, shards merge by min") {
+    val a = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val b = Seq(
+      (1L, "totally different words about gardening and weather patterns"),
+      (2L, "unrelated second document mentioning ships and harbors at dawn"))
+      .toDF("doc_id", "text")
+    assert(Dedup.corpusOverlap(a, a, "text")
+      .select("jaccard_est").as[Double].head() == 1.0)
+    assert(Dedup.corpusOverlap(a, b, "text")
+      .select("n_equal").as[Long].head() == 0L)
+    // mergeability: element-wise min of shard signatures == the
+    // signature of the union (what makes shard-by-shard 100 TB
+    // summaries possible)
+    val union = a.unionByName(b.withColumn("doc_id", col("doc_id") + 10))
+    val global = Dedup.corpusSignature(union, "text").collect().toSet
+    val merged = Dedup.corpusSignature(a, "text")
+      .unionByName(Dedup.corpusSignature(b, "text"))
+      .groupBy("seed").agg(min("v").as("v")).collect().toSet
+    assert(global == merged)
+  }
+
   test("invertedIndex bands df and returns ordered postings") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
