@@ -851,6 +851,23 @@ object SparkEntry {
       Dedup.incrementalMinhash(batch, base, "text", "doc_id")
     }),
 
+    // URL canonicalization: messy crawl URLs (mixed-case scheme/host,
+    // default ports, userinfo, trailing slash, tracking params,
+    // fragments) normalized to the dedup key form. Regex-only, so the
+    // oracle replays the identical ASCII rules.
+    "q89_url_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("HTTP://WWW.Example.COM:80"))
+            .when(col("doc_id") % 3 === 1, lit("https://CDN.example.com:443"))
+            .otherwise(lit("https://user@Example.com:8443")),
+          lit("/Docs/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&b=2&a=1&gclid=x#frag")).as("url"))
+      d.select(col("doc_id"),
+        Curation.canonicalizeUrl(col("url")).as("canon_url"))
+    }),
+
     // Corpus-overlap estimate: two snapshots (half the docs replaced
     // by novel text) reduce to 64-row corpus MinHash signatures; the
     // estimator is the fraction of agreeing seeds — no corpus join.
@@ -1999,6 +2016,42 @@ object SparkEntry {
          |m AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
          |SELECT e.vec_id FROM embeddings e LEFT JOIN m ON m.id = e.vec_id
          |WHERE m.id IS NULL OR m.mn >= e.vec_id""".stripMargin,
+    // URL canonicalization: the same regex family replayed step by
+    // step (scheme/host lowercase, userinfo+default-port drop,
+    // trailing-slash strip, tracking-param filter, param sort).
+    "q89_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.Example.COM:80'
+        |        WHEN doc_id % 3 = 1 THEN 'https://CDN.example.com:443'
+        |        ELSE 'https://user@Example.com:8443' END)
+        |  || '/Docs/' || CAST(doc_id AS VARCHAR)
+        |  || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |  || '?utm_source=feed&b=2&a=1&gclid=x#frag' AS url
+        |  FROM documents),
+        |parts AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+        |  regexp_replace(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |p2 AS (SELECT doc_id, scheme, path,
+        |  lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+        |  regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        |  array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p,
+        |      '^(utm_[^=&]*|gclid|fbclid)(=[^&]*)?$'))), '&') AS kept
+        |  FROM parts)
+        |SELECT doc_id,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |       ELSE scheme || '://' || host ||
+        |         (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |                    OR (scheme = 'https' AND port = '443') THEN ''
+        |               ELSE ':' || port END) || path ||
+        |         (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)
+        |  END AS canon_url
+        |FROM p2""".stripMargin,
+
     // Corpus overlap: both snapshots run the splitmix64 band replay;
     // corpus minima per seed agree exactly or not at all.
     "q90_corpus_overlap" ->

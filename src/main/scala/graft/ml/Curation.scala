@@ -48,6 +48,43 @@ object Curation {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Canonical URL for dedup keying: crawls reach the same page as
+    * `HTTP://WWW.Site.COM:80/a/?utm_source=x` and
+    * `http://www.site.com/a` — URL-level dedup is worthless without
+    * normalization. Rules (the conservative, semantics-preserving
+    * set): scheme and host lowercase, userinfo and default ports
+    * (http:80, https:443) dropped, trailing path slashes stripped,
+    * fragment dropped, tracking params (`utm_*`, `gclid`, `fbclid`)
+    * removed, surviving query params sorted. Path and param case is
+    * PRESERVED (paths are case-sensitive). Null for rows with no
+    * `scheme://host`.
+    *
+    * Deliberately regex-only — the same ASCII regex family as
+    * [[TextAnalysis.redactPii]] — so any engine replays it exactly
+    * (`try_parse_url`'s java.net semantics have no DuckDB twin); a
+    * single codegen'd projection, no shuffle, no UDF.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth   = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host   = lower(regexp_extract(auth, "^(?:[^@]*@)?([^:]*)", 1))
+    val port   = regexp_extract(auth, ":([0-9]+)$", 1)
+    val path   = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val query  = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"), p =>
+      length(p) > 0 &&
+        !p.rlike("^(utm_[^=&]*|gclid|fbclid)(=[^&]*)?$"))), "&")
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
+  }
+
   /** Deterministic epoch shuffle: the reproducible global training
     * order. Each document gets a `(shard, pos)` — shard by the
     * epoch-keyed [[graft.functions.Mix64]] of its id, position by the

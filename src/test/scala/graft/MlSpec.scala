@@ -225,6 +225,23 @@ class MlSpec extends AnyFunSuite {
       (3L, 2L, 1L, 1L)))  // b known (1 bit), c rare
   }
 
+  test("canonicalizeUrl normalizes crawl-variant URLs to one key") {
+    val urls = Seq(
+      (1L, "HTTP://WWW.Site.COM:80/A/b/?utm_source=x&z=1&gclid=g#top"),
+      (2L, "http://www.site.com/A/b?z=1"),          // same page as 1
+      (3L, "https://u:pw@Host.net:8443/p?b=2&a=1"), // userinfo drops, port stays
+      (4L, "https://host.net:443/p"),               // default port drops
+      (5L, "not a url at all")).toDF("id", "url")
+    val out = urls.select($"id",
+        Curation.canonicalizeUrl($"url").as("c"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L) == Some("http://www.site.com/A/b?z=1"))
+    assert(out(1L) == out(2L)) // the whole point: one dedup key
+    assert(out(3L) == Some("https://host.net:8443/p?a=1&b=2"))
+    assert(out(4L) == Some("https://host.net/p"))
+    assert(out(5L).isEmpty)
+  }
+
   test("corpusOverlap: identical=1.0, disjoint=0, shards merge by min") {
     val a = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
     val b = Seq(
