@@ -851,6 +851,22 @@ object SparkEntry {
       Dedup.incrementalMinhash(batch, base, "text", "doc_id")
     }),
 
+    // Leak-free deterministic dataset split: mix64(doc_id) buckets →
+    // valid/test/train labels; a document can never migrate between
+    // splits across runs or corpus snapshots.
+    "q91_dataset_split" -> ((s, dir) =>
+      Curation.datasetSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", valid1024 = 64, test1024 = 64)),
+
+    // Z-order (Morton) layout key: bit-interleave two join/filter
+    // dimensions so range-sorted files carry compact bounding boxes in
+    // BOTH — file-statistics pruning for either predicate.
+    "q92_zorder_key" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.zOrderKey(
+          col("l_partkey"), col("l_suppkey"), 10).as("zkey"))),
+
     // URL canonicalization: messy crawl URLs (mixed-case scheme/host,
     // default ports, userinfo, trailing slash, tracking params,
     // fragments) normalized to the dedup key form. Regex-only, so the
@@ -1091,6 +1107,15 @@ object SparkEntry {
     s"""z1 AS (SELECT $carry, ${sqlMixStage(30, 0xbf58476d1ce4e5b9L)} AS z FROM z0),
        |z2 AS (SELECT $carry, ${sqlMixStage(27, 0x94d049bb133111ebL)} AS z FROM z1),
        |z3 AS (SELECT $carry, ${sqlXor64("z", "z // 2147483648")} AS z FROM z2)""".stripMargin
+
+  /** The Morton interleave of [[graft.operators.Layout.zOrderKey]] as
+    * a bitwise-OR chain — one term list drives both engines (the
+    * Spark side folds the same shifts over the same bit indices).
+    */
+  private def sqlZOrder(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"(((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" | ")
 
   /** The MinHash band replay as a CTE chain over `source`
     * (doc_id, text): token trigram FNV shingles, the 64-seed splitmix
@@ -2016,6 +2041,27 @@ object SparkEntry {
          |m AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
          |SELECT e.vec_id FROM embeddings e LEFT JOIN m ON m.id = e.vec_id
          |WHERE m.id IS NULL OR m.mn >= e.vec_id""".stripMargin,
+    // Dataset split: full mix64 kernel replay (seed 11), low 10 bits
+    // against the 64/64/896 thresholds.
+    "q91_dataset_split" ->
+      s"""WITH z0 AS (SELECT doc_id, lang,
+         |    (CAST(doc_id AS HUGEINT) + ${sqlMixAdd(11)})
+         |      % 18446744073709551616 AS z
+         |  FROM documents),
+         |${sqlMixFinal("doc_id, lang")}
+         |SELECT doc_id, lang,
+         |  CASE WHEN z % 1024 < 64 THEN 'valid'
+         |       WHEN z % 1024 < 128 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM z3""".stripMargin,
+    // Z-order key: the same shift/mask interleave, generated for both
+    // engines from one bit list.
+    "q92_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(${sqlZOrder("(l_partkey & 1023)", "(l_suppkey & 1023)", 10)}
+         |    AS BIGINT) AS zkey
+         |FROM lineitem""".stripMargin,
+
     // URL canonicalization: the same regex family replayed step by
     // step (scheme/host lowercase, userinfo+default-port drop,
     // trailing-slash strip, tracking-param filter, param sort).

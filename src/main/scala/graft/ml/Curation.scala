@@ -48,6 +48,33 @@ object Curation {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Leak-free deterministic train/valid/test split: the assignment
+    * is a pure function of the document KEY (mix64 bucket in [0,
+    * 1024)), so a document can never migrate between splits across
+    * runs, retries, corpus re-shuffles, or snapshot releases — the
+    * property that matters, because a test document that drifts into
+    * a later training release silently contaminates every eval on it.
+    * Rows land in `valid` on buckets [0, valid1024), `test` on
+    * [valid1024, valid1024+test1024), `train` otherwise.
+    *
+    * Scale posture: a stateless projection — no shuffle, no RNG
+    * state, no sampling pass; composes with partition pruning when
+    * the split column is used as a write partition.
+    */
+  def datasetSplit(
+      df: DataFrame, keyCol: String,
+      valid1024: Int, test1024: Int, seed: Int = 11): DataFrame = {
+    require(valid1024 >= 0 && test1024 >= 0 &&
+      valid1024 + test1024 <= 1024,
+      s"split fractions must fit 1024ths, got valid=$valid1024 test=$test1024")
+    val bucket = graft.functions.Mix64
+      .mix64(col(keyCol).cast("long"), seed).bitwiseAND(lit(1023L))
+    df.withColumn("split",
+      when(bucket < valid1024, lit("valid"))
+        .when(bucket < valid1024 + test1024, lit("test"))
+        .otherwise(lit("train")))
+  }
+
   /** Canonical URL for dedup keying: crawls reach the same page as
     * `HTTP://WWW.Site.COM:80/a/?utm_source=x` and
     * `http://www.site.com/a` — URL-level dedup is worthless without

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -31,11 +31,13 @@ object Graph {
     * the edge table). Dup clusters are clique-ish and converge in 2
     * rounds; `maxIter` bounds adversarial inputs.
     *
-    * Each round is exactly ONE job: the label table is checkpointed
-    * (truncating lineage — otherwise the plan nests one join per round
-    * and planning time grows without bound) and the changed-label
-    * count rides the same job as an [[Observation]] metric, so
-    * convergence costs no second pass and no extra action. Round 1
+    * Each round is ONE materializing job: the label table is
+    * checkpointed (truncating lineage — otherwise the plan nests one
+    * join per round and planning time grows without bound), and
+    * convergence is decided by a narrow limit-1 probe over the
+    * checkpointed blocks (no shuffle, no re-execution; an Observation
+    * metric would ride the job itself but its `get` blocks on the
+    * listener bus, which backlogs in long-lived sessions). Round 1
     * folds the identity-label join into a single aggregation over the
     * edge table: with label(id)=id the neighbor-min is just min(src)
     * per dst, and the symmetrized table lists every node as a dst.
@@ -90,7 +92,9 @@ object Graph {
     var labels: DataFrame = null
     var changed = 1L
     var iter = 0
+    val debug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
     while (iter < maxIter && changed != 0L) {
+      val roundT0 = System.nanoTime()
       val prop =
         if (iter == 0)
           sym.groupBy(col("dst"))
@@ -111,25 +115,38 @@ object Graph {
           // label table maps id -> value <= id), so the looked-up
           // label can only improve on the propagated one; left join +
           // coalesce keeps the row when the label already IS the
-          // component minimum.
-          propagated.as("n").join(labels.as("l"),
-              col("n.component") === col("l.id"), "left")
-            .select(col("n.id").as("id"),
-              coalesce(col("l.component"), col("n.component"))
-                .as("component"),
-              col("n.prev").as("prev"))
+          // component minimum. The hop only pays off on long chains —
+          // dup-cluster graphs are clique-ish and converge by round 2,
+          // where the extra join+exchange per round is pure constant
+          // cost — so it joins the plan from round 3 on: cliques never
+          // see it, and a diameter-d chain still closes in
+          // 2 + O(log d) rounds.
+          val halved =
+            if (iter < 2) propagated
+            else propagated.as("n").join(labels.as("l"),
+                col("n.component") === col("l.id"), "left")
+              .select(col("n.id").as("id"),
+                coalesce(col("l.component"), col("n.component"))
+                  .as("component"),
+                col("n.prev").as("prev"))
+          halved
         }
-      // the changed count rides the checkpoint job itself
-      val obs = new Observation(s"cc_changed_$iter")
-      val next = materialize(prop.observe(obs,
-        sum(when(col("component") =!= col("prev"), 1L).otherwise(0L))
-          .as("changed")))
-      // sum over zero rows is null -> converged-empty
-      changed = obs.get.get("changed").flatMap(Option(_))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // Materialize the round, then decide convergence with a
+      // narrow probe over the already-checkpointed blocks (limit-1
+      // scan, no shuffle). An `Observation` on the checkpoint job
+      // would avoid even that — but Observation.get waits on the
+      // listener bus, and in a long-lived session (the 90-query
+      // bench) a backlogged bus stalls every round for seconds; the
+      // probe is bounded by the label table instead, which is tiny
+      // by construction.
+      val next = materialize(prop)
+      changed =
+        if (next.where(col("component") =!= col("prev")).isEmpty) 0L else 1L
       if (current != null) free(current)
       current = next
       labels = next.select(col("id"), col("component"))
+      if (debug) println(
+        f"[cc] round $iter: ${(System.nanoTime() - roundT0) / 1e9}%.2f s, changed=$changed")
       iter += 1
     }
     sym.unpersist()

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  /** Reference Morton interleave for the assertion side. */
+  private def morton(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zOrderKey matches the reference interleave and masks inputs") {
+    val rows = Seq((5L, 3L), (0L, 0L), (7L, 7L), (1L, 6L), (1029L, 2L))
+    val out = rows.toDF("x", "y")
+      .select($"x", $"y", Layout.zOrderKey($"x", $"y", 3).as("z"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, z) => ((x, y), z) }.toMap
+    rows.foreach { case (x, y) =>
+      assert(out((x, y)) == morton(x & 7, y & 7, 3)) // masked to 3 bits
+    }
+    assert(out((5L, 3L)) == 27L) // hand-computed: 0b011011
+  }
+
+  test("zOrderedWrite preserves rows and yields compact per-file boxes") {
+    val n = 32
+    val df = (for (x <- 0 until n; y <- 0 until n)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val dir = "target/tmp_layout/zorder"
+    Layout.zOrderedWrite(df, "x", "y", bits = 5, dir, partitions = 16)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == n.toLong * n)
+    // each file covers a compact rectangle: its x and y spans must be
+    // far below the full domain (a 1-D sort on x would give y-span 32
+    // in every file)
+    val spans = back
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+      .as[(String, Long, Long)].collect()
+    assert(spans.length > 1)
+    assert(spans.forall { case (_, xs, ys) => xs <= 16 && ys <= 16 })
+  }
+}

@@ -225,6 +225,25 @@ class MlSpec extends AnyFunSuite {
       (3L, 2L, 1L, 1L)))  // b known (1 bit), c rare
   }
 
+  test("datasetSplit is deterministic, exhaustive, and snapshot-stable") {
+    val df = (1L to 4096L).toDF("doc_id")
+    val s1 = Curation.datasetSplit(df, "doc_id", 64, 64)
+    val byLabel = s1.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(byLabel.keySet == Set("train", "valid", "test"))
+    assert(byLabel.values.sum == 4096L)
+    // ~1/16 each for valid/test at 64/1024
+    assert(math.abs(byLabel("valid") / 4096.0 - 0.0625) < 0.02)
+    assert(math.abs(byLabel("test") / 4096.0 - 0.0625) < 0.02)
+    // leak-freedom: the label is a pure function of the key, so a
+    // grown snapshot assigns every surviving doc the SAME split
+    val grown = (1L to 8192L).toDF("doc_id")
+    val old = s1.as[(Long, String)].collect().toMap
+    val now = Curation.datasetSplit(grown, "doc_id", 64, 64)
+      .as[(Long, String)].collect().toMap
+    assert(old.forall { case (id, lbl) => now(id) == lbl })
+  }
+
   test("canonicalizeUrl normalizes crawl-variant URLs to one key") {
     val urls = Seq(
       (1L, "HTTP://WWW.Site.COM:80/A/b/?utm_source=x&z=1&gclid=g#top"),
