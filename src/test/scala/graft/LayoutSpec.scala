@@ -28,6 +28,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(out((5L, 3L)) == 27L) // hand-computed: 0b011011
   }
 
+  test("zOrderKey round-trips 500 seeded random points") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(500)(
+      (rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))
+    val out = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.zOrderKey($"x", $"y", 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (x, y, z) =>
+      assert(z == morton(x, y, 10))
+      val xr = (0 until 10).map(i => ((z >> (2 * i)) & 1L) << i).reduce(_ | _)
+      val yr = (0 until 10).map(i => ((z >> (2 * i + 1)) & 1L) << i).reduce(_ | _)
+      assert(xr == x && yr == y) // interleave loses nothing
+    }
+  }
+
   test("zOrderedWrite preserves rows and yields compact per-file boxes") {
     val n = 32
     val df = (for (x <- 0 until n; y <- 0 until n)

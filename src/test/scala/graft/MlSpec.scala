@@ -261,6 +261,28 @@ class MlSpec extends AnyFunSuite {
     assert(out(5L).isEmpty)
   }
 
+  test("canonicalizeUrl is idempotent across 400 seeded messy URLs") {
+    val rnd = new scala.util.Random(3)
+    val schemes = Seq("http", "HTTP", "https", "HTTPS", "ftp")
+    val hosts   = Seq("Example.COM", "www.site.org", "A.b.C.net", "host")
+    val ports   = Seq("", ":80", ":443", ":8080")
+    val paths   = Seq("", "/", "/A/b", "/x/y/", "/p//")
+    val queries = Seq("", "?a=1", "?utm_source=x&b=2", "?b=2&a=1&gclid=z", "?z")
+    val frags   = Seq("", "#f")
+    def pick(s: Seq[String]) = s(rnd.nextInt(s.size))
+    val urls = Seq.fill(400)(
+      pick(schemes) + "://" + (if (rnd.nextBoolean()) "u@" else "") +
+        pick(hosts) + pick(ports) + pick(paths) + pick(queries) + pick(frags))
+    val once = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select($"id", Curation.canonicalizeUrl($"url").as("c"))
+    val rows = once
+      .select($"id", Curation.canonicalizeUrl($"c").as("c2"), $"c")
+      .as[(Long, Option[String], Option[String])].collect()
+    // a canonical form must be a fixed point, else keys keep drifting
+    rows.foreach { case (_, c2, c) => assert(c2 == c && c.nonEmpty) }
+  }
+
   test("corpusOverlap: identical=1.0, disjoint=0, shards merge by min") {
     val a = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
     val b = Seq(

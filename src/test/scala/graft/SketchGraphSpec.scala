@@ -104,6 +104,19 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(m == Seq((0.5, 1.0), (1.0, 2.0)))
   }
 
+  test("exactQuantiles equals the sorted-sequence reference (seeded)") {
+    val rnd = new scala.util.Random(13)
+    // coarse grid → plenty of duplicate mass
+    val xs = Seq.fill(5000)(math.floor(rnd.nextDouble() * 1000) / 10)
+    val ps = Seq(0.0, 0.1, 0.33, 0.5, 0.77, 0.9, 1.0)
+    val sorted = xs.sorted
+    val expect = ps.map(p =>
+      (p, sorted(math.floor(p * (xs.size - 1)).toInt)))
+    val got = Sketches.exactQuantiles(xs.toDF("x"), "x", ps)
+      .as[(Double, Double)].collect().toSeq
+    assert(got == expect)
+  }
+
   test("exactQuantiles: every data-sized window is partition-local") {
     val df = (1 to 1000).map(_.toDouble).toDF("x")
     val q = Sketches.exactQuantiles(df, "x", Seq(0.5))
