@@ -867,6 +867,19 @@ object SparkEntry {
         graft.operators.Layout.zOrderKey(
           col("l_partkey"), col("l_suppkey"), 10).as("zkey"))),
 
+    // End-to-end curation pipeline (the composed flagship): quality
+    // floor -> exact dedup -> leak-free split -> train shard ->
+    // sequence-packing manifest. One oracle replays the whole chain,
+    // so the COMPOSITION is hash-checked, not just the parts.
+    "q93_curation_pipeline" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val quality = base.filter(TextAnalysis.tokenCount(col("text")) >= 5)
+      val deduped = Dedup.exact(quality, "text", "doc_id")
+      val train = Curation.datasetSplit(deduped, "doc_id", 64, 64)
+        .filter(col("split") === "train").drop("split")
+      TextAnalysis.packingManifest(train, "doc_id", "text", seqLen = 512)
+    }),
+
     // URL canonicalization: messy crawl URLs (mixed-case scheme/host,
     // default ports, userinfo, trailing slash, tracking params,
     // fragments) normalized to the dedup key form. Regex-only, so the
@@ -2061,6 +2074,30 @@ object SparkEntry {
          |  CAST(${sqlZOrder("(l_partkey & 1023)", "(l_suppkey & 1023)", 10)}
          |    AS BIGINT) AS zkey
          |FROM lineitem""".stripMargin,
+
+    // Curation pipeline: token floor, min-id-per-text dedup, mix64
+    // split (train = bucket >= 128), prefix-sum offsets over the
+    // survivors in id order — the q35/q33/q91/q76 replays chained.
+    "q93_curation_pipeline" ->
+      s"""WITH tok AS (SELECT doc_id, text,
+         |  len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n
+         |  FROM documents),
+         |q AS (SELECT doc_id, text, n FROM tok WHERE n >= 5),
+         |d AS (SELECT doc_id, n FROM q
+         |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+         |z0 AS (SELECT doc_id, n,
+         |    (CAST(doc_id AS HUGEINT) + ${sqlMixAdd(11)})
+         |      % 18446744073709551616 AS z
+         |  FROM d),
+         |${sqlMixFinal("doc_id, n")},
+         |tr AS (SELECT doc_id, n FROM z3 WHERE z % 1024 >= 128),
+         |o AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS "offset" FROM tr)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, "offset",
+         |  "offset" // 512 AS seq_first,
+         |  ("offset" + n_tokens - 1) // 512 AS seq_last FROM o""".stripMargin,
 
     // URL canonicalization: the same regex family replayed step by
     // step (scheme/host lowercase, userinfo+default-port drop,
