@@ -867,6 +867,13 @@ object SparkEntry {
         graft.operators.Layout.zOrderKey(
           col("l_partkey"), col("l_suppkey"), 10).as("zkey"))),
 
+    // Collocation mining: document co-occurrence counts for df-banded
+    // term pairs — the integer sufficient statistics for PMI.
+    "q94_cooccurrence" -> ((s, dir) =>
+      TextAnalysis.cooccurrence(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", minDf = 20, maxDf = 4000, minPairCount = 5)),
+
     // End-to-end curation pipeline (the composed flagship): quality
     // floor -> exact dedup -> leak-free split -> train shard ->
     // sequence-packing manifest. One oracle replays the whole chain,
@@ -2074,6 +2081,23 @@ object SparkEntry {
          |  CAST(${sqlZOrder("(l_partkey & 1023)", "(l_suppkey & 1023)", 10)}
          |    AS BIGINT) AS zkey
          |FROM lineitem""".stripMargin,
+
+    // Co-occurrence: per-doc distinct tokens, df band, same-doc pair
+    // join, HAVING floor.
+    "q94_cooccurrence" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    unnest(list_distinct(list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> ''))) AS term
+        |  FROM documents),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY term
+        |      HAVING count(*) BETWEEN 20 AND 4000),
+        |bt AS (SELECT t.id, t.term, d.df FROM t JOIN d USING (term))
+        |SELECT a.term AS term_a, b.term AS term_b,
+        |  a.df AS df_a, b.df AS df_b, count(*) AS n_ab
+        |FROM bt a JOIN bt b ON a.id = b.id AND a.term < b.term
+        |GROUP BY 1, 2, 3, 4
+        |HAVING count(*) >= 5""".stripMargin,
 
     // Curation pipeline: token floor, min-id-per-text dedup, mix64
     // split (train = bucket >= 128), prefix-sum offsets over the

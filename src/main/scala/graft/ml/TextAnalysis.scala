@@ -382,6 +382,44 @@ object TextAnalysis {
       .agg(sort_array(collect_list(col("id"))).as("postings"))
   }
 
+  /** Token co-occurrence counts (collocation mining): for every pair
+    * of df-banded terms appearing in the same document, how many
+    * documents contain both — the integer sufficient statistics for
+    * PMI / log-likelihood collocation scores ((n_ab, df_a, df_b) plus
+    * the corpus size are all those formulas need; the log itself is
+    * left to the caller so results stay engine-exact).
+    *
+    * The df band `[minDf, maxDf]` is the scale bound twice over: it
+    * drops hapax terms (pairs with a singleton can't reach
+    * `minPairCount`) AND stopword-class terms, so the per-document
+    * pair blowup is C(k, 2) with k bounded by the banded vocabulary a
+    * doc can contain — never raw document length. The pair join is
+    * keyed on the document id (co-partitioned self-join, no
+    * cross-document traffic) and the final count map-side combines.
+    * For corpora where banded k is still large, tighten the band —
+    * collocation mining over stopwords is noise anyway.
+    *
+    * Returns (term_a, term_b, df_a, df_b, n_ab), term_a < term_b.
+    */
+  def cooccurrence(
+      df: DataFrame, textCol: String, idCol: String,
+      minDf: Long = 2, maxDf: Long = 10000,
+      minPairCount: Long = 2): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(filter(tokens(col(textCol)),
+        t => length(t) > 0))).as("term"))
+    val dfs = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    val banded = toks.join(dfs, Seq("term"))
+    banded.as("a").join(banded.as("b"),
+        col("a.id") === col("b.id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+  }
+
   def ngramLmScore(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minCount: Long = 2): DataFrame = {

@@ -304,6 +304,25 @@ class MlSpec extends AnyFunSuite {
     assert(global == merged)
   }
 
+  test("cooccurrence counts same-doc banded pairs with exact dfs") {
+    val docs = Seq(
+      (1L, "spark scala jvm"),
+      (2L, "spark scala"),
+      (3L, "spark jvm"),
+      (4L, "spark unique")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrence(docs, "text", "doc_id",
+        minDf = 2, maxDf = 3, minPairCount = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // spark df=4 > maxDf and unique df=1 < minDf both leave the band;
+    // (jvm, scala) co-occur only in doc 1 → under minPairCount.
+    // Loosening the pair floor readmits it:
+    assert(out.isEmpty)
+    val loose = TextAnalysis.cooccurrence(docs, "text", "doc_id",
+        minDf = 2, maxDf = 3, minPairCount = 1)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(loose == Seq(("jvm", "scala", 2L, 2L, 1L)))
+  }
+
   test("invertedIndex bands df and returns ordered postings") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
