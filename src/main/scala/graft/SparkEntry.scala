@@ -943,6 +943,22 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "text", "doc_id", minDf = 2, maxDf = 4000)),
 
+    // Bucketized range join: value-to-band lookup as an EQUI-join on
+    // interval buckets (Spark's native plan for a bare BETWEEN is a
+    // nested loop). Integer-derived points/intervals so the oracle
+    // replays exactly; counts per interval aggregate the pair table.
+    "q95_range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 20 + col("l_linenumber")).as("p"))
+      val iv = t(s, dir, "part").select(col("p_partkey"),
+        (col("p_partkey") * 20).as("lo"),
+        (col("p_partkey") * 20 + 3 + pmod(col("p_partkey"), lit(25)))
+          .as("hi"))
+      Joins.rangeJoin(pts, iv, "p", "lo", "hi", bucketWidth = 16)
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_pts"), sum(col("p")).as("sum_p"))
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -2202,6 +2218,18 @@ object SparkEntry {
         |      HAVING count(*) BETWEEN 2 AND 4000)
         |SELECT term, df, list(id ORDER BY id) AS postings
         |FROM t JOIN d USING (term) GROUP BY term, df""".stripMargin,
+    // Range join: a plain BETWEEN join — DuckDB plans its own IEJoin;
+    // the Spark side must produce the identical pair multiset through
+    // the bucketized equi-join rewrite.
+    "q95_range_join" ->
+      """WITH pts AS (SELECT l_partkey * 20 + l_linenumber AS p
+        |  FROM lineitem),
+        |iv AS (SELECT p_partkey, p_partkey * 20 AS lo,
+        |    p_partkey * 20 + 3 + p_partkey % 25 AS hi FROM part)
+        |SELECT p_partkey, count(*) AS n_pts,
+        |  CAST(sum(p) AS BIGINT) AS sum_p
+        |FROM iv JOIN pts ON pts.p BETWEEN iv.lo AND iv.hi
+        |GROUP BY p_partkey""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

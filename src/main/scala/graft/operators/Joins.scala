@@ -221,4 +221,48 @@ object Joins {
         col("__lv").getField(c).as(c)) ++
         payloadCols.map(c => col("__match").getField(c).as(c)): _*)
   }
+
+  /** Range (interval) join: every (point, interval) pair with
+    * `lo ≤ point ≤ hi` — the IP-to-geo / value-to-band / time-in-window
+    * lookup shape. Spark plans a bare range predicate as a broadcast
+    * nested loop (or a cartesian product when neither side fits) —
+    * O(|points|·|intervals|) comparisons however the data distributes.
+    *
+    * This is the bucketized rewrite: intervals explode to the
+    * fixed-width buckets they overlap (`floor(lo/w) .. floor(hi/w)`),
+    * points map to exactly one bucket, and the match becomes an
+    * EQUI-join on the bucket id plus a residual `BETWEEN` filter. Each
+    * true pair survives exactly once (a point lives in one bucket),
+    * so no distinct pass is needed.
+    *
+    * Scale posture (100 TB): the shuffle is hash-partitioned on the
+    * bucket id — both sides distribute, no broadcast-size cliff, no
+    * nested loop. The explode factor is `len/w + 1` per interval, so
+    * pick `bucketWidth` near the TYPICAL interval length: the
+    * replication stays O(1) per interval while each bucket pairs only
+    * co-located rows. Degenerate inputs (one interval spanning
+    * everything) belong in a broadcast pre-filter, not here. Intervals
+    * with `hi < lo` are dropped (Spark's `sequence` would otherwise
+    * step BACKWARD and fabricate buckets).
+    *
+    * Both sides' columns are returned; the caller disambiguates
+    * colliding names beforehand.
+    */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1 (got $bucketWidth)")
+    val w = lit(bucketWidth)
+    val pb = points.withColumn("__bucket",
+      floor(col(pointCol) / w).cast("long"))
+    val ib = intervals
+      .filter(col(hiCol) >= col(loCol))
+      .withColumn("__bucket",
+        explode(sequence(floor(col(loCol) / w).cast("long"),
+          floor(col(hiCol) / w).cast("long"))))
+    pb.join(ib, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
 }

@@ -122,6 +122,31 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin matches a brute-force BETWEEN join and plans no nested loop") {
+    val rnd = new scala.util.Random(13)
+    val pts = (1 to 400).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val ivs = (1 to 60).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(40).toLong - 5) // some hi < lo
+    }
+    val got = graft.operators.Joins.rangeJoin(
+        pts.toDF("pid", "p"), ivs.toDF("iid", "lo", "hi"),
+        "p", "lo", "hi", bucketWidth = 16)
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    val expect = (for {
+      (pid, p) <- pts; (iid, lo, hi) <- ivs if p >= lo && p <= hi
+    } yield (pid, iid)).sorted
+    assert(got == expect)
+    // the rewrite must be an equi-join on the bucket id, never a
+    // broadcast nested loop / cartesian over the range predicate
+    val plan = graft.operators.Joins.rangeJoin(
+        pts.toDF("pid", "p"), ivs.toDF("iid", "lo", "hi"),
+        "p", "lo", "hi", bucketWidth = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("physical passthroughs: repartition / coalesce / minPartitions") {
     val frame = ctx.readParquet(s"${SparkFixture.sfDir}/lineitem.parquet")
     assert(frame.repartition(6).getNumPartitions == 6)
