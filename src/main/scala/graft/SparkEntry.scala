@@ -959,6 +959,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pts"), sum(col("p")).as("sum_p"))
     }),
 
+    // Token-window chunking (RAG / context packing): 64-token chunks
+    // overlapping by 16, redundant tails suppressed, stable
+    // (doc, chunk_idx) identity.
+    "q96_doc_chunks" -> ((s, dir) =>
+      Curation.chunkDocuments(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkTokens = 64, overlapTokens = 16)),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -2230,6 +2238,21 @@ object SparkEntry {
         |  CAST(sum(p) AS BIGINT) AS sum_p
         |FROM iv JOIN pts ON pts.p BETWEEN iv.lo AND iv.hi
         |GROUP BY p_partkey""".stripMargin,
+    // Chunking: stride 48 = 64 - 16; DuckDB list slices are 1-based
+    // inclusive; `st // 48` is integer division (bare `/` floats).
+    "q96_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM t
+        |  WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, n - 1, 48)) AS st FROM s)
+        |SELECT doc_id, CAST(st // 48 AS INT) AS chunk_idx,
+        |  CAST(len(toks[st + 1 : least(st + 64, n)]) AS INT) AS n_tokens,
+        |  array_to_string(toks[st + 1 : least(st + 64, n)], ' ')
+        |    AS chunk_text
+        |FROM c WHERE st = 0 OR st + 16 < n""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

@@ -112,6 +112,44 @@ object Curation {
         when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
   }
 
+  /** Token-window document chunking (the RAG / context-packing step):
+    * each document's whitespace tokens are windowed into chunks of
+    * `chunkTokens` tokens overlapping by `overlapTokens` (stride =
+    * chunk − overlap). Returns one row per chunk: (idCol, chunk_idx,
+    * n_tokens, chunk_text). A trailing window that would only repeat
+    * tokens the previous chunk already covered is suppressed
+    * (`start + overlap ≥ n`), so chunk sets carry no fully-redundant
+    * tail; documents with zero tokens produce no rows.
+    *
+    * Scale posture (100 TB): a stateless generate-and-project — no
+    * shuffle, no state, no UDF; the only expansion is the output
+    * itself (≈ n/stride chunks per document). Chunk identity
+    * (idCol, chunk_idx) is deterministic, so downstream dedup and
+    * incremental re-chunking see stable keys across runs.
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1 (got $chunkTokens)")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = filter(split(col(textCol), "\\s+"), x => x =!= "")
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .filter(col("__start") === 0 ||
+        col("__start") + overlapTokens < col("__n"))
+      .select(col(idCol), col("chunk_idx"),
+        size(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .as("n_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)),
+          " ").as("chunk_text"))
+  }
+
   /** Deterministic epoch shuffle: the reproducible global training
     * order. Each document gets a `(shard, pos)` — shard by the
     * epoch-keyed [[graft.functions.Mix64]] of its id, position by the

@@ -80,6 +80,33 @@ class MlSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L, 12L))
   }
 
+  test("chunkDocuments windows tokens with overlap and no redundant tail") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, "   "),                                    // zero tokens -> no rows
+      (4L, (1 to 8).map(i => s"u$i").mkString(" "))   // exactly chunk+stride
+    ).toDF("doc_id", "text")
+    val got = Curation
+      .chunkDocuments(df, "doc_id", "text", chunkTokens = 6, overlapTokens = 2)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      // doc 1: starts 0,4,8; start 8 is suppressed (8 + overlap >= 10:
+      // the start-4 chunk already covered t5..t10, so it adds nothing)
+      (1L, 0, 6, "t1 t2 t3 t4 t5 t6"),
+      (1L, 1, 6, "t5 t6 t7 t8 t9 t10"),
+      (2L, 0, 3, "a b c"),
+      (4L, 0, 6, "u1 u2 u3 u4 u5 u6"),
+      (4L, 1, 4, "u5 u6 u7 u8")))
+    // chunk identity is stable across runs
+    val again = Curation
+      .chunkDocuments(df, "doc_id", "text", chunkTokens = 6, overlapTokens = 2)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(again == got)
+  }
+
   test("epoch shuffle is a reproducible per-epoch permutation") {
     val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val e3a = Curation.epochShuffle(df, "doc_id", epoch = 3, numShards = 8)
