@@ -967,6 +967,14 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", chunkTokens = 64, overlapTokens = 16)),
 
+    // Filter-funnel audit: one scan, one aggregation, per-stage
+    // survivor counts of the cumulative cascade.
+    "q97_filter_funnel" -> ((s, dir) =>
+      Curation.filterFunnel(t(s, dir, "documents"), Seq(
+        "min_chars" -> (col("n_chars") >= 150),
+        "lang_en" -> (col("lang") === "en"),
+        "token_floor" -> (TextAnalysis.tokenCount(col("text")) >= 30)))),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -2253,6 +2261,22 @@ object SparkEntry {
         |  array_to_string(toks[st + 1 : least(st + 64, n)], ' ')
         |    AS chunk_text
         |FROM c WHERE st = 0 OR st + 16 < n""".stripMargin,
+    // Funnel: cumulative conditional sums in one aggregation, then one
+    // row per stage.
+    "q97_filter_funnel" ->
+      """WITH a AS (SELECT count(*) AS n0,
+        |  CAST(sum(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN n_chars >= 150 AND lang = 'en'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN n_chars >= 150 AND lang = 'en'
+        |    AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 30
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM documents)
+        |SELECT 1 AS stage_idx, 'min_chars' AS stage, n0 AS rows_in,
+        |  n1 AS rows_kept, n0 - n1 AS rows_dropped FROM a
+        |UNION ALL SELECT 2, 'lang_en', n1, n2, n1 - n2 FROM a
+        |UNION ALL SELECT 3, 'token_floor', n2, n3, n2 - n3 FROM a""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

@@ -150,6 +150,40 @@ object Curation {
           " ").as("chunk_text"))
   }
 
+  /** Filter-funnel audit: the per-stage survivor counts of a filter
+    * cascade — the number every curation run must publish ("started
+    * with 4.1B pages, language filter kept 2.3B, quality kept 1.1B,
+    * …") and the first thing checked when a pipeline change shifts
+    * output volume. Stage i reports rows entering (survivors of
+    * stages 1..i−1), kept (survivors of 1..i), and dropped.
+    *
+    * Scale posture (100 TB): ONE scan and ONE map-side-combined
+    * aggregation — every cumulative predicate is a conditional sum in
+    * the same projection, so the cost is a single pass regardless of
+    * stage count (running each filter separately would scan the
+    * corpus once per stage). The aggregate is a single row; the
+    * per-stage explode is trivial. A null predicate result counts as
+    * not-kept (SQL CASE semantics).
+    */
+  def filterFunnel(
+      df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val cums = stages.scanLeft(lit(true))((acc, s) => acc && s._2).tail
+    val counts =
+      count(lit(1)).as("__n0") +: cums.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__n${i + 1}")
+      }
+    val perStage = stages.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+        col(s"__n$i").as("rows_in"), col(s"__n${i + 1}").as("rows_kept"))
+    }
+    df.agg(counts.head, counts.tail: _*)
+      .select(explode(array(perStage: _*)).as("r"))
+      .select(col("r.stage_idx").as("stage_idx"), col("r.stage").as("stage"),
+        col("r.rows_in").as("rows_in"), col("r.rows_kept").as("rows_kept"),
+        (col("r.rows_in") - col("r.rows_kept")).as("rows_dropped"))
+  }
+
   /** Deterministic epoch shuffle: the reproducible global training
     * order. Each document gets a `(shard, pos)` — shard by the
     * epoch-keyed [[graft.functions.Mix64]] of its id, position by the

@@ -107,6 +107,22 @@ class MlSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("filterFunnel reports cumulative stage survivors in one pass") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, 10, "en"), (2L, 50, "en"), (3L, 50, "de"),
+      (4L, 80, "en"), (5L, 80, null.asInstanceOf[String])
+    ).toDF("id", "len", "lang")
+    val got = Curation.filterFunnel(df, Seq(
+        "min_len" -> (col("len") >= 40),
+        "lang_en" -> (col("lang") === "en"))) // null lang -> not kept
+      .select("stage_idx", "stage", "rows_in", "rows_kept", "rows_dropped")
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, "min_len", 5L, 4L, 1L),
+      (2, "lang_en", 4L, 2L, 2L)))
+  }
+
   test("epoch shuffle is a reproducible per-epoch permutation") {
     val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val e3a = Curation.epochShuffle(df, "doc_id", epoch = 3, numShards = 8)
