@@ -975,6 +975,13 @@ object SparkEntry {
         "lang_en" -> (col("lang") === "en"),
         "token_floor" -> (TextAnalysis.tokenCount(col("text")) >= 30)))),
 
+    // Vocabulary build: occurrence census, minCount prune, contiguous
+    // frequency-ranked ids via distributed prefix sum (no single-task
+    // global sort).
+    "q98_vocab" -> ((s, dir) =>
+      TextAnalysis.buildVocab(
+        t(s, dir, "documents").select(col("text")), "text", minCount = 5)),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -2277,6 +2284,18 @@ object SparkEntry {
         |  n1 AS rows_kept, n0 - n1 AS rows_dropped FROM a
         |UNION ALL SELECT 2, 'lang_en', n1, n2, n1 - n2 FROM a
         |UNION ALL SELECT 3, 'token_floor', n2, n3, n2 - n3 FROM a""".stripMargin,
+    // Vocab: same lower+trim+\s+ tokenization as q35; ids are the
+    // (count desc, token) rank.
+    "q98_vocab" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> x <> '')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM t GROUP BY token
+        |  HAVING count(*) >= 5)
+        |SELECT token, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
+        |    AS token_id
+        |FROM c""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

@@ -438,4 +438,50 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_ngrams"), col("n_rare"),
         col("bits_score"))
   }
+
+  /** Vocabulary build (the tokenizer-training census): corpus token
+    * occurrence counts, Zipf tail pruned below `minCount`, and a
+    * CONTIGUOUS frequency-ranked id per surviving token (rank 0 = most
+    * frequent; ties break on the token text, so ids are a pure
+    * function of the corpus). Returns (token, n, token_id).
+    *
+    * Scale posture (100 TB): the corpus-sized work is one map-side-
+    * combined occurrence count (hot tokens collapse before the
+    * exchange). Rank assignment never global-sorts in one task — the
+    * pruned vocabulary is range-partitioned on (n desc, token),
+    * ranked WITHIN partitions, and partition offsets (one count per
+    * partition) broadcast back: the same distributed prefix-sum shape
+    * as [[packingManifest]]. The only single-task step is the
+    * offsets window over ≤ `partitions` rows.
+    */
+  def buildVocab(
+      df: DataFrame, textCol: String,
+      minCount: Long = 2, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val counts = df
+      .select(explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val local = counts
+      .repartitionByRange(p, col("n").desc, col("token"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local", row_number().over(
+        Window.partitionBy(col("__pid"))
+          .orderBy(col("n").desc, col("token"))) - 1)
+      .persist()
+    val offsets = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .select(col("token"), col("n"),
+        (col("__local") + col("__off")).cast("long").as("token_id"))
+  }
 }

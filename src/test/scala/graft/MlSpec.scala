@@ -107,6 +107,24 @@ class MlSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("buildVocab assigns contiguous frequency-ranked ids across partitions") {
+    val df = Seq(
+      "the cat sat on the mat",
+      "the dog sat",
+      "a cat and a dog and a bird"
+    ).toDF("text")
+    val got = TextAnalysis.buildVocab(df, "text", minCount = 2, partitions = 4)
+      .select("token", "n", "token_id")
+      .as[(String, Long, Long)].collect().sortBy(_._3).toSeq
+    // counts: a=3, the=3, and=2, cat=2, dog=2, sat=2 (rest pruned);
+    // the a/the tie at n=3 breaks on token text
+    assert(got == Seq(
+      ("a", 3L, 0L), ("the", 3L, 1L), ("and", 2L, 2L),
+      ("cat", 2L, 3L), ("dog", 2L, 4L), ("sat", 2L, 5L)))
+    // ids are contiguous 0..n-1 even with more partitions than rows
+    assert(got.map(_._3) == got.indices.map(_.toLong))
+  }
+
   test("filterFunnel reports cumulative stage survivors in one pass") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
