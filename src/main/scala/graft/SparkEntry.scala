@@ -982,6 +982,21 @@ object SparkEntry {
       TextAnalysis.buildVocab(
         t(s, dir, "documents").select(col("text")), "text", minCount = 5)),
 
+    // Snapshot diff: a synthetic next release (every 7th doc removed,
+    // every 5th edited, every 10th re-added under a new id) diffed
+    // against the current corpus by fingerprint full-outer join.
+    "q99_snapshot_diff" -> ((s, dir) => {
+      val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val neu = old
+        .filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(old.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      Curation.snapshotDiff(old, neu, "doc_id", Seq("text"))
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -2296,6 +2311,26 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
         |    AS token_id
         |FROM c""".stripMargin,
+    // Snapshot diff: the fingerprint is md5 over the single compared
+    // column joined with chr(1) separators and chr(0) null sentinels —
+    // the exact portable-fingerprint recipe the Spark side uses.
+    "q99_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |    md5(COALESCE(text, chr(0))) AS fp FROM documents),
+        |n AS (
+        |  SELECT doc_id, md5(COALESCE(
+        |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END,
+        |      chr(0))) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, md5(COALESCE(text, chr(0)))
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

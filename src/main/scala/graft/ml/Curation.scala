@@ -184,6 +184,37 @@ object Curation {
         (col("r.rows_in") - col("r.rows_kept")).as("rows_dropped"))
   }
 
+  /** Snapshot diff: per-key change status between two corpus
+    * snapshots — `added` / `removed` / `changed` / `unchanged` — the
+    * release-note census every dataset version bump publishes, and
+    * the input to incremental downstream recompute (only `added` +
+    * `changed` keys need re-processing). Keys must be unique within
+    * each snapshot (pre-dedup otherwise).
+    *
+    * Scale posture (100 TB): each side reduces to (key, 16-byte MD5
+    * of the compared columns) IN THE SCAN PROJECTION, so document
+    * payloads never shuffle — the full-outer join moves fixed-width
+    * rows only. MD5 (not xxhash64) so any engine replays the
+    * fingerprint byte-for-byte; columns are joined with a U+0001
+    * separator and nulls mapped to U+0000, making the fingerprint
+    * injective on the separator-free case and engine-portable.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      keyCol: String, compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    def fp: Column = md5(concat_ws("\u0001",
+      compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    val o = oldDf.select(col(keyCol), fp.as("__fp_old"), lit(1).as("__in_old"))
+    val n = newDf.select(col(keyCol), fp.as("__fp_new"), lit(1).as("__in_new"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Deterministic epoch shuffle: the reproducible global training
     * order. Each document gets a `(shard, pos)` — shard by the
     * epoch-keyed [[graft.functions.Mix64]] of its id, position by the

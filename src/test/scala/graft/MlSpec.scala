@@ -107,6 +107,22 @@ class MlSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged per key") {
+    val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"),
+      (4L, null.asInstanceOf[String], "w")).toDF("id", "t", "u")
+    val neu = Seq((1L, "a", "x"), (2L, "B", "y"), (5L, "e", "v"),
+      (4L, null.asInstanceOf[String], "w")).toDF("id", "t", "u")
+    val got = Curation.snapshotDiff(old, neu, "id", Seq("t", "u"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "unchanged", 5L -> "added"))
+    // null vs the string "null" must not collide (sentinel, not skip)
+    val o2 = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+    val n2 = Seq((1L, "null")).toDF("id", "t")
+    assert(Curation.snapshotDiff(o2, n2, "id", Seq("t"))
+      .as[(Long, String)].collect().head._2 == "changed")
+  }
+
   test("buildVocab assigns contiguous frequency-ranked ids across partitions") {
     val df = Seq(
       "the cat sat on the mat",
