@@ -997,6 +997,16 @@ object SparkEntry {
       Curation.snapshotDiff(old, neu, "doc_id", Seq("text"))
     }),
 
+    // Per-key top-n via the bounded-state TopK aggregate (map-side
+    // combine; no per-key window sort): each customer's 2 priciest
+    // orders, orderkey tie-break.
+    "q100_topn_per_key" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.operators.TopN.topNPerKey(o, Seq("o_custkey"),
+        Seq(col("o_totalprice") * -1, col("o_orderkey")), n = 2)
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -2331,6 +2341,14 @@ object SparkEntry {
         |       WHEN o.fp = n.fp THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    // Top-n per key: the window formulation IS the oracle — the Spark
+    // side must reproduce it through the heap aggregate.
+    "q100_topn_per_key" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

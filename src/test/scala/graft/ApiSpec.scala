@@ -147,6 +147,36 @@ class ApiSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("topNPerKey matches per-key sort-take and aggregates partially") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 2000).map(i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(400), i.toLong))
+    val df = rows.toDF("k", "v", "id").repartition(8)
+    val out = graft.operators.TopN.topNPerKey(
+      df, Seq("k"), Seq(col("v"), col("id")), n = 5)
+    assert(out.columns.toSeq == Seq("k", "v", "id"))
+    val got = out.as[(Long, Int, Long)].collect().toSet
+    val expect = rows.groupBy(_._1).values
+      .flatMap(_.sortBy(r => (r._2, r._3)).take(5)).toSet
+    assert(got == expect)
+    // plan: a partial top_k heap runs BEFORE the exchange (object hash
+    // aggregate), and no window sort of the full input exists
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("partial_top_k"))
+    assert(!plan.contains("Window"))
+    // descending sense via negation; string payloads round-trip the
+    // spill serializer
+    val s = Seq(("a", 3L, "x3"), ("a", 9L, "x9"), ("a", 5L, "x5"),
+      ("b", 1L, "y1")).toDF("g", "score", "tag").repartition(4)
+    val top = graft.operators.TopN.topNPerKey(
+        s, Seq("g"), Seq(col("score") * -1), n = 2)
+      .select("g", "score", "tag").as[(String, Long, String)]
+      .collect().toSet
+    assert(top == Set(("a", 9L, "x9"), ("a", 5L, "x5"), ("b", 1L, "y1")))
+  }
+
   test("physical passthroughs: repartition / coalesce / minPartitions") {
     val frame = ctx.readParquet(s"${SparkFixture.sfDir}/lineitem.parquet")
     assert(frame.repartition(6).getNumPartitions == 6)
