@@ -1007,6 +1007,12 @@ object SparkEntry {
         Seq(col("o_totalprice") * -1, col("o_orderkey")), n = 2)
     }),
 
+    // Dedup-key normalization: case/punct/digit/whitespace-invariant
+    // text view for hashing; regex-only so both engines replay it.
+    "q101_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.normalizeForDedup(col("text")).as("norm_text"))),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -2349,6 +2355,16 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 2""".stripMargin,
+    // Normalization: identical regex chain; DuckDB regexp_replace
+    // needs the 'g' flag (Spark replaces all matches by default).
+    "q101_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(lower(text),
+        |    '[!-/:-@\[-`{-~]', '', 'g'),
+        |  '[0-9]', '0', 'g'),
+        |  '[\x00-\x1f]', ' ', 'g'),
+        |  '[ ]+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

@@ -439,6 +439,30 @@ object TextAnalysis {
         col("bits_score"))
   }
 
+  /** Dedup-key normalization (the C4/CCNet pre-hash step): exact and
+    * MinHash dedup both miss near-identical pages that differ only in
+    * case, punctuation, serial numbers, or whitespace layout — so
+    * production pipelines hash a NORMALIZED view of the text and keep
+    * the original. Rules, in order: lowercase; ASCII punctuation
+    * stripped; digits classed to `0` (so "page 117" ≡ "page 4");
+    * ASCII control characters to spaces; whitespace runs collapsed;
+    * trimmed. Non-ASCII letters pass through untouched.
+    *
+    * Deliberately regex-only with explicit ASCII classes (the
+    * [[redactPii]] discipline) so Java regex and RE2-based engines
+    * produce byte-identical output; a single codegen'd projection, no
+    * shuffle. Compose: `Dedup.exact(df.withColumn("key",
+    * normalizeForDedup(col("text"))), "key", id)`.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(text), "[!-/:-@\\[-`{-~]", ""),
+          "[0-9]", "0"),
+        "[\\x00-\\x1f]", " "),
+      "[ ]+", " "))
+
   /** Vocabulary build (the tokenizer-training census): corpus token
     * occurrence counts, Zipf tail pruned below `minCount`, and a
     * CONTIGUOUS frequency-ranked id per surviving token (rank 0 = most

@@ -107,6 +107,21 @@ class MlSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("normalizeForDedup collapses case/punct/digit/whitespace variants") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      "Hello, World!  Page 117.",
+      "hello world page 452",
+      "HELLO\tWORLD\npage 999",
+      "résumé café №5" // non-ASCII letters untouched
+    ).toDF("text")
+    val got = df.select(TextAnalysis.normalizeForDedup(col("text")))
+      .as[String].collect().toSeq
+    assert(got(0) == "hello world page 000")
+    assert(got(0) == got(1) && got(1) == got(2))
+    assert(got(3) == "résumé café №0")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged per key") {
     val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"),
       (4L, null.asInstanceOf[String], "w")).toDF("id", "t", "u")
