@@ -1013,6 +1013,16 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.normalizeForDedup(col("text")).as("norm_text"))),
 
+    // Tokenizer application: train the q98 vocabulary, then encode
+    // every document to ordered token ids with OOV classing — the
+    // vocab broadcasts, the corpus never shuffles against it.
+    "q102_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val vocab = TextAnalysis.buildVocab(d.select(col("text")),
+        "text", minCount = 5)
+      TextAnalysis.encodeDocuments(d, "text", "doc_id", vocab)
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -2365,6 +2375,28 @@ object SparkEntry {
         |  '[\x00-\x1f]', ' ', 'g'),
         |  '[ ]+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+    // Encode: the q98 vocab as a CTE, zip-unnest for (token, pos),
+    // left join for OOV = -1, order-preserving list rebuild.
+    "q102_encode" ->
+      """WITH tt AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> x <> '')) AS token FROM documents),
+        |vc AS (SELECT token, count(*) AS n FROM tt GROUP BY token
+        |  HAVING count(*) >= 5),
+        |v AS (SELECT token,
+        |    CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
+        |      AS token_id FROM vc),
+        |d AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> x <> '') AS toks FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS token,
+        |    unnest(range(len(toks))) AS pos FROM d WHERE len(toks) > 0),
+        |j AS (SELECT e.doc_id, e.pos, COALESCE(v.token_id, -1) AS tid
+        |  FROM e LEFT JOIN v USING (token))
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS INT) AS n_oov,
+        |  list(tid ORDER BY pos) AS token_ids
+        |FROM j GROUP BY doc_id""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

@@ -463,6 +463,39 @@ object TextAnalysis {
         "[\\x00-\\x1f]", " "),
       "[ ]+", " "))
 
+  /** Tokenizer application (the encode step after [[buildVocab]]):
+    * map every document to its ordered token-id array under a trained
+    * vocabulary, with out-of-vocabulary tokens classed to `oovId`.
+    * Returns (idCol, n_tokens, n_oov, token_ids) — the shape a
+    * packing/sharding stage consumes; documents with zero tokens
+    * produce no rows.
+    *
+    * Scale posture (100 TB): the vocabulary broadcasts (bounded by
+    * construction — minCount pruning keeps it MBs for TB corpora), so
+    * the corpus never shuffles against it; tokens split in the scan
+    * projection and only (id, pos, token_id) triplets — the output
+    * payload itself — cross the reassembly exchange.
+    */
+  def encodeDocuments(
+      df: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame, oovId: Long = -1L): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(filter(tokens(col(textCol)), t => length(t) > 0))
+        .as(Seq("pos", "token")))
+    tok.join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .select(col("id"), col("pos"),
+        coalesce(col("token_id"), lit(oovId)).as("tid"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tid"))))
+        .as("__ps"))
+      .select(col("id").as(idCol),
+        size(col("__ps")).as("n_tokens"),
+        size(filter(col("__ps"), p => p.getField("tid") === oovId))
+          .as("n_oov"),
+        transform(col("__ps"), p => p.getField("tid")).as("token_ids"))
+  }
+
   /** Vocabulary build (the tokenizer-training census): corpus token
     * occurrence counts, Zipf tail pruned below `minCount`, and a
     * CONTIGUOUS frequency-ranked id per surviving token (rank 0 = most

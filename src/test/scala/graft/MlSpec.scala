@@ -122,6 +122,23 @@ class MlSpec extends AnyFunSuite {
     assert(got(3) == "résumé café №0")
   }
 
+  test("encodeDocuments maps ordered token ids with OOV classing") {
+    val docs = Seq(
+      (1L, "the cat sat on the RARE mat"),
+      (2L, "  "),           // zero tokens -> no output row
+      (3L, "cat cat cat")
+    ).toDF("doc_id", "text")
+    val vocab = Seq(("the", 0L), ("cat", 1L), ("sat", 2L), ("mat", 3L))
+      .toDF("token", "token_id")
+    val got = TextAnalysis.encodeDocuments(docs, "text", "doc_id", vocab)
+      .select("doc_id", "n_tokens", "n_oov", "token_ids")
+      .as[(Long, Int, Int, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      // "rare" (lowered) and "on" are OOV -> -1, order preserved
+      (1L, 7, 2, Seq(0L, 1L, 2L, -1L, 0L, -1L, 3L)),
+      (3L, 3, 0, Seq(1L, 1L, 1L))))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged per key") {
     val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"),
       (4L, null.asInstanceOf[String], "w")).toDF("id", "t", "u")
