@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ml.TextAnalysis
+
+/** Continuous-ingestion exact dedup: the streaming twin of
+  * [[graft.ml.Dedup.incrementalExact]]. Every micro-batch is
+  * fingerprint-anti-joined against the accumulated store, deduped
+  * WITHIN the batch (first occurrence by smallest id), survivors
+  * handed to `emit` and their fingerprints appended to the store —
+  * so a document seen in any earlier batch (or earlier in this one)
+  * never emits twice.
+  *
+  * The store is a parquet directory of 16-byte MD5 fingerprints, NOT
+  * document text — at 100 TB of corpus the store is GBs, and the
+  * anti-join ships batch fingerprints only. A batch replayed after a
+  * failure re-appends fingerprints it already wrote; the store is a
+  * SET under anti-join semantics, so duplicate fingerprint rows cost
+  * bytes, never correctness (compact the store offline when it
+  * matters). Emission is at-least-once on replay, the same contract
+  * as any non-transactional foreachBatch sink.
+  */
+object StreamDedup {
+
+  /** Fingerprint-store schema: one column `fp` (hex MD5 string). */
+  def loadStore(spark: SparkSession, storePath: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) spark.read.parquet(storePath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "fp", org.apache.spark.sql.types.StringType))))
+  }
+
+  /** One micro-batch through the dedup policy; exposed separately so
+    * tests (and batch backfills) can drive it without a stream.
+    * Returns the surviving rows.
+    */
+  def dedupBatch(
+      batch: Dataset[Row], textCol: String, idCol: String,
+      storePath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val withFp = batch
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    // against the store, then within-batch first-occurrence
+    val fresh = withFp
+      .join(loadStore(spark, storePath).withColumnRenamed("fp", "__fp"),
+        Seq("__fp"), "left_anti")
+    val winners = fresh.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+    // Eagerly materialize and SEVER the lineage before appending: the
+    // survivors' plan reads storePath (the anti-join), and a parquet
+    // append to that same path makes Spark recache-by-path every
+    // cached reader — a lazily-persisted plan would re-execute against
+    // the post-append store and dedup its own output away.
+    val out = fresh.join(winners, Seq("__fp", idCol), "left_semi")
+      .localCheckpoint()
+    out.select(col("__fp").as("fp")).distinct()
+      .write.mode("append").parquet(storePath)
+    out.drop("__fp")
+  }
+
+  /** Wire [[dedupBatch]] into a streaming query: survivors of each
+    * batch go to `emit`, fingerprints accumulate at `storePath`.
+    */
+  def dedupStream(
+      stream: DataFrame, textCol: String, idCol: String,
+      storePath: String, checkpointLocation: String)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val out = dedupBatch(batch, textCol, idCol, storePath)
+        try emit(out, batchId)
+        finally { out.unpersist(); () }
+      }
+      .start()
+}

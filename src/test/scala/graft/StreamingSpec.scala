@@ -85,6 +85,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(metrics.nonEmpty && metrics.map(_.numRecords).sum == events.count())
   }
 
+  test("streaming incremental dedup accumulates the fingerprint store") {
+    import graft.streaming.StreamDedup
+    val store = Files.createTempDirectory("graft_dedup").toString + "/fps"
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val out1 = StreamDedup.dedupBatch(b1, "text", "doc_id", store)
+    assert(out1.select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L)) // within-batch dup collapses to the min id
+    out1.unpersist()
+    val b2 = Seq((4L, "beta"), (5L, "gamma"), (6L, "gamma"))
+      .toDF("doc_id", "text")
+    val out2 = StreamDedup.dedupBatch(b2, "text", "doc_id", store)
+    assert(out2.select("doc_id").as[Long].collect().toSeq
+      == Seq(5L)) // beta already in the store from batch 1
+    out2.unpersist()
+    // a replayed batch emits nothing new — the store absorbed it
+    val replay = StreamDedup.dedupBatch(b2, "text", "doc_id", store)
+    assert(replay.isEmpty)
+    replay.unpersist()
+  }
+
+  test("dedupStream end-to-end over a file stream") {
+    import graft.streaming.StreamDedup
+    val src = Files.createTempDirectory("graft_dstream_src").toString
+    val ckp = Files.createTempDirectory("graft_dstream_ckp").toString
+    val store = Files.createTempDirectory("graft_dstream_store")
+      .toString + "/fps"
+    Seq((10L, "aa"), (11L, "bb"), (12L, "aa"), (13L, "cc"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(src)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = StreamDedup.dedupStream(
+      stream, "text", "doc_id", store, ckp) { (out, _) =>
+      out.select("doc_id").as[Long].collect().foreach(emitted.add); ()
+    }
+    try q.processAllAvailable() finally q.stop()
+    // one survivor per distinct text (10 or 12 for "aa" depending on
+    // batch split; with a single batch the min id 10 wins)
+    val got = emitted.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(got.length == 3)
+    assert(got.toSet.subsetOf(Set(10L, 11L, 13L)) ||
+      got.toSet.subsetOf(Set(12L, 11L, 13L)))
+  }
+
   test("event-time tumbling windows aggregate with watermark on a stream") {
     import graft.streaming.EventTime
     import org.apache.spark.sql.functions._
