@@ -1023,6 +1023,18 @@ object SparkEntry {
       TextAnalysis.encodeDocuments(d, "text", "doc_id", vocab)
     }),
 
+    // Compaction planning: a synthetic file listing (one row per
+    // part) binned to ~64 MB rewrite groups per brand directory.
+    "q103_compaction_plan" -> ((s, dir) => {
+      val listing = t(s, dir, "part").select(
+        col("p_brand").as("dir"),
+        concat(lit("f"), col("p_partkey").cast("string")).as("file"),
+        (pmod(col("p_partkey") * 2654435761L, lit(97L)) * 1048576L)
+          .as("bytes"))
+      graft.operators.Layout.compactionPlan(
+        listing, "dir", "file", "bytes", targetBytes = 64L * 1048576L)
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -2397,6 +2409,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS INT) AS n_oov,
         |  list(tid ORDER BY pos) AS token_ids
         |FROM j GROUP BY doc_id""".stripMargin,
+    // Compaction: exclusive prefix bytes over (size desc, file) per
+    // dir, integer-divided by the 64 MB target.
+    "q103_compaction_plan" ->
+      """WITH l AS (SELECT p_brand AS dir,
+        |    'f' || CAST(p_partkey AS VARCHAR) AS file,
+        |    CAST((p_partkey * 2654435761) % 97 * 1048576 AS BIGINT)
+        |      AS bytes
+        |  FROM part)
+        |SELECT dir, file, bytes,
+        |  CAST(COALESCE(sum(bytes) OVER (PARTITION BY dir
+        |      ORDER BY bytes DESC, file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // 67108864 AS INT) AS bin
+        |FROM l""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

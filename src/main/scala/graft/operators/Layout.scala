@@ -55,4 +55,33 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction plan (the OPTIMIZE/maintenance pass every
+    * long-lived table needs): assign each file to a rewrite bin of
+    * ~`targetBytes`, per partition directory, so a compactor can
+    * rewrite bin-by-bin. Bin assignment is the cumulative-sum rule
+    * (bin = exclusive-prefix-bytes ÷ target) over files ordered
+    * (size desc, file asc) — deterministic across runs, big files
+    * first so bins fill tightly, and a file larger than the target
+    * lands alone in its own bin.
+    *
+    * Scale posture: the input is the file LISTING — metadata, one row
+    * per file (~millions of rows for 100 TB), not data. The window
+    * partitions on the directory, so each task sorts one directory's
+    * listing; no global sort, no data movement. Returns the input
+    * plus a `bin` column.
+    */
+  def compactionPlan(
+      files: DataFrame, partCol: String, fileCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetBytes >= 1, s"targetBytes must be >= 1 (got $targetBytes)")
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col(sizeCol).desc, col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("__before", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__before") / targetBytes).cast("int"))
+      .drop("__before")
+  }
 }

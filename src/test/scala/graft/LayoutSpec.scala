@@ -62,4 +62,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(spans.length > 1)
     assert(spans.forall { case (_, xs, ys) => xs <= 16 && ys <= 16 })
   }
+
+  test("compactionPlan bins files by cumulative size per directory") {
+    val files = Seq(
+      ("a", "f1", 60L), ("a", "f2", 50L), ("a", "f3", 40L),
+      ("a", "f4", 10L), ("a", "f5", 10L),
+      ("b", "big", 500L), ("b", "tiny", 1L)
+    ).toDF("dir", "file", "bytes")
+    val got = Layout.compactionPlan(files, "dir", "file", "bytes", 100L)
+      .select("dir", "file", "bin").as[(String, String, Int)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // dir a, size-desc order f1(60) f2(50) f3(40) f4(10) f5(10):
+    // prefixes 0,60,110,150,160 -> bins 0,0,1,1,1
+    assert(got(("a", "f1")) == 0 && got(("a", "f2")) == 0)
+    assert(got(("a", "f3")) == 1 && got(("a", "f4")) == 1 &&
+      got(("a", "f5")) == 1)
+    // an oversized file fills its own bin; the next starts a new one
+    assert(got(("b", "big")) == 0 && got(("b", "tiny")) == 5)
+    // deterministic across runs
+    val again = Layout.compactionPlan(files, "dir", "file", "bytes", 100L)
+      .select("dir", "file", "bin").as[(String, String, Int)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(again == got)
+  }
 }
