@@ -119,7 +119,18 @@ object Bench {
           d.split('/').last + "\"").mkString("[", ",", "]")
         s""","scaling":{"dirs":$dirs,"queries":$perQuery,"flagged":$flagged}"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}"""
+    println(line)
+    // Also persist the full line: the driver's stdout capture keeps
+    // only a tail, which truncates the per-query map on 100+ queries.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case _: Throwable => () } // stdout already carries the line
     spark.stop()
   }
 }

@@ -504,18 +504,24 @@ object SparkEntry {
 
     // Gap-based sessionization: one key shuffle, two windows over the
     // same sort order, one aggregation — no self-join, no range
-    // blow-up. Timestamps truncated to epoch-MICROS on both sides
-    // (events.ts reads as nanos-long under nanosAsLong, but the
-    // oracle engine's timestamp type is micro-precision), 30-minute
-    // gap in the same unit.
-    "q61_sessionize" -> ((s, dir) =>
+    // blow-up. Timestamps normalized to epoch-MICROS on both sides
+    // (the oracle engine's timestamp type is micro-precision),
+    // 30-minute gap in the same unit. events.ts has shipped as both
+    // TIMESTAMP(NANOS) (long under nanosAsLong) and TIMESTAMP(MICROS)
+    // across testdata generations — branch on the read type.
+    "q61_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val tsUs = e.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
       Sessionize.sessions(
-        t(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000").as("ts_us")),
+        e.select(col("user_id"), tsUs.as("ts_us")),
         "user_id", "ts_us", gap = 1800L * 1000 * 1000)
         .select(col("user_id"), col("session_seq").cast("long")
           .as("session_seq"),
-          col("session_start"), col("session_end"), col("n_events"))),
+          col("session_start"), col("session_end"), col("n_events"))
+    }),
 
     // Pivot: per-user event-type counts over an EXPLICIT value list
     // (no driver-side distinct scan — the two-arg pivot with inferred
@@ -765,7 +771,10 @@ object SparkEntry {
     // table; the latest-snapshot read must see exactly the committed
     // rows. The oracle is the relational shadow of the two commits.
     "q81_governed_txn" -> ((s, dir) => {
-      val path = "target/tmp_governed/nation"
+      // per-run temp location: never mutates the repo tree, safe under
+      // a parallel bench or a read-only checkout
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_governed_" +
+        java.util.UUID.randomUUID().toString.take(8) + "/nation"
       new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sessionState.newHadoopConf())
         .delete(new org.apache.hadoop.fs.Path(path), true) // fresh re-runs
@@ -788,23 +797,25 @@ object SparkEntry {
     // the write-once-join-often layout (BucketingSpec asserts the
     // exchange-free plan; this query gates the numbers).
     "q82_bucketed_join" -> ((s, dir) => {
-      // a fresh JVM has an empty in-memory catalog but the managed
-      // location survives on disk — clear both before the write
+      // EXTERNAL tables under a per-run temp dir: the warehouse and
+      // the repo tree are never touched (parallel-bench / read-only
+      // FS safe). DROP clears any stale same-name catalog entry from
+      // an earlier query in this session.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_" +
+        java.util.UUID.randomUUID().toString.take(8)
       Seq("graft_b_orders", "graft_b_lineitem").foreach { tbl =>
         s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val wh = s.sessionState.conf.warehousePath
-        new org.apache.hadoop.fs.Path(s"$wh/$tbl")
-          .getFileSystem(s.sessionState.newHadoopConf())
-          .delete(new org.apache.hadoop.fs.Path(s"$wh/$tbl"), true)
       }
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))
       val l = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
       graft.operators.Bucketing.writeBucketed(
-        o, "graft_b_orders", Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"))
+        o, "graft_b_orders", Seq("o_orderkey"), 8,
+        sortCols = Seq("o_orderkey"), location = Some(s"$base/orders"))
       graft.operators.Bucketing.writeBucketed(
-        l, "graft_b_lineitem", Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"))
+        l, "graft_b_lineitem", Seq("o_orderkey"), 8,
+        sortCols = Seq("o_orderkey"), location = Some(s"$base/lineitem"))
       graft.operators.Bucketing
         .bucketedJoin(s, "graft_b_orders", "graft_b_lineitem", Seq("o_orderkey"))
         .groupBy(col("o_orderpriority"))
@@ -937,11 +948,16 @@ object SparkEntry {
 
     // Inverted index with df-band pruning: census first ([minDf,
     // maxDf] — the upper bound keeps every posting-assembly task
-    // bounded), postings only for surviving terms.
+    // bounded), postings only for surviving terms. The array is
+    // flattened to a space-joined scalar for the harness comparator
+    // (order is already deterministic: ids ascend).
     "q88_inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
-        "text", "doc_id", minDf = 2, maxDf = 4000)),
+        "text", "doc_id", minDf = 2, maxDf = 4000)
+        .withColumn("postings",
+          array_join(transform(col("postings"), x => x.cast("string")),
+            " "))),
 
     // Bucketized range join: value-to-band lookup as an EQUI-join on
     // interval buckets (Spark's native plan for a bare BETWEEN is a
@@ -1015,12 +1031,17 @@ object SparkEntry {
 
     // Tokenizer application: train the q98 vocabulary, then encode
     // every document to ordered token ids with OOV classing — the
-    // vocab broadcasts, the corpus never shuffles against it.
+    // vocab broadcasts, the corpus never shuffles against it. The id
+    // array is flattened to a space-joined scalar for the harness
+    // comparator (order is already deterministic: positions ascend).
     "q102_encode" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val vocab = TextAnalysis.buildVocab(d.select(col("text")),
         "text", minCount = 5)
       TextAnalysis.encodeDocuments(d, "text", "doc_id", vocab)
+        .withColumn("token_ids",
+          array_join(transform(col("token_ids"), x => x.cast("string")),
+            " "))
     }),
 
     // Compaction planning: a synthetic file listing (one row per
@@ -1033,6 +1054,59 @@ object SparkEntry {
           .as("bytes"))
       graft.operators.Layout.compactionPlan(
         listing, "dir", "file", "bytes", targetBytes = 64L * 1048576L)
+    }),
+
+    // ---------------------------------------------------------------- R7
+    // Chained embedding-pipeline stage (the q93 composition pattern):
+    // token-window chunking → vocabulary encode of each chunk →
+    // packing manifest over the encoded stream. One query exercises
+    // the full chunk→encode→pack path a pretraining-shard writer
+    // runs; ids stay synthetic-composite (doc*1000+chunk) so both
+    // engines order identically, and token_ids flattens to the
+    // harness-sortable scalar (q88/q102 discipline).
+    "q104_chunk_encode_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val chunks = Curation.chunkDocuments(
+          d, "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      val vocab = TextAnalysis.buildVocab(d.select(col("text")),
+        "text", minCount = 5)
+      val enc = TextAnalysis.encodeDocuments(
+        chunks, "chunk_text", "chunk_id", vocab)
+        .withColumn("token_ids",
+          array_join(transform(col("token_ids"), x => x.cast("string")),
+            " "))
+      val pack = TextAnalysis.packingManifest(
+        chunks, "chunk_id", "chunk_text", seqLen = 128)
+        .select(col("chunk_id"), col("offset"),
+          col("seq_first"), col("seq_last"))
+      enc.join(pack, Seq("chunk_id"))
+        .select(col("chunk_id"), col("n_tokens"), col("n_oov"),
+          col("offset"), col("seq_first"), col("seq_last"),
+          col("token_ids"))
+    }),
+
+    // Governed-table maintenance end-to-end: three committed append
+    // snapshots of deliberately-small files, then one atomic OPTIMIZE
+    // overwrite version via compact() — content must be exactly the
+    // committed rows (the oracle is the relational shadow; the
+    // file-count shrink and pre-compaction time travel are
+    // spec-asserted in GovernedTableSpec).
+    "q105_governed_compact" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gcompact_" +
+        java.util.UUID.randomUUID().toString.take(8) + "/nation"
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      Seq(col("n_regionkey") <= 1, col("n_regionkey") === 2,
+          col("n_regionkey") >= 3).foreach { pred =>
+        val txn = graft.sources.GovernedTable.startTransaction(s, path)
+        graft.sources.GovernedTable.write(s, txn,
+          n.filter(pred).repartition(4))
+        graft.sources.GovernedTable.commitTransaction(s, txn)
+      }
+      graft.sources.GovernedTable.compact(s, path)
+      graft.sources.GovernedTable.read(s, path)
     }),
 
     // ---------------------------------------------------------------- R6
@@ -2292,7 +2366,8 @@ object SparkEntry {
         |  FROM documents),
         |d AS (SELECT term, count(*) AS df FROM t GROUP BY term
         |      HAVING count(*) BETWEEN 2 AND 4000)
-        |SELECT term, df, list(id ORDER BY id) AS postings
+        |SELECT term, df,
+        |  array_to_string(list(id ORDER BY id), ' ') AS postings
         |FROM t JOIN d USING (term) GROUP BY term, df""".stripMargin,
     // Range join: a plain BETWEEN join — DuckDB plans its own IEJoin;
     // the Spark side must produce the identical pair multiset through
@@ -2407,7 +2482,7 @@ object SparkEntry {
         |  FROM e LEFT JOIN v USING (token))
         |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
         |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS INT) AS n_oov,
-        |  list(tid ORDER BY pos) AS token_ids
+        |  array_to_string(list(tid ORDER BY pos), ' ') AS token_ids
         |FROM j GROUP BY doc_id""".stripMargin,
     // Compaction: exclusive prefix bytes over (size desc, file) per
     // dir, integer-divided by the 64 MB target.
@@ -2423,6 +2498,53 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    // 67108864 AS INT) AS bin
         |FROM l""".stripMargin,
+    // Chained chunk→encode→pack: q96's chunking feeds q102's encode
+    // under q98's vocab, then q76's prefix-sum packing — all replayed
+    // relationally. The pack offset orders by the composite chunk id.
+    "q104_chunk_encode_pack" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM d
+        |  WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, n - 1, 48)) AS st FROM s),
+        |ch AS (SELECT doc_id * 1000 + CAST(st // 48 AS INT) AS chunk_id,
+        |    array_to_string(toks[st + 1 : least(st + 64, n)], ' ')
+        |      AS chunk_text
+        |  FROM c WHERE st = 0 OR st + 16 < n),
+        |tt AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> x <> '')) AS token FROM documents),
+        |vc AS (SELECT token, count(*) AS n FROM tt GROUP BY token
+        |  HAVING count(*) >= 5),
+        |v AS (SELECT token,
+        |    CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
+        |      AS token_id FROM vc),
+        |dt AS (SELECT chunk_id, list_filter(
+        |    regexp_split_to_array(trim(lower(chunk_text)), '\s+'),
+        |    x -> x <> '') AS ctoks FROM ch),
+        |e AS (SELECT chunk_id, unnest(ctoks) AS token,
+        |    unnest(range(len(ctoks))) AS pos FROM dt WHERE len(ctoks) > 0),
+        |j AS (SELECT e.chunk_id, e.pos, COALESCE(v.token_id, -1) AS tid
+        |  FROM e LEFT JOIN v USING (token)),
+        |enc AS (SELECT chunk_id, CAST(count(*) AS INT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS INT) AS n_oov,
+        |  array_to_string(list(tid ORDER BY pos), ' ') AS token_ids
+        |  FROM j GROUP BY chunk_id),
+        |p AS (SELECT chunk_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY chunk_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS "offset" FROM enc)
+        |SELECT enc.chunk_id, enc.n_tokens, enc.n_oov, p."offset",
+        |  p."offset" // 128 AS seq_first,
+        |  (p."offset" + enc.n_tokens - 1) // 128 AS seq_last,
+        |  enc.token_ids
+        |FROM enc JOIN p USING (chunk_id)""".stripMargin,
+    // Governed compaction: content-preserving — the oracle is the
+    // union of the three committed slices, i.e. all of nation.
+    "q105_governed_compact" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

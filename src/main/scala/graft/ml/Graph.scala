@@ -1,6 +1,8 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -31,16 +33,22 @@ object Graph {
     * the edge table). Dup clusters are clique-ish and converge in 2
     * rounds; `maxIter` bounds adversarial inputs.
     *
-    * Each round is ONE materializing job: the label table is
-    * checkpointed (truncating lineage — otherwise the plan nests one
-    * join per round and planning time grows without bound), and
-    * convergence is decided by a narrow limit-1 probe over the
-    * checkpointed blocks (no shuffle, no re-execution; an Observation
-    * metric would ride the job itself but its `get` blocks on the
-    * listener bus, which backlogs in long-lived sessions). Round 1
-    * folds the identity-label join into a single aggregation over the
-    * edge table: with label(id)=id the neighbor-min is just min(src)
-    * per dst, and the symmetrized table lists every node as a dst.
+    * Each round is ONE materializing job — including the convergence
+    * decision. The round's row stream increments a change accumulator
+    * as it fills the persisted label blocks, so "did any label move"
+    * rides the materializing tasks themselves: no follow-up probe job,
+    * no `Observation.get` (which blocks on the listener bus — a
+    * backlogged bus in a long-lived session stalls every round), and
+    * accumulator totals return with task completion, bus-free. A
+    * retried task can only over-count, never under-count, so the
+    * zero/non-zero convergence test is retry-safe. Lineage is
+    * truncated at BOTH levels each round: the materialized
+    * `RDD[InternalRow]` is (local-)checkpointed, and the next round
+    * plans against a fresh `LogicalRDD` leaf over it — Catalyst never
+    * sees the join tower. Round 1 folds the identity-label join into
+    * a single aggregation over the edge table: with label(id)=id the
+    * neighbor-min is just min(src) per dst, and the symmetrized table
+    * lists every node as a dst.
     *
     * Scale posture (100 TB): the working set is (id, label) pairs —
     * 16 bytes/node — never documents. The symmetrized edge table is
@@ -73,22 +81,7 @@ object Graph {
       .repartition(nPart, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // eager in both modes; reliable mode writes to checkpointDir
-    def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-
-    // Local-checkpoint blocks live outside the CacheManager, so
-    // Dataset.unpersist is a no-op on them; unpersist the underlying
-    // RDD instead. Reliable checkpoints are files — nothing to free
-    // here (the ContextCleaner removes them with the reference).
-    def free(df: DataFrame): Unit =
-      if (checkpointDir.isEmpty) df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-
-    var current: DataFrame = null
+    var prevRdd: RDD[InternalRow] = null
     var labels: DataFrame = null
     var changed = 1L
     var iter = 0
@@ -131,20 +124,36 @@ object Graph {
                 col("n.prev").as("prev"))
           halved
         }
-      // Materialize the round, then decide convergence with a
-      // narrow probe over the already-checkpointed blocks (limit-1
-      // scan, no shuffle). An `Observation` on the checkpoint job
-      // would avoid even that — but Observation.get waits on the
-      // listener bus, and in a long-lived session (the 90-query
-      // bench) a backlogged bus stalls every round for seconds; the
-      // probe is bounded by the label table instead, which is tiny
-      // by construction.
-      val next = materialize(prop)
-      changed =
-        if (next.where(col("component") =!= col("prev")).isEmpty) 0L else 1L
-      if (current != null) free(current)
-      current = next
-      labels = next.select(col("id"), col("component"))
+      // ONE job: materialize the round's label blocks while counting
+      // moved labels into an accumulator. The change flag is computed
+      // in the plan (type-generic, null-safe); the task-side map only
+      // reads the boolean and copies the unsafe row into the persisted
+      // block. No probe job, no listener-bus wait — `acc.value` is
+      // populated by task completion inside the count() itself.
+      val round = prop.select(col("id"), col("component"),
+        coalesce(col("component") =!= col("prev"), lit(true)).as("__chg"))
+      val schema = round.schema
+      val acc = spark.sparkContext.longAccumulator(s"graft.cc.changed.$iter")
+      val rdd = round.queryExecution.toRdd.mapPartitions { it =>
+        it.map { r =>
+          if (r.getBoolean(2)) acc.add(1L)
+          r.copy()
+        }
+      }
+      if (checkpointDir.isDefined) {
+        // reliable mode: cache first so the checkpoint-write job reads
+        // blocks instead of recomputing the round
+        rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+      } else rdd.localCheckpoint()
+      rdd.count()
+      changed = acc.value
+      // superseded label blocks: free at RDD level (these live outside
+      // the CacheManager; Dataset.unpersist would be a no-op)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
+      labels = GraftBridge.internalCreateDataFrame(spark, rdd, schema)
+        .select(col("id"), col("component"))
       if (debug) println(
         f"[cc] round $iter: ${(System.nanoTime() - roundT0) / 1e9}%.2f s, changed=$changed")
       iter += 1

@@ -235,11 +235,13 @@ object Sketches {
           .orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, 0)))
       .persist()
+    // ≤ `nPart` rows by construction (one per partition id); constant
+    // partition key silences the global-window warning
     val prefixes = hist.groupBy(col("__pid"))
       .agg(sum(col("c")).as("__t"))
       .withColumn("__prefix",
         coalesce(sum(col("__t")).over(
-          Window.orderBy(col("__pid"))
+          Window.partitionBy(lit(0)).orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__prefix"))
     val ranks = hist.agg(sum(col("c")).as("__n"))

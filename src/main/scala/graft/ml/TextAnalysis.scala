@@ -300,11 +300,14 @@ object TextAnalysis {
           Window.partitionBy(col("__pid")).orderBy(col("id"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .persist()
+    // one row per partition id — ≤ `p` rows by construction, so the
+    // single-task window is safe; the constant partition key only
+    // keeps WindowExec from warning about a data-sized global window
     val prefixes = local.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("__t"))
       .withColumn("__prefix",
         coalesce(sum(col("__t")).over(
-          Window.orderBy(col("__pid"))
+          Window.partitionBy(lit(0)).orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__prefix"))
     local.join(broadcast(prefixes), Seq("__pid"))
@@ -530,11 +533,13 @@ object TextAnalysis {
         Window.partitionBy(col("__pid"))
           .orderBy(col("n").desc, col("token"))) - 1)
       .persist()
+    // ≤ `p` rows by construction (one per partition id); constant
+    // partition key silences the global-window warning
     val offsets = local.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__off",
         coalesce(sum(col("__c")).over(
-          Window.orderBy(col("__pid"))
+          Window.partitionBy(lit(0)).orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__off"))
     local.join(broadcast(offsets), Seq("__pid"))

@@ -32,11 +32,17 @@ object Bucketing {
     * sorts within each bucket file, letting a later sort-merge join
     * skip its per-partition sort when files align one-per-bucket.
     */
+  /** `location`: store the table's files there (an EXTERNAL table)
+    * instead of under the session warehouse — callers that must not
+    * mutate shared directories (a parallel bench, a read-only
+    * warehouse) point this at their own temp dir.
+    */
   def writeBucketed(
       df: DataFrame, table: String,
       bucketCols: Seq[String], numBuckets: Int,
       sortCols: Seq[String] = Nil,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      location: Option[String] = None): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
     // pre-shuffle on the bucket key: one file per bucket per owning
@@ -45,8 +51,9 @@ object Bucketing {
     val writer = prepared.write
       .mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
-     else writer).saveAsTable(table)
+    val placed = location.fold(writer)(p => writer.option("path", p))
+    (if (sortCols.nonEmpty) placed.sortBy(sortCols.head, sortCols.tail: _*)
+     else placed).saveAsTable(table)
   }
 
   /** Equi-join two tables on their shared bucket key. When both were

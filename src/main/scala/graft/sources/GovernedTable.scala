@@ -166,6 +166,59 @@ object GovernedTable {
     spark.read.parquet(files: _*)
   }
 
+  final case class CompactResult(
+      filesBefore: Int, filesAfter: Int, version: Long)
+
+  /** Multi-snapshot maintenance (the governed-table OPTIMIZE): rewrite
+    * the CURRENT snapshot's accumulated small files into ~`targetBytes`
+    * outputs and publish the result as a new OVERWRITE version through
+    * the normal transaction protocol — so compaction is itself atomic,
+    * concurrency-checked, and time-travel-transparent (older versions
+    * still read the original files; no data file is deleted here —
+    * vacuuming superseded files once no retained version references
+    * them is [[Lifecycle.purgePath]]'s job).
+    *
+    * The output file count comes from [[graft.operators.Layout
+    * .compactionPlan]] over the manifest's listing (driver-side
+    * metadata, one `getFileStatus` per current file); the rewrite is
+    * ONE distributed job with `coalesce` — input splits concatenate
+    * into bins without a shuffle, the property that makes compaction
+    * affordable at lake scale. Returns false-equivalent (unchanged
+    * version) if a concurrent overwrite moved the head; callers retry.
+    */
+  def compact(spark: SparkSession, tableDir: String,
+      targetBytes: Long = 64L << 20): CompactResult = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.spark.sql.functions.col
+    val fs = fileSystem(spark, tableDir)
+    val head = latestVersion(fs, tableDir)
+    require(head >= 1, s"no committed version in $tableDir")
+    val files = snapshotFiles(fs, tableDir, head)
+    if (files.isEmpty) return CompactResult(0, 0, head)
+    import spark.implicits._
+    // bin across the WHOLE snapshot (one logical directory): the
+    // per-txn staging dirs are commit-history artifacts, not a
+    // partition layout a compactor should respect
+    val listing = files.map { f =>
+      (tableDir, f, fs.getFileStatus(new Path(f)).getLen)
+    }.toDF("dir", "file", "bytes")
+    val nBins = graft.operators.Layout
+      .compactionPlan(listing, "dir", "file", "bytes", targetBytes)
+      .select(col("dir"), col("bin")).distinct().count().toInt.max(1)
+    val txn = startTransaction(spark, tableDir)
+    write(spark, txn,
+      readVersion(spark, tableDir, txn.baseVersion).coalesce(nBins),
+      mode = "overwrite")
+    if (!commitTransaction(spark, txn)) {
+      cancelTransaction(spark, txn) // head moved: leave the table as-is
+      CompactResult(files.length, files.length, head)
+    } else {
+      val newHead = latestVersion(fs, tableDir)
+      CompactResult(files.length,
+        snapshotFiles(fs, tableDir, newHead).length, newHead)
+    }
+  }
+
   // ----------------------------------------------------------------- log
 
   private def fileSystem(spark: SparkSession, dir: String): FileSystem =

@@ -18,10 +18,17 @@ import org.apache.spark.sql.SparkSession
   * objects one RPC at a time from the driver is the actual bottleneck
   * at lake scale. Only (path, ok) strings shuffle.
   *
-  * `transition_*` (S3 storage-class changes) stays environment-bound:
-  * storage classes do not exist in the FileSystem abstraction — on a
-  * real deployment that is an S3 lifecycle/Batch-Operations concern,
-  * not a plan concern (SURVEY §2.1).
+  * `transition_*` (context.py:461-545 `transition_s3_path` /
+  * `transition_table`): true S3 storage-class flips do not exist in
+  * the FileSystem abstraction, so the portable analogue here MOVES
+  * cold files into a `.tier=<class>/` directory under the same root,
+  * preserving the relative layout. The dot prefix means tiered files
+  * vanish from default Spark/Hive scans of the root (the analogue of
+  * GLACIER objects needing restore before read) while staying fully
+  * readable by pointing a reader at the tier root — and the same
+  * retention/manifest machinery as purge applies. Moves are
+  * distributed like the purge deletes: same-FS rename is a metadata
+  * op; a cross-FS fallback copies then deletes.
   */
 object Lifecycle {
 
@@ -52,7 +59,6 @@ object Lifecycle {
       retentionHours: Int = 168,
       partitionPredicate: String = "",
       manifestFilePath: Option[String] = None): PurgeResult = {
-    import org.apache.spark.sql.functions.{col, expr}
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = cat.getTableMetadata(ident)
@@ -61,28 +67,7 @@ object Lifecycle {
       return purgePath(spark, meta.location.toString,
         retentionHours, manifestFilePath)
 
-    val parts = cat.listPartitions(ident)
-    val selected =
-      if (partitionPredicate.trim.isEmpty) parts
-      else {
-        // evaluate the predicate on a LOCAL frame of partition values
-        // (strings, as the metastore stores them) — the filter reads
-        // catalog metadata, never table data
-        val rows = parts.map(p =>
-          org.apache.spark.sql.Row.fromSeq(partCols.map(p.spec(_))))
-        val schema = org.apache.spark.sql.types.StructType(partCols.map(c =>
-          org.apache.spark.sql.types.StructField(c,
-            org.apache.spark.sql.types.StringType)))
-        val keySet = spark
-          .createDataFrame(new java.util.ArrayList(
-            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-            schema)
-          .filter(expr(partitionPredicate))
-          .select(partCols.map(col): _*)
-          .collect()
-          .map(_.toSeq.map(String.valueOf)).toSet
-        parts.filter(p => keySet.contains(partCols.map(p.spec(_))))
-      }
+    val selected = selectPartitions(spark, ident, partCols, partitionPredicate)
 
     val hadoopConf = spark.sessionState.newHadoopConf()
     var allOk = Seq.empty[String]; var allBad = Seq.empty[String]
@@ -101,6 +86,164 @@ object Lifecycle {
     }
     manifestFilePath.foreach(writeManifest(spark, _, allOk, allBad))
     PurgeResult(allOk.length.toLong, allBad.length.toLong, retained)
+  }
+
+  /** Partition selection via the catalog: `partitionPredicate` (SQL
+    * over the partition columns) is evaluated on a LOCAL frame of
+    * partition values (strings, as the metastore stores them) — the
+    * filter reads catalog metadata, never table data.
+    */
+  private def selectPartitions(
+      spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.TableIdentifier,
+      partCols: Seq[String],
+      partitionPredicate: String)
+      : Seq[org.apache.spark.sql.catalyst.catalog.CatalogTablePartition] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val parts = spark.sessionState.catalog.listPartitions(ident)
+    if (partitionPredicate.trim.isEmpty) parts
+    else {
+      val rows = parts.map(p =>
+        org.apache.spark.sql.Row.fromSeq(partCols.map(p.spec(_))))
+      val schema = org.apache.spark.sql.types.StructType(partCols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)))
+      val keySet = spark
+        .createDataFrame(new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          schema)
+        .filter(expr(partitionPredicate))
+        .select(partCols.map(col): _*)
+        .collect()
+        .map(_.toSeq.map(String.valueOf)).toSet
+      parts.filter(p => keySet.contains(partCols.map(p.spec(_))))
+    }
+  }
+
+  final case class TransitionResult(
+      transitioned: Long, failed: Long, retained: Long)
+
+  /** Move files under `path` older than `retentionHours` into the
+    * tier directory (default `.tier=<storageClass>` under `path`),
+    * preserving relative layout. Already-tiered files (anything under
+    * the tier root) are never re-listed. Returns counts; optional
+    * Success.csv / Failed.csv manifests list the MOVED source paths,
+    * the same contract as [[purgePath]].
+    */
+  def transitionPath(
+      spark: SparkSession, path: String,
+      storageClass: String = "cold",
+      retentionHours: Int = 168,
+      tierRoot: Option[String] = None,
+      manifestFilePath: Option[String] = None): TransitionResult = {
+    require(retentionHours >= 0, "retentionHours must be >= 0")
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(hadoopConf)
+    if (!fs.exists(root)) return TransitionResult(0L, 0L, 0L)
+    val qRoot = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    val qTier = fs.makeQualified(new Path(
+      tierRoot.getOrElse(s"${qRoot.stripSuffix("/")}/.tier=$storageClass")))
+      .toString.stripSuffix("/") + "/"
+    val cutoff = System.currentTimeMillis() - retentionHours * 3600000L
+
+    // driver-side metadata listing, like purge: (src, dest) pairs only
+    val moves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var retained = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val p = st.getPath.toString
+        if (!p.startsWith(qTier)) {
+          if (st.getModificationTime < cutoff)
+            moves += ((p, qTier + p.stripPrefix(qRoot)))
+          else retained += 1
+        }
+      }
+    }
+    if (moves.isEmpty) {
+      manifestFilePath.foreach(writeManifest(spark, _, Nil, Nil))
+      return TransitionResult(0L, 0L, retained)
+    }
+
+    // distributed move: rename (metadata-only on one FS), copy+delete
+    // across filesystems; each task resolves the FS once
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(hadoopConf))
+    import spark.implicits._
+    val outcomes = spark.createDataset(moves.toSeq)
+      .mapPartitions { pairs =>
+        var taskFs: org.apache.hadoop.fs.FileSystem = null
+        pairs.map { case (srcS, dstS) =>
+          val src = new Path(srcS); val dst = new Path(dstS)
+          if (taskFs == null) taskFs = src.getFileSystem(confB.value.value)
+          val ok = try {
+            taskFs.mkdirs(dst.getParent)
+            taskFs.rename(src, dst) || {
+              val dstFs = dst.getFileSystem(confB.value.value)
+              org.apache.hadoop.fs.FileUtil.copy(
+                taskFs, src, dstFs, dst, true, true, confB.value.value)
+            }
+          } catch { case scala.util.control.NonFatal(_) => false }
+          (srcS, ok)
+        }
+      }
+      .collect() // bounded by the move list the driver already holds
+
+    val (okPairs, badPairs) = outcomes.partition(_._2)
+    manifestFilePath.foreach(
+      writeManifest(spark, _, okPairs.map(_._1).toSeq, badPairs.map(_._1).toSeq))
+    TransitionResult(okPairs.length.toLong, badPairs.length.toLong, retained)
+  }
+
+  /** Transition a catalog table's cold files (context.py:461-501
+    * `transition_table`). Unpartitioned tables tier under the table
+    * location; partitioned tables tier each selected partition's files
+    * under ONE table-level tier root, mirroring the partition-relative
+    * layout, so the tiered view of the whole table is readable from
+    * `<location>/.tier=<class>` with the original partition dirs.
+    * `partitionPredicate` restricts the considered partitions via the
+    * catalog, as in [[purgeTable]].
+    */
+  def transitionTable(
+      spark: SparkSession, table: String,
+      storageClass: String = "cold",
+      retentionHours: Int = 168,
+      partitionPredicate: String = "",
+      manifestFilePath: Option[String] = None): TransitionResult = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ident)
+    val loc = meta.location.toString.stripSuffix("/")
+    if (meta.partitionColumnNames.isEmpty)
+      return transitionPath(spark, loc, storageClass, retentionHours,
+        manifestFilePath = manifestFilePath)
+
+    val tierRoot = s"$loc/.tier=$storageClass"
+    var moved = 0L; var failed = 0L; var retained = 0L
+    selectPartitions(spark, ident, meta.partitionColumnNames,
+        partitionPredicate).foreach { p =>
+      val pLoc = p.location.toString.stripSuffix("/")
+      val rel = pLoc.stripPrefix(loc).stripPrefix("/")
+      val r = transitionPath(spark, pLoc, storageClass, retentionHours,
+        tierRoot = Some(if (rel.isEmpty) tierRoot else s"$tierRoot/$rel"),
+        manifestFilePath = None)
+      moved += r.transitioned; failed += r.failed; retained += r.retained
+    }
+    // one table-level manifest: re-list what landed in the tier root
+    manifestFilePath.foreach { dir =>
+      val fs = new Path(tierRoot)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val tiered = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (fs.exists(new Path(tierRoot))) {
+        val it = fs.listFiles(new Path(tierRoot), true)
+        while (it.hasNext) { val st = it.next()
+          if (st.isFile) tiered += st.getPath.toString }
+      }
+      writeManifest(spark, dir, tiered.toSeq, Nil)
+    }
+    TransitionResult(moved, failed, retained)
   }
 
   /** One path's purge pass: driver-side streaming list, distributed

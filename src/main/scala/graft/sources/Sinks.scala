@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.core.GlueFrame
+import graft.core.{GlueFrame, GlueFrameCollection}
 
 /** Sink dispatch (SURVEY §2.1 S8-S11).
   *
@@ -131,6 +131,52 @@ object Sinks {
           .as("errorMessage"),
         lit(stage).as("stage"))
       frame.errors.unionByName(bad)
+  }
+
+  /** Collection sink fan-out — the reference's `useFrameName` contract
+    * (awsglue/context.py:295-354; data_sink.py:42-50): writing a
+    * DynamicFrameCollection writes EACH member frame under its own
+    * name, so a relationalize result (root + child tables) lands with
+    * one call. Name mapping per sink type: file/s3 sinks write to
+    * `path/<name>`; catalog and jdbc sinks write to
+    * `<table>_<name>` with the member name sanitized to identifier
+    * characters (relationalize child keys carry dots). Returns the
+    * members' errors frames merged in key order — the same
+    * errors-frame contract as [[writeFrame]].
+    *
+    * Members write sequentially by sorted key (deterministic; each
+    * member write is itself a distributed job, so there is no cluster
+    * idle time to recover by overlapping them).
+    */
+  def writeCollection(
+      coll: GlueFrameCollection,
+      connectionType: String,
+      format: String = null,
+      options: Map[String, String] = Map.empty,
+      mode: String = "append",
+      targetSchemas: Map[String, StructType] = Map.empty): DataFrame = {
+    require(coll.frames.nonEmpty, "cannot write an empty collection")
+    def ident(k: String) = k.replaceAll("[^A-Za-z0-9_]", "_")
+    val errorFrames = coll.keys.map { k =>
+      val memberOpts = connectionType.toLowerCase match {
+        case "file" | "s3" =>
+          val base = options.getOrElse("path",
+            sys.error("file sink needs 'path'"))
+          options + ("path" -> s"${base.stripSuffix("/")}/$k")
+        case "catalog" =>
+          val base = options.getOrElse("table",
+            sys.error("catalog sink needs 'table'"))
+          options + ("table" -> s"${base}_${ident(k)}")
+        case "jdbc" | "redshift" =>
+          val base = options.getOrElse("dbtable",
+            sys.error("jdbc sink needs 'dbtable'"))
+          options + ("dbtable" -> s"${base}_${ident(k)}")
+        case other => sys.error(s"unsupported sink connection type: $other")
+      }
+      writeFrame(coll.frames(k), connectionType, format, memberOpts, mode,
+        targetSchemas.get(k), stage = s"sink:$k")
+    }
+    errorFrames.reduce(_ unionByName _)
   }
 
   /** Spigot (dynamicframe.py:296-300; field_transforms.py:431-469): tee

@@ -13,10 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object EventTime {
 
-  /** Nanos-since-epoch → timestamp (the driver's events table carries
+  /** Nanos-since-epoch → timestamp (for events tables carrying
     * TIMESTAMP(NANOS), surfaced as long via nanosAsLong).
     */
   def nanosToTimestamp(c: Column): Column = timestamp_micros((c / 1000).cast("long"))
+
+  /** Event-time column → TimestampType regardless of how the source
+    * shipped it: nanos-long (TIMESTAMP(NANOS) under nanosAsLong) maps
+    * through [[nanosToTimestamp]]; native timestamp flavors
+    * (TIMESTAMP / TIMESTAMP_NTZ, micros) just cast.
+    */
+  def asTimestamp(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => nanosToTimestamp(col(c))
+      case _ => col(c).cast("timestamp")
+    }
 
   /** Tumbling (or sliding, when `slide` is given) event-time windowed
     * aggregation. On a streaming frame, set `watermark` to bound state

@@ -65,6 +65,54 @@ object StreamDedup {
     out.drop("__fp")
   }
 
+  final case class CompactResult(
+      filesBefore: Int, filesAfter: Int, distinctFps: Long)
+
+  /** Offline store maintenance: rewrite the fingerprint store as
+    * DISTINCT fingerprints in size-targeted files. The streaming path
+    * appends one file per micro-batch and tolerates duplicate rows
+    * (the store is a set under anti-join semantics), so a long-lived
+    * ingestion grows the store in BATCHES, not in distinct documents
+    * — and a 16-byte-row store with millions of tiny files pays its
+    * cost in open()s, not bytes. Compaction restores O(distinct) size
+    * and a bounded file count: one distinct shuffle, files binned to
+    * `targetBytes` (the [[graft.operators.Layout.compactionPlan]]
+    * sizing discipline applied to the store's single directory), then
+    * an atomic-as-two-renames swap. Run while the stream is stopped —
+    * a reader racing the swap can observe a missing directory; the
+    * pre-swap store is kept at `<store>.compact-old` until the swap
+    * completes, so a crash mid-swap loses nothing.
+    */
+  def compactStore(
+      spark: SparkSession, storePath: String,
+      targetBytes: Long = 64L << 20): CompactResult = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return CompactResult(0, 0, 0L)
+    def dataFiles() = fs.listStatus(path).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val before = dataFiles()
+    val nOut = math.max(1L,
+      (before.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(
+      storePath.stripSuffix("/") + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(
+      storePath.stripSuffix("/") + ".compact-old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(storePath).distinct()
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(path, old) || !fs.rename(tmp, path))
+      sys.error(s"compactStore: swap failed for $storePath " +
+        s"(pre-compaction store preserved at $old)")
+    fs.delete(old, true)
+    val after = spark.read.parquet(storePath)
+    CompactResult(before.length, dataFiles().length, after.count())
+  }
+
   /** Wire [[dedupBatch]] into a streaming query: survivors of each
     * batch go to `emit`, fingerprints accumulate at `storePath`.
     */

@@ -14,4 +14,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over an already-materialized `RDD[InternalRow]` (a
+    * `LogicalRDD` leaf — cuts Catalyst lineage the same way
+    * `Dataset.checkpoint` does, without a second job). The RDD must
+    * produce rows matching `schema`; rows must be safe to hold
+    * (`.copy()` unsafe rows before persisting).
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

@@ -112,6 +112,42 @@ class GlueFrameSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/t").count() == 3)
   }
 
+  test("collection write fans out per member name (useFrameName)") {
+    // context.py:295-354 / data_sink.py:42-50: writing a collection
+    // writes each member under its name — here the canonical use,
+    // landing a relationalize result (root + child) in ONE call.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-coll-sink").toString
+    val nested = Seq(
+      (1L, Seq("x", "y")),
+      (2L, Seq("z"))).toDF("id", "words")
+    val tables = graft.operators.NestedOps
+      .relationalize(nested, "root", idCol = Some("id"))
+    val coll = GlueFrameCollection(
+      tables.map { case (k, v) => k -> GlueFrame(v) })
+    val errs = graft.sources.Sinks.writeCollection(coll, "file",
+      options = Map("path" -> dir))
+    assert(errs.count() == 0)
+    val root = spark.read.parquet(s"$dir/root")
+    val child = spark.read.parquet(s"$dir/root_words")
+    assert(root.count() == 2)
+    assert(child.count() == 3)
+    // members with sink-cast rejects merge into one errors frame
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-coll-sink2").toString
+    val bad = GlueFrameCollection(Map(
+      "ok"  -> GlueFrame(Seq((1L, "5")).toDF("id", "qty")),
+      "rej" -> GlueFrame(Seq((2L, "abc")).toDF("id", "qty"))))
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType)))
+    val errs2 = graft.sources.Sinks.writeCollection(bad, "file",
+      options = Map("path" -> dir2),
+      targetSchemas = Map("ok" -> target, "rej" -> target))
+    val rows = errs2.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("stage") == "sink:rej")
+    bad.frames.values.foreach(_.data.unpersist())
+  }
+
   test("collection: select/map/flatMap, missing key → empty frame") {
     implicit val s = spark
     val coll = GlueFrameCollection(Map(

@@ -118,4 +118,32 @@ class GovernedTableSpec extends AnyFunSuite {
     }
     assert(GovernedTable.commitTransaction(spark, ro))
   }
+
+  test("compact folds a multi-snapshot table into few files, history intact") {
+    val dir = tmpTable()
+    // three append commits, each deliberately fragmented
+    for (lo <- Seq(0, 10, 20)) {
+      val txn = GovernedTable.startTransaction(spark, dir)
+      GovernedTable.write(spark, txn,
+        (lo until lo + 10).toDF("id").repartition(5))
+      assert(GovernedTable.commitTransaction(spark, txn))
+    }
+    val before = ids(GovernedTable.read(spark, dir))
+    assert(before == (0 until 30).toSet)
+    val r = GovernedTable.compact(spark, dir)
+    // ~15 tiny files fold into one bin; a new OVERWRITE version exists
+    assert(r.filesBefore >= 10 && r.filesAfter < r.filesBefore)
+    assert(r.filesAfter == 1 && r.version == 4L)
+    // content identical through the normal read
+    assert(ids(GovernedTable.read(spark, dir)) == before)
+    // time travel: pre-compaction snapshots still read the old files
+    assert(ids(GovernedTable.readVersion(spark, dir, 1)) ==
+      (0 until 10).toSet)
+    assert(ids(GovernedTable.readVersion(spark, dir, 3)) == before)
+    // appends continue normally on the compacted head
+    val txn = GovernedTable.startTransaction(spark, dir)
+    GovernedTable.write(spark, txn, Seq(99).toDF("id"))
+    assert(GovernedTable.commitTransaction(spark, txn))
+    assert(ids(GovernedTable.read(spark, dir)) == before + 99)
+  }
 }

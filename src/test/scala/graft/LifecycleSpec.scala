@@ -49,6 +49,66 @@ class LifecycleSpec extends AnyFunSuite {
     assert(r == Lifecycle.PurgeResult(0, 0, 0))
   }
 
+  test("transitionPath tiers cold files, keeps them readable, honors retention") {
+    val dir = Files.createTempDirectory("graft-tier").toString
+    // a real parquet dataset: two cold files, one fresh
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(2)
+      .write.parquet(s"$dir/data")
+    val files = Files.list(Paths.get(dir, "data")).toArray.map(_.toString)
+      .filter(f => f.endsWith(".parquet"))
+    files.take(2).foreach { f =>
+      Files.setLastModifiedTime(Paths.get(f), FileTime.fromMillis(
+        System.currentTimeMillis() - 200L * 3600000L))
+    }
+    touch(dir, "data/fresh.txt", ageHours = 1)
+    val manifest = Files.createTempDirectory("graft-tier-man").toString
+    val r = Lifecycle.transitionPath(spark, s"$dir/data",
+      storageClass = "cold", retentionHours = 168,
+      manifestFilePath = Some(manifest))
+    assert(r.transitioned == 2 && r.failed == 0)
+    // fresh file retained in place; cold files gone from the hot view
+    assert(Files.exists(Paths.get(dir, "data/fresh.txt")))
+    // default Spark scans of the root no longer see tiered files
+    // (dot-dir is hidden), but the tier root reads back the full data
+    val tiered = spark.read.parquet(s"$dir/data/.tier=cold")
+    assert(tiered.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    val ok = new String(Files.readAllBytes(Paths.get(manifest, "Success.csv")))
+    assert(files.take(2).forall(f => ok.contains(Paths.get(f).getFileName.toString)))
+    // idempotent: a second pass finds nothing left to tier
+    val r2 = Lifecycle.transitionPath(spark, s"$dir/data",
+      storageClass = "cold", retentionHours = 168)
+    assert(r2.transitioned == 0 && r2.failed == 0)
+  }
+
+  test("transitionTable tiers selected partitions under one table tier root") {
+    val tbl = "t_tier_part"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Seq((1L, "2024"), (2L, "2024"), (3L, "2025"), (4L, "2026"))
+      .toDF("id", "year")
+      .write.partitionBy("year").saveAsTable(tbl)
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(tbl)).location.getPath
+    for (y <- Seq("2024", "2025")) {
+      Files.list(Paths.get(loc, s"year=$y")).forEach { f =>
+        Files.setLastModifiedTime(f, FileTime.fromMillis(
+          System.currentTimeMillis() - 200L * 3600000L))
+      }
+    }
+    // predicate restricts to 2024; 2025 is old but excluded
+    val r = Lifecycle.transitionTable(spark, tbl, retentionHours = 168,
+      partitionPredicate = "year = '2024'")
+    assert(r.transitioned >= 1 && r.failed == 0)
+    // the hot table lost exactly the 2024 rows
+    assert(spark.table(tbl).select("id").as[Long].collect().toSet ==
+      Set(3L, 4L))
+    // the tier root mirrors the partition layout and reads back
+    val tiered = spark.read.parquet(s"$loc/.tier=cold")
+    assert(tiered.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("purgeTable honors the partition predicate and drops emptied partitions") {
     val tbl = "t_purge_part"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")

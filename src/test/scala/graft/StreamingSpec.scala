@@ -104,6 +104,24 @@ class StreamingSpec extends AnyFunSuite {
     val replay = StreamDedup.dedupBatch(b2, "text", "doc_id", store)
     assert(replay.isEmpty)
     replay.unpersist()
+
+    // --- store compaction: the maintenance op for the file-per-batch
+    // append pattern — three appends (the replay's is empty) left
+    // multiple files holding 3 distinct fingerprints.
+    assert(spark.read.parquet(store).count() == 3L) // alpha/beta/gamma
+    val r = StreamDedup.compactStore(spark, store)
+    assert(r.filesAfter == 1 && r.filesBefore > 1)
+    assert(r.distinctFps == 3L)
+    assert(spark.read.parquet(store).count() == 3L)
+    // the compacted store dedups identically: seen text still drops,
+    // new text still emits
+    val b3 = Seq((7L, "gamma"), (8L, "delta")).toDF("doc_id", "text")
+    val out3 = StreamDedup.dedupBatch(b3, "text", "doc_id", store)
+    assert(out3.select("doc_id").as[Long].collect().toSeq == Seq(8L))
+    out3.unpersist()
+    // compacting a missing store is a clean no-op
+    assert(StreamDedup.compactStore(spark, store + "_nope")
+      == StreamDedup.CompactResult(0, 0, 0L))
   }
 
   test("dedupStream end-to-end over a file stream") {
@@ -135,8 +153,9 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.EventTime
     import org.apache.spark.sql.functions._
     val src = Files.createTempDirectory("graft_evt_src").toString
-    val events = spark.read.parquet(s"${SparkFixture.sfDir}/events.parquet")
-      .select(EventTime.nanosToTimestamp($"ts").as("ts"),
+    val raw = spark.read.parquet(s"${SparkFixture.sfDir}/events.parquet")
+    val events = raw
+      .select(EventTime.asTimestamp(raw, "ts").as("ts"),
         $"event_type", $"value")
     events.write.mode("overwrite").parquet(src)
     val stream = spark.readStream.schema(events.schema).parquet(src)
