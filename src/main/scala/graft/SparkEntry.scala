@@ -579,15 +579,17 @@ object SparkEntry {
     // Near-dup CLUSTERS: connected components over the exact Jaccard
     // pair graph — pairs to transitive keep/drop decisions, the step
     // every dedup pipeline needs after candidate verification.
-    // Min-label propagation, one (id,label)-keyed shuffle per round,
-    // converges in ≤ diameter rounds (dup clusters are clique-ish).
+    // Exact-duplicate groups contract to one representative BEFORE
+    // the pair kernel (a component-preserving graph quotient — equal
+    // texts pair identically), then min-label propagation, one
+    // (id,label)-keyed shuffle per round. The expansion restores
+    // every uncontracted node, so the output is frame-identical to
+    // CC over the full pair graph (the oracle closes that full graph).
     "q67_dedup_clusters" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val doubled = d.unionByName(
         d.withColumn("doc_id", col("doc_id") + 100000))
-      val pairs = Dedup.jaccardPairs(doubled, "text", "doc_id")
-        .select(col("id_a"), col("id_b"))
-      Graph.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.clusters(doubled, "text", "doc_id")
         .select(col("id"), col("component"))
     }),
 

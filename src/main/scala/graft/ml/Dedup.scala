@@ -99,11 +99,21 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
     val rows = numHashes / bands
+    // Exact contraction (the [[clusters]] quotient): copies of a text
+    // share every band key, so a non-minimal copy always sees its
+    // group's minimum in every bucket and can never survive — the
+    // survivor set over representatives IS the survivor set over the
+    // full corpus. The signature kernel (numHashes finalizers per
+    // shingle — the CPU cost here) runs once per DISTINCT text.
+    val reps = df.join(
+      df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+        .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
+      Seq(idCol), "left_semi")
     // staged projections: each expensive array is computed once per row
     // (a fused expression would re-inline shingles into every consumer);
     // the signature kernel is CPU-dense (numHashes finalizers per
     // shingle) so a small scan is re-split across all slots first
-    val withBands = graft.operators.PhysicalOps.ensureParallelism(df)
+    val withBands = graft.operators.PhysicalOps.ensureParallelism(reps)
       .select(col(idCol), shingleHashes(col(textCol), shingleSize).as("__sh"))
       .select(col(idCol), minhashSignature(col("__sh"), numHashes).as("__sig"))
       .select(col(idCol), lshBandKeys(col("__sig"), bands, rows).as("__bands"))
@@ -200,27 +210,87 @@ object Dedup {
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
-  /** End-to-end fuzzy dedup: [[jaccardPairs]] candidates+verification,
-    * transitive closure over the verified pair graph
-    * ([[Graph.connectedComponents]]), keep each cluster's smallest id
-    * plus every unpaired document. This is the full MinHash-paper
-    * pipeline a corpus pass actually runs — pairs alone under-delete
-    * (A~B, B~C must drop BOTH B and C even when A!~C directly).
+  /** Near-duplicate CLUSTERS over the exact-Jaccard pair graph, with
+    * exact-duplicate CONTRACTION before the expensive kernel: equal
+    * texts have identical shingle sets, so (a) every exact copy of A
+    * pairs with every exact copy of B whenever A~B, and (b) copies of
+    * the same text always pair with each other (J = 1 ≥ τ). The
+    * quotient graph over one representative per distinct text (the
+    * group's min id) therefore has EXACTLY the original's components,
+    * and because each representative is its group's minimum, the
+    * quotient's min-labels are the original's min-labels. Returns
+    * (id, component) for precisely the ids that appear in the
+    * uncontracted pair graph — the same frame
+    * `connectedComponents(jaccardPairs(df))` produces, at a fraction
+    * of the cost.
     *
-    * Scale posture inherits from the parts: pair generation is
-    * prefix-filtered, the closure shuffles (id,label) pairs only, and
-    * the final anti-join is keyed on the id. Pass `checkpointDir` on
-    * a real cluster (see [[Graph.connectedComponents]]).
+    * Scale posture: web-scale corpora are 30-50% verbatim re-crawls,
+    * and the candidate join's cost is quadratic in per-shingle doc
+    * multiplicity — contraction removes that multiplicity for free
+    * (one 16-byte-key groupBy, the [[exact]] shuffle). The expansion
+    * back to member ids is a broadcast-sized join on the group table.
+    */
+  def clusters(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numer: Int = 1, denom: Int = 2,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val groups = fp.groupBy(col("__fp"))
+      .agg(min(col("id")).as("__rep"), count(lit(1)).as("__cnt"))
+    val members = fp.join(groups, Seq("__fp"))
+      .select(col("id"), col("__rep"), col("__cnt"))
+    val reps = df.join(
+      members.filter(col("id") === col("__rep")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+    // straight to the kernel: reps are already one-per-distinct-text,
+    // so [[jaccardPairs]]'s own contraction+expansion would be a no-op
+    // costing a fingerprint pass and three joins
+    val repSh = graft.operators.PhysicalOps.ensureParallelism(reps)
+      .select(col(idCol).as("id"),
+        sort_array(array_distinct(shingleHashes(col(textCol), shingleSize)))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val pairs = repPairKernel(repSh, numer, denom,
+        prefixFilter = true, maxShingleFreq = None)
+      .select(col("id_a"), col("id_b"))
+    val labels = Graph
+      .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)
+      .withColumnRenamed("id", "__rep")
+    // expand: a member's component is its representative's label; a
+    // ≥2-member group whose representative paired with nothing is
+    // still a cluster on its own (all copies of one text, component =
+    // the group min = the representative); pairless singletons are
+    // not nodes of the uncontracted graph and drop out.
+    members.join(labels, Seq("__rep"), "left")
+      .withColumn("component", coalesce(col("component"),
+        when(col("__cnt") >= 2, col("__rep"))))
+      .filter(col("component").isNotNull)
+      .select(col("id"), col("component"))
+  }
+
+  /** End-to-end fuzzy dedup: [[jaccardPairs]] candidates+verification
+    * over exact-contracted representatives ([[clusters]]), transitive
+    * closure, keep each cluster's smallest id plus every unpaired
+    * document. This is the full MinHash-paper pipeline a corpus pass
+    * actually runs — pairs alone under-delete (A~B, B~C must drop
+    * BOTH B and C even when A!~C directly).
+    *
+    * Scale posture inherits from the parts: exact contraction first
+    * (one 16-byte-key shuffle), prefix-filtered pair generation on
+    * distinct texts only, the closure shuffles (id,label) pairs only,
+    * and the final anti-join is keyed on the id. Pass `checkpointDir`
+    * on a real cluster (see [[Graph.connectedComponents]]).
     */
   def fuzzyDedup(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numer: Int = 1, denom: Int = 2,
       maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = jaccardPairs(df, textCol, idCol, shingleSize, numer, denom)
-      .select(col("id_a"), col("id_b"))
-    val losers = Graph
-      .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)
+    val losers = clusters(df, textCol, idCol,
+        shingleSize, numer, denom, maxIter, checkpointDir)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -414,6 +484,18 @@ object Dedup {
     * Returns (idA, idB, intersection, union) with idA < idB and
     * intersection/union over distinct shingles, filtered to
     * jaccard ≥ numer/denom.
+    *
+    * Exact-duplicate contraction (the [[clusters]] quotient applied to
+    * PAIRS): equal texts have identical shingle sets, so every pair
+    * statistic between two texts holds for every (copy, copy)
+    * combination, and copies of one text pair with each other at
+    * J = 1. The expensive kernel therefore runs on ONE representative
+    * per distinct text; member pairs expand afterwards from the group
+    * table. Candidate-generation cost drops with the SQUARE of text
+    * duplication — on verbatim-heavy corpora (web crawls: 30-50%
+    * re-crawls) that is the difference between a bounded join and an
+    * exploding one. The output is row-identical to the uncontracted
+    * kernel (MlSpec asserts it).
     */
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -422,18 +504,67 @@ object Dedup {
       prefixFilter: Boolean = true,
       maxShingleFreq: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+
+    // contraction prologue: (id → representative) via the 16-byte
+    // fingerprint; persisted — the table rides five plan references
+    val fpt = df.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val groups = fpt.groupBy(col("__fp")).agg(min(col("id")).as("__rep"))
+    val members = fpt.join(groups, Seq("__fp"))
+      .select(col("id"), col("__rep"))
+      .persist()
+    val reps = df.join(
+      members.filter(col("id") === col("__rep")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+
     // The shingle table feeds candidate generation AND both sides of
     // the verification join — persist it so the text→shingle kernel
     // runs once, not once per plan reference (the signature table is
     // ~tens of bytes/doc, far smaller than the corpus). Arrays are kept
     // sorted so verification can use the zero-allocation merge-scan
     // intersect ([[graft.functions.SortedIntersectCount]]).
-    val sh = graft.operators.PhysicalOps.ensureParallelism(df)
+    val sh = graft.operators.PhysicalOps.ensureParallelism(reps)
       .select(col(idCol).as("id"),
         sort_array(array_distinct(shingleHashes(col(textCol), shingleSize)))
           .as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
+    val repPairs = repPairKernel(sh, numer, denom, prefixFilter,
+      maxShingleFreq)
+
+    // expansion back to member ids: cross-group pairs inherit the
+    // representative pair's stats verbatim; ≥2-member groups add their
+    // internal J=1 pairs (|∩| = |∪| = the text's shingle count) — only
+    // when τ ≤ 1 admits them, and only for texts that HAVE shingles
+    // (empty-shingle docs never pair, contracted or not).
+    val cross = repPairs
+      .join(members.select(col("__rep").as("id_a"), col("id").as("__a")),
+        Seq("id_a"))
+      .join(members.select(col("__rep").as("id_b"), col("id").as("__b")),
+        Seq("id_b"))
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"),
+        col("intersection"), col("union"))
+    if (denom < numer) return cross // τ > 1: identical pairs excluded
+    val within = members.as("x").join(members.as("y"),
+        col("x.__rep") === col("y.__rep") && col("x.id") < col("y.id"))
+      .select(col("x.__rep").as("__rep"),
+        col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .join(sh.select(col("id").as("__rep"),
+        size(col("sh")).as("__n")), Seq("__rep"))
+      .select(col("id_a"), col("id_b"),
+        col("__n").as("intersection"), col("__n").as("union"))
+    cross.unionByName(within)
+  }
+
+  /** The pair kernel proper, over a deduplicated (id, sorted distinct
+    * shingle array) table.
+    */
+  private def repPairKernel(
+      sh: DataFrame, numer: Int, denom: Int,
+      prefixFilter: Boolean,
+      maxShingleFreq: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = sh.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
 
@@ -466,11 +597,14 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("f"), col("s"))))
     val prefixLen = col("n") - ceil(col("n") * numer / denom) + 1
     // Optional recall knob for adversarial corpora: exclude shingles
-    // whose document frequency exceeds the cap from CANDIDATE
+    // whose DISTINCT-TEXT frequency exceeds the cap from CANDIDATE
     // GENERATION only (verification still uses full shingle sets).
-    // With the cap unset the join is exact; with it set, a true pair is
-    // missed only if every prefix shingle it shares is hotter than the
-    // cap — at 100 TB that trades bounded skew for bounded recall loss.
+    // With the cap unset the join is exact; with it set, a true
+    // cross-text pair is missed only if every prefix shingle it shares
+    // is hotter than the cap — at 100 TB that trades bounded skew for
+    // bounded recall loss. Identical-text pairs come from the
+    // contraction expansion, need no candidates, and are immune to
+    // the cap (and duplication can no longer make a shingle "hot").
     // prefix is self-joined — persist so the freq-join + window run
     // once, not once per join side; (n, r) ride along for the
     // positional filter

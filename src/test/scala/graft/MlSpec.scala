@@ -48,6 +48,34 @@ class MlSpec extends AnyFunSuite {
     assert(kept == Seq(10L, 13L))
   }
 
+  test("clusters with exact contraction ≡ CC over the full pair graph") {
+    // a corpus with exact-dup groups (copies of a and of b), a
+    // near-dup bridge (b ~ a), an isolated pair-less exact group (two
+    // copies of `other`), and a true singleton. The contracted path
+    // must reproduce CC over the UNCONTRACTED jaccardPairs graph
+    // row-for-row: same node set, same min components.
+    val a = base
+    val b = base.replace("today", "tonight")
+    val lone = "completely unrelated text with nothing shared at all " +
+      "padded until shingles exist for this document too yes"
+    val df = Seq(
+      (1L, a), (2L, a), (5L, b), (6L, b), (7L, b),
+      (8L, other), (9L, other), (20L, lone))
+      .toDF("doc_id", "text")
+    val direct = graft.ml.Graph.connectedComponents(
+        Dedup.jaccardPairs(df, "text", "doc_id")
+          .select($"id_a", $"id_b"), "id_a", "id_b")
+      .select($"id", $"component")
+      .as[(Long, Long)].collect().toSet
+    val contracted = Dedup.clusters(df, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(contracted == direct)
+    // sanity on the expected shape: {1,2,5,6,7} under min 1;
+    // {8,9} under 8; 20 absent (pairless singleton)
+    assert(contracted == Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L),
+      (7L, 1L), (8L, 8L), (9L, 8L)))
+  }
+
   test("semDedup drops transitive embedding chains, keeps min + singletons") {
     val dim = 8
     val a = Array.fill(dim)(1.0 / math.sqrt(dim))
@@ -237,9 +265,14 @@ class MlSpec extends AnyFunSuite {
       maxShingleFreq = Some(10L)).collect().toSet
     val uncapped = Dedup.jaccardPairs(docs, "text", "doc_id").collect().toSet
     assert(capped == uncapped)
-    // cap of 0 excludes every shingle from candidate generation → no pairs
-    assert(Dedup.jaccardPairs(docs, "text", "doc_id",
-      maxShingleFreq = Some(0L)).count() == 0L)
+    // cap of 0 excludes every shingle from candidate generation → no
+    // CROSS-text pairs; the identical-text pair (1,4) comes from the
+    // exact-contraction expansion, which never needs candidates and is
+    // therefore immune to the recall knob
+    val cap0 = Dedup.jaccardPairs(docs, "text", "doc_id",
+      maxShingleFreq = Some(0L))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(cap0 == Set((1L, 4L)))
   }
 
   test("dedupLines keeps each line's first (id, idx) occurrence and reassembles") {
