@@ -261,12 +261,17 @@ object Dedup {
       .withColumnRenamed("id", "__rep")
     // expand: a member's component is its representative's label; a
     // ≥2-member group whose representative paired with nothing is
-    // still a cluster on its own (all copies of one text, component =
-    // the group min = the representative); pairless singletons are
-    // not nodes of the uncontracted graph and drop out.
+    // still a cluster on its own (its copies pair with each other at
+    // J = 1), component = the group min = the representative — but
+    // ONLY if the text has shingles at all: shingle-less docs never
+    // pair in the uncontracted graph, copies or not. Pairless
+    // singletons are not nodes and drop out.
+    val shingled = repSh.select(col("id").as("__rep"),
+      lit(true).as("__has_sh"))
     members.join(labels, Seq("__rep"), "left")
+      .join(shingled, Seq("__rep"), "left")
       .withColumn("component", coalesce(col("component"),
-        when(col("__cnt") >= 2, col("__rep"))))
+        when(col("__cnt") >= 2 && col("__has_sh"), col("__rep"))))
       .filter(col("component").isNotNull)
       .select(col("id"), col("component"))
   }
@@ -346,8 +351,19 @@ object Dedup {
       shingleSize: Int = 3,
       corpusIsBandTable: Boolean = false): DataFrame = {
     val corpusKeys = (if (corpusIsBandTable) corpus.select(col("band"))
-      else minhashBandTable(corpus, textCol, idCol,
-        numHashes, bands, shingleSize).select(col("band")))
+      else {
+        // exact contraction: copies of a text contribute identical
+        // band keys, so the distinct-band set over one representative
+        // per distinct text IS the corpus's — the signature kernel
+        // (the CPU cost) runs once per distinct text
+        val reps = corpus.join(
+          corpus.select(col(idCol),
+              TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+            .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
+          Seq(idCol), "left_semi")
+        minhashBandTable(reps, textCol, idCol,
+          numHashes, bands, shingleSize).select(col("band"))
+      })
       .distinct()
     val batchBands =
       minhashBandTable(newDf, textCol, idCol, numHashes, bands, shingleSize)

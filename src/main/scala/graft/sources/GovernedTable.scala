@@ -219,6 +219,64 @@ object GovernedTable {
     }
   }
 
+  final case class VacuumResult(
+      versionsDropped: Long, filesDeleted: Long, filesKept: Long)
+
+  /** Reference-aware garbage collection (the governed-table VACUUM):
+    * retire history older than the last `keepVersions` snapshots and
+    * delete every data file no RETAINED version references. This is
+    * the correct cleanup rule for a versioned table — a purely
+    * age-based purge would delete files the current snapshot still
+    * reads (old files stay live forever under append-only commits)
+    * and would keep superseded post-compaction files forever (they
+    * can be young). Time travel remains valid for all retained
+    * versions; reads of dropped versions fail, which is the contract.
+    *
+    * Safety order matters: the manifests of dropped versions are
+    * removed FIRST, so a crash mid-vacuum leaves orphaned (unreadable,
+    * unreferenced) data files for the next vacuum rather than live
+    * manifests pointing at deleted data. An IN-FLIGHT transaction's
+    * staged files are unreferenced until its commit — set
+    * `minAgeHours` above the longest transaction you allow (Delta's
+    * retention-window rule) or run vacuum quiesced. Like the commit
+    * protocol, everything here is manifest metadata + file deletes —
+    * cost is O(files), independent of data bytes.
+    */
+  def vacuum(spark: SparkSession, tableDir: String,
+      keepVersions: Int = 1, minAgeHours: Int = 0): VacuumResult = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    require(minAgeHours >= 0, "minAgeHours must be >= 0")
+    val fs = fileSystem(spark, tableDir)
+    val head = latestVersion(fs, tableDir)
+    require(head >= 1, s"no committed version in $tableDir")
+    val cutoff = math.max(1L, head - keepVersions + 1)
+    val retained = (cutoff to head)
+      .flatMap(snapshotFiles(fs, tableDir, _)).toSet
+    var dropped = 0L
+    (1L until cutoff).foreach { v =>
+      if (fs.delete(versionPath(tableDir, v), false)) dropped += 1
+    }
+    // every parquet under data/ that no retained manifest lists (and
+    // that is old enough to not be a live transaction's staging)
+    val ageCutoff = System.currentTimeMillis() - minAgeHours * 3600000L
+    val dataRoot = s"$tableDir/data"
+    val all =
+      if (fs.exists(new Path(dataRoot))) listParquet(fs, dataRoot)
+      else Seq.empty[String]
+    val dropCandidates = all.filterNot(retained.contains)
+    val drop = dropCandidates.filter(f =>
+      fs.getFileStatus(new Path(f)).getModificationTime < ageCutoff)
+    drop.foreach(f => fs.delete(new Path(f), false))
+    // staged-but-never-committed txn dirs and dirs emptied above
+    val dataDir = new Path(tableDir, "data")
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
+      if (st.isDirectory && !fs.listFiles(st.getPath, true).hasNext)
+        fs.delete(st.getPath, true)
+    }
+    VacuumResult(dropped, drop.length.toLong,
+      (all.length - drop.length).toLong)
+  }
+
   // ----------------------------------------------------------------- log
 
   private def fileSystem(spark: SparkSession, dir: String): FileSystem =

@@ -146,4 +146,38 @@ class GovernedTableSpec extends AnyFunSuite {
     assert(GovernedTable.commitTransaction(spark, txn))
     assert(ids(GovernedTable.read(spark, dir)) == before + 99)
   }
+
+  test("vacuum deletes only files no retained version references") {
+    val dir = tmpTable()
+    for (lo <- Seq(0, 10)) {
+      val txn = GovernedTable.startTransaction(spark, dir)
+      GovernedTable.write(spark, txn,
+        (lo until lo + 10).toDF("id").repartition(3))
+      assert(GovernedTable.commitTransaction(spark, txn))
+    }
+    val r = GovernedTable.compact(spark, dir) // v3 overwrite
+    assert(r.version == 3L)
+    // keep only the compacted head: v1/v2 manifests drop, and the six
+    // pre-compaction files (referenced by nothing retained) delete
+    val v = GovernedTable.vacuum(spark, dir, keepVersions = 1)
+    assert(v.versionsDropped == 2L)
+    assert(v.filesDeleted >= 6L && v.filesKept == r.filesAfter.toLong)
+    // current read intact; dropped history now correctly unreadable
+    assert(ids(GovernedTable.read(spark, dir)) == (0 until 20).toSet)
+    intercept[IllegalArgumentException] {
+      GovernedTable.readVersion(spark, dir, 1).collect()
+    }
+    // a second vacuum is a clean no-op
+    val v2 = GovernedTable.vacuum(spark, dir, keepVersions = 1)
+    assert(v2 == GovernedTable.VacuumResult(0L, 0L, r.filesAfter.toLong))
+    // minAgeHours shields young unreferenced files (a live txn's
+    // staging): stage without committing, vacuum with a 1h floor
+    val live = GovernedTable.startTransaction(spark, dir)
+    GovernedTable.write(spark, live, Seq(42).toDF("id"))
+    val v3 = GovernedTable.vacuum(spark, dir,
+      keepVersions = 1, minAgeHours = 1)
+    assert(v3.filesDeleted == 0L)
+    assert(GovernedTable.commitTransaction(spark, live))
+    assert(ids(GovernedTable.read(spark, dir)) == (0 until 20).toSet + 42)
+  }
 }

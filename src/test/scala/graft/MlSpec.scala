@@ -58,9 +58,16 @@ class MlSpec extends AnyFunSuite {
     val b = base.replace("today", "tonight")
     val lone = "completely unrelated text with nothing shared at all " +
       "padded until shingles exist for this document too yes"
+    // 30/31: a short-text exact-dup pair — ShingleHashes' whole-text
+    // fallback gives sub-n-token texts ONE shingle, so these ARE
+    // nodes (J = 1 via the fallback shingle). 40/41: an EMPTY-text
+    // dup pair — zero tokens, zero shingles, not nodes of the pair
+    // graph, copies or not; the contracted path must drop them too.
     val df = Seq(
       (1L, a), (2L, a), (5L, b), (6L, b), (7L, b),
-      (8L, other), (9L, other), (20L, lone))
+      (8L, other), (9L, other), (20L, lone),
+      (30L, "too short"), (31L, "too short"),
+      (40L, ""), (41L, ""))
       .toDF("doc_id", "text")
     val direct = graft.ml.Graph.connectedComponents(
         Dedup.jaccardPairs(df, "text", "doc_id")
@@ -71,9 +78,10 @@ class MlSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(contracted == direct)
     // sanity on the expected shape: {1,2,5,6,7} under min 1;
-    // {8,9} under 8; 20 absent (pairless singleton)
+    // {8,9} under 8; {30,31} under 30 (fallback shingle); 20 absent
+    // (pairless singleton); 40/41 absent (shingle-less, never nodes)
     assert(contracted == Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L),
-      (7L, 1L), (8L, 8L), (9L, 8L)))
+      (7L, 1L), (8L, 8L), (9L, 8L), (30L, 30L), (31L, 30L)))
   }
 
   test("semDedup drops transitive embedding chains, keeps min + singletons") {
