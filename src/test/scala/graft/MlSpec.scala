@@ -84,6 +84,42 @@ class MlSpec extends AnyFunSuite {
       (7L, 1L), (8L, 8L), (9L, 8L), (30L, 30L), (31L, 30L)))
   }
 
+  test("jaccardPairs matches a local all-pairs reference on random dup-heavy corpora") {
+    // independent oracle: shingle SETS computed with the same native
+    // kernel, then literal all-pairs set intersection/union in local
+    // Scala — no joins, no prefix filter, no contraction. Small token
+    // vocabulary forces cross-text shingle collisions; sampling with
+    // replacement from 12 base texts forces exact-duplicate groups.
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    def sh(t: String): Set[Long] = {
+      val arr = graft.functions.ShingleHashes
+        .compute(UTF8String.fromString(t), 3)
+      (0 until arr.numElements()).map(arr.getLong).toSet
+    }
+    for (_ <- 1 to 3) {
+      val bases = Vector.fill(12)(
+        (1 to (2 + rnd.nextInt(10)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val docs = (0 until 30).map(i =>
+        (i.toLong, bases(rnd.nextInt(bases.size))))
+      val got = Dedup.jaccardPairs(docs.toDF("doc_id", "text"),
+          "text", "doc_id")
+        .as[(Long, Long, Int, Int)].collect().toSet
+      val sets = docs.toMap.view.mapValues(sh).toMap
+      val expect = (for {
+        (ia, _) <- docs; (ib, _) <- docs if ia < ib
+        sa = sets(ia); sb = sets(ib)
+        if sa.nonEmpty && sb.nonEmpty
+        i = sa.intersect(sb).size; u = sa.union(sb).size
+        if i * 2 >= u
+      } yield (ia, ib, i, u)).toSet
+      assert(got == expect)
+    }
+  }
+
   test("semDedup drops transitive embedding chains, keeps min + singletons") {
     val dim = 8
     val a = Array.fill(dim)(1.0 / math.sqrt(dim))
