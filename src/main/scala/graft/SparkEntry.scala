@@ -1090,10 +1090,12 @@ object SparkEntry {
     }),
 
     // Governed-table maintenance end-to-end: three committed append
-    // snapshots of deliberately-small files, then one atomic OPTIMIZE
-    // overwrite version via compact() — content must be exactly the
-    // committed rows (the oracle is the relational shadow; the
-    // file-count shrink and pre-compaction time travel are
+    // snapshots of deliberately-small files, one atomic OPTIMIZE
+    // overwrite version via compact(), then a reference-aware
+    // vacuum() retiring the pre-compaction history and its now-
+    // unreferenced files — content must still be exactly the
+    // committed rows (the oracle is the relational shadow; file-count
+    // shrink, time-travel validity, and the minAgeHours guard are
     // spec-asserted in GovernedTableSpec).
     "q105_governed_compact" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_gcompact_" +
@@ -1108,6 +1110,7 @@ object SparkEntry {
         graft.sources.GovernedTable.commitTransaction(s, txn)
       }
       graft.sources.GovernedTable.compact(s, path)
+      graft.sources.GovernedTable.vacuum(s, path, keepVersions = 1)
       graft.sources.GovernedTable.read(s, path)
     }),
 

@@ -241,7 +241,7 @@ object Sketches {
       .agg(sum(col("c")).as("__t"))
       .withColumn("__prefix",
         coalesce(sum(col("__t")).over(
-          Window.partitionBy(lit(0)).orderBy(col("__pid"))
+          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__prefix"))
     val ranks = hist.agg(sum(col("c")).as("__n"))

@@ -307,7 +307,7 @@ object TextAnalysis {
       .agg(sum(col("n_tokens")).as("__t"))
       .withColumn("__prefix",
         coalesce(sum(col("__t")).over(
-          Window.partitionBy(lit(0)).orderBy(col("__pid"))
+          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__prefix"))
     local.join(broadcast(prefixes), Seq("__pid"))
@@ -539,7 +539,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__off",
         coalesce(sum(col("__c")).over(
-          Window.partitionBy(lit(0)).orderBy(col("__pid"))
+          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__off"))
     local.join(broadcast(offsets), Seq("__pid"))
