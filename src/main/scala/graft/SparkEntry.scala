@@ -1114,6 +1114,46 @@ object SparkEntry {
       graft.sources.GovernedTable.read(s, path)
     }),
 
+    // S12 transition end-to-end on the driver scoreboard: write, age
+    // past retention, tier to the hidden .tier=cold mirror, read the
+    // tier root back — content must round-trip exactly (file movement
+    // and retention selectivity are spec-asserted in LifecycleSpec).
+    "q106_lifecycle_tier" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_tier_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      n.write.mode("overwrite").parquet(s"$base/data")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val old = System.currentTimeMillis() - 200L * 3600000L
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$base/data"), true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) fs.setTimes(st.getPath, old, -1)
+      }
+      graft.sources.Lifecycle.transitionPath(s, s"$base/data",
+        storageClass = "cold", retentionHours = 168)
+      s.read.parquet(s"$base/data/.tier=cold")
+    }),
+
+    // S8 collection fan-out on the driver scoreboard: relationalize →
+    // ONE writeCollection call (the useFrameName contract) → read the
+    // child table back from its member path; the oracle is q18's
+    // relational replay, so the fan-out naming and the written
+    // content are both hash-checked.
+    "q107_collection_sink" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_coll_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val p = t(s, dir, "part").withColumn("words", split(col("p_name"), " "))
+      val tables = NestedOps.relationalize(p, "part", idCol = Some("p_partkey"))
+      val coll = graft.core.GlueFrameCollection(
+        tables.map { case (k, v) => k -> GlueFrame(v) })
+      graft.sources.Sinks.writeCollection(coll, "file",
+        options = Map("path" -> base), mode = "overwrite")
+      s.read.parquet(s"$base/part_words")
+    }),
+
     // ---------------------------------------------------------------- R6
     // DynamoDB-JSON unnest: typed encodings (M of S/N scalars + an SS
     // set) constructed from events, collapsed recursively to plain
@@ -2550,6 +2590,17 @@ object SparkEntry {
     // union of the three committed slices, i.e. all of nation.
     "q105_governed_compact" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // Lifecycle tiering: content-preserving round-trip through the
+    // hidden tier directory.
+    "q106_lifecycle_tier" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // Collection fan-out: the written child table is q18's relational
+    // shadow.
+    "q107_collection_sink" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS id,
+        |  CAST(unnest(range(len(arr))) AS INT) AS index,
+        |  unnest(arr) AS "words.val"
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS arr FROM part)""".stripMargin,
     "q52_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,
