@@ -82,6 +82,29 @@ class MlSpec extends AnyFunSuite {
     // (pairless singleton); 40/41 absent (shingle-less, never nodes)
     assert(contracted == Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L),
       (7L, 1L), (8L, 8L), (9L, 8L), (30L, 30L), (31L, 30L)))
+
+    // randomized trials: dup-heavy corpora from a small vocabulary —
+    // component structure must survive the quotient on arbitrary
+    // overlap patterns, not just the hand-built fixture
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("red", "blue", "green", "gold", "iron",
+      "wolf", "moon", "star")
+    for (_ <- 1 to 2) {
+      val bases = Vector.fill(10)(
+        (1 to (2 + rnd.nextInt(9)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val docs = (0 until 25).map(i =>
+        (i.toLong, bases(rnd.nextInt(bases.size))))
+      val rdf = docs.toDF("doc_id", "text")
+      val d2 = graft.ml.Graph.connectedComponents(
+          Dedup.jaccardPairs(rdf, "text", "doc_id")
+            .select($"id_a", $"id_b"), "id_a", "id_b")
+        .select($"id", $"component")
+        .as[(Long, Long)].collect().toSet
+      val c2 = Dedup.clusters(rdf, "text", "doc_id")
+        .as[(Long, Long)].collect().toSet
+      assert(c2 == d2)
+    }
   }
 
   test("jaccardPairs matches a local all-pairs reference on random dup-heavy corpora") {
