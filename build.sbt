@@ -23,11 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[32] with 100+ bench queries in one JVM needs headroom: at 8g
+// the old-gen fills with shuffle/broadcast debris mid-bench and GC tax
+// inflates the tail queries. Size the default from the HOST's memory so
+// a small contributor machine is never promised a heap it cannot back
+// (SPARK_DRIVER_MEM always overrides).
+val defaultDriverMem: String = {
+  val totalGb = try {
+    scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") =>
+        l.trim.split("\\s+")(1).toLong / 1048576 }
+      .getOrElse(0L)
+  } catch { case _: Throwable => 0L }
+  if (totalGb >= 96) "24g" else if (totalGb >= 32) "12g" else "6g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] with 100+ bench queries in one JVM needs headroom: at 8g
-  // the old-gen fills with shuffle/broadcast debris mid-bench and GC
-  // tax inflates the tail queries (the host has 128 GiB).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultDriverMem)}",
 )

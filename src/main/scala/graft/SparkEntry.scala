@@ -1063,14 +1063,15 @@ object SparkEntry {
     // token-window chunking → vocabulary encode of each chunk →
     // packing manifest over the encoded stream. One query exercises
     // the full chunk→encode→pack path a pretraining-shard writer
-    // runs; ids stay synthetic-composite (doc*1000+chunk) so both
+    // runs; ids stay synthetic-composite (doc*100000+chunk — room for
+    // ~4.8M-token documents without collision) so both
     // engines order identically, and token_ids flattens to the
     // harness-sortable scalar (q88/q102 discipline).
     "q104_chunk_encode_pack" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val chunks = Curation.chunkDocuments(
           d, "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
-        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+        .select((col("doc_id") * 100000 + col("chunk_idx")).as("chunk_id"),
           col("chunk_text"))
       val vocab = TextAnalysis.buildVocab(d.select(col("text")),
         "text", minCount = 5)
@@ -2554,7 +2555,7 @@ object SparkEntry {
         |  WHERE len(toks) > 0),
         |c AS (SELECT doc_id, toks, n,
         |    unnest(generate_series(0, n - 1, 48)) AS st FROM s),
-        |ch AS (SELECT doc_id * 1000 + CAST(st // 48 AS INT) AS chunk_id,
+        |ch AS (SELECT doc_id * 100000 + CAST(st // 48 AS INT) AS chunk_id,
         |    array_to_string(toks[st + 1 : least(st + 64, n)], ' ')
         |      AS chunk_text
         |  FROM c WHERE st = 0 OR st + 16 < n),

@@ -263,11 +263,12 @@ object Dedup {
     // ≥2-member group whose representative paired with nothing is
     // still a cluster on its own (its copies pair with each other at
     // J = 1), component = the group min = the representative — but
-    // ONLY if the text has shingles at all: shingle-less docs never
-    // pair in the uncontracted graph, copies or not. Pairless
-    // singletons are not nodes and drop out.
+    // ONLY if τ ≤ 1 admits identical-text pairs (a τ > 1 threshold
+    // admits no pairs at all) AND the text has shingles: shingle-less
+    // docs never pair in the uncontracted graph, copies or not.
+    // Pairless singletons are not nodes and drop out.
     val shingled = repSh.select(col("id").as("__rep"),
-      lit(true).as("__has_sh"))
+      lit(denom >= numer).as("__has_sh"))
     members.join(labels, Seq("__rep"), "left")
       .join(shingled, Seq("__rep"), "left")
       .withColumn("component", coalesce(col("component"),
@@ -512,6 +513,13 @@ object Dedup {
     * re-crawls) that is the difference between a bounded join and an
     * exploding one. The output is row-identical to the uncontracted
     * kernel (MlSpec asserts it).
+    *
+    * Resource note: the member/shingle/prefix tables persist for the
+    * plan's multiple references and stay cached for the session (the
+    * same contract as [[spigot]]-style helpers); callers running many
+    * corpora through one session should release between runs
+    * (`spark.catalog.clearCache()` plus unpersisting tracked RDDs, as
+    * the bench harness does) rather than rely on GC.
     */
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,

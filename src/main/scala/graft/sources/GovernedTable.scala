@@ -140,12 +140,17 @@ object GovernedTable {
   }
 
   /** The `asOfTime` read (context.py:241): the newest version
-    * committed at or before the timestamp.
+    * committed at or before the timestamp. Versions retired by
+    * [[vacuum]] are skipped, not errors — only RETAINED manifests
+    * participate, so timestamp reads keep working after history
+    * trimming (a timestamp older than all retained versions still
+    * fails, which is the contract: that data is gone).
     */
   def readAsOf(spark: SparkSession, tableDir: String,
       timestampMillis: Long): DataFrame = {
     val fs = fileSystem(spark, tableDir)
     val v = (1L to latestVersion(fs, tableDir))
+      .filter(ver => fs.exists(versionPath(tableDir, ver)))
       .filter(committedAt(fs, tableDir, _) <= timestampMillis)
     require(v.nonEmpty, s"no version of $tableDir committed by $timestampMillis")
     readVersion(spark, tableDir, v.max)

@@ -136,18 +136,36 @@ object Lifecycle {
       retentionHours: Int = 168,
       tierRoot: Option[String] = None,
       manifestFilePath: Option[String] = None): TransitionResult = {
+    val (ok, bad, retained) = transitionOnce(
+      spark, path, storageClass, retentionHours, tierRoot)
+    manifestFilePath.foreach(writeManifest(spark, _, ok, bad))
+    TransitionResult(ok.length.toLong, bad.length.toLong, retained)
+  }
+
+  /** One path's transition pass: driver-side metadata listing,
+    * distributed moves. Returns (movedSrcPaths, failedSrcPaths,
+    * retainedCount) — the [[purgeOnce]] shape, so both public entry
+    * points write manifests of THIS run's source paths.
+    */
+  private def transitionOnce(
+      spark: SparkSession, path: String,
+      storageClass: String, retentionHours: Int,
+      tierRoot: Option[String]): (Seq[String], Seq[String], Long) = {
     require(retentionHours >= 0, "retentionHours must be >= 0")
     val hadoopConf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(hadoopConf)
-    if (!fs.exists(root)) return TransitionResult(0L, 0L, 0L)
+    if (!fs.exists(root)) return (Nil, Nil, 0L)
     val qRoot = fs.makeQualified(root).toString.stripSuffix("/") + "/"
     val qTier = fs.makeQualified(new Path(
       tierRoot.getOrElse(s"${qRoot.stripSuffix("/")}/.tier=$storageClass")))
       .toString.stripSuffix("/") + "/"
     val cutoff = System.currentTimeMillis() - retentionHours * 3600000L
 
-    // driver-side metadata listing, like purge: (src, dest) pairs only
+    // driver-side metadata listing, like purge: (src, dest) pairs
+    // only. EVERY tier directory is excluded, not just this call's —
+    // transitioning to "glacier" after an earlier "cold" pass must
+    // not re-tier (and thereby nest and hide) the cold files.
     val moves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var retained = 0L
     val it = fs.listFiles(root, true)
@@ -155,17 +173,17 @@ object Lifecycle {
       val st = it.next()
       if (st.isFile) {
         val p = st.getPath.toString
-        if (!p.startsWith(qTier)) {
+        val rel = p.stripPrefix(qRoot)
+        val tiered = p.startsWith(qTier) ||
+          rel.startsWith(".tier=") || rel.contains("/.tier=")
+        if (!tiered) {
           if (st.getModificationTime < cutoff)
-            moves += ((p, qTier + p.stripPrefix(qRoot)))
+            moves += ((p, qTier + rel))
           else retained += 1
         }
       }
     }
-    if (moves.isEmpty) {
-      manifestFilePath.foreach(writeManifest(spark, _, Nil, Nil))
-      return TransitionResult(0L, 0L, retained)
-    }
+    if (moves.isEmpty) return (Nil, Nil, retained)
 
     // distributed move: rename (metadata-only on one FS), copy+delete
     // across filesystems; each task resolves the FS once
@@ -192,9 +210,7 @@ object Lifecycle {
       .collect() // bounded by the move list the driver already holds
 
     val (okPairs, badPairs) = outcomes.partition(_._2)
-    manifestFilePath.foreach(
-      writeManifest(spark, _, okPairs.map(_._1).toSeq, badPairs.map(_._1).toSeq))
-    TransitionResult(okPairs.length.toLong, badPairs.length.toLong, retained)
+    (okPairs.map(_._1).toSeq, badPairs.map(_._1).toSeq, retained)
   }
 
   /** Transition a catalog table's cold files (context.py:461-501
@@ -215,35 +231,44 @@ object Lifecycle {
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = cat.getTableMetadata(ident)
-    val loc = meta.location.toString.stripSuffix("/")
+    val hc = spark.sessionState.newHadoopConf()
+    // normalize URI spellings before any prefix comparison — catalog
+    // table and partition locations can qualify differently
+    // ("file:/x" vs "file:///x")
+    def qualify(u: String): String = {
+      val p = new Path(u)
+      p.getFileSystem(hc).makeQualified(p).toString.stripSuffix("/")
+    }
+    val loc = qualify(meta.location.toString)
     if (meta.partitionColumnNames.isEmpty)
       return transitionPath(spark, loc, storageClass, retentionHours,
         manifestFilePath = manifestFilePath)
 
     val tierRoot = s"$loc/.tier=$storageClass"
-    var moved = 0L; var failed = 0L; var retained = 0L
+    var allOk = Seq.empty[String]; var allBad = Seq.empty[String]
+    var retained = 0L
     selectPartitions(spark, ident, meta.partitionColumnNames,
         partitionPredicate).foreach { p =>
-      val pLoc = p.location.toString.stripSuffix("/")
-      val rel = pLoc.stripPrefix(loc).stripPrefix("/")
-      val r = transitionPath(spark, pLoc, storageClass, retentionHours,
-        tierRoot = Some(if (rel.isEmpty) tierRoot else s"$tierRoot/$rel"),
-        manifestFilePath = None)
-      moved += r.transitioned; failed += r.failed; retained += r.retained
+      val pLoc = qualify(p.location.toString)
+      // a partition relocated OUTSIDE the table location (ALTER ...
+      // SET LOCATION) cannot mirror under the table tier root — its
+      // "relative" path would be a full URI; tier it under its own
+      // location instead, the same place a per-path transition of
+      // that partition would use
+      val target =
+        if (!pLoc.startsWith(loc + "/") && pLoc != loc) None
+        else {
+          val rel = pLoc.stripPrefix(loc).stripPrefix("/")
+          Some(if (rel.isEmpty) tierRoot else s"$tierRoot/$rel")
+        }
+      val (ok, bad, ret) = transitionOnce(spark, pLoc, storageClass,
+        retentionHours, target)
+      allOk ++= ok; allBad ++= bad; retained += ret
     }
-    // one table-level manifest: re-list what landed in the tier root
-    manifestFilePath.foreach { dir =>
-      val fs = new Path(tierRoot)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      val tiered = scala.collection.mutable.ArrayBuffer.empty[String]
-      if (fs.exists(new Path(tierRoot))) {
-        val it = fs.listFiles(new Path(tierRoot), true)
-        while (it.hasNext) { val st = it.next()
-          if (st.isFile) tiered += st.getPath.toString }
-      }
-      writeManifest(spark, dir, tiered.toSeq, Nil)
-    }
-    TransitionResult(moved, failed, retained)
+    // one table-level manifest, listing THIS run's moved source paths
+    // — the same contract as purgeTable
+    manifestFilePath.foreach(writeManifest(spark, _, allOk, allBad))
+    TransitionResult(allOk.length.toLong, allBad.length.toLong, retained)
   }
 
   /** One path's purge pass: driver-side streaming list, distributed

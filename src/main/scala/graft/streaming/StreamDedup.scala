@@ -29,6 +29,13 @@ object StreamDedup {
   def loadStore(spark: SparkSession, storePath: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // a [[compactStore]] interrupted between its two swap renames
+    // leaves the store at `.compact-old`; restore rather than silently
+    // treating the store as empty (which would re-emit every
+    // previously-seen document)
+    val old = new org.apache.hadoop.fs.Path(
+      storePath.stripSuffix("/") + ".compact-old")
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
     if (fs.exists(path)) spark.read.parquet(storePath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
@@ -89,18 +96,29 @@ object StreamDedup {
     require(targetBytes > 0, "targetBytes must be positive")
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      storePath.stripSuffix("/") + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(
+      storePath.stripSuffix("/") + ".compact-old")
+    // crash-window recovery: a JVM death between the two swap renames
+    // leaves the store missing but the pre-swap copy at `.compact-old`
+    // — restore it before anything else (and before any reader could
+    // mistake the missing dir for an empty store)
+    if (!fs.exists(path) && fs.exists(old)) {
+      if (!fs.rename(old, path))
+        sys.error(s"compactStore: crash recovery rename failed for $old")
+    }
     if (!fs.exists(path)) return CompactResult(0, 0, 0L)
     def dataFiles() = fs.listStatus(path).toSeq.filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
     val before = dataFiles()
+    // a store dir holding only _SUCCESS markers (empty first batch)
+    // has nothing to compact — and parquet can't infer its schema
+    if (before.isEmpty) return CompactResult(0, 0, 0L)
     val nOut = math.max(1L,
       (before.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(
-      storePath.stripSuffix("/") + ".compact-tmp")
-    val old = new org.apache.hadoop.fs.Path(
-      storePath.stripSuffix("/") + ".compact-old")
     fs.delete(tmp, true); fs.delete(old, true)
     spark.read.parquet(storePath).distinct()
       .repartition(nOut)

@@ -170,6 +170,10 @@ class GovernedTableSpec extends AnyFunSuite {
     // a second vacuum is a clean no-op
     val v2 = GovernedTable.vacuum(spark, dir, keepVersions = 1)
     assert(v2 == GovernedTable.VacuumResult(0L, 0L, r.filesAfter.toLong))
+    // timestamp reads survive history trimming: dropped manifests are
+    // skipped, the retained head resolves
+    assert(ids(GovernedTable.readAsOf(spark, dir,
+      System.currentTimeMillis())) == (0 until 20).toSet)
     // minAgeHours shields young unreferenced files (a live txn's
     // staging): stage without committing, vacuum with a 1h floor
     val live = GovernedTable.startTransaction(spark, dir)

@@ -15,6 +15,17 @@ class LifecycleSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   import spark.implicits._
 
+  /** Drop a managed test table AND its warehouse directory — an
+    * interrupted earlier run can leave the dir behind with no catalog
+    * entry, which fails the next CREATE with LOCATION_ALREADY_EXISTS.
+    */
+  private def dropManaged(tbl: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = spark.sessionState.conf.warehousePath
+    val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
   private def touch(dir: String, name: String, ageHours: Long): String = {
     val p = Paths.get(dir, name)
     Files.createDirectories(p.getParent)
@@ -79,11 +90,19 @@ class LifecycleSpec extends AnyFunSuite {
     val r2 = Lifecycle.transitionPath(spark, s"$dir/data",
       storageClass = "cold", retentionHours = 168)
     assert(r2.transitioned == 0 && r2.failed == 0)
+    // a later transition to a DIFFERENT class must not re-tier the
+    // cold files (nesting them under .tier=glacier/.tier=cold would
+    // hide them from both tier roots)
+    val r3 = Lifecycle.transitionPath(spark, s"$dir/data",
+      storageClass = "glacier", retentionHours = 168)
+    assert(r3.transitioned == 0 && r3.failed == 0)
+    assert(spark.read.parquet(s"$dir/data/.tier=cold")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
   test("transitionTable tiers selected partitions under one table tier root") {
     val tbl = "t_tier_part"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    dropManaged(tbl)
     Seq((1L, "2024"), (2L, "2024"), (3L, "2025"), (4L, "2026"))
       .toDF("id", "year")
       .write.partitionBy("year").saveAsTable(tbl)
@@ -97,9 +116,17 @@ class LifecycleSpec extends AnyFunSuite {
       }
     }
     // predicate restricts to 2024; 2025 is old but excluded
+    val manifest = Files.createTempDirectory("graft-ttier-man").toString
     val r = Lifecycle.transitionTable(spark, tbl, retentionHours = 168,
-      partitionPredicate = "year = '2024'")
+      partitionPredicate = "year = '2024'",
+      manifestFilePath = Some(manifest))
     assert(r.transitioned >= 1 && r.failed == 0)
+    // the manifest lists THIS run's moved SOURCE paths (purge
+    // contract), so entries are year=2024 originals, not tier dests
+    val ok = new String(Files.readAllBytes(
+      Paths.get(manifest, "Success.csv"))).trim.split("\n").toSeq
+    assert(ok.size == r.transitioned)
+    assert(ok.forall(p => p.contains("year=2024") && !p.contains(".tier=")))
     // the hot table lost exactly the 2024 rows
     assert(spark.table(tbl).select("id").as[Long].collect().toSet ==
       Set(3L, 4L))
@@ -111,7 +138,7 @@ class LifecycleSpec extends AnyFunSuite {
 
   test("purgeTable honors the partition predicate and drops emptied partitions") {
     val tbl = "t_purge_part"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    dropManaged(tbl)
     Seq((1L, "2024"), (2L, "2024"), (3L, "2025"), (4L, "2026"))
       .toDF("id", "year")
       .write.partitionBy("year").saveAsTable(tbl)

@@ -83,6 +83,11 @@ class MlSpec extends AnyFunSuite {
     assert(contracted == Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L),
       (7L, 1L), (8L, 8L), (9L, 8L), (30L, 30L), (31L, 30L)))
 
+    // τ > 1 admits NO pairs — not even identical texts — so the
+    // uncontracted graph is empty and clusters must be too
+    assert(Dedup.clusters(df, "text", "doc_id",
+      numer = 3, denom = 2).isEmpty)
+
     // randomized trials: dup-heavy corpora from a small vocabulary —
     // component structure must survive the quotient on arbitrary
     // overlap patterns, not just the hand-built fixture

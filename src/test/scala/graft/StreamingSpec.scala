@@ -122,6 +122,26 @@ class StreamingSpec extends AnyFunSuite {
     // compacting a missing store is a clean no-op
     assert(StreamDedup.compactStore(spark, store + "_nope")
       == StreamDedup.CompactResult(0, 0, 0L))
+    // crash-window recovery: simulate a death between the two swap
+    // renames (store gone, pre-swap copy at .compact-old) — both the
+    // per-batch read path and a re-run compaction must restore it
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".compact-old")))
+    assert(StreamDedup.loadStore(spark, store).count() == 4L) // +delta
+    val b4 = Seq((9L, "gamma")).toDF("doc_id", "text")
+    val out4 = StreamDedup.dedupBatch(b4, "text", "doc_id", store)
+    assert(out4.isEmpty) // recovered store still knows gamma
+    out4.unpersist()
+    // empty-data store dir (only markers): compaction is a no-op, not
+    // a schema-inference crash
+    val emptyStore = Files.createTempDirectory("graft_empty").toString + "/fps"
+    Files.createDirectories(java.nio.file.Paths.get(emptyStore))
+    Files.write(java.nio.file.Paths.get(emptyStore, "_SUCCESS"),
+      Array.emptyByteArray)
+    val re = StreamDedup.compactStore(spark, emptyStore)
+    assert(re.distinctFps == 0L && re.filesBefore == 0)
   }
 
   test("dedupStream end-to-end over a file stream") {
