@@ -1138,6 +1138,22 @@ object SparkEntry {
       s.read.parquet(s"$base/data/.tier=cold")
     }),
 
+    // Streaming incremental dedup's POLICY on the driver scoreboard:
+    // two micro-batches (even ids, then odd ids) through dedupBatch
+    // against a fresh fingerprint store — within-batch first
+    // occurrence by min id, cross-batch suppression via the store.
+    // The oracle replays both batch passes relationally.
+    "q108_stream_dedup" -> ((s, dir) => {
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_sdq_" +
+        java.util.UUID.randomUUID().toString.take(8) + "/fps"
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val o1 = graft.streaming.StreamDedup.dedupBatch(
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", store)
+      val o2 = graft.streaming.StreamDedup.dedupBatch(
+        d.filter(col("doc_id") % 2 === 1), "text", "doc_id", store)
+      o1.unionByName(o2)
+    }),
+
     // S8 collection fan-out on the driver scoreboard: relationalize →
     // ONE writeCollection call (the useFrameName contract) → read the
     // child table back from its member path; the oracle is q18's
@@ -2595,6 +2611,17 @@ object SparkEntry {
     // hidden tier directory.
     "q106_lifecycle_tier" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // Streaming dedup policy: batch 1 keeps min id per distinct text;
+    // batch 2 keeps min id per distinct text NOT already in batch 1.
+    "q108_stream_dedup" ->
+      """WITH b1 AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        |w1 AS (SELECT min(doc_id) AS doc_id, text FROM b1 GROUP BY text),
+        |w2 AS (SELECT min(doc_id) AS doc_id, text FROM b2
+        |  WHERE text NOT IN (SELECT text FROM b1) GROUP BY text)
+        |SELECT doc_id, text FROM w1
+        |UNION ALL SELECT doc_id, text FROM w2""".stripMargin,
     // Collection fan-out: the written child table is q18's relational
     // shadow.
     "q107_collection_sink" ->
