@@ -247,14 +247,16 @@ object Dedup {
     // straight to the kernel: reps are already one-per-distinct-text,
     // so [[jaccardPairs]]'s own contraction+expansion would be a no-op
     // costing a fingerprint pass and three joins
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val repSh = graft.operators.PhysicalOps.ensureParallelism(reps)
       .select(col(idCol).as("id"),
         sort_array(array_distinct(shingleHashes(col(textCol), shingleSize)))
           .as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
+    cached += repSh
     val pairs = repPairKernel(repSh, numer, denom,
-        prefixFilter = true, maxShingleFreq = None)
+        prefixFilter = true, maxShingleFreq = None, cached)
       .select(col("id_a"), col("id_b"))
     val labels = Graph
       .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)
@@ -269,12 +271,19 @@ object Dedup {
     // Pairless singletons are not nodes and drop out.
     val shingled = repSh.select(col("id").as("__rep"),
       lit(denom >= numer).as("__has_sh"))
-    members.join(labels, Seq("__rep"), "left")
+    val out = members.join(labels, Seq("__rep"), "left")
       .join(shingled, Seq("__rep"), "left")
       .withColumn("component", coalesce(col("component"),
         when(col("__cnt") >= 2 && col("__has_sh"), col("__rep"))))
       .filter(col("component").isNotNull)
       .select(col("id"), col("component"))
+    // materialize the (id, component) table — two fixed-width columns,
+    // ContextCleaner-managed — then free the session-cached
+    // intermediates (repSh + the kernel's prefix table); long-lived
+    // sessions running many corpora no longer accumulate cache
+    val materialized = out.localCheckpoint()
+    cached.foreach(_.unpersist())
+    materialized
   }
 
   /** End-to-end fuzzy dedup: [[jaccardPairs]] candidates+verification
@@ -515,11 +524,14 @@ object Dedup {
     * kernel (MlSpec asserts it).
     *
     * Resource note: the member/shingle/prefix tables persist for the
-    * plan's multiple references and stay cached for the session (the
-    * same contract as [[spigot]]-style helpers); callers running many
-    * corpora through one session should release between runs
-    * (`spark.catalog.clearCache()` plus unpersisting tracked RDDs, as
-    * the bench harness does) rather than rely on GC.
+    * plan's multiple references, the OUTPUT is eagerly materialized
+    * (localCheckpoint — it is the fixed-width pair table, far smaller
+    * than the corpus), and the intermediates are unpersisted before
+    * returning. Repeated calls over different corpora in one long-
+    * lived session therefore do not accumulate cached tables; the
+    * checkpointed result itself is ContextCleaner-managed (freed when
+    * the returned frame is garbage-collected), not a CacheManager
+    * strong reference.
     */
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -529,6 +541,10 @@ object Dedup {
       maxShingleFreq: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
+    // persisted intermediates, unpersisted after the output
+    // materializes — see the resource note above
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
     // contraction prologue: (id → representative) via the 16-byte
     // fingerprint; persisted — the table rides five plan references
     val fpt = df.select(col(idCol).as("id"),
@@ -537,6 +553,7 @@ object Dedup {
     val members = fpt.join(groups, Seq("__fp"))
       .select(col("id"), col("__rep"))
       .persist()
+    cached += members
     val reps = df.join(
       members.filter(col("id") === col("__rep")).select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
@@ -553,8 +570,9 @@ object Dedup {
           .as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
+    cached += sh
     val repPairs = repPairKernel(sh, numer, denom, prefixFilter,
-      maxShingleFreq)
+      maxShingleFreq, cached)
 
     // expansion back to member ids: cross-group pairs inherit the
     // representative pair's stats verbatim; ≥2-member groups add their
@@ -569,16 +587,23 @@ object Dedup {
       .select(least(col("__a"), col("__b")).as("id_a"),
         greatest(col("__a"), col("__b")).as("id_b"),
         col("intersection"), col("union"))
-    if (denom < numer) return cross // τ > 1: identical pairs excluded
-    val within = members.as("x").join(members.as("y"),
-        col("x.__rep") === col("y.__rep") && col("x.id") < col("y.id"))
-      .select(col("x.__rep").as("__rep"),
-        col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .join(sh.select(col("id").as("__rep"),
-        size(col("sh")).as("__n")), Seq("__rep"))
-      .select(col("id_a"), col("id_b"),
-        col("__n").as("intersection"), col("__n").as("union"))
-    cross.unionByName(within)
+    val out =
+      if (denom < numer) cross // τ > 1: identical pairs excluded
+      else {
+        val within = members.as("x").join(members.as("y"),
+            col("x.__rep") === col("y.__rep") && col("x.id") < col("y.id"))
+          .select(col("x.__rep").as("__rep"),
+            col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .join(sh.select(col("id").as("__rep"),
+            size(col("sh")).as("__n")), Seq("__rep"))
+          .select(col("id_a"), col("id_b"),
+            col("__n").as("intersection"), col("__n").as("union"))
+        cross.unionByName(within)
+      }
+    // materialize, then free the session-cached intermediates
+    val materialized = out.localCheckpoint()
+    cached.foreach(_.unpersist())
+    materialized
   }
 
   /** The pair kernel proper, over a deduplicated (id, sorted distinct
@@ -587,7 +612,8 @@ object Dedup {
   private def repPairKernel(
       sh: DataFrame, numer: Int, denom: Int,
       prefixFilter: Boolean,
-      maxShingleFreq: Option[Long]): DataFrame = {
+      maxShingleFreq: Option[Long],
+      cached: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = sh.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
@@ -636,6 +662,7 @@ object Dedup {
         maxShingleFreq.map(cap => col("f") <= cap).getOrElse(lit(true)))
       .select(col("id"), col("s"), col("n"), col("r"))
       .persist()
+    cached += prefix
 
     // Positional filter (PPJoin): for a shared prefix shingle at ranks
     // (r_a, r_b), |∩| ≤ 1 + min(n_a−r_a, n_b−r_b); J ≥ numer/denom

@@ -167,23 +167,33 @@ object Lifecycle {
     // transitioning to "glacier" after an earlier "cold" pass must
     // not re-tier (and thereby nest and hide) the cold files.
     val moves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // Listed paths whose qualified spelling does not share the
+    // computed qRoot prefix (viewfs mount resolution, symlink
+    // canonicalization) cannot be relativized — stripPrefix would
+    // silently keep the full URI and the move target would become a
+    // malformed nested path. Fail them visibly instead of moving to a
+    // wrong destination.
+    val unrelatable = scala.collection.mutable.ArrayBuffer.empty[String]
     var retained = 0L
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile) {
         val p = st.getPath.toString
-        val rel = p.stripPrefix(qRoot)
-        val tiered = p.startsWith(qTier) ||
-          rel.startsWith(".tier=") || rel.contains("/.tier=")
-        if (!tiered) {
-          if (st.getModificationTime < cutoff)
-            moves += ((p, qTier + rel))
-          else retained += 1
+        if (!p.startsWith(qRoot) && !p.startsWith(qTier)) unrelatable += p
+        else {
+          val rel = p.stripPrefix(qRoot)
+          val tiered = p.startsWith(qTier) ||
+            rel.startsWith(".tier=") || rel.contains("/.tier=")
+          if (!tiered) {
+            if (st.getModificationTime < cutoff)
+              moves += ((p, qTier + rel))
+            else retained += 1
+          }
         }
       }
     }
-    if (moves.isEmpty) return (Nil, Nil, retained)
+    if (moves.isEmpty) return (Nil, unrelatable.toSeq, retained)
 
     // distributed move: rename (metadata-only on one FS), copy+delete
     // across filesystems; each task resolves the FS once
@@ -210,7 +220,8 @@ object Lifecycle {
       .collect() // bounded by the move list the driver already holds
 
     val (okPairs, badPairs) = outcomes.partition(_._2)
-    (okPairs.map(_._1).toSeq, badPairs.map(_._1).toSeq, retained)
+    (okPairs.map(_._1).toSeq,
+      badPairs.map(_._1).toSeq ++ unrelatable.toSeq, retained)
   }
 
   /** Transition a catalog table's cold files (context.py:461-501

@@ -35,7 +35,13 @@ object StreamDedup {
     // previously-seen document)
     val old = new org.apache.hadoop.fs.Path(
       storePath.stripSuffix("/") + ".compact-old")
-    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    if (!fs.exists(path) && fs.exists(old) && !fs.rename(old, path))
+      // fail loudly, mirroring compactStore's recovery: falling
+      // through to the empty-store branch here would silently re-emit
+      // every previously-seen document — the exact failure this
+      // recovery exists to prevent
+      sys.error(s"stream-dedup store recovery failed: cannot rename " +
+        s"$old back to $path")
     if (fs.exists(path)) spark.read.parquet(storePath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
@@ -130,6 +136,104 @@ object StreamDedup {
     val after = spark.read.parquet(storePath)
     CompactResult(before.length, dataFiles().length, after.count())
   }
+
+  /** Band-key store for the NEAR-dup policy: one column `band`
+    * (xxhash64 LSH band key, 8 bytes/row). Same crash-window recovery
+    * as [[loadStore]] — [[compactStore]] is schema-agnostic (distinct
+    * + rewrite), so the same maintenance applies to this store.
+    */
+  def loadBandStore(spark: SparkSession, storePath: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(
+      storePath.stripSuffix("/") + ".compact-old")
+    if (!fs.exists(path) && fs.exists(old) && !fs.rename(old, path))
+      sys.error(s"band-store recovery failed: cannot rename $old to $path")
+    val hasData = fs.exists(path) && {
+      val it = fs.listFiles(path, false)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+    if (hasData) spark.read.parquet(storePath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "band", org.apache.spark.sql.types.LongType))))
+  }
+
+  /** One micro-batch through the NEAR-dup policy — the streaming twin
+    * of [[graft.ml.Dedup.incrementalMinhash]] composed with the
+    * within-batch min-id band policy of [[graft.ml.Dedup.minhashDedup]]:
+    * a batch document drops when any of its LSH band keys collides
+    * with the accumulated store (a re-crawl differing only by a
+    * boilerplate tail, which defeats the exact fingerprint policy) or
+    * when a surviving smaller-id batch doc shares a band; survivors'
+    * band keys append to the store.
+    *
+    * One signature pass per batch: the (id, band) table is computed
+    * once and persisted — the store anti-join, the within-batch
+    * bucket-min resolution, and the store append all read it. Text
+    * never joins; every shuffle moves 8-byte band keys or ids. The
+    * survivor set is eagerly materialized (localCheckpoint) BEFORE
+    * the store append so no surviving plan re-reads the just-appended
+    * store (the [[dedupBatch]] recache lesson).
+    */
+  def nearDedupBatch(
+      batch: Dataset[Row], textCol: String, idCol: String,
+      storePath: String, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val store = loadBandStore(spark, storePath)
+    val bt = graft.ml.Dedup.minhashBandTable(
+      batch.toDF(), textCol, idCol, numHashes, bands, shingleSize)
+      .persist()
+    // against the store: ANY band collision drops the document
+    val hit = bt.join(store, Seq("band"), "left_semi")
+      .select(col(idCol)).distinct()
+    val keptBands = bt.join(hit, Seq(idCol), "left_anti")
+    // within-batch: deterministic min-id-per-bucket winner (the
+    // minhashDedup policy over the store-surviving docs only)
+    val bucketMin = keptBands.groupBy(col("band"))
+      .agg(min(col(idCol)).as("__bucket_min"))
+    val docMin = keptBands.join(bucketMin, "band")
+      .groupBy(col(idCol))
+      .agg(min(col("__bucket_min")).as("__doc_min"))
+      .filter(col("__doc_min") === col(idCol))
+      .select(col(idCol))
+    val out = batch.join(docMin, Seq(idCol), "left_semi")
+      .localCheckpoint()
+    // survivors' bands from the SAME band table — reads only cached /
+    // checkpointed inputs, never the store being appended
+    bt.join(out.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col("band")).distinct()
+      .write.mode("append").parquet(storePath)
+    bt.unpersist()
+    out.toDF()
+  }
+
+  /** Wire [[nearDedupBatch]] into a streaming query — near-dup
+    * survivors to `emit`, band keys accumulating at `storePath`. Same
+    * at-least-once emission contract as [[dedupStream]].
+    */
+  def nearDedupStream(
+      stream: DataFrame, textCol: String, idCol: String,
+      storePath: String, checkpointLocation: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val out = nearDedupBatch(batch, textCol, idCol, storePath,
+          numHashes, bands, shingleSize)
+        try emit(out, batchId)
+        finally { out.unpersist(); () }
+      }
+      .start()
 
   /** Wire [[dedupBatch]] into a streaming query: survivors of each
     * batch go to `emit`, fingerprints accumulate at `storePath`.
