@@ -436,6 +436,51 @@ object SparkEntry {
           col("union").cast("int").as("n_union"))
     }),
 
+    // The 100x-SURVIVABLE pair-kernel configuration, correctness-gated
+    // (r7 verdict #4): prefix filter PLUS the distinct-text
+    // shingle-frequency cap. Candidate generation skips shingles
+    // hotter than the cap (bounded skew at the cost of bounded,
+    // DEFINED recall loss), so the oracle replays the full PPJoin
+    // discipline — FNV shingle hashes, global (freq, hash) prefix
+    // ranks, the positional bound, the cap — rather than q41's
+    // all-shared-shingle shortcut, which is only equivalent for the
+    // exact (uncapped) configuration. Cap = 4 on this corpus: the
+    // distinct-text DF distribution at sf0.01 is p99 = 4, max = 7, so
+    // the cap's candidate pruning is exercised (shingles up to f = 7
+    // are excluded from generation), while every surviving pair still
+    // shares a rarer shingle — the oracle replay would catch either a
+    // wrongly-lost or a wrongly-kept pair. The recall-LOSS semantics
+    // (a pair whose every shared prefix shingle is hot) are
+    // spec-gated in MlSpec's capped-vs-uncapped cases.
+    "q109_jaccard_capped" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.jaccardPairs(doubled, "text", "doc_id", prefixFilter = true,
+          maxShingleFreq = Some(4L))
+        .select(col("id_a"), col("id_b"),
+          col("intersection").cast("int").as("n_inter"),
+          col("union").cast("int").as("n_union"))
+    }),
+
+    // Streaming incremental NEAR-dedup (the band-store twin of q108's
+    // exact policy): batch 1 = even docs deduped within-batch by the
+    // min-id band policy, its survivors' band keys persisted; batch 2
+    // = odd docs dropped on any band collision with the store, then
+    // within-batch policy over the remainder. A doc near-dupping only
+    // a DROPPED batch-1 doc still emits — the store holds survivor
+    // bands, and the oracle replays exactly that.
+    "q110_stream_near_dedup" -> ((s, dir) => {
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_snd_" +
+        java.util.UUID.randomUUID().toString.take(8) + "/bands"
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val o1 = graft.streaming.StreamDedup.nearDedupBatch(
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", store)
+      val o2 = graft.streaming.StreamDedup.nearDedupBatch(
+        d.filter(col("doc_id") % 2 === 1), "text", "doc_id", store)
+      o1.unionByName(o2)
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -1111,7 +1156,11 @@ object SparkEntry {
         graft.sources.GovernedTable.commitTransaction(s, txn)
       }
       graft.sources.GovernedTable.compact(s, path)
-      graft.sources.GovernedTable.vacuum(s, path, keepVersions = 1)
+      // minAgeHours=0 is the quiesced-maintenance opt-in (this query
+      // is the only writer); the production default is 168h so a
+      // concurrent transaction's staged files survive
+      graft.sources.GovernedTable.vacuum(s, path, keepVersions = 1,
+        minAgeHours = 0)
       graft.sources.GovernedTable.read(s, path)
     }),
 
@@ -1753,6 +1802,68 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n_inter AS INT) AS n_inter,
         |  CAST(n_union AS INT) AS n_union
         |FROM p WHERE n_inter * 2 >= n_union""".stripMargin,
+    // Capped pair kernel: q41's all-shared-shingle candidate shortcut
+    // is only valid for the EXACT configuration, so this oracle
+    // replays the engine's actual candidate discipline — exact-dup
+    // contraction to distinct texts, FNV shingle hashes (the q39/q43
+    // byte-step kernel), per-doc prefix ranks ordered by global
+    // (frequency, hash), the PPJoin positional bound, the frequency
+    // cap — then exact verification and member expansion (cross-group
+    // pairs inherit the representative pair; within-group copies pair
+    // at J = 1).
+    "q109_jaccard_capped" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |grp AS (SELECT text, min(doc_id) AS rep FROM d GROUP BY text),
+         |mem AS (SELECT d.doc_id AS id, grp.rep FROM d
+         |  JOIN grp ON d.text = grp.text),
+         |rd AS (SELECT doc_id, text FROM d
+         |  WHERE doc_id IN (SELECT rep FROM grp)),
+         |tok AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM rd),
+         |hs AS (SELECT doc_id, list_transform(
+         |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |      i -> ${sqlFnv(
+        """flatten(list_transform(
+          |            list_filter([toks[i], toks[i + 1], toks[i + 2]], t -> t IS NOT NULL),
+          |            t -> list_append(
+          |              flatten(list_transform(string_split(t, ''),
+          |                ch -> [unicode(ch) % 256, unicode(ch) // 256])), 32))
+          |          )[:-2]""".stripMargin)}),
+         |    u -> CASE WHEN u >= 9223372036854775808
+         |      THEN CAST(u - 18446744073709551616 AS BIGINT)
+         |      ELSE CAST(u AS BIGINT) END) AS h
+         |  FROM tok),
+         |sh AS (SELECT doc_id, list_sort(list_distinct(h)) AS sh FROM hs
+         |  WHERE len(list_distinct(h)) > 0),
+         |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+         |f AS (SELECT s, count(*) AS f FROM ex GROUP BY s),
+         |rk AS (SELECT ex.doc_id, ex.s, ex.n, f.f,
+         |    row_number() OVER (PARTITION BY ex.doc_id
+         |      ORDER BY f.f, ex.s) AS r
+         |  FROM ex JOIN f USING (s)),
+         |pre AS (SELECT doc_id, s, n, r FROM rk
+         |  WHERE r <= n - CAST(ceil(n / 2) AS BIGINT) + 1 AND f <= 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+         |   AND (1 + least(a.n - a.r, b.n - b.r)) * 3 >= (a.n + b.n)),
+         |rp AS (SELECT id_a, id_b,
+         |    len(list_intersect(a.sh, b.sh)) AS n_inter,
+         |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+         |  FROM cand JOIN sh a ON a.doc_id = cand.id_a
+         |            JOIN sh b ON b.doc_id = cand.id_b),
+         |rpf AS (SELECT * FROM rp WHERE n_inter * 2 >= n_union),
+         |crossp AS (SELECT least(ma.id, mb.id) AS id_a,
+         |    greatest(ma.id, mb.id) AS id_b, n_inter, n_union
+         |  FROM rpf JOIN mem ma ON ma.rep = rpf.id_a
+         |           JOIN mem mb ON mb.rep = rpf.id_b),
+         |withinp AS (SELECT x.id AS id_a, y.id AS id_b,
+         |    len(s.sh) AS n_inter, len(s.sh) AS n_union
+         |  FROM mem x JOIN mem y ON x.rep = y.rep AND x.id < y.id
+         |  JOIN sh s ON s.doc_id = x.rep)
+         |SELECT id_a, id_b, CAST(n_inter AS INT) AS n_inter,
+         |  CAST(n_union AS INT) AS n_union
+         |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM withinp)""".stripMargin,
     // Winnowing: the q39 FNV-1a 3-gram kernel kept POSITIONAL (no
     // distinct/sort), signed view, then the min of every 4-hash window
     // (DuckDB slices are 1-based INCLUSIVE: h[i:i+3] is 4 elements,
@@ -2197,6 +2308,35 @@ object SparkEntry {
          |             AND nbands.content = cbands.content)
          |SELECT doc_id, text FROM batch
          |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+    // Streaming near-dedup: batch 1's within-batch min-id band policy
+    // (the q39 bucket-min replay), survivor bands as the store, batch
+    // 2 anti-joined on (b, content) band equality (the q85 replay)
+    // then the same within-batch policy over what remains.
+    "q110_stream_near_dedup" ->
+      s"""WITH b1 AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+         |${sqlMinhashBands("b1", "a")},
+         |${sqlMinhashBands("b2", "n")},
+         |am AS (SELECT b, content, min(doc_id) AS m FROM abands
+         |  GROUP BY b, content),
+         |s1 AS (SELECT abands.doc_id FROM abands JOIN am USING (b, content)
+         |  GROUP BY abands.doc_id HAVING min(m) = abands.doc_id),
+         |store AS (SELECT DISTINCT b, content FROM abands
+         |  WHERE doc_id IN (SELECT doc_id FROM s1)),
+         |hit AS (SELECT DISTINCT nbands.doc_id FROM nbands
+         |  JOIN store ON nbands.b = store.b
+         |            AND nbands.content = store.content),
+         |k2 AS (SELECT * FROM nbands
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+         |km AS (SELECT b, content, min(doc_id) AS m FROM k2
+         |  GROUP BY b, content),
+         |s2 AS (SELECT k2.doc_id FROM k2 JOIN km USING (b, content)
+         |  GROUP BY k2.doc_id HAVING min(m) = k2.doc_id)
+         |SELECT doc_id, text FROM b1
+         |  WHERE doc_id IN (SELECT doc_id FROM s1)
+         |UNION ALL SELECT doc_id, text FROM b2
+         |  WHERE doc_id IN (SELECT doc_id FROM s2)""".stripMargin,
     "q45_intersect" ->
       """SELECT c_nationkey FROM customer WHERE c_acctbal > 0
         |INTERSECT

@@ -131,12 +131,26 @@ object GovernedTable {
     readVersion(spark, tableDir, latestVersion(fs, tableDir))
   }
 
-  /** Time travel to an explicit version. */
+  /** Time travel to an explicit version.
+    *
+    * Schema evolution contract: a snapshot's files are read with
+    * parquet `mergeSchema`, so a column added by a later append is
+    * PRESENT in every version whose manifest lists both old and new
+    * files, with nulls for rows from pre-addition files — and absent
+    * from earlier versions, which still read with their original
+    * schema. An INCOMPATIBLE change (the same column re-typed) fails
+    * the read with Spark's merge error instead of silently picking
+    * one footer's schema, which is the failure mode of the default
+    * single-footer inference. Merging reads one footer per file — a
+    * distributed metadata pass, the trade Delta avoids by storing the
+    * schema in the log; a manifest-header schema entry is the
+    * checkpoint-era upgrade path here.
+    */
   def readVersion(spark: SparkSession, tableDir: String,
       version: Long): DataFrame = {
     require(version >= 1, s"no committed version $version in $tableDir")
     val files = snapshotFiles(fileSystem(spark, tableDir), tableDir, version)
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** The `asOfTime` read (context.py:241): the newest version
@@ -168,7 +182,9 @@ object GovernedTable {
     val files = base ++ txn.staged.flatMap(listParquet(fs, _))
     require(files.nonEmpty,
       s"transaction ${txn.id} has no visible snapshot of ${txn.tableDir}")
-    spark.read.parquet(files: _*)
+    // same evolution contract as [[readVersion]]: staged files may
+    // add columns relative to the pinned snapshot
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   final case class CompactResult(
@@ -224,6 +240,38 @@ object GovernedTable {
     }
   }
 
+  final case class VersionInfo(
+      version: Long, committedAtMillis: Long, txnId: String,
+      mode: String, numFiles: Int)
+
+  /** The table's commit history (the governed-table DESCRIBE HISTORY):
+    * one entry per RETAINED version, newest first — version number,
+    * commit timestamp, committing transaction id, mode
+    * (append/overwrite), and the snapshot's file count. Versions
+    * retired by [[vacuum]] are absent, matching [[readAsOf]]'s
+    * skip-retired rule. Pure manifest metadata: O(retained versions)
+    * small file reads, no data touched — cheap enough to drive
+    * monitoring dashboards against a 100 TB table.
+    */
+  def history(spark: SparkSession, tableDir: String): Seq[VersionInfo] = {
+    val fs = fileSystem(spark, tableDir)
+    (1L to latestVersion(fs, tableDir))
+      .filter(v => fs.exists(versionPath(tableDir, v)))
+      .map { v =>
+        val lines = readManifest(fs, tableDir, v)
+        def hdr(k: String): Option[String] =
+          lines.collectFirst { case l if l.startsWith(k + "=") =>
+            l.stripPrefix(k + "=") }
+        VersionInfo(
+          version = v,
+          committedAtMillis = hdr("committedAt").map(_.toLong).getOrElse(0L),
+          txnId = hdr("txnId").getOrElse(""),
+          mode = hdr("mode").getOrElse(""),
+          numFiles = lines.count(l => !HeaderKeys.exists(l.startsWith)))
+      }
+      .sortBy(-_.version)
+  }
+
   final case class VacuumResult(
       versionsDropped: Long, filesDeleted: Long, filesKept: Long)
 
@@ -241,14 +289,18 @@ object GovernedTable {
     * removed FIRST, so a crash mid-vacuum leaves orphaned (unreadable,
     * unreferenced) data files for the next vacuum rather than live
     * manifests pointing at deleted data. An IN-FLIGHT transaction's
-    * staged files are unreferenced until its commit — set
-    * `minAgeHours` above the longest transaction you allow (Delta's
-    * retention-window rule) or run vacuum quiesced. Like the commit
+    * staged files are unreferenced until its commit — `minAgeHours`
+    * must exceed the longest transaction you allow (Delta's
+    * retention-window rule). The DEFAULT is Delta's 168h (7 days):
+    * vacuuming with 0 deletes a concurrent in-flight transaction's
+    * young staged files, so its later commit publishes a manifest
+    * pointing at missing data. 0 is available only as a deliberate
+    * opt-in for quiesced maintenance windows. Like the commit
     * protocol, everything here is manifest metadata + file deletes —
     * cost is O(files), independent of data bytes.
     */
   def vacuum(spark: SparkSession, tableDir: String,
-      keepVersions: Int = 1, minAgeHours: Int = 0): VacuumResult = {
+      keepVersions: Int = 1, minAgeHours: Int = 168): VacuumResult = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
     require(minAgeHours >= 0, "minAgeHours must be >= 0")
     val fs = fileSystem(spark, tableDir)

@@ -56,6 +56,39 @@ object Sources {
     pushDownPredicate.fold(df)(df.where) // Catalyst pushes into the scan
   }
 
+  /** Range-partitioned JDBC read — the first-class 100 TB ingest path
+    * (the reference threads `hashfield`/`hashexpression`/`hashpartitions`
+    * through its JDBC sources, context.py:120 options pass-through;
+    * Spark's equivalent is partitionColumn/bounds/numPartitions). A
+    * plain JDBC read is ONE connection streaming the whole table
+    * through one task; this helper makes the parallel form explicit
+    * instead of an options incantation: `numPartitions` concurrent
+    * range scans `WHERE col >= lo AND col < hi`, each its own input
+    * partition. Bounds only steer the range split — rows outside
+    * [lower, upper) still load (Spark's documented semantics), so a
+    * stale min/max never silently drops data. Pick a clustered,
+    * roughly-uniform numeric/date column; size numPartitions to the
+    * warehouse's concurrent-cursor budget, not the executor count.
+    */
+  def jdbcPartitioned(
+      spark: SparkSession,
+      url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    require(numPartitions >= 1, "numPartitions must be >= 1")
+    require(upperBound > lowerBound, "upperBound must exceed lowerBound")
+    spark.read.format("jdbc")
+      .options(options)
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound.toString)
+      .option("upperBound", upperBound.toString)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+  }
+
   /** Catalog source (context.py:158-188): metastore table + optional
     * partition predicate.
     */

@@ -159,7 +159,8 @@ class GovernedTableSpec extends AnyFunSuite {
     assert(r.version == 3L)
     // keep only the compacted head: v1/v2 manifests drop, and the six
     // pre-compaction files (referenced by nothing retained) delete
-    val v = GovernedTable.vacuum(spark, dir, keepVersions = 1)
+    val v = GovernedTable.vacuum(spark, dir, keepVersions = 1,
+      minAgeHours = 0) // quiesced opt-in: this test is the only writer
     assert(v.versionsDropped == 2L)
     assert(v.filesDeleted >= 6L && v.filesKept == r.filesAfter.toLong)
     // current read intact; dropped history now correctly unreadable
@@ -168,20 +169,142 @@ class GovernedTableSpec extends AnyFunSuite {
       GovernedTable.readVersion(spark, dir, 1).collect()
     }
     // a second vacuum is a clean no-op
-    val v2 = GovernedTable.vacuum(spark, dir, keepVersions = 1)
+    val v2 = GovernedTable.vacuum(spark, dir, keepVersions = 1,
+      minAgeHours = 0)
     assert(v2 == GovernedTable.VacuumResult(0L, 0L, r.filesAfter.toLong))
     // timestamp reads survive history trimming: dropped manifests are
     // skipped, the retained head resolves
     assert(ids(GovernedTable.readAsOf(spark, dir,
       System.currentTimeMillis())) == (0 until 20).toSet)
-    // minAgeHours shields young unreferenced files (a live txn's
-    // staging): stage without committing, vacuum with a 1h floor
+    // the DEFAULT minAgeHours (168h, Delta's retention window) shields
+    // young unreferenced files (a live txn's staging): stage without
+    // committing, vacuum with defaults — nothing deleted
     val live = GovernedTable.startTransaction(spark, dir)
     GovernedTable.write(spark, live, Seq(42).toDF("id"))
-    val v3 = GovernedTable.vacuum(spark, dir,
-      keepVersions = 1, minAgeHours = 1)
+    val v3 = GovernedTable.vacuum(spark, dir, keepVersions = 1)
     assert(v3.filesDeleted == 0L)
     assert(GovernedTable.commitTransaction(spark, live))
     assert(ids(GovernedTable.read(spark, dir)) == (0 until 20).toSet + 42)
+  }
+
+  test("schema evolution: added column merges with nulls; retype fails loudly") {
+    val dir = tmpTable()
+    val t1 = GovernedTable.startTransaction(spark, dir)
+    GovernedTable.write(spark, t1, Seq(1, 2).toDF("id"))
+    assert(GovernedTable.commitTransaction(spark, t1))
+    // v2 appends files that carry a NEW column
+    val t2 = GovernedTable.startTransaction(spark, dir)
+    GovernedTable.write(spark, t2,
+      Seq((3, "c")).toDF("id", "label"))
+    assert(GovernedTable.commitTransaction(spark, t2))
+    // v2 reads with the merged schema: old rows null-filled
+    val v2 = GovernedTable.readVersion(spark, dir, 2)
+    assert(v2.columns.toSet == Set("id", "label"))
+    val byId = v2.collect().map(r => r.getInt(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(byId == Map(1 -> null, 2 -> null, 3 -> "c"))
+    // v1 is untouched by the later evolution
+    assert(GovernedTable.readVersion(spark, dir, 1).columns.toSet == Set("id"))
+    // an incompatible retype of an existing column fails the merged
+    // read with Spark's merge error — never a silently-picked footer
+    val t3 = GovernedTable.startTransaction(spark, dir)
+    GovernedTable.write(spark, t3, Seq(("x", "y")).toDF("id", "label"))
+    assert(GovernedTable.commitTransaction(spark, t3))
+    val err = intercept[Exception] {
+      GovernedTable.read(spark, dir).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("merge"))
+  }
+
+  test("history lists retained versions with mode and file counts") {
+    val dir = tmpTable()
+    for (lo <- Seq(0, 10)) {
+      val txn = GovernedTable.startTransaction(spark, dir)
+      GovernedTable.write(spark, txn,
+        (lo until lo + 10).toDF("id").repartition(2))
+      assert(GovernedTable.commitTransaction(spark, txn))
+    }
+    val r = GovernedTable.compact(spark, dir) // v3 overwrite
+    val h = GovernedTable.history(spark, dir)
+    assert(h.map(_.version) == Seq(3L, 2L, 1L)) // newest first
+    assert(h.map(_.mode) == Seq("overwrite", "append", "append"))
+    assert(h.head.numFiles == r.filesAfter)
+    assert(h.last.numFiles == 2) // v1: one txn's two repartitioned files
+    assert(h(1).numFiles == 4)   // v2 append: v1's files + two more
+    assert(h.forall(_.committedAtMillis > 0L))
+    assert(h.map(_.txnId).distinct.size == 3) // three distinct txns
+    // vacuum trims history to the retained head
+    GovernedTable.vacuum(spark, dir, keepVersions = 1, minAgeHours = 0)
+    assert(GovernedTable.history(spark, dir).map(_.version) == Seq(3L))
+  }
+
+  test("concurrent appenders: every commit wins exactly one version, no lost rows") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmpTable()
+    val perThread = 6
+    // two writers race append commits; the publish-with-
+    // create(overwrite=false) point must serialize them — every
+    // commit lands on a distinct version and no row is lost
+    val threads = Seq(0, 1).map { tid =>
+      Future {
+        (0 until perThread).count { i =>
+          val txn = GovernedTable.startTransaction(spark, dir)
+          GovernedTable.write(spark, txn,
+            Seq(tid * 1000 + i).toDF("id"))
+          GovernedTable.commitTransaction(spark, txn)
+        }
+      }
+    }
+    val committed = Await.result(Future.sequence(threads), 120.seconds).sum
+    assert(committed == 2 * perThread) // appends always retry through
+    val h = GovernedTable.history(spark, dir)
+    // one version per successful commit, contiguous, no duplicates
+    assert(h.map(_.version) == (committed to 1 by -1).map(_.toLong))
+    assert(h.map(_.txnId).distinct.size == committed)
+    // all rows present exactly once
+    val rows = GovernedTable.read(spark, dir).collect().map(_.getInt(0)).toSeq
+    assert(rows.size == committed)
+    assert(rows.toSet ==
+      (0 until perThread).flatMap(i => Seq(i, 1000 + i)).toSet)
+    // the commit-protocol invariant behind it: every snapshot is a
+    // superset of its predecessor (appends never drop files)
+    val filesByVersion = h.sortBy(_.version).map(_.numFiles)
+    assert(filesByVersion == filesByVersion.sorted)
+  }
+
+  test("append racing an overwrite: overwrite aborts cleanly or wins atomically") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmpTable()
+    val t0 = GovernedTable.startTransaction(spark, dir)
+    GovernedTable.write(spark, t0, Seq(1).toDF("id"))
+    assert(GovernedTable.commitTransaction(spark, t0))
+    // overwrite staged against v1; append commits first in most
+    // interleavings — run several rounds to exercise both outcomes
+    (0 until 3).foreach { round =>
+      val ow = GovernedTable.startTransaction(spark, dir)
+      GovernedTable.write(spark, ow, Seq(100 + round).toDF("id"),
+        mode = "overwrite")
+      val ap = Future {
+        val txn = GovernedTable.startTransaction(spark, dir)
+        GovernedTable.write(spark, txn, Seq(200 + round).toDF("id"))
+        GovernedTable.commitTransaction(spark, txn)
+      }
+      val apOk = Await.result(ap, 60.seconds)
+      assert(apOk)
+      val owOk = GovernedTable.commitTransaction(spark, ow)
+      if (!owOk) GovernedTable.cancelTransaction(spark, ow)
+      val now = ids(GovernedTable.read(spark, dir))
+      if (owOk) assert(now == Set(100 + round)) // clean overwrite state
+      else assert(now.contains(200 + round))    // append preserved
+      // never a torn state: cancel deleted only the loser's staging,
+      // every retained manifest still resolves
+      GovernedTable.history(spark, dir).foreach { v =>
+        GovernedTable.readVersion(spark, dir, v.version).collect()
+      }
+    }
   }
 }

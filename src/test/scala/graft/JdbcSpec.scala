@@ -52,6 +52,24 @@ class JdbcSpec extends AnyFunSuite {
     assert(wh.read("t_dim").get.count() == 4L)
   }
 
+  test("jdbcPartitioned reads through parallel range scans") {
+    val df = (1 to 40).map(i => (i, s"row$i")).toDF("id", "v")
+    Sinks.write(df, "jdbc", options = opts("t_ranged"))
+    val back = Sources.jdbcPartitioned(spark, url, "t_ranged",
+      partitionColumn = "id", lowerBound = 1L, upperBound = 41L,
+      numPartitions = 4,
+      options = Map("driver" -> driver))
+    // the scan itself is split: >1 input partition, each a range query
+    assert(back.rdd.getNumPartitions == 4)
+    // bounds steer the split only — rows outside them still load
+    val narrow = Sources.jdbcPartitioned(spark, url, "t_ranged",
+      partitionColumn = "id", lowerBound = 10L, upperBound = 20L,
+      numPartitions = 3,
+      options = Map("driver" -> driver))
+    assert(narrow.count() == 40)
+    assert(back.select(sum(col("id"))).as[Long].head() == (1 to 40).sum)
+  }
+
   test("staged jdbc write: stage once, reload retry-safe (S9 COPY shape)") {
     val staging = java.nio.file.Files
       .createTempDirectory("graft-staging").toString + "/t"

@@ -169,6 +169,46 @@ class StreamingSpec extends AnyFunSuite {
       got.toSet.subsetOf(Set(12L, 11L, 13L)))
   }
 
+  test("nearDedupStream drops cross-batch near-duplicates via the band store") {
+    import graft.streaming.StreamDedup
+    val src = Files.createTempDirectory("graft_ndstream_src").toString
+    val ckp = Files.createTempDirectory("graft_ndstream_ckp").toString
+    val store = Files.createTempDirectory("graft_ndstream_store")
+      .toString + "/bands"
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while seventeen astronauts calibrate their navigation arrays " +
+      "before the long voyage home"
+    Seq((1L, base),
+        (2L, "completely different content describing spark engines " +
+          "parquet manifests and shuffle partitions in great detail"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/f1")
+    // batch 2: doc 3 near-dups doc 1 (boilerplate tail — exact
+    // fingerprints differ), doc 4 is novel
+    Seq((3L, base + " boilerplate footer"),
+        (4L, "entirely novel third document with unique words " +
+          "appearing nowhere else in the corpus at all"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/f2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = StreamDedup.nearDedupStream(
+      stream, "text", "doc_id", store, ckp) { (out, _) =>
+      out.select("doc_id").as[Long].collect().foreach(emitted.add); ()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val got = emitted.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+    // 3 collides with 1's stored bands regardless of batch split
+    assert(!got.contains(3L))
+    assert(Set(1L, 2L, 4L).subsetOf(got))
+    // the store holds band keys, not text
+    val bandStore = StreamDedup.loadBandStore(spark, store)
+    assert(bandStore.columns.toSeq == Seq("band"))
+    assert(bandStore.count() > 0)
+  }
+
   test("event-time tumbling windows aggregate with watermark on a stream") {
     import graft.streaming.EventTime
     import org.apache.spark.sql.functions._
