@@ -206,7 +206,23 @@ class StreamingSpec extends AnyFunSuite {
     // the store holds band keys, not text
     val bandStore = StreamDedup.loadBandStore(spark, store)
     assert(bandStore.columns.toSeq == Seq("band"))
-    assert(bandStore.count() > 0)
+    val nBands = bandStore.count()
+    assert(nBands > 0)
+    // compactStore is schema-agnostic: the band store folds to
+    // distinct keys in bounded files and dedups identically after
+    val r = StreamDedup.compactStore(spark, store)
+    assert(r.filesAfter == 1 && r.distinctFps == nBands)
+    val after = StreamDedup.nearDedupBatch(
+      Seq((9L, base + " another tiny suffix")).toDF("doc_id", "text"),
+      "text", "doc_id", store)
+    assert(after.isEmpty) // compacted store still knows doc 1's bands
+    after.unpersist()
+    // crash-window recovery mirrors the fingerprint store
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".compact-old")))
+    assert(StreamDedup.loadBandStore(spark, store).count() == nBands)
   }
 
   test("event-time tumbling windows aggregate with watermark on a stream") {
