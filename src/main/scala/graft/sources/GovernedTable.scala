@@ -368,8 +368,29 @@ object GovernedTable {
     val body = (header ++ files).mkString("\n") + "\n"
     val target = versionPath(tableDir, version)
     fs.mkdirs(target.getParent)
-    try {
-      val out = fs.create(target, false) // atomic commit point
+    if (Option(target.toUri.getScheme).forall(_ == "file")) {
+      // LocalFileSystem's create(overwrite=false) is check-THEN-create,
+      // not atomic: two racing committers can both pass the exists
+      // check and the second silently overwrites the first's manifest
+      // while both report success (observed as 12 commits / 11
+      // manifests in the appender-race spec). POSIX link(2) IS atomic
+      // and fails with EEXIST, so local publish = write the manifest
+      // to a dot-tmp sibling (invisible to latestVersion's v*.txt
+      // listing), hard-link it into place, delete the tmp. Readers
+      // can never observe a partial manifest — the link appears with
+      // complete content or not at all.
+      val t = java.nio.file.Paths.get(target.toUri.getPath)
+      val tmp = t.resolveSibling(s".tmp-$txnId-$version")
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+      try { java.nio.file.Files.createLink(t, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else try {
+      // HDFS-like stores: create(overwrite=false) is the namenode's
+      // atomic exclusive create — the durable commit point. (S3 would
+      // need an external coordinator; out of scope here, as in OSS
+      // Delta.)
+      val out = fs.create(target, false)
       try out.write(body.getBytes("UTF-8")) finally out.close()
       true
     } catch { case _: java.io.IOException => false }
