@@ -481,6 +481,75 @@ object SparkEntry {
       o1.unionByName(o2)
     }),
 
+    // SCD Type-2 dimension maintenance — the history-keeping variant
+    // of the reference's Dim* overwrite loads (pipeline.py's star
+    // loads are Type-1). One batch against an all-open customer dim
+    // exercises every branch: %7==0 keys change (close + new
+    // version), %7==3 keys arrive identical (pass through), %7==5
+    // keys arrive shifted to unseen ids (fresh insert), everything
+    // else has no update. batchDate is a literal — retries are
+    // byte-identical.
+    "q111_scd2" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val current = c
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .withColumn("eff_from", lit(java.sql.Date.valueOf("2020-01-01")))
+        .withColumn("eff_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val updates = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(c.filter(col("c_custkey") % 7 === 3)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")))
+        .unionByName(c.filter(col("c_custkey") % 7 === 5)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("FRESH").as("c_mktsegment"), col("c_acctbal")))
+      graft.pipeline.Scd.scd2Apply(current, updates,
+          keys = Seq("c_custkey"),
+          tracked = Seq("c_mktsegment", "c_acctbal"),
+          batchDate = lit(java.sql.Date.valueOf("2024-06-01")))
+        .withColumn("is_current", col("is_current").cast("int"))
+    }),
+
+    // Substring-level duplication (Lee et al. 2022's suffix-array
+    // use-case, relationally): maximal token spans whose 3-gram
+    // content appears in >= 2 distinct documents. The oracle replays
+    // the positional FNV gram kernel (q43's), the >= 2-doc gram
+    // filter, and the islands coalescing.
+    "q112_dup_spans" -> ((s, dir) =>
+      graft.ml.SpanDedup.duplicateSpans(
+        t(s, dir, "documents"), "doc_id", "text", width = 3, minDocs = 2)),
+
+    // Data-quality ruleset (the EvaluateDataQuality surface the
+    // reference's GlueContext imports, awsglue/context.py:45-46) —
+    // seven DQDL-style rules over orders, ALL evaluated in one
+    // aggregation pass; the oracle recomputes each metric + verdict.
+    "q113_dq_rules" -> ((s, dir) =>
+      graft.operators.DataQuality.evaluate(t(s, dir, "orders"), Seq(
+        graft.operators.DataQuality.RowCountBetween(1L, 1000000000L),
+        graft.operators.DataQuality.IsComplete("o_custkey"),
+        graft.operators.DataQuality.IsUnique("o_orderkey"),
+        graft.operators.DataQuality.IsUnique("o_custkey"),
+        graft.operators.DataQuality.ValuesBetween(
+          "o_totalprice", 0.0, 100000.0, minRatio = 0.95),
+        graft.operators.DataQuality.ValuesIn(
+          "o_orderstatus", Seq("F", "O", "P")),
+        graft.operators.DataQuality.MeanBetween(
+          "o_totalprice", 1000.0, 500000.0)))),
+
+    // S1/S8 ORC round-trip: part → ORC files via the sink factory →
+    // back through the source factory. Exercises the non-parquet
+    // columnar leg of the format dispatch end-to-end (types must
+    // survive: int32 p_size, int64 keys, double price).
+    "q114_orc_roundtrip" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      graft.sources.Sinks.write(t(s, dir, "part"), "file", format = "orc",
+        options = Map("path" -> s"$base/part"), mode = "overwrite")
+      graft.sources.Sources.source(s, "orc",
+        options = Map("path" -> s"$base/part"))
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -2381,6 +2450,114 @@ object SparkEntry {
         |WHERE raw >= 0.35""".stripMargin,
     "q51_tsv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // SCD2: replay the batch construction, the full-outer key join,
+    // the null-safe change test (IS DISTINCT FROM), and both output
+    // legs. Dates are literals; the double bal+100.0 is the same
+    // single IEEE add in both engines.
+    "q111_scd2" ->
+      """WITH cur AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    DATE '2020-01-01' AS eff_from, CAST(NULL AS DATE) AS eff_to
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, 'MOVED' AS seg, c_acctbal + 100.0 AS bal
+        |    FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal
+        |    FROM customer WHERE c_custkey % 7 = 3
+        |  UNION ALL SELECT c_custkey + 1000000, 'FRESH', c_acctbal
+        |    FROM customer WHERE c_custkey % 7 = 5),
+        |j AS (SELECT cur.c_custkey, cur.c_mktsegment, cur.c_acctbal,
+        |    cur.eff_from, cur.eff_to, upd.c_custkey AS uk, upd.seg, upd.bal
+        |  FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.c_custkey),
+        |chg AS (SELECT *, uk IS NOT NULL AND
+        |    (seg IS DISTINCT FROM c_mktsegment OR
+        |     bal IS DISTINCT FROM c_acctbal) AS changed FROM j),
+        |fromopen AS (SELECT c_custkey, c_mktsegment, c_acctbal, eff_from,
+        |    CASE WHEN changed THEN DATE '2024-06-01' ELSE eff_to END AS eff_to,
+        |    CASE WHEN changed THEN 0 ELSE 1 END AS is_current
+        |  FROM chg WHERE c_custkey IS NOT NULL),
+        |fresh AS (SELECT uk AS c_custkey, seg AS c_mktsegment,
+        |    bal AS c_acctbal, DATE '2024-06-01' AS eff_from,
+        |    CAST(NULL AS DATE) AS eff_to, 1 AS is_current
+        |  FROM chg WHERE uk IS NOT NULL AND (c_custkey IS NULL OR changed))
+        |SELECT * FROM fromopen UNION ALL SELECT * FROM fresh""".stripMargin,
+    // Duplicated-span detection: q43's positional FNV 3-gram kernel,
+    // zipped with 0-based positions, grams kept when >= 2 distinct
+    // docs carry them, adjacent positions coalesced with the islands
+    // trick (pos - row_number constant within a run).
+    "q112_dup_spans" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id, list_transform(
+         |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |      i -> ${sqlFnv(
+        """flatten(list_transform(
+          |            list_filter([toks[i], toks[i + 1], toks[i + 2]], t -> t IS NOT NULL),
+          |            t -> list_append(
+          |              flatten(list_transform(string_split(t, ''),
+          |                ch -> [unicode(ch) % 256, unicode(ch) // 256])), 32))
+          |          )[:-2]""".stripMargin)}),
+         |    u -> CASE WHEN u >= 9223372036854775808
+         |      THEN CAST(u - 18446744073709551616 AS BIGINT)
+         |      ELSE CAST(u AS BIGINT) END) AS h
+         |  FROM tok),
+         |g AS (SELECT doc_id, unnest(h) AS h,
+         |    unnest(range(len(h))) AS pos FROM hs),
+         |f AS (SELECT h FROM g GROUP BY h
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |hit AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (h)),
+         |isl AS (SELECT doc_id, pos, pos - row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM hit)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end,
+         |  count(*) AS n_grams
+         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    // DQ ruleset: one aggregate row, seven verdicts. Ratios are
+    // BIGINT/BIGINT double division rounded to 6dp on both sides;
+    // the mean routes through DECIMAL then divides as double (4dp).
+    "q113_dq_rules" ->
+      """WITH a AS (SELECT count(*) AS nrows,
+        |    count(o_custkey) AS c_cust,
+        |    count(DISTINCT o_orderkey) AS d_ok, count(o_orderkey) AS c_ok,
+        |    count(DISTINCT o_custkey) AS d_cust,
+        |    count(CASE WHEN o_totalprice BETWEEN 0 AND 100000 THEN 1 END)
+        |      AS in_tp,
+        |    count(o_totalprice) AS c_tp,
+        |    count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END)
+        |      AS in_st,
+        |    count(o_orderstatus) AS c_st,
+        |    sum(CAST(o_totalprice AS DECIMAL(28,4))) AS s_tp
+        |  FROM orders)
+        |SELECT 0 AS ord, 'RowCountBetween(1,1000000000)' AS rule,
+        |  CASE WHEN nrows BETWEEN 1 AND 1000000000
+        |    THEN 'Passed' ELSE 'Failed' END AS outcome,
+        |  CAST(nrows AS DOUBLE) AS metric FROM a
+        |UNION ALL SELECT 1, 'IsComplete(o_custkey)',
+        |  CASE WHEN round(c_cust / nrows, 6) >= 1.0
+        |    THEN 'Passed' ELSE 'Failed' END,
+        |  round(c_cust / nrows, 6) FROM a
+        |UNION ALL SELECT 2, 'IsUnique(o_orderkey)',
+        |  CASE WHEN d_ok = c_ok THEN 'Passed' ELSE 'Failed' END,
+        |  round(d_ok / c_ok, 6) FROM a
+        |UNION ALL SELECT 3, 'IsUnique(o_custkey)',
+        |  CASE WHEN d_cust = c_cust THEN 'Passed' ELSE 'Failed' END,
+        |  round(d_cust / c_cust, 6) FROM a
+        |UNION ALL SELECT 4, 'ColumnValues(o_totalprice between 0.0 100000.0 >= 0.95)',
+        |  CASE WHEN round(in_tp / c_tp, 6) >= 0.95
+        |    THEN 'Passed' ELSE 'Failed' END,
+        |  round(in_tp / c_tp, 6) FROM a
+        |UNION ALL SELECT 5, 'ColumnValues(o_orderstatus in F|O|P)',
+        |  CASE WHEN round(in_st / c_st, 6) >= 1.0
+        |    THEN 'Passed' ELSE 'Failed' END,
+        |  round(in_st / c_st, 6) FROM a
+        |UNION ALL SELECT 6, 'Mean(o_totalprice between 1000.0 500000.0)',
+        |  CASE WHEN round(CAST(s_tp AS DOUBLE) / nrows, 4)
+        |      BETWEEN 1000.0 AND 500000.0
+        |    THEN 'Passed' ELSE 'Failed' END,
+        |  round(CAST(s_tp AS DOUBLE) / nrows, 4) FROM a""".stripMargin,
+    "q114_orc_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part""".stripMargin,
     // Same plane-literal bucketing as q44; pairs share a bucket, score
     // is the dot of L2-normalized vectors (4dp-stable across engines).
     "q53_embed_pairs_lsh" ->

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension maintenance for the star-schema loads the
+  * reference pipeline performs (pipeline.py's Dim* loads are Type-1
+  * overwrites; this adds the Type-2 history-keeping variant every
+  * production warehouse eventually needs for those same dimensions).
+  *
+  * Scale posture: one shuffle join on the natural key between the OPEN
+  * slice of the dimension and the update batch; CLOSED history rows —
+  * the bulk of a years-old 100 TB dimension — never enter the join,
+  * they pass through as a union leg with no exchange. A daily update
+  * batch is typically orders of magnitude smaller than the dimension,
+  * so AQE will broadcast it; callers can force `broadcast(updates)`
+  * when they know the batch is small. Tracked-attribute comparison is
+  * null-safe (`<=>`), so NULL→value and value→NULL transitions version
+  * the row like any other change.
+  */
+object Scd {
+
+  /** Apply one update batch to an SCD Type-2 dimension.
+    *
+    * `current` must carry `keys ++ tracked ++ (effCol, endCol, curCol)`;
+    * `updates` carries `keys ++ tracked` (the new attribute values).
+    * Returns the full post-batch dimension state:
+    *
+    *  - closed rows (`curCol` false) pass through untouched;
+    *  - an open row whose tracked attributes all match its update (or
+    *    that has no update) passes through untouched;
+    *  - an open row with a differing update is CLOSED (`endCol` :=
+    *    `batchDate`, `curCol` := false) and a new open version is
+    *    emitted (`effCol` := `batchDate`, `endCol` := NULL);
+    *  - an update whose key has no open row inserts a new open row.
+    *
+    * `batchDate` must be a literal/deterministic column — the caller
+    * owns the batch's effective date; this function never reads the
+    * wall clock (a retry must produce byte-identical output).
+    */
+  def scd2Apply(
+      current: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      tracked: Seq[String],
+      batchDate: Column,
+      effCol: String = "eff_from",
+      endCol: String = "eff_to",
+      curCol: String = "is_current"): DataFrame = {
+    require(keys.nonEmpty, "scd2Apply needs at least one key column")
+    val outCols = keys ++ tracked ++ Seq(effCol, endCol, curCol)
+
+    val closed = current.filter(!col(curCol)).select(outCols.map(col): _*)
+    val open   = current.filter(col(curCol))
+
+    // One update row per key: last-writer-wins is the caller's problem;
+    // we require the batch be key-unique so the join can't fan out.
+    val upd = updates.select((keys ++ tracked).map(col): _*)
+
+    val u = upd.columns.foldLeft(upd)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
+    val joined = open.join(
+      u, keys.map(k => col(k) === col(s"__u_$k")).reduce(_ && _), "full_outer")
+
+    val hasOpen   = keys.map(k => col(k).isNotNull).reduce(_ && _)
+    val hasUpdate = keys.map(k => col(s"__u_$k").isNotNull).reduce(_ && _)
+    val changed   = tracked.map(c => !(col(c) <=> col(s"__u_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    // Leg 1: surviving versions of rows that were already open —
+    // unchanged rows as-is, changed rows closed at batchDate.
+    val fromOpen = joined.filter(hasOpen).select(
+      keys.map(col) ++ tracked.map(col) ++ Seq(
+        col(effCol),
+        when(hasUpdate && changed, batchDate).otherwise(col(endCol)).as(endCol),
+        (!(hasUpdate && changed)).as(curCol)): _*)
+
+    // Leg 2: new open versions — changed rows' replacements plus
+    // brand-new keys from the batch.
+    val fresh = joined.filter(hasUpdate && (!hasOpen || changed)).select(
+      keys.map(k => col(s"__u_$k").as(k)) ++
+        tracked.map(c => col(s"__u_$c").as(c)) ++ Seq(
+          batchDate.as(effCol),
+          lit(null).cast(open.schema(endCol).dataType).as(endCol),
+          lit(true).as(curCol)): _*)
+
+    closed.unionByName(fromOpen).unionByName(fresh)
+  }
+
+  /** SCD Type-1 (overwrite in place, no history): the update batch's
+    * attribute values replace the open row's; new keys insert. This is
+    * the contract pipeline.py's Dim* loads implement by full rewrite —
+    * expressed here as a key-join so only the touched partition of a
+    * large dimension rewrites. Delegates to
+    * [[graft.operators.Joins.mergeFrames]] semantics with key-unique
+    * staging.
+    */
+  def scd1Apply(
+      current: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String]): DataFrame =
+    graft.operators.Joins.mergeFrames(current, updates, keys)
+}
