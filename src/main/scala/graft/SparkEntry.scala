@@ -550,6 +550,41 @@ object SparkEntry {
         options = Map("path" -> s"$base/part"))
     }),
 
+    // Temperature-resampled mixture (α=0.5): per-lang √count shares
+    // derived in-plan with integer-only weight math, then the q75
+    // stateless replicate/sample kernel. Oracle replays isqrt, the
+    // integer floor-div weight, and the mix64 bucket rule.
+    "q115_temperature_mix" -> ((s, dir) =>
+      Sketches.temperatureMix(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", targetRows = 2000)),
+
+    // Null imputation: mean (decimal-summed, 4dp) for a numeric
+    // column, mode (count-desc, value-asc tie-break) for a
+    // categorical — stats attach via a broadcast one-row cross join,
+    // no collect. Nulls injected deterministically so the repair is
+    // oracle-checkable.
+    "q116_impute" -> ((s, dir) => {
+      val b = t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"),
+        when(col("c_custkey") % 13 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      graft.operators.Cleanse.imputeNulls(b,
+        meanCols = Seq("bal"), modeCols = Seq("seg"))
+    }),
+
+    // z-score outlier flagging: μ and population σ from exact decimal
+    // sums, rounded to 6dp so both engines draw the same boundary.
+    "q117_outliers" -> ((s, dir) =>
+      graft.operators.Cleanse.flagOutliers(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        "l_extendedprice", k = 2.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("is_outlier"))),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -2558,6 +2593,67 @@ object SparkEntry {
     "q114_orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part""".stripMargin,
+    // Temperature mixture: integer isqrt/total/floor-div weight
+    // replay + the q75 mix64 bucket kernel (seed 7).
+    "q115_temperature_mix" ->
+      s"""WITH cts AS (SELECT lang, count(*) AS c FROM documents
+         |  GROUP BY lang),
+         |iq AS (SELECT lang, c, CAST(floor(sqrt(c)) AS BIGINT) AS isq
+         |  FROM cts),
+         |tt AS (SELECT sum(isq) AS tot FROM iq),
+         |w AS (SELECT lang, (1024 * 2000 * isq) // (tot * c) AS w
+         |  FROM iq, tt),
+         |z0 AS (SELECT doc_id, lang,
+         |    (CAST(doc_id AS HUGEINT) + ${sqlMixAdd(7)})
+         |      % 18446744073709551616 AS z
+         |  FROM documents),
+         |${sqlMixFinal("doc_id, lang")},
+         |j AS (SELECT z3.doc_id, z3.lang, z3.z, w.w
+         |  FROM z3 JOIN w USING (lang)),
+         |cp AS (SELECT doc_id, lang,
+         |    CAST(w // 1024 + CASE WHEN z % 1024 < w % 1024
+         |      THEN 1 ELSE 0 END AS BIGINT) AS copies
+         |  FROM j)
+         |SELECT doc_id, lang, CAST(e AS INT) AS epoch FROM
+         |  (SELECT doc_id, lang, unnest(range(copies)) AS e
+         |   FROM cp WHERE copies > 0)""".stripMargin,
+    // Imputation: mean via decimal sum / count rounded 4dp; mode =
+    // highest count, smallest value tie-break.
+    "q116_impute" ->
+      """WITH b AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |      ELSE c_acctbal END AS bal,
+        |    CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |      ELSE c_mktsegment END AS seg
+        |  FROM customer),
+        |m AS (SELECT round(CAST(sum(CAST(bal AS DECIMAL(28,4)))
+        |    AS DOUBLE) / count(bal), 4) AS mean_bal FROM b),
+        |md AS (SELECT seg AS mode_seg FROM b WHERE seg IS NOT NULL
+        |  GROUP BY seg ORDER BY count(*) DESC, seg ASC LIMIT 1)
+        |SELECT c_custkey, COALESCE(bal, mean_bal) AS bal,
+        |  COALESCE(seg, mode_seg) AS seg
+        |FROM b, m, md""".stripMargin,
+    // Outliers: exact decimal sums -> 6dp μ/σ -> identical IEEE
+    // boundary comparison on both engines.
+    "q117_outliers" ->
+      """WITH s AS (SELECT
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |          AS DECIMAL(28,6)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,6))
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(count(l_extendedprice) AS DOUBLE) AS n
+        |  FROM lineitem),
+        |st AS (SELECT round(sx / n, 6) AS mu,
+        |    round(sqrt(greatest(0.0,
+        |      sxx / n - (sx / n) * (sx / n))), 6) AS sigma
+        |  FROM s)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_extendedprice IS NOT NULL
+        |      AND abs(l_extendedprice - mu) > 2.0 * sigma
+        |    THEN 1 ELSE 0 END AS is_outlier
+        |FROM lineitem, st""".stripMargin,
     // Same plane-literal bucketing as q44; pairs share a bucket, score
     // is the dot of L2-normalized vectors (4dp-stable across engines).
     "q53_embed_pairs_lsh" ->

@@ -161,6 +161,55 @@ object Sketches {
       .drop("__copies")
   }
 
+  /** [[weightedMix]] with the stratum→weight map coming from a FRAME
+    * (`weights`: stratumCol + a `w1024` long column) instead of a
+    * literal — broadcast-joined so the mixture stays a stateless
+    * projection; strata absent from `weights` drop.
+    */
+  def weightedMixFrame(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      weights: DataFrame, seed: Int = 7): DataFrame = {
+    val joined = df.join(broadcast(weights), Seq(stratumCol), "inner")
+    val w = col("w1024")
+    val bucket = Mix64.mix64(col(keyCol).cast("long"), seed)
+      .bitwiseAND(lit(1023L))
+    val copies = (floor(w / lit(1024)).cast("long") +
+      when(bucket < w % 1024, lit(1L)).otherwise(lit(0L))).cast("int")
+    joined.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__copies", "w1024")
+  }
+
+  /** Temperature-resampled data mixture (the multilingual-LM α=0.5
+    * recipe): each stratum's target share ∝ √count, so small sources
+    * up-sample and dominant ones down-sample toward `targetRows`
+    * total expected output rows. The per-stratum weight derivation is
+    * ALL integer arithmetic — isqrt = floor(√count) (exact: sqrt of a
+    * long-valued double is correctly rounded), an integer total, and
+    * one `div` — so the mixture is bit-reproducible on any engine and
+    * any partitioning; the only doubles ever touched are inside the
+    * exact floor(sqrt(long)).
+    *
+    * Plan: one tiny per-stratum count aggregate → weight frame →
+    * [[weightedMixFrame]]'s broadcast join + stateless replication.
+    * Nothing data-sized shuffles; the corpus scan happens twice
+    * (count + apply) — cache upstream if the scan dominates.
+    */
+  def temperatureMix(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      targetRows: Long, seed: Int = 7): DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__isq", floor(sqrt(col("__c"))).cast("long"))
+    val tot = counts.agg(sum(col("__isq")).as("__tot"))
+    val weights = counts.crossJoin(broadcast(tot))
+      .withColumn("w1024",
+        expr(s"(1024L * ${targetRows}L * __isq) div (__tot * __c)"))
+      .select(col(stratumCol), col("w1024"))
+    weightedMixFrame(df, keyCol, stratumCol, weights, seed)
+  }
+
   def stratifiedSample(
       df: DataFrame, keyCol: String, stratumCol: String,
       rates1024: Map[String, Int], seed: Int = 7): DataFrame = {

@@ -130,4 +130,49 @@ object DataQuality {
     }
     one.select(inline(array(rows: _*)))
   }
+
+  /** Attach the ruleset as OBSERVED metrics: the aggregates ride the
+    * frame's next action via Spark's CollectMetrics operator, so a
+    * pipeline gets its DQ verdicts for FREE with the write it was
+    * doing anyway — zero extra scans, the difference that matters
+    * when the frame is 100 TB and [[evaluate]]'s dedicated pass costs
+    * a full read. After any action on the returned frame, feed the
+    * observation to [[observedResults]].
+    *
+    * [[IsUnique]] is rejected up front: observed metrics disallow
+    * distinct aggregates (Spark's CollectMetrics contract) — use
+    * [[evaluate]] for uniqueness, or an HLL sketch column upstream.
+    */
+  def observe(df: DataFrame, rules: Seq[Rule],
+      name: String = "dq"): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation(name)
+    require(rules.nonEmpty, "observe needs at least one rule")
+    require(!rules.exists(_.isInstanceOf[IsUnique]),
+      "IsUnique needs a distinct aggregate; observed metrics disallow it — use evaluate()")
+    val aggExprs = rules.zipWithIndex.flatMap { case (r, i) => r.aggs(i) }
+    (df.observe(obs, aggExprs.head, aggExprs.tail: _*), obs)
+  }
+
+  /** Turn a completed observation back into the same (ord, rule,
+    * outcome, metric) frame [[evaluate]] produces — the verdict
+    * Columns are REUSED over a one-row local frame built from the
+    * observed values, so the two paths cannot drift.
+    */
+  def observedResults(spark: org.apache.spark.sql.SparkSession,
+      rules: Seq[Rule],
+      obs: org.apache.spark.sql.Observation): DataFrame = {
+    val metrics = obs.get
+    val one = spark.range(1).select(metrics.toSeq.map { case (k, v) =>
+      lit(v).as(k)
+    }: _*)
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      val (metric, passed) = r.verdict(i)
+      struct(
+        lit(i).as("ord"),
+        lit(r.name).as("rule"),
+        when(passed, "Passed").otherwise("Failed").as("outcome"),
+        metric.cast("double").as("metric"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Mix64
+import graft.ml.Sketches
+import graft.operators.{Cleanse, DataQuality}
+import graft.operators.DataQuality._
+
+class CleanseSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------- impute
+
+  private def frame = Seq(
+    (1L, Some(10.0), Some("A")),
+    (2L, None, Some("B")),
+    (3L, Some(20.0), None),
+    (4L, Some(30.0), Some("A")),
+    (5L, None, Some("B")))
+    .toDF("id", "bal", "seg")
+
+  test("mean imputation fills with the 4dp decimal mean") {
+    val r = Cleanse.imputeNulls(frame, meanCols = Seq("bal"))
+      .select("id", "bal").as[(Long, Double)].collect().toMap
+    assert(r(2L) == 20.0 && r(5L) == 20.0) // (10+20+30)/3
+    assert(r(1L) == 10.0 && r(3L) == 20.0) // non-nulls untouched
+  }
+
+  test("mode imputation fills the most frequent value, smallest on tie") {
+    val r = Cleanse.imputeNulls(frame, meanCols = Nil, modeCols = Seq("seg"))
+      .select("id", "seg").as[(Long, String)].collect().toMap
+    assert(r(3L) == "A") // A and B both twice; tie breaks to smallest
+    val r2 = Cleanse.imputeNulls(
+      frame.filter(col("id") =!= 4), Nil, modeCols = Seq("seg"))
+      .select("id", "seg").as[(Long, String)].collect().toMap
+    assert(r2(3L) == "B") // B now strictly more frequent
+  }
+
+  test("fillConstants is the na.fill surface") {
+    val r = Cleanse.fillConstants(frame, Map("bal" -> -1.0, "seg" -> "?"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(r.contains((2L, -1.0, "B")) && r.contains((3L, 20.0, "?")))
+  }
+
+  // ----------------------------------------------------- outliers
+
+  test("flagOutliers marks exactly the far point; nulls flag 0") {
+    val d = (Seq.fill(20)(10.0) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, Some(v)) }
+      .toDF("id", "v")
+      .union(Seq((99L, Option.empty[Double])).toDF("id", "v"))
+    val flagged = Cleanse.flagOutliers(d, "v", k = 3.0)
+      .filter(col("is_outlier") === 1).select("id").as[Long].collect()
+    assert(flagged.toSeq == Seq(20L))
+    val nullRow = Cleanse.flagOutliers(d, "v", k = 3.0)
+      .filter(col("id") === 99).select("is_outlier").as[Int].head()
+    assert(nullRow == 0)
+  }
+
+  test("flagOutliers on a constant column flags nothing (sigma 0)") {
+    val d = (0L until 10L).map(i => (i, 5.0)).toDF("id", "v")
+    assert(Cleanse.flagOutliers(d, "v").filter(col("is_outlier") === 1)
+      .count() == 0)
+  }
+
+  // ----------------------------------------------- temperature mix
+
+  test("temperatureMix: integer weight math and √-share sampling") {
+    // strata: a=100 rows, b=400 rows → isq 10/20, tot 30, target 300
+    // → w(a) = 1024*300*10 div (30*100)  = 1024  (every row, once)
+    // → w(b) = 1024*300*20 div (30*400)  = 512   (bucket < 512)
+    val d = ((0L until 100L).map(i => (i, "a")) ++
+      (1000L until 1400L).map(i => (i, "b"))).toDF("id", "src")
+    val out = Sketches.temperatureMix(d, "id", "src", targetRows = 300)
+    val byStratum = out.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(byStratum("a") == 100L)
+    // stratum b must match the mix64 bucket rule exactly
+    val expectedB = d.filter(col("src") === "b")
+      .filter(Mix64.mix64(col("id"), 7).bitwiseAND(lit(1023L)) < 512)
+      .count()
+    assert(byStratum("b") == expectedB)
+    assert(out.filter(col("src") === "a").agg(max("epoch")).head().getInt(0) == 0)
+  }
+
+  test("temperatureMix up-samples a tiny stratum with multi-epochs") {
+    // a=4 rows, b=400 → isq 2/20, tot 22, target 440
+    // w(a) = 1024*440*2 div (22*4) = 10240 → 10 copies each
+    val d = ((0L until 4L).map(i => (i, "a")) ++
+      (1000L until 1400L).map(i => (i, "b"))).toDF("id", "src")
+    val a = Sketches.temperatureMix(d, "id", "src", targetRows = 440)
+      .filter(col("src") === "a")
+    assert(a.count() == 40)
+    assert(a.groupBy("id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 10))
+  }
+
+  test("weightedMixFrame drops strata absent from the weight frame") {
+    val d = Seq((1L, "x"), (2L, "y")).toDF("id", "src")
+    val w = Seq(("x", 2048L)).toDF("src", "w1024")
+    val out = Sketches.weightedMixFrame(d, "id", "src", w)
+    assert(out.select("src").distinct().as[String].collect().toSeq == Seq("x"))
+    assert(out.count() == 2) // 2048 → exactly two epochs of row 1
+  }
+
+  // ----------------------------------------------- observed DQ
+
+  test("observe: metrics ride the action; results match evaluate()") {
+    val rules = Seq[Rule](
+      RowCountBetween(1, 100),
+      IsComplete("bal"),
+      ValuesBetween("bal", 0, 25, minRatio = 0.5),
+      MeanBetween("bal", 0, 100))
+    val (observed, obs) = DataQuality.observe(frame, rules)
+    observed.write.mode("overwrite")
+      .parquet(s"${System.getProperty("java.io.tmpdir")}/graft_obs_dq")
+    val viaObs = DataQuality.observedResults(spark, rules, obs)
+      .as[(Int, String, String, Double)].collect().toSet
+    val viaEval = DataQuality.evaluate(frame, rules)
+      .as[(Int, String, String, Double)].collect().toSet
+    assert(viaObs == viaEval)
+    assert(viaObs.exists(_._2 == "IsComplete(bal)"))
+  }
+
+  test("observe rejects IsUnique (distinct aggregates disallowed)") {
+    intercept[IllegalArgumentException] {
+      DataQuality.observe(frame, Seq(IsUnique("id")))
+    }
+  }
+}
