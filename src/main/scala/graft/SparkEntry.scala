@@ -585,6 +585,27 @@ object SparkEntry {
         "l_extendedprice", k = 2.0)
         .select(col("l_orderkey"), col("l_linenumber"), col("is_outlier"))),
 
+    // Per-group exact quantiles: one exchange, all quantiles from the
+    // same per-group value map. The interpolation formula matches
+    // quantile_cont; 4dp rounding absorbs last-ulp expression-order
+    // differences between engines.
+    "q118_group_quantiles" -> ((s, dir) =>
+      Sketches.groupQuantiles(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity",
+        Seq(("p50", 0.5), ("p90", 0.9)))),
+
+    // Fixed-point PageRank over the part→supplier edge multiset:
+    // integer rank units make every iteration order-free and
+    // engine-exact, so an ITERATIVE numeric algorithm lands on the
+    // oracle scoreboard (a float PageRank never could). Part ids
+    // offset by 1e7 to keep the bipartite id spaces disjoint.
+    "q119_pagerank" -> ((s, dir) =>
+      Graph.pageRankFixedPoint(
+        t(s, dir, "lineitem").select(
+          (col("l_partkey") + 10000000L).as("src"),
+          col("l_suppkey").as("dst")),
+        "src", "dst", iters = 3)),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -2633,6 +2654,39 @@ object SparkEntry {
         |SELECT c_custkey, COALESCE(bal, mean_bal) AS bal,
         |  COALESCE(seg, mode_seg) AS seg
         |FROM b, m, md""".stripMargin,
+    "q118_group_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // PageRank: three unrolled integer iterations — floor-div damped
+    // contributions, grouped integer sums, 150000 teleport mass.
+    "q119_pagerank" ->
+      """WITH e AS (SELECT l_partkey + 10000000 AS src, l_suppkey AS dst
+        |  FROM lineitem),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1000000 AS pr FROM n),
+        |c1 AS (SELECT e.dst AS node,
+        |    sum((r0.pr * 85) // (100 * dg.deg)) AS m
+        |  FROM e JOIN r0 ON r0.node = e.src JOIN dg ON dg.src = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT n.node, 150000 + COALESCE(c1.m, 0) AS pr
+        |  FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node,
+        |    sum((r1.pr * 85) // (100 * dg.deg)) AS m
+        |  FROM e JOIN r1 ON r1.node = e.src JOIN dg ON dg.src = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT n.node, 150000 + COALESCE(c2.m, 0) AS pr
+        |  FROM n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node,
+        |    sum((r2.pr * 85) // (100 * dg.deg)) AS m
+        |  FROM e JOIN r2 ON r2.node = e.src JOIN dg ON dg.src = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT n.node, 150000 + COALESCE(c3.m, 0) AS pr
+        |  FROM n LEFT JOIN c3 USING (node))
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM r3""".stripMargin,
     // Outliers: exact decimal sums -> 6dp μ/σ -> identical IEEE
     // boundary comparison on both engines.
     "q117_outliers" ->

@@ -161,4 +161,73 @@ object Graph {
     sym.unpersist()
     labels
   }
+
+  /** Fixed-point PageRank: ranks held as INTEGER `scale`-ths (default
+    * millionths) so every iteration is integer-only arithmetic —
+    * grouped sums are order-free and division is floor-div, which
+    * makes the result bit-identical on any engine, partitioning, or
+    * retry (a float PageRank differs in final ulps between runs, so
+    * it can never be oracle-gated). The cost is the standard
+    * fixed-point truncation: each hop loses < 1/scale per edge,
+    * bounded and deterministic.
+    *
+    * Per iteration: rank(u)·dampNum div (dampDen·outdeg(u)) flows to
+    * each out-neighbor (one edge-keyed join + one dst-keyed grouped
+    * sum — the canonical Pregel round as two exchanges), plus the
+    * (1−d) teleport mass. Dangling nodes leak their damped mass, the
+    * usual simplification. The edge/out-degree tables are computed
+    * once and persisted across iterations; intermediates unpersist
+    * before returning (session-cache hygiene). Iterations are fixed
+    * (`iters`), not convergence-tested — rank deltas shrink
+    * geometrically, so a caller picks the horizon.
+    *
+    * Returns (node, pr) for every node in the edge table, pr in
+    * `scale`-ths summing to ≤ nodes·scale.
+    */
+  def pageRankFixedPoint(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3,
+      dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && dampDen > 0 && scale > 0)
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleport = (scale * (dampDen - dampNum)) / dampDen
+
+    var pr = nodes.withColumn("pr", lit(scale))
+    var prevRdd: RDD[InternalRow] = null
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr(s"(pr * ${dampNum}L) div (${dampDen}L * deg)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("pr"))
+      // Truncate the per-iteration join tower at RDD level (the CC
+      // pattern): materialize + localCheckpoint the InternalRow RDD,
+      // free the SUPERSEDED iteration's blocks, re-plan against a
+      // fresh leaf. Dataset.localCheckpoint per iteration would leak
+      // one persisted RDD per round for the session's lifetime.
+      val schema = next.schema
+      val rdd = next.queryExecution.toRdd.map(_.copy())
+      rdd.localCheckpoint()
+      rdd.count()
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
+      pr = GraftBridge.internalCreateDataFrame(
+        edges.sparkSession, rdd, schema)
+    }
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    pr
+  }
 }

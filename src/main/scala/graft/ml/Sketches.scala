@@ -161,6 +161,25 @@ object Sketches {
       .drop("__copies")
   }
 
+  /** Per-group EXACT quantiles via Spark's `percentile` aggregate
+    * (value-counting, so memory scales with DISTINCT values per
+    * group, not rows — right for measure columns with bounded
+    * domains; for unbounded domains use the global histogram path
+    * ([[exactQuantiles]]) or approx_percentile). One groupBy
+    * exchange; all requested quantiles compute from the same
+    * per-group value map. Output: keyCols + one 4dp-rounded column
+    * per (label, q) + `n` (group size).
+    */
+  def groupQuantiles(
+      df: DataFrame, keyCols: Seq[String], valueCol: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    val aggs = qs.map { case (label, q) =>
+      round(expr(s"percentile($valueCol, $q)"), 4).as(label)
+    } :+ count(lit(1)).as("n")
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** [[weightedMix]] with the stratum→weight map coming from a FRAME
     * (`weights`: stratumCol + a `w1024` long column) instead of a
     * literal — broadcast-joined so the mixture stays a stateless

@@ -66,24 +66,28 @@ object Scd {
     val changed   = tracked.map(c => !(col(c) <=> col(s"__u_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
 
-    // Leg 1: surviving versions of rows that were already open —
-    // unchanged rows as-is, changed rows closed at batchDate.
-    val fromOpen = joined.filter(hasOpen).select(
-      keys.map(col) ++ tracked.map(col) ++ Seq(
-        col(effCol),
+    // Both output rows of a joined key come out of ONE pass over the
+    // join: a per-row struct array (surviving open version and/or the
+    // new open version), compacted and exploded. Expressing the two
+    // legs as separate select+union branches instead makes Catalyst
+    // duplicate the join — one specialized copy per leg — and a 100 TB
+    // dimension would be scanned and shuffled twice.
+    val openLeg = when(hasOpen, struct(
+      keys.map(k => col(k).as(k)) ++ tracked.map(c => col(c).as(c)) ++ Seq(
+        col(effCol).as(effCol),
         when(hasUpdate && changed, batchDate).otherwise(col(endCol)).as(endCol),
-        (!(hasUpdate && changed)).as(curCol)): _*)
-
-    // Leg 2: new open versions — changed rows' replacements plus
-    // brand-new keys from the batch.
-    val fresh = joined.filter(hasUpdate && (!hasOpen || changed)).select(
+        (!(hasUpdate && changed)).as(curCol)): _*))
+    val freshLeg = when(hasUpdate && (!hasOpen || changed), struct(
       keys.map(k => col(s"__u_$k").as(k)) ++
         tracked.map(c => col(s"__u_$c").as(c)) ++ Seq(
           batchDate.as(effCol),
           lit(null).cast(open.schema(endCol).dataType).as(endCol),
-          lit(true).as(curCol)): _*)
+          lit(true).as(curCol)): _*))
+    val merged = joined
+      .select(explode(array_compact(array(openLeg, freshLeg))).as("__r"))
+      .select(col("__r.*"))
 
-    closed.unionByName(fromOpen).unionByName(fresh)
+    closed.unionByName(merged)
   }
 
   /** SCD Type-1 (overwrite in place, no history): the update batch's

@@ -130,4 +130,14 @@ class DataQualitySpanSpec extends AnyFunSuite {
     assert(s3.toSet == Set((1L, 0L, 2L, 1L), (2L, 0L, 2L, 1L),
       (3L, 0L, 2L, 1L)))
   }
+
+  test("plan: span dedup never falls back to cartesian/nested-loop") {
+    val plan = SpanDedup.duplicateSpans(docs, "doc_id", "text")
+      .queryExecution.executedPlan
+    val bad = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"fallback join in plan:\n$plan")
+  }
 }

@@ -83,4 +83,14 @@ class ScdSpec extends AnyFunSuite {
     assert(r == Set((1L, "MOTO", 11.0), (2L, "BIKE", 20.0),
       (3L, "AUTO", 30.0), (9L, "SHIP", 90.0)))
   }
+
+  test("plan: ONE join total — closed history bypasses it; legs share it") {
+    val plan = Scd.scd2Apply(dim,
+      Seq((1L, "M", 1.0)).toDF("k", "seg", "bal"),
+      Seq("k"), Seq("seg", "bal"), lit(d1))
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1, s"expected exactly one join:\n$plan")
+  }
 }

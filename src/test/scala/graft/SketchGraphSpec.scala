@@ -251,4 +251,54 @@ class SketchGraphSpec extends AnyFunSuite {
     val passed = (1L to 10000L).count(hits)
     assert(passed <= 110, s"bloom admitted $passed of 10000")
   }
+
+  // --------------------------------------------------- fixed-point PR
+
+  test("pageRankFixedPoint matches hand-computed integer iterations") {
+    // 1 -> 2, 1 -> 3, 2 -> 3, 3 -> 1 (deg: 1->2, 2->1, 3->1)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    // iteration 1 from r=1e6 each:
+    //  c(2) = (1e6*85) div (100*2)               = 425000
+    //  c(3) = 425000 + (1e6*85) div 100          = 1275000
+    //  c(1) = (1e6*85) div 100                   = 850000
+    //  r1: 1 -> 1000000, 2 -> 575000, 3 -> 1425000
+    // iteration 2:
+    //  c(2) = (1000000*85) div 200               = 425000
+    //  c(3) = 425000 + (575000*85) div 100       = 913750
+    //  c(1) = (1425000*85) div 100               = 1211250
+    //  r2: 1 -> 1361250, 2 -> 575000, 3 -> 1063750
+    val r = Graph.pageRankFixedPoint(e, "s", "d", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+  }
+
+  test("pageRankFixedPoint is deterministic across partitionings") {
+    val e = (0L until 200L).map(i => (i, (i * 7 + 3) % 200)).toDF("s", "d")
+    val a = Graph.pageRankFixedPoint(e.repartition(1), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRankFixedPoint(e.repartition(13), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("pageRankFixedPoint leaves no persisted intermediates behind") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    Graph.pageRankFixedPoint(e, "s", "d").count()
+    // only the returned (checkpointed) rank table may remain
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
+  }
+
+  // ------------------------------------------------ group quantiles
+
+  test("groupQuantiles: exact interpolated per-group quantiles") {
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 20.0)).toDF("k", "v")
+    val r = Sketches.groupQuantiles(d, Seq("k"), "v",
+      Seq(("p50", 0.5), ("p90", 0.9)))
+      .as[(String, Double, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("a") == ((2.5, 3.7, 4L))) // 0.9*(4-1)=2.7 -> 3 + 0.7*(4-3)
+    assert(r("b") == ((15.0, 19.0, 2L)))
+  }
 }
