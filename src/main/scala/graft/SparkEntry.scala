@@ -606,6 +606,24 @@ object SparkEntry {
           col("l_suppkey").as("dst")),
         "src", "dst", iters = 3)),
 
+    // BM25 scored retrieval: query-term filter pushed onto the token
+    // stream, broadcast DFs/stats, decimal-summed 6dp contributions
+    // so multi-term float addition order cannot diverge.
+    "q120_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Scores(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id",
+        queryTerms = Seq("join", "vector", "stream", "hash", "big"))),
+
+    // Winsorization: exact-percentile bounds (4dp), broadcast one-row
+    // stats, stateless clamp — tail repair without dropping rows.
+    "q121_winsorize" -> ((s, dir) =>
+      graft.operators.Cleanse.winsorize(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        "l_extendedprice", loQ = 0.05, hiQ = 0.95)),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -2687,6 +2705,36 @@ object SparkEntry {
         |r3 AS (SELECT n.node, 150000 + COALESCE(c3.m, 0) AS pr
         |  FROM n LEFT JOIN c3 USING (node))
         |SELECT node, CAST(pr AS BIGINT) AS pr FROM r3""".stripMargin,
+    // BM25: identical expression shapes (promotions, parenthesization)
+    // on both engines; ln absorbed by 6dp contribution rounding.
+    "q120_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qtf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE token IN ('join','vector','stream','hash','big')
+        |  GROUP BY doc_id, token),
+        |qdf AS (SELECT token, count(*) AS df_t FROM qtf GROUP BY token),
+        |c AS (SELECT qtf.doc_id,
+        |    round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+        |      ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) / avgdl))), 6) AS c
+        |  FROM qtf JOIN qdf USING (token) JOIN dl USING (doc_id), st)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25,
+        |  CAST(count(*) AS INT) AS n_terms
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "q121_winsorize" ->
+      """WITH q AS (SELECT
+        |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  least(greatest(l_extendedprice, lo), hi) AS l_extendedprice
+        |FROM lineitem, q""".stripMargin,
     // Outliers: exact decimal sums -> 6dp μ/σ -> identical IEEE
     // boundary comparison on both engines.
     "q117_outliers" ->

@@ -546,4 +546,62 @@ object TextAnalysis {
       .select(col("token"), col("n"),
         (col("__local") + col("__off")).cast("long").as("token_id"))
   }
+
+  /** BM25 scored retrieval for a fixed query-term set — the ranking
+    * layer over the inverted-index story ([[invertedIndex]] finds the
+    * postings; this scores them). Okapi BM25 with the +1 IDF variant
+    * (always positive).
+    *
+    * Plan: the query-term IN filter lands right on the token stream
+    * (only matching (doc, term) rows survive into any exchange), term
+    * document-frequencies broadcast (|query| rows), document lengths
+    * join on the id key, and corpus stats (N, avgdl) attach as a
+    * broadcast one-row frame — the corpus-sized shuffles are the dl
+    * aggregate and the tf aggregate, both map-side combined.
+    *
+    * Determinism: per-term contributions round to 6dp and sum as
+    * DECIMAL — float addition order across a doc's matched terms
+    * would otherwise differ between engines; the final score rounds
+    * to 4dp. Output: (idCol, bm25, n_terms) for docs matching ≥ 1
+    * query term.
+    */
+  def bm25Scores(
+      df: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val tok = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("token"))
+    // dl feeds both the stats row and the per-doc join — persist the
+    // tiny (id, dl) table rather than re-tokenizing the corpus per
+    // consumer (the q57 lesson: AQE does not reuse these exchanges)
+    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl")).persist()
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qtf = tok.filter(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val qdf = qtf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df_t"))
+    val contrib = qtf
+      .join(broadcast(qdf), "token")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df_t") + lit(0.5)) /
+          (col("df_t") + lit(0.5)) + lit(1.0)))
+      .withColumn("c",
+        round(col("idf") * ((col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            (lit(b) * col("dl")) / col("avgdl")))), 6))
+    val out = contrib.groupBy(col(idCol))
+      .agg(
+        round(sum(col("c").cast("decimal(18,6)")).cast("double"), 4)
+          .as("bm25"),
+        count(lit(1)).cast("int").as("n_terms"))
+    val materialized = out.localCheckpoint(true)
+    dl.unpersist()
+    materialized
+  }
 }

@@ -71,6 +71,26 @@ object Cleanse {
   def fillConstants(df: DataFrame, values: Map[String, Any]): DataFrame =
     df.na.fill(values)
 
+  /** Winsorize: clamp `valueCol` into its [loQ, hiQ] exact-quantile
+    * range (4dp-rounded bounds) — the keep-and-repair alternative to
+    * dropping tail rows. Same shape as every Cleanse stat: one
+    * aggregate row (value-counting exact percentile), broadcast
+    * cross join, stateless clamp.
+    */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      loQ: Double = 0.01, hiQ: Double = 0.99): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
+    val stats = df.agg(
+      round(expr(s"percentile($valueCol, $loQ)"), 4).as("__lo"),
+      round(expr(s"percentile($valueCol, $hiQ)"), 4).as("__hi"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(valueCol,
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Flag rows whose `valueCol` is a z-score outlier: |x - mean| >
     * k * stddev, with mean and the POPULATION stddev computed from
     * decimal sums (sqrt of an engine-exact double), rounded to 6dp

@@ -130,4 +130,30 @@ class CleanseSpec extends AnyFunSuite {
       DataQuality.observe(frame, Seq(IsUnique("id")))
     }
   }
+
+  test("winsorize clamps into the exact-quantile range") {
+    val d = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val r = Cleanse.winsorize(d, "v", loQ = 0.05, hiQ = 0.95)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    // p05 of 1..100 = 1 + 0.05*99 = 5.95; p95 = 1 + 0.95*99 = 95.05
+    assert(r(1L) == 5.95 && r(3L) == 5.95)
+    assert(r(100L) == 95.05 && r(97L) == 95.05)
+    assert(r(50L) == 50.0) // interior untouched
+  }
+
+  test("bm25 ranks heavier query-term usage higher; deterministic") {
+    import graft.ml.TextAnalysis
+    val docs = Seq(
+      (1L, "spark join join join fast"),
+      (2L, "spark join slow"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25Scores(docs, "text", "doc_id", Seq("join"))
+      .as[(Long, Double, Int)].collect().map(t => t._1 -> t._2).toMap
+    assert(r.keySet == Set(1L, 2L)) // doc 3 matches nothing
+    assert(r(1L) > r(2L))           // tf 3 beats tf 1
+    val r13 = TextAnalysis.bm25Scores(docs.repartition(13), "text",
+      "doc_id", Seq("join")).as[(Long, Double, Int)].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(r13 == r)
+  }
 }
