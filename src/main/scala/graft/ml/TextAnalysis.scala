@@ -117,9 +117,12 @@ object TextAnalysis {
       val scored = langs.map(l =>
         (l, bit_count(m.bitwiseAND(lit(langMask(l)))).cast("int")))
       val best = scored.map(_._2).reduceLeft((a, b) => greatest(a, b))
-      scored.foldLeft(lit("und")) { case (acc, (l, c)) =>
-        when(acc === "und" && c === best && best >= minHits, lit(l))
-          .otherwise(acc)
+      // foldRight so the FIRST language in declaration order is the
+      // outermost when (same tie-break as the old acc=="und" fold,
+      // without building the trivially-true lit=="und" predicate that
+      // Spark warns about on every analysis)
+      scored.foldRight(lit("und")) { case ((l, c), acc) =>
+        when(c === best && best >= minHits, lit(l)).otherwise(acc)
       }
     }), 1)
   }

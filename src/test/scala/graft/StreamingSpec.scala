@@ -446,4 +446,51 @@ class StreamingSpec extends AnyFunSuite {
       MicroBatch.sampleStream(spark, stream, "10 seconds", pollingTimeMs = 5)
     }
   }
+
+  test("intervalJoin (batch): exactly the in-bound pairs, prefixed schema") {
+    import org.apache.spark.sql.functions._
+    val l = Seq((1L, 100L), (1L, 200L), (2L, 100L)).toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val r = Seq((1L, 103L), (1L, 150L), (2L, 94L), (3L, 100L))
+      .toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = graft.streaming.StreamJoins.intervalJoin(
+      l, r, "k", "ts", "ts", "10 seconds", "5 seconds", "5 seconds")
+    assert(out.columns.toSeq == Seq("l_k", "l_ts", "r_k", "r_ts"))
+    val pairs = out.selectExpr(
+      "l_k", "CAST(l_ts AS LONG)", "CAST(r_ts AS LONG)")
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,100) matches r 103 (within +5) but not 150; (2,100) matches
+    // r 94? 94 < 100-5 → no. (1,200) matches nothing.
+    assert(pairs == Set((1L, 100L, 103L)))
+  }
+
+  test("intervalJoin (streams): matches arrive across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ls = MemoryStream[(Long, Long)]
+    val rs = MemoryStream[(Long, Long)]
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val joined = graft.streaming.StreamJoins.intervalJoin(
+      shape(ls.toDF()), shape(rs.toDF()),
+      "k", "ts", "ts", "30 seconds", "5 seconds", "5 seconds")
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    val q = joined.writeStream.format("memory")
+      .queryName("graft_ssj_out")
+      .option("checkpointLocation", s"$dir/ck").start()
+    try {
+      ls.addData((1L, 100L), (2L, 200L))
+      q.processAllAvailable()
+      assert(spark.table("graft_ssj_out").count() == 0) // no right side yet
+      rs.addData((1L, 104L), (2L, 300L)) // second out of bound
+      q.processAllAvailable()
+      val got = spark.table("graft_ssj_out")
+        .selectExpr("l_k", "CAST(r_ts AS LONG)")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 104L)))
+    } finally q.stop()
+  }
 }
