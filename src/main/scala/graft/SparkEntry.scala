@@ -624,6 +624,14 @@ object SparkEntry {
             col("l_extendedprice")),
         "l_extendedprice", loQ = 0.05, hiQ = 0.95)),
 
+    // Shuffle-skew pre-flight report: top-20 heaviest join keys with
+    // row share and the salt factor that levels each back to a
+    // mean-sized task (feeds saltedJoin). TakeOrdered top-k, not a
+    // global sort; integer/ratio math throughout.
+    "q122_skew_report" -> ((s, dir) =>
+      graft.operators.Profile.skewReport(
+        t(s, dir, "lineitem"), Seq("l_suppkey"), k = 20)),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -2727,14 +2735,29 @@ object SparkEntry {
         |  round(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25,
         |  CAST(count(*) AS INT) AS n_terms
         |FROM c GROUP BY doc_id""".stripMargin,
+    // Winsorize: nearest-rank bound replay — rank floor(q*(n-1))+1
+    // over the sorted values, then the clamp.
     "q121_winsorize" ->
-      """WITH q AS (SELECT
-        |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
-        |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
-        |  FROM lineitem)
+      """WITH n AS (SELECT count(*) AS n FROM lineitem),
+        |ks AS (SELECT CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1 AS klo,
+        |    CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 AS khi FROM n),
+        |sorted AS (SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS r
+        |  FROM lineitem),
+        |q AS (SELECT
+        |    (SELECT v FROM sorted, ks WHERE r = klo) AS lo,
+        |    (SELECT v FROM sorted, ks WHERE r = khi) AS hi)
         |SELECT l_orderkey, l_linenumber,
         |  least(greatest(l_extendedprice, lo), hi) AS l_extendedprice
         |FROM lineitem, q""".stripMargin,
+    "q122_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem
+        |  GROUP BY l_suppkey),
+        |s AS (SELECT count(*) AS nkeys, sum(cnt) AS nrows FROM c)
+        |SELECT l_suppkey, cnt, round(cnt / nrows, 6) AS share,
+        |  least(CAST(ceil((cnt * nkeys) / nrows) AS INT), 64)
+        |    AS suggested_salts
+        |FROM c, s ORDER BY cnt DESC, l_suppkey LIMIT 20""".stripMargin,
     // Outliers: exact decimal sums -> 6dp μ/σ -> identical IEEE
     // boundary comparison on both engines.
     "q117_outliers" ->

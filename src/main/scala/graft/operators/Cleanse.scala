@@ -71,21 +71,28 @@ object Cleanse {
   def fillConstants(df: DataFrame, values: Map[String, Any]): DataFrame =
     df.na.fill(values)
 
-  /** Winsorize: clamp `valueCol` into its [loQ, hiQ] exact-quantile
-    * range (4dp-rounded bounds) — the keep-and-repair alternative to
-    * dropping tail rows. Same shape as every Cleanse stat: one
-    * aggregate row (value-counting exact percentile), broadcast
-    * cross join, stateless clamp.
+  /** Winsorize: clamp `valueCol` into its [loQ, hiQ] quantile range —
+    * the keep-and-repair alternative to dropping tail rows. Bounds
+    * are NEAREST-RANK quantiles (rank floor(q·(n−1))+1 — actual data
+    * values) computed by [[graft.ml.Sketches.exactQuantiles]]'s
+    * histogram + distributed-prefix-sum plan, NOT the value-counting
+    * `percentile` aggregate: a high-cardinality measure column (the
+    * normal winsorize target) makes the counting aggregate buffer
+    * every distinct value in one reducer — the first version of this
+    * operator did exactly that and the bench scaling gate flagged it
+    * 8.5× superlinear on the 10× step. Bounds then attach as one
+    * broadcast row; the clamp is a stateless projection.
     */
   def winsorize(
       df: DataFrame,
       valueCol: String,
       loQ: Double = 0.01, hiQ: Double = 0.99): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
-    val stats = df.agg(
-      round(expr(s"percentile($valueCol, $loQ)"), 4).as("__lo"),
-      round(expr(s"percentile($valueCol, $hiQ)"), 4).as("__hi"))
-    df.crossJoin(broadcast(stats))
+    val qs = graft.ml.Sketches.exactQuantiles(df, valueCol, Seq(loQ, hiQ))
+    val bounds = qs.agg(
+      min(when(col("p") === loQ, col(valueCol))).as("__lo"),
+      min(when(col("p") === hiQ, col(valueCol))).as("__hi"))
+    df.crossJoin(broadcast(bounds))
       .withColumn(valueCol,
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")

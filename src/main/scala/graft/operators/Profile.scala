@@ -61,4 +61,40 @@ object Profile {
   def approxProfile(df: DataFrame, cols: Seq[String],
       rsd: Double = 0.01): DataFrame =
     shape(df, cols, c => approx_count_distinct(c, rsd))
+
+  /** Join/aggregation-key skew report: the top-k heaviest keys with
+    * their row share (6dp) and the salt factor that would level each
+    * back down to a mean-sized task. THE pre-flight check before a
+    * 100 TB shuffle — AQE splits sort-merge skew at runtime, but
+    * bucketed joins, aggregations over the hot key, and anything
+    * pinned to a fixed partitioning need the [[graft.operators
+    * .Joins.saltedJoin]] treatment sized from exactly this table.
+    *
+    * One map-side-combined count per key + a top-k (TakeOrdered, not
+    * a global sort); the mean attaches as a broadcast one-row frame.
+    * `suggested_salts` = ceil(cnt / mean) capped at `maxSalts` — 1
+    * for non-skewed keys, the replication factor for hot ones. All
+    * integer/ratio math, deterministic on any engine (ratio ties in
+    * the top-k break by key value).
+    */
+  def skewReport(
+      df: DataFrame, keyCols: Seq[String], k: Int = 20,
+      maxSalts: Int = 64): DataFrame = {
+    require(keyCols.nonEmpty && k >= 1)
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("__nkeys"),
+      sum(col("cnt")).as("__nrows"))
+    counts.crossJoin(broadcast(stats))
+      .select(keyCols.map(col) ++ Seq(
+        col("cnt"),
+        round(try_divide(col("cnt"), col("__nrows")), 6).as("share"),
+        least(
+          ceil(try_divide(col("cnt") * col("__nkeys"), col("__nrows")))
+            .cast("int"),
+          lit(maxSalts)).as("suggested_salts")): _*)
+      .orderBy(col("cnt").desc +: keyCols.map(col(_).asc): _*)
+      .limit(k)
+  }
 }

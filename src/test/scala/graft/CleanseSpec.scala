@@ -131,13 +131,14 @@ class CleanseSpec extends AnyFunSuite {
     }
   }
 
-  test("winsorize clamps into the exact-quantile range") {
+  test("winsorize clamps into the nearest-rank quantile range") {
     val d = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
     val r = Cleanse.winsorize(d, "v", loQ = 0.05, hiQ = 0.95)
       .select("id", "v").as[(Long, Double)].collect().toMap
-    // p05 of 1..100 = 1 + 0.05*99 = 5.95; p95 = 1 + 0.95*99 = 95.05
-    assert(r(1L) == 5.95 && r(3L) == 5.95)
-    assert(r(100L) == 95.05 && r(97L) == 95.05)
+    // nearest-rank: k_lo = floor(0.05*99)+1 = 5 -> 5.0;
+    //               k_hi = floor(0.95*99)+1 = 95 -> 95.0
+    assert(r(1L) == 5.0 && r(3L) == 5.0 && r(5L) == 5.0)
+    assert(r(100L) == 95.0 && r(97L) == 95.0)
     assert(r(50L) == 50.0) // interior untouched
   }
 
@@ -155,5 +156,25 @@ class CleanseSpec extends AnyFunSuite {
       "doc_id", Seq("join")).as[(Long, Double, Int)].collect()
       .map(t => t._1 -> t._2).toMap
     assert(r13 == r)
+  }
+
+  test("skewReport: counts, shares, salt factors, tie-break by key") {
+    import graft.operators.Profile
+    // one hot key (80 rows) + 20 singleton keys: nkeys=21, nrows=100
+    val d = (Seq.fill(80)(0L) ++ (1L to 20L)).toDF("k")
+    val r = Profile.skewReport(d, Seq("k"), k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(r.head == ((0L, 80L, 0.8, 17))) // ceil(80*21/100) = 17
+    assert(r(1) == ((1L, 1L, 0.01, 1)))    // ties break by key asc
+    assert(r(2)._1 == 2L)
+    assert(r.length == 3)
+  }
+
+  test("skewReport caps the salt suggestion") {
+    import graft.operators.Profile
+    val d = (Seq.fill(1000)(0L) ++ (1L to 1000L)).toDF("k")
+    val top = Profile.skewReport(d, Seq("k"), k = 1, maxSalts = 8)
+      .as[(Long, Long, Double, Int)].head()
+    assert(top._1 == 0L && top._4 == 8)
   }
 }
