@@ -632,6 +632,28 @@ object SparkEntry {
       graft.operators.Profile.skewReport(
         t(s, dir, "lineitem"), Seq("l_suppkey"), k = 20)),
 
+    // Incremental rollup refresh (MV maintenance): base rollup (80%
+    // of orders at grain) + delta batch aggregated to the same grain,
+    // merged as partial aggregates. The oracle is the FULL
+    // aggregation — merged-partials ≡ re-aggregating the world is
+    // exactly the algebraic-aggregate contract being gated. Sums ride
+    // DECIMAL so the merge is addition-order-exact.
+    "q123_incremental_rollup" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val orders = t(s, dir, "orders")
+      val keys = Seq("o_orderstatus", "o_orderpriority")
+      val sums = Seq("total" -> col("o_totalprice").cast("decimal(18,2)"))
+      val base = IncrementalAgg.atGrain(
+        orders.filter(col("o_orderkey") % 5 =!= 0), keys, sums,
+        minCols = Seq("o_totalprice"), maxCols = Seq("o_totalprice"))
+      val delta = IncrementalAgg.atGrain(
+        orders.filter(col("o_orderkey") % 5 === 0), keys, sums,
+        minCols = Seq("o_totalprice"), maxCols = Seq("o_totalprice"))
+      IncrementalAgg.merge(base, delta, keys, Seq("total"),
+          minCols = Seq("o_totalprice"), maxCols = Seq("o_totalprice"))
+        .withColumn("total", col("total").cast("double"))
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -2755,9 +2777,18 @@ object SparkEntry {
         |  GROUP BY l_suppkey),
         |s AS (SELECT count(*) AS nkeys, sum(cnt) AS nrows FROM c)
         |SELECT l_suppkey, cnt, round(cnt / nrows, 6) AS share,
-        |  least(CAST(ceil((cnt * nkeys) / nrows) AS INT), 64)
+        |  least(CAST(ceil((CAST(cnt AS DOUBLE) * nkeys) / nrows) AS INT), 64)
         |    AS suggested_salts
         |FROM c, s ORDER BY cnt DESC, l_suppkey LIMIT 20""".stripMargin,
+    // Incremental rollup: the oracle is the FULL re-aggregation.
+    "q123_incremental_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  min(o_totalprice) AS min_o_totalprice,
+        |  max(o_totalprice) AS max_o_totalprice,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
     // Outliers: exact decimal sums -> 6dp μ/σ -> identical IEEE
     // boundary comparison on both engines.
     "q117_outliers" ->

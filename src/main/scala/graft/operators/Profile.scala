@@ -91,8 +91,11 @@ object Profile {
         col("cnt"),
         round(try_divide(col("cnt"), col("__nrows")), 6).as("share"),
         least(
-          ceil(try_divide(col("cnt") * col("__nkeys"), col("__nrows")))
-            .cast("int"),
+          // cnt*nkeys through DOUBLE: the long product overflows (and
+          // ANSI-throws) at ~1e12 rows x 1e9 keys; a salt suggestion
+          // does not need exact integer math
+          ceil(try_divide(col("cnt").cast("double") * col("__nkeys"),
+            col("__nrows"))).cast("int"),
           lit(maxSalts)).as("suggested_salts")): _*)
       .orderBy(col("cnt").desc +: keyCols.map(col(_).asc): _*)
       .limit(k)

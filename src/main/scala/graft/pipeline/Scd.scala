@@ -46,16 +46,29 @@ object Scd {
       batchDate: Column,
       effCol: String = "eff_from",
       endCol: String = "eff_to",
-      curCol: String = "is_current"): DataFrame = {
+      curCol: String = "is_current",
+      validateBatch: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "scd2Apply needs at least one key column")
     val outCols = keys ++ tracked ++ Seq(effCol, endCol, curCol)
 
     val closed = current.filter(!col(curCol)).select(outCols.map(col): _*)
     val open   = current.filter(col(curCol))
 
-    // One update row per key: last-writer-wins is the caller's problem;
-    // we require the batch be key-unique so the join can't fan out.
+    // One update row per key — a duplicate-keyed batch fans the join
+    // out and CORRUPTS the dimension (two open versions per key), so
+    // the default is to fail fast. The check is one aggregate job over
+    // the BATCH (the small side by construction); opt out with
+    // validateBatch=false when the upstream already guarantees
+    // key-uniqueness and the extra job matters.
     val upd = updates.select((keys ++ tracked).map(col): _*)
+    if (validateBatch) {
+      val dup = upd.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).count()
+      require(dup == 0L,
+        s"scd2Apply: update batch has duplicate keys on (${keys.mkString(", ")})" +
+          " — deduplicate upstream (e.g. latest-timestamp-wins) or pass validateBatch=false")
+    }
 
     val u = upd.columns.foldLeft(upd)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
     val joined = open.join(

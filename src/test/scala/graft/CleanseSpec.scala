@@ -177,4 +177,24 @@ class CleanseSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Int)].head()
     assert(top._1 == 0L && top._4 == 8)
   }
+
+  test("incremental rollup merge equals full re-aggregation") {
+    import graft.operators.IncrementalAgg
+    val d = (1L to 500L).map(i =>
+      (i, s"g${i % 7}", (i % 13).toDouble)).toDF("id", "g", "v")
+    val keys = Seq("g")
+    val sums = Seq("s" -> col("v").cast("decimal(18,2)"))
+    val base  = IncrementalAgg.atGrain(d.filter(col("id") % 3 =!= 0),
+      keys, sums, minCols = Seq("v"), maxCols = Seq("v"))
+    val delta = IncrementalAgg.atGrain(d.filter(col("id") % 3 === 0),
+      keys, sums, minCols = Seq("v"), maxCols = Seq("v"))
+    val merged = IncrementalAgg.merge(base, delta, keys, Seq("s"),
+      minCols = Seq("v"), maxCols = Seq("v"))
+      .withColumn("s", col("s").cast("double"))
+    val full = IncrementalAgg.atGrain(d, keys, sums,
+      minCols = Seq("v"), maxCols = Seq("v"))
+      .withColumn("s", col("s").cast("double"))
+    assert(merged.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet)
+  }
 }

@@ -93,4 +93,13 @@ class ScdSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
     assert(joins.size == 1, s"expected exactly one join:\n$plan")
   }
+
+  test("duplicate-keyed update batch is rejected (fan-out corrupts)") {
+    val updates = Seq((1L, "A", 1.0), (1L, "B", 2.0)).toDF("k", "seg", "bal")
+    intercept[IllegalArgumentException] { out(updates) }
+    // opt-out still works for pre-validated upstreams
+    val ok = Scd.scd2Apply(dim, Seq((9L, "S", 9.0)).toDF("k", "seg", "bal"),
+      Seq("k"), Seq("seg", "bal"), lit(d1), validateBatch = false)
+    assert(ok.filter(col("k") === 9).count() == 1)
+  }
 }
