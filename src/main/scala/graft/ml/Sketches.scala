@@ -222,9 +222,16 @@ object Sketches {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
       .withColumn("__isq", floor(sqrt(col("__c"))).cast("long"))
     val tot = counts.agg(sum(col("__isq")).as("__tot"))
+    // the weight product through DECIMAL(38,0): 1024*targetRows*isq
+    // overflows (and ANSI-throws) as a long at realistic large-corpus
+    // configs (T ~ 1e11, isq ~ 1e6); decimal-38 holds ~1e38 and `div`
+    // stays exact integer floor-division on both engines (DuckDB runs
+    // the replay in HUGEINT)
     val weights = counts.crossJoin(broadcast(tot))
       .withColumn("w1024",
-        expr(s"(1024L * ${targetRows}L * __isq) div (__tot * __c)"))
+        expr(s"(CAST(1024 AS DECIMAL(38,0)) * CAST($targetRows AS DECIMAL(38,0))" +
+          s" * CAST(__isq AS DECIMAL(38,0)))" +
+          s" div (CAST(__tot AS DECIMAL(38,0)) * CAST(__c AS DECIMAL(38,0)))"))
       .select(col(stratumCol), col("w1024"))
     weightedMixFrame(df, keyCol, stratumCol, weights, seed)
   }

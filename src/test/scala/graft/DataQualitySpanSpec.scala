@@ -140,4 +140,41 @@ class DataQualitySpanSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"fallback join in plan:\n$plan")
   }
+
+  test("random corpora: spans match an in-memory reference on the same kernel") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (_ <- 1 to 8) {
+      val docs = (0 until 24).map { id =>
+        val n = 3 + rnd.nextInt(20)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // reference: same positional kernel, dup detection in plain Scala
+      val w = 3
+      val grams: Map[Long, Seq[Long]] = docs.map { case (id, text) =>
+        val arr = graft.functions.ShingleHashes.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text), w)
+        id -> (0 until arr.numElements()).map(arr.getLong)
+      }.toMap
+      val docsPerHash = grams.toSeq
+        .flatMap { case (id, hs) => hs.map(h => (h, id)) }
+        .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).distinct.size }
+      val expected = grams.flatMap { case (id, hs) =>
+        val hits = hs.zipWithIndex.collect {
+          case (h, pos) if docsPerHash(h) >= 2 => pos }
+        // islands: consecutive positions merge
+        val spans = hits.foldLeft(List.empty[(Int, Int, Int)]) {
+          case ((s, e, n) :: rest, p) if p == e + 1 => (s, p, n + 1) :: rest
+          case (acc, p) => (p, p, 1) :: acc
+        }
+        spans.map { case (st, en, n) =>
+          (id, st.toLong, (en + w - 1).toLong, n.toLong) }
+      }.toSet
+      val got = SpanDedup.duplicateSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", width = w)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected)
+    }
+  }
 }
