@@ -654,6 +654,53 @@ object SparkEntry {
         .withColumn("total", col("total").cast("double"))
     }),
 
+    // Temporal dimension lookup (the fact-side companion of q111):
+    // each fact date picks the dimension VERSION valid at that date —
+    // equi-join on the key with the validity range as a residual,
+    // never a nested loop.
+    "q124_dim_lookup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val v1 = c.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        lit(java.sql.Date.valueOf("2020-01-01")).as("eff_from"),
+        lit(java.sql.Date.valueOf("2024-06-01")).as("eff_to"))
+      val v2 = c.select(col("c_custkey"),
+        concat(col("c_mktsegment"), lit("_V2")).as("seg"),
+        lit(java.sql.Date.valueOf("2024-06-01")).as("eff_from"),
+        lit(null).cast("date").as("eff_to"))
+      val fact = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        date_add(lit("2024-01-01").cast("date"),
+          (col("o_orderkey") % 365).cast("int")).as("odate"))
+      graft.pipeline.Scd.dimLookup(fact, v1.unionByName(v2),
+          keys = Seq("o_custkey" -> "c_custkey"), factDateCol = "odate")
+        .select(col("o_orderkey"), col("odate"), col("seg"))
+    }),
+
+    // Ordered funnel: earliest view -> click -> purchase chain per
+    // user in ONE shuffle (sorted-list fold), vs the oracle's chained
+    // min-after-previous definition.
+    "q125_funnel" -> ((s, dir) =>
+      Sessionize.funnelMatch(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"))),
+
+    // Cohort retention matrix: first-seen week x whole weeks since,
+    // distinct users per cell. Integer week arithmetic.
+    "q126_cohort" -> ((s, dir) =>
+      Sessionize.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
+
+    // Tumbling event-time windows as a batch oracle row (T3's window
+    // semantics on the scoreboard): 1-day windows x type, decimal
+    // value sums.
+    "q127_tumbling_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("total"))
+        .select(col("w.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("total"))),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -2789,6 +2836,56 @@ object SparkEntry {
         |  max(o_totalprice) AS max_o_totalprice,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q124_dim_lookup" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |    DATE '2020-01-01' AS eff_from, DATE '2024-06-01' AS eff_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '_V2',
+        |    DATE '2024-06-01', CAST(NULL AS DATE)
+        |  FROM customer),
+        |fact AS (SELECT o_orderkey, o_custkey,
+        |    DATE '2024-01-01' + CAST(o_orderkey % 365 AS INT) AS odate
+        |  FROM orders)
+        |SELECT o_orderkey, odate, seg
+        |FROM fact LEFT JOIN dim ON o_custkey = c_custkey
+        |  AND odate >= eff_from
+        |  AND (eff_to IS NULL OR odate < eff_to)""".stripMargin,
+    // Funnel: chained min-after-previous — the relational definition
+    // the one-shuffle fold must reproduce.
+    "q125_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ts) AS t_click FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ts) AS t_purchase FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t_click
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id, t_view, t_click, t_purchase,
+        |  CAST(t_view IS NOT NULL AS INT) + CAST(t_click IS NOT NULL AS INT)
+        |    + CAST(t_purchase IS NOT NULL AS INT) AS depth
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q126_cohort" ->
+      """WITH fs AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events)
+        |SELECT cohort,
+        |  CAST(date_diff('day', cohort, wk) // 7 AS INT) AS weeks_since,
+        |  count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN fs USING (user_id)
+        |GROUP BY cohort, weeks_since""".stripMargin,
+    "q127_tumbling_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events GROUP BY day, event_type""".stripMargin,
     // Outliers: exact decimal sums -> 6dp μ/σ -> identical IEEE
     // boundary comparison on both engines.
     "q117_outliers" ->

@@ -52,4 +52,71 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
+
+  /** Ordered funnel pattern match: for each user, the earliest chain
+    * of `steps` completed strictly in time order — t(step i) is the
+    * first event of that type AFTER t(step i-1). Output: one row per
+    * user with a `t_<step>` timestamp per step (null = never reached)
+    * and `depth` (number of steps completed).
+    *
+    * Plan: ONE shuffle — the per-user event list is collected sorted
+    * and the step chain is a single `aggregate` fold over it (k
+    * `when`s per event, codegen'd); k separate "min ts after previous
+    * step" aggregations would cost k shuffles and k joins. Memory is
+    * bounded by one user's event count (the per-key history cap
+    * upstream is the whale-user guard, as with [[sessionize]]).
+    * Greedy-first on the sorted list ≡ the chained-min definition:
+    * the first type-matching event after the previous step IS the
+    * minimum.
+    */
+  def funnelMatch(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    val k = steps.size
+    val tsType = df.schema(tsCol).dataType
+    val evs = df
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"), col(typeCol).as("tp")).as("e"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+    val init = struct(
+      (0 until k).map(i => lit(null).cast(tsType).as(s"t$i")): _*)
+    val folded = aggregate(col("evs"), init, (st, e) => {
+      val fields = (0 until k).map { i =>
+        val cur = st.getField(s"t$i")
+        val prevOk =
+          if (i == 0) lit(true)
+          else st.getField(s"t${i - 1}").isNotNull &&
+            e.getField("ts") > st.getField(s"t${i - 1}")
+        when(cur.isNull && e.getField("tp") === steps(i) && prevOk,
+          e.getField("ts")).otherwise(cur).as(s"t$i")
+      }
+      struct(fields: _*)
+    })
+    evs.select(col(userCol), folded.as("__f"))
+      .select(col(userCol) +:
+        (0 until k).map(i => col(s"__f.t$i").as(s"t_${steps(i)}")) :+
+        (0 until k).map(i => col(s"__f.t$i").isNotNull.cast("int"))
+          .reduce(_ + _).as("depth"): _*)
+  }
+
+  /** Cohort retention: users bucketed by first-seen week (Monday
+    * truncation), counted distinct per (cohort week, whole weeks
+    * since) activity cell. Two key shuffles (first-seen per user,
+    * then the cell aggregate); week arithmetic is integer-exact.
+    */
+  def cohortRetention(
+      df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstSeen = df.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort"))
+    val activity = df.select(col(userCol),
+      date_trunc("week", col(tsCol)).cast("date").as("wk")).distinct()
+    activity.join(firstSeen, Seq(userCol))
+      .withColumn("weeks_since",
+        expr("datediff(wk, cohort) div 7").cast("int"))
+      .groupBy(col("cohort"), col("weeks_since"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

@@ -103,6 +103,45 @@ object Scd {
     closed.unionByName(merged)
   }
 
+  /** Temporal dimension lookup — the fact-side companion of
+    * [[scd2Apply]]: join each fact row to the dimension VERSION that
+    * was valid at the fact's date (`eff_from <= date < eff_to`, open
+    * versions have NULL `eff_to`). `keys` maps fact key column →
+    * dimension key column.
+    *
+    * Plan: an equi-join on the keys with the validity range as a join
+    * residual — Catalyst keeps the hash/sort-merge strategy (never a
+    * nested-loop: the equality conjunct drives dispatch) and
+    * evaluates the range on the few versions sharing a key. Dimension
+    * key columns are prefixed away so the output carries exactly one
+    * copy of each join key.
+    *
+    * With a correctly-maintained SCD2 dimension, validity intervals
+    * per key are disjoint, so each fact row matches at most one
+    * version; `joinType="left"` keeps facts whose date precedes every
+    * version (nulls in the dim columns) — the standard late-arriving
+    * dimension posture.
+    */
+  def dimLookup(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[(String, String)],
+      factDateCol: String,
+      effCol: String = "eff_from",
+      endCol: String = "eff_to",
+      joinType: String = "left"): DataFrame = {
+    require(keys.nonEmpty, "dimLookup needs at least one key pair")
+    val d = keys.foldLeft(dim) { case (df, (_, dk)) =>
+      df.withColumnRenamed(dk, s"__d_$dk")
+    }
+    val cond = keys.map { case (fk, dk) => col(fk) === col(s"__d_$dk") }
+      .reduce(_ && _) &&
+      col(factDateCol) >= col(effCol) &&
+      (col(endCol).isNull || col(factDateCol) < col(endCol))
+    fact.join(d, cond, joinType)
+      .drop(keys.map { case (_, dk) => s"__d_$dk" }: _*)
+  }
+
   /** SCD Type-1 (overwrite in place, no history): the update batch's
     * attribute values replace the open row's; new keys insert. This is
     * the contract pipeline.py's Dim* loads implement by full rewrite —

@@ -301,4 +301,66 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(r("a") == ((2.5, 3.7, 4L))) // 0.9*(4-1)=2.7 -> 3 + 0.7*(4-3)
     assert(r("b") == ((15.0, 19.0, 2L)))
   }
+
+  // ------------------------------------------------- funnel / cohort
+
+  test("funnelMatch: strict ordering, partial depth, same-ts no-advance") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val e = Seq(
+      // user 1 completes the funnel, with a decoy click BEFORE view
+      (1L, ts(5), "click"), (1L, ts(10), "view"),
+      (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: click at the SAME ts as view must not advance (strict >)
+      (2L, ts(10), "view"), (2L, ts(10), "click"),
+      // user 3: only a view
+      (3L, ts(7), "view"),
+      // user 4: never views
+      (4L, ts(1), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val r = Sessionize.funnelMatch(e, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp], Int)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, Some(ts(10)), Some(ts(20)), Some(ts(30)), 3)))
+    assert(r(2L) == ((2L, Some(ts(10)), None, None, 1)))
+    assert(r(3L)._5 == 1 && r(4L)._5 == 0)
+  }
+
+  test("dimLookup picks the version valid at the fact date") {
+    import java.sql.Date
+    val dim = Seq(
+      (1L, "OLD", Date.valueOf("2020-01-01"), Option(Date.valueOf("2024-06-01"))),
+      (1L, "NEW", Date.valueOf("2024-06-01"), Option.empty[Date]),
+      (2L, "ONLY", Date.valueOf("2023-01-01"), Option.empty[Date]))
+      .toDF("k", "seg", "eff_from", "eff_to")
+    val fact = Seq(
+      (10L, 1L, Date.valueOf("2024-05-31")), // day before the cut -> OLD
+      (11L, 1L, Date.valueOf("2024-06-01")), // cut day itself -> NEW
+      (12L, 2L, Date.valueOf("2025-01-01")),
+      (13L, 2L, Date.valueOf("2022-01-01")), // precedes every version
+      (14L, 9L, Date.valueOf("2024-01-01"))) // unknown key
+      .toDF("fid", "fk", "d")
+    val r = graft.pipeline.Scd.dimLookup(fact, dim,
+      Seq("fk" -> "k"), "d")
+      .select("fid", "seg").as[(Long, Option[String])].collect().toMap
+    assert(r == Map(10L -> Some("OLD"), 11L -> Some("NEW"),
+      12L -> Some("ONLY"), 13L -> None, 14L -> None))
+  }
+
+  test("cohortRetention: week-exact cells") {
+    import java.sql.Timestamp
+    // 2024-01-01 is a Monday
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    val e = Seq(
+      (1L, ts(1)), (1L, ts(9)),   // cohort w0, active weeks 0 and 1
+      (2L, ts(2)), (2L, ts(3)),   // cohort w0, active week 0 only
+      (3L, ts(10)))               // cohort w1
+      .toDF("user_id", "ts")
+    val r = Sessionize.cohortRetention(e, "user_id", "ts")
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map(t => (t._1.toString, t._2) -> t._3).toMap
+    assert(r == Map(("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-08", 0) -> 1L))
+  }
 }
