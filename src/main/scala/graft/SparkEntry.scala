@@ -701,6 +701,71 @@ object SparkEntry {
         .select(col("w.start").cast("date").as("day"), col("event_type"),
           col("n"), col("total"))),
 
+    // CDC log compaction: latest-wins upsert/delete collapse as ONE
+    // map-side-combinable max_by aggregation (never a window — a
+    // window would shuffle+sort the whole log). Synthetic log derived
+    // from orders: insert for every key, update for key%3==0
+    // (seq 2, price+10, decimal-exact), delete for key%7==0 (seq 3).
+    "q128_cdc_compact" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val ins = o.select(col("o_orderkey"), lit(1L).as("seq"),
+        lit("I").as("op"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(10))
+            .cast("decimal(18,2)").as("price"))
+      val del = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("decimal(18,2)").as("price"))
+      graft.pipeline.Cdc.compact(
+          ins.unionByName(upd).unionByName(del),
+          keys = Seq("o_orderkey"), seqCol = "seq", opCol = "op")
+        .withColumn("price", col("price").cast("double"))
+    }),
+
+    // Per-node triangle counts, degree-oriented (wedge volume
+    // O(m^1.5) regardless of hub skew). Co-supplier graph: suppliers
+    // sharing a part, edges from ONE distinct self-join.
+    "q129_triangles" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sv"))
+        .distinct()
+      val e = ps.join(ps.withColumnRenamed("sv", "sw"), Seq("p"))
+        .filter(col("sv") < col("sw"))
+        .select(col("sv").as("s1"), col("sw").as("s2"))
+      Graph.triangleCounts(e, "s1", "s2")
+    }),
+
+    // Blocked fuzzy record linkage: customers vs a deterministically
+    // corrupted copy (dirty digits in the name for key%2==0), blocked
+    // on nationkey, summed per-field Levenshtein <= 2. No cross
+    // product — pair space is Σ_block |L||R|.
+    "q130_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val left = c.select(col("c_custkey"), col("c_nationkey"),
+        col("c_name"))
+      val dirty = c.select((col("c_custkey") + 1000000L).as("d_custkey"),
+        col("c_nationkey"),
+        when(col("c_custkey") % 2 === 0,
+            concat(substring(col("c_name"), 1, 17),
+              translate(substring(col("c_name"), 18, 1),
+                "0123456789", "1234567890")))
+          .otherwise(col("c_name")).as("d_name"))
+      graft.ml.Linkage.linkPairs(left, dirty,
+        leftIdCol = "c_custkey", rightIdCol = "d_custkey",
+        blockCol = "c_nationkey",
+        compareCols = Seq("c_name" -> "d_name"), maxDistance = 2)
+    }),
+
+    // Daily resample + forward fill: per-user complete day grid over
+    // the user's own span (sequence+explode — output-proportional,
+    // no calendar cross join), one key shuffle, running last() carry.
+    "q131_fill_forward" -> ((s, dir) =>
+      graft.operators.Resample.dailyFillForward(
+        t(s, dir, "events"), "user_id", "ts", "value")),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -2886,6 +2951,72 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events GROUP BY day, event_type""".stripMargin,
+    // CDC: latest-wins replay via a window (the relational definition
+    // the max_by aggregation must reproduce).
+    "q128_cdc_compact" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, 1 AS seq, 'I' AS op,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U',
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10
+        |      AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', CAST(NULL AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |w AS (SELECT *,
+        |    row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY seq DESC) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderkey) AS n_ops
+        |  FROM log)
+        |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, n_ops
+        |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    // Triangles: canonical a<b<c three-way join — each triangle once.
+    "q129_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sv
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.sv AS u, b.sv AS v
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.sv < b.sv),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*) AS n_tri FROM n GROUP BY node""".stripMargin,
+    "q130_linkage" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey + 1000000 AS d_custkey, c_nationkey,
+        |    CASE WHEN c_custkey % 2 = 0
+        |      THEN substring(c_name, 1, 17) ||
+        |        translate(substring(c_name, 18, 1),
+        |          '0123456789', '1234567890')
+        |      ELSE c_name END AS d_name
+        |  FROM customer)
+        |SELECT l.c_custkey, d.d_custkey,
+        |  levenshtein(l.c_name, d.d_name) AS d_c_name,
+        |  levenshtein(l.c_name, d.d_name) AS distance
+        |FROM customer l JOIN dirty d ON l.c_nationkey = d.c_nationkey
+        |WHERE levenshtein(l.c_name, d.d_name) <= 2""".stripMargin,
+    "q131_fill_forward" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events GROUP BY user_id, day),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM span)
+        |SELECT g.user_id, g.day,
+        |  CAST(last_value(d.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day) AS DOUBLE) AS filled,
+        |  CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
     // Outliers: exact decimal sums -> 6dp μ/σ -> identical IEEE
     // boundary comparison on both engines.
     "q117_outliers" ->

@@ -230,4 +230,77 @@ object Graph {
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     pr
   }
+
+  /** Per-node triangle counts by degree-oriented node iteration
+    * (Schank/Wagner "forward" algorithm; the MapReduce formulation is
+    * Suri & Vassilvitskii, WWW'11 — public algorithm descriptions
+    * only).
+    *
+    * Input is an undirected edge list; direction, duplicates, and
+    * self-loops are tolerated (edges canonicalize to `u < v` distinct
+    * first). Returns `(node, n_tri)` for every node that closes at
+    * least one triangle.
+    *
+    * Scale posture (100 TB of edges): the naive wedge join — pair up
+    * every two neighbors of every node — generates Σ deg(v)² wedge
+    * candidates, which a single celebrity node (deg 10⁷ in a web or
+    * social graph) turns into 10¹⁴ rows. ORIENTATION is the fix:
+    * each canonical edge points from its lower-(degree, id) endpoint
+    * to the higher, wedges pair only OUT-neighbors, and every node's
+    * out-degree is bounded by O(√m) — total wedge volume O(m^{3/2})
+    * regardless of skew, the best possible for exact counting. Each
+    * triangle is then discovered exactly once (at its lowest-ordered
+    * apex), so per-node counts are a plain explode of the three
+    * corners. Three shuffles total: degree agg, wedge self-join on
+    * the apex, closure semi-join against the oriented edge table.
+    */
+  def triangleCounts(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    // Total-order rank (degree, id): ties on degree break by id, so
+    // orientation is a strict total order and no edge is lost or
+    // doubled.
+    val deg = canon.select(col("u").as("n"))
+      .unionAll(canon.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val ranked = canon
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"),
+        Seq("u"))
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"),
+        Seq("v"))
+    val oriented = ranked.select(
+      when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("a"), col("v").as("b")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b")))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .persist()
+    oriented.count() // materialize once; reused by wedge + closure
+    // Wedges at apex a: out-neighbor pairs (b, c). Closing edge must
+    // itself be oriented b→c or c→b; emitting both orderings of the
+    // pair and probing (x→y) directly keeps the join an equi-join.
+    // Each unordered out-neighbor pair appears once under b < c (by
+    // id); the closing probe re-canonicalizes oriented edges to the
+    // same id order so the join stays a plain equi-join.
+    val wedges = oriented
+      .join(oriented.select(col("a"), col("b").as("c")), Seq("a"))
+      .filter(col("b") < col("c"))
+      .select(col("a"), col("b").as("x"), col("c").as("y"))
+    val closing = oriented.select(
+      least(col("a"), col("b")).as("x"),
+      greatest(col("a"), col("b")).as("y"))
+    val tris = wedges.join(closing, Seq("x", "y"), "leftsemi")
+    tris.select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    // `oriented` stays persisted until the caller's action completes;
+    // freeing it here would recompute the two probes. Callers running
+    // many graphs per session should clearCache() between them (same
+    // session-cache contract as jaccardPairs).
+  }
 }

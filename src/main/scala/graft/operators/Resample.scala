@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an irregular per-key event
+  * stream onto a complete fixed-step time grid and forward-fill the
+  * gaps — the preprocessing every downstream window/trend computation
+  * assumes (a day with no events must surface as a row, carrying the
+  * last observed value, or a 7-day moving average silently shortens
+  * its denominator).
+  *
+  * Scale posture (100 TB of events): the grid is generated per key
+  * from that key's own [min, max] span (`sequence` + `explode`), so
+  * grid volume is Σ_k span_k/step — proportional to the OUTPUT, never
+  * a cross join against a global calendar dimension. Aggregation to
+  * the grid step, span computation, grid join, and the fill window
+  * all hash on the key: one logical key shuffle feeds the chain, and
+  * the fill is a single ascending-sort window per key (`last` with
+  * ignoreNulls over an unbounded-preceding frame — a running O(1)
+  * carry, no per-row rescan). Keys are independent — a 10⁹-key corpus
+  * parallelizes to any executor count; only a single key whose span
+  * dwarfs memory would need step coarsening.
+  */
+object Resample {
+
+  /** Daily grid + forward fill.
+    *
+    * Aggregates `valueCol` per (`keyCol`, day) with a decimal sum,
+    * expands each key's [first day, last day] span to one row per
+    * day, and forward-fills days with no observations from the most
+    * recent observed day. Returns `keyCol`, `day`, `filled` (DOUBLE;
+    * decimal-exact before the final cast), and `is_gap` (1 when the
+    * day had no events).
+    */
+  def dailyFillForward(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,4)")).as("_v"))
+    val grid = daily
+      .groupBy(col(keyCol))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col(keyCol),
+        explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day")))
+          .as("day"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        last(col("_v"), ignoreNulls = true).over(w).cast("double")
+          .as("filled"),
+        when(col("_v").isNull, lit(1)).otherwise(lit(0)).as("is_gap"))
+  }
+}
