@@ -766,6 +766,45 @@ object SparkEntry {
       graft.operators.Resample.dailyFillForward(
         t(s, dir, "events"), "user_id", "ts", "value")),
 
+    // Robust outlier rule: |x − median| > 3·MAD — median/MAD have a
+    // 50% breakdown point, so heavy tails can't mask themselves the
+    // way they inflate z-score σ (q117). Two exact-quantile passes
+    // (histogram + prefix sums, never a value-counting aggregate).
+    "q132_mad_outliers" -> ((s, dir) =>
+      graft.operators.Cleanse.flagOutliersMad(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        "l_extendedprice", k = 3.0)),
+
+    // Equi-width histogram with empty buckets surfaced: one stats
+    // row broadcast, one stateless bucket projection, one count agg,
+    // driver-sized grid join. No global sort.
+    "q133_histogram" -> ((s, dir) =>
+      graft.operators.Profile.histogram(
+        t(s, dir, "lineitem"), "l_extendedprice", nb = 20)),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: one lead() window keyed on user (event_id breaks
+    // timestamp ties — total order or counts go partition-dependent),
+    // then a |states|²-sized transition aggregate.
+    "q134_transitions" -> ((s, dir) =>
+      Sessionize.transitionMatrix(t(s, dir, "events"),
+        "user_id", "ts", "event_type", tieCols = Seq("event_id"))),
+
+    // Hopping (sliding) event-time windows as a batch oracle row:
+    // 7-day windows sliding 1 day — each event lands in 7 windows,
+    // the overlap the streaming T3 path computes incrementally.
+    "q135_hopping_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "7 days", "1 day").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("total"))
+        .select(col("w.start").cast("date").as("wstart"),
+          col("event_type"), col("n"), col("total"))),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -3017,6 +3056,63 @@ object SparkEntry {
         |  CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS is_gap
         |FROM grid g LEFT JOIN daily d
         |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
+    // MAD: nearest-rank median replayed twice (value, then absolute
+    // deviation), identical IEEE boundary on both engines.
+    "q132_mad_outliers" ->
+      """WITH n1 AS (SELECT count(l_extendedprice) AS n FROM lineitem),
+        |k1 AS (SELECT CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 AS k
+        |  FROM n1),
+        |s1 AS (SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS r
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |med AS (SELECT v AS m FROM s1, k1 WHERE r = k),
+        |d AS (SELECT abs(l_extendedprice - m) AS a
+        |  FROM lineitem, med WHERE l_extendedprice IS NOT NULL),
+        |n2 AS (SELECT count(*) AS n FROM d),
+        |k2 AS (SELECT CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 AS k
+        |  FROM n2),
+        |s2 AS (SELECT a, row_number() OVER (ORDER BY a) AS r FROM d),
+        |mad AS (SELECT a AS md FROM s2, k2 WHERE r = k)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  CASE WHEN l_extendedprice IS NOT NULL
+        |      AND abs(l_extendedprice - m) > 3.0 * md
+        |    THEN 1 ELSE 0 END AS is_outlier
+        |FROM lineitem, med, mad""".stripMargin,
+    "q133_histogram" ->
+      """WITH s AS (SELECT min(l_extendedprice) AS mn,
+        |    max(l_extendedprice) AS mx
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE CAST(least(floor((l_extendedprice - mn) * 20
+        |      / (mx - mn)), 19) AS INT) END AS bucket
+        |  FROM lineitem, s WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+        |g AS (SELECT CAST(unnest(range(20)) AS INT) AS bucket, mn, mx
+        |  FROM s)
+        |SELECT g.bucket, mn + g.bucket * (mx - mn) / 20 AS lo,
+        |  mn + (g.bucket + 1) * (mx - mn) / 20 AS hi,
+        |  coalesce(n, 0) AS n
+        |FROM g LEFT JOIN c USING (bucket)""".stripMargin,
+    "q134_transitions" ->
+      """WITH seq AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, sum(n) AS tn FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, n, round(n / tn, 6) AS p
+        |FROM c JOIN tot USING (from_type)""".stripMargin,
+    // Hopping windows: each event replicated into its 7 overlapping
+    // window starts.
+    "q135_hopping_agg" ->
+      """WITH offs AS (SELECT CAST(unnest(range(7)) AS INT) AS o),
+        |w AS (SELECT CAST(date_trunc('day', ts) AS DATE) - o AS wstart,
+        |    event_type, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events, offs)
+        |SELECT wstart, event_type, count(*) AS n,
+        |  CAST(sum(v) AS DOUBLE) AS total
+        |FROM w GROUP BY wstart, event_type""".stripMargin,
     // Outliers: exact decimal sums -> 6dp μ/σ -> identical IEEE
     // boundary comparison on both engines.
     "q117_outliers" ->

@@ -129,4 +129,39 @@ object Cleanse {
           .otherwise(0))
       .drop("__mu", "__sigma")
   }
+
+  /** Flag rows by the ROBUST (median/MAD) outlier rule:
+    * |x − median| > k · MAD, where MAD = median(|x − median|).
+    * The z-score rule ([[flagOutliers]]) breaks on the exact data it
+    * targets — heavy outliers inflate the mean and stddev until they
+    * mask themselves; median and MAD have a 50% breakdown point, so
+    * the rule survives arbitrarily corrupted tails.
+    *
+    * Both medians are NEAREST-RANK (rank floor(0.5·(n−1))+1 — actual
+    * data values, engine-exact) via
+    * [[graft.ml.Sketches.exactQuantiles]]'s histogram +
+    * distributed-prefix-sum plan — same discipline and same scale
+    * rationale as [[winsorize]] (a value-counting percentile
+    * aggregate buffers every distinct value in one reducer). Two
+    * quantile passes + one stateless projection; each median attaches
+    * as a broadcast single row. Adds `is_outlier` (0/1; nulls flag 0).
+    */
+  def flagOutliersMad(
+      df: DataFrame,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = graft.ml.Sketches.exactQuantiles(df, valueCol, Seq(0.5))
+      .agg(min(col(valueCol)).as("__med"))
+    val withMed = df.crossJoin(broadcast(med))
+    val dev = withMed.select(
+      abs(col(valueCol) - col("__med")).as("__absdev"))
+    val mad = graft.ml.Sketches.exactQuantiles(dev, "__absdev", Seq(0.5))
+      .agg(min(col("__absdev")).as("__mad"))
+    withMed.crossJoin(broadcast(mad))
+      .withColumn("is_outlier",
+        when(col(valueCol).isNotNull &&
+          abs(col(valueCol) - col("__med")) > lit(k) * col("__mad"), 1)
+          .otherwise(0))
+      .drop("__med", "__mad")
+  }
 }

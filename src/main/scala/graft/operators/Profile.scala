@@ -100,4 +100,42 @@ object Profile {
       .orderBy(col("cnt").desc +: keyCols.map(col(_).asc): _*)
       .limit(k)
   }
+
+  /** Equi-width histogram of a numeric column: `nb` buckets spanning
+    * [min, max], every bucket emitted (zero-count buckets included —
+    * a histogram with holes silently dropped is how bimodal
+    * distributions get misread). Returns (bucket, lo, hi, n).
+    *
+    * One stats aggregate (min/max as a broadcast single row), one
+    * stateless bucket projection, one count aggregate, and a
+    * driver-sized bucket-grid right join to surface empty buckets —
+    * the scan is touched once and no global sort happens anywhere.
+    * Bucket membership is `floor((v − min) · nb / (max − min))`
+    * clamped to nb−1 (so v = max lands in the top bucket) — plain
+    * IEEE double steps, reproducible on any engine that evaluates
+    * the same expression. A constant column (min = max) degenerates
+    * to every row in bucket 0.
+    */
+  def histogram(df: DataFrame, valueCol: String, nb: Int): DataFrame = {
+    require(nb >= 1, "need at least one bucket")
+    val v = col(valueCol).cast("double")
+    val stats = df.filter(v.isNotNull)
+      .agg(min(v).as("__mn"), max(v).as("__mx"))
+    val bucket = when(col("__mx") === col("__mn"), lit(0))
+      .otherwise(least(
+        floor((v - col("__mn")) * lit(nb) / (col("__mx") - col("__mn"))),
+        lit(nb - 1)).cast("int"))
+    val counts = df.filter(v.isNotNull).crossJoin(broadcast(stats))
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+    val grid = stats.select(
+      explode(sequence(lit(0), lit(nb - 1))).as("bucket"),
+      col("__mn"), col("__mx"))
+    grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (col("__mn") + col("bucket") * (col("__mx") - col("__mn"))
+          / lit(nb)).as("lo"),
+        (col("__mn") + (col("bucket") + 1) * (col("__mx") - col("__mn"))
+          / lit(nb)).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

@@ -119,4 +119,36 @@ object Sessionize {
       .groupBy(col("cohort"), col("weeks_since"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over per-key event
+    * sequences: count every (state → next state) step, with the
+    * row-normalized probability. Returns
+    * (from_type, to_type, n, p) — p rounded to 6dp for cross-engine
+    * stability; each key's last event has no successor and drops.
+    *
+    * `tieCols` breaks equal-timestamp ordering deterministically
+    * (pass the event's unique id) — without a total order the lead()
+    * pairing, and therefore the counts, would be partition-dependent.
+    *
+    * Scale: one key shuffle for the lead window (sort within key),
+    * then a transition-pair aggregate whose cardinality is
+    * |states|² — driver-small however large the input; row totals
+    * broadcast back for the normalization.
+    */
+  def transitionMatrix(
+      df: DataFrame, keyCol: String, tsCol: String, stateCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col(tsCol) +: tieCols.map(col)).map(_.asc): _*)
+    val steps = df.select(col(stateCol).as("from_type"),
+        lead(col(stateCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val counts = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tn"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(try_divide(col("n"), col("__tn")), 6).as("p"))
+  }
 }

@@ -197,4 +197,79 @@ class CleanseSpec extends AnyFunSuite {
     assert(merged.collect().map(_.toSeq).toSet ==
       full.collect().map(_.toSeq).toSet)
   }
+
+  // --------------------------------------------------- MAD outliers
+
+  test("flagOutliersMad survives the masking case z-score misses") {
+    // 10 points around 10 plus FIVE heavy outliers: the outliers drag
+    // μ to 340 and σ to ~467, so z-score(k=2) flags nothing (masking);
+    // median stays 10 and MAD stays 1, so the robust rule flags all 5.
+    val base = Seq(8.0, 9.0, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0,
+      11.0, 12.0)
+    val d = (base ++ Seq.fill(5)(1000.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val madFlagged = Cleanse.flagOutliersMad(d, "v", k = 3.0)
+      .filter(col("is_outlier") === 1).select("id").as[Long]
+      .collect().toSet
+    assert(madFlagged == (10L to 14L).toSet)
+    val zFlagged = Cleanse.flagOutliers(d, "v", k = 2.0)
+      .filter(col("is_outlier") === 1).count()
+    assert(zFlagged == 0) // masked — the robust rule's reason to exist
+  }
+
+  test("flagOutliersMad: constant column flags nothing; nulls flag 0") {
+    val d = ((0L until 8L).map(i => (i, Some(5.0))) :+
+      (99L, Option.empty[Double])).toDF("id", "v")
+    val out = Cleanse.flagOutliersMad(d, "v")
+    assert(out.filter(col("is_outlier") === 1).count() == 0)
+    assert(out.filter(col("id") === 99)
+      .select("is_outlier").as[Int].head() == 0)
+  }
+
+  // ------------------------------------------------------ histogram
+
+  test("histogram: equi-width buckets, empties surfaced, max in top") {
+    val d = Seq(0.0, 0.5, 1.0, 9.5, 10.0).toDF("v") // range [0,10], 5 buckets
+    val got = graft.operators.Profile.histogram(d, "v", nb = 5)
+      .select("bucket", "lo", "hi", "n")
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._4)).toSeq ==
+      Seq((0, 3L), (1, 0L), (2, 0L), (3, 0L), (4, 2L)))
+    assert(got.head._2 == 0.0 && got.last._3 == 10.0)
+  }
+
+  test("histogram: constant column lands everything in bucket 0") {
+    val d = Seq.fill(6)(7.7).toDF("v")
+    val got = graft.operators.Profile.histogram(d, "v", nb = 4)
+      .select("bucket", "n").as[(Int, Long)].collect().toMap
+    assert(got == Map(0 -> 6L, 1 -> 0L, 2 -> 0L, 3 -> 0L))
+  }
+
+  // ---------------------------------------------------- transitions
+
+  test("transitionMatrix counts steps and row-normalizes") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "a"))
+      .map { case (u, s, t) => (u, s, new java.sql.Timestamp(s * 1000), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.operators.Sessionize.transitionMatrix(
+        ev, "user_id", "ts", "event_type", tieCols = Seq("event_id"))
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSet
+    // user1: a→b, b→a, a→b; user2: a→a. From a: {a:1, b:2}; from b: {a:1}.
+    assert(got == Set(("a", "b", 2L, 0.666667), ("a", "a", 1L, 0.333333),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitionMatrix tie-break makes equal timestamps deterministic") {
+    val ts = new java.sql.Timestamp(1000)
+    val ev = Seq((1L, 1L, ts, "x"), (1L, 2L, ts, "y"), (1L, 3L, ts, "z"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.operators.Sessionize.transitionMatrix(
+        ev, "user_id", "ts", "event_type", tieCols = Seq("event_id"))
+      .select("from_type", "to_type").as[(String, String)]
+      .collect().toSet
+    assert(got == Set(("x", "y"), ("y", "z")))
+  }
 }
