@@ -93,6 +93,25 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "linkage_profile") {
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      val left = c.select(col("c_custkey").as("_lid"),
+        col("c_nationkey").as("_blk"), col("c_name").as("ln"))
+      val right = c.select((col("c_custkey") + 1000000L).as("_rid"),
+        col("c_nationkey").as("_blk"), col("c_name").as("rn"))
+      val joined = left.join(right, Seq("_blk"))
+      timed("pairs only")(println("pairs=" +
+        joined.filter(length(col("ln")) === length(col("rn"))).count()))
+      timed("banded lev")(println("match=" +
+        joined.filter(levenshtein(col("ln"), col("rn"), 2) >= 0).count()))
+      timed("full lev")(println("match=" +
+        joined.filter(levenshtein(col("ln"), col("rn")) <= 2).count()))
+      spark.stop(); return
+    }
     if (name == "fuzzy_profile") {
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))

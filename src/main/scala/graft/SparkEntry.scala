@@ -726,16 +726,21 @@ object SparkEntry {
     }),
 
     // Per-node triangle counts, degree-oriented (wedge volume
-    // O(m^1.5) regardless of hub skew). Co-supplier graph: suppliers
-    // sharing a part, edges from ONE distinct self-join.
+    // O(m^1.5) regardless of hub skew). Co-purchase graph: parts
+    // sharing an order — ~C(4,2) pairs per order over a 20k-part
+    // universe stays SPARSE at every SF (the co-supplier variant
+    // saturates to a near-complete graph at sf0.1 because the
+    // supplier universe is small — 1.6e8 triangles is the workload,
+    // not the plan, so the benched graph must be one whose density
+    // scales with the data).
     "q129_triangles" -> ((s, dir) => {
-      val ps = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sv"))
+      val po = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("pv"))
         .distinct()
-      val e = ps.join(ps.withColumnRenamed("sv", "sw"), Seq("p"))
-        .filter(col("sv") < col("sw"))
-        .select(col("sv").as("s1"), col("sw").as("s2"))
-      Graph.triangleCounts(e, "s1", "s2")
+      val e = po.join(po.withColumnRenamed("pv", "pw"), Seq("o"))
+        .filter(col("pv") < col("pw"))
+        .select(col("pv").as("p1"), col("pw").as("p2"))
+      Graph.triangleCounts(e, "p1", "p2")
     }),
 
     // Blocked fuzzy record linkage: customers vs a deterministically
@@ -3013,10 +3018,10 @@ object SparkEntry {
         |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
     // Triangles: canonical a<b<c three-way join — each triangle once.
     "q129_triangles" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sv
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS sv
         |  FROM lineitem),
         |e AS (SELECT DISTINCT a.sv AS u, b.sv AS v
-        |  FROM ps a JOIN ps b ON a.p = b.p AND a.sv < b.sv),
+        |  FROM ps a JOIN ps b ON a.o = b.o AND a.sv < b.sv),
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |  FROM e e1
         |  JOIN e e2 ON e2.u = e1.v

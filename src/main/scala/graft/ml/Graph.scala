@@ -253,9 +253,20 @@ object Graph {
     * apex), so per-node counts are a plain explode of the three
     * corners. Three shuffles total: degree agg, wedge self-join on
     * the apex, closure semi-join against the oriented edge table.
+    *
+    * The closure probe is the plan's one data-sized shuffle: wedge
+    * volume is 10-100× the edge count, so shuffling wedges to meet
+    * the edge table costs more than everything else combined. The
+    * edge count is already in hand (the orientation table is
+    * materialized for reuse), so when it is at most
+    * `broadcastEdgeLimit` the closing side broadcasts instead — the
+    * wedge stream then never leaves its stage (generate → probe →
+    * partial-agg in one pass). Past the limit (the 100 TB regime)
+    * the shuffle semi-join takes over unchanged.
     */
   def triangleCounts(
-      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+      edges: DataFrame, srcCol: String, dstCol: String,
+      broadcastEdgeLimit: Long = 4000000L): DataFrame = {
     val canon = edges
       .filter(col(srcCol) =!= col(dstCol))
       .select(
@@ -281,7 +292,7 @@ object Graph {
         .as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist()
-    oriented.count() // materialize once; reused by wedge + closure
+    val m = oriented.count() // materialize once; reused by wedge + closure
     // Wedges at apex a: out-neighbor pairs (b, c). Closing edge must
     // itself be oriented b→c or c→b; emitting both orderings of the
     // pair and probing (x→y) directly keeps the join an equi-join.
@@ -292,9 +303,11 @@ object Graph {
       .join(oriented.select(col("a"), col("b").as("c")), Seq("a"))
       .filter(col("b") < col("c"))
       .select(col("a"), col("b").as("x"), col("c").as("y"))
-    val closing = oriented.select(
+    val closing0 = oriented.select(
       least(col("a"), col("b")).as("x"),
       greatest(col("a"), col("b")).as("y"))
+    val closing =
+      if (m <= broadcastEdgeLimit) broadcast(closing0) else closing0
     val tris = wedges.join(closing, Seq("x", "y"), "leftsemi")
     tris.select(explode(array(col("a"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))

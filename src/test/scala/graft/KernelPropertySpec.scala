@@ -114,4 +114,29 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bounded edit distance equals the built-in threshold levenshtein") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(8181)
+    def randStr(ascii: Boolean): String = {
+      val len = rnd.nextInt(24)
+      val chars = if (ascii) "abcx0189#" else "abcx0189#éλ漢"
+      (0 until len).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }
+    for (_ <- 1 to 3000; ascii <- Seq(true, false)) {
+      val (s1, s2) = (randStr(ascii), randStr(ascii))
+      // mutate s2 from s1 sometimes so small distances are exercised
+      val t2 = if (rnd.nextBoolean()) s2
+        else {
+          val from = rnd.nextInt(s1.length + 1)
+          s1.patch(from, Seq.fill(rnd.nextInt(3))('z'),
+            math.min(rnd.nextInt(3), s1.length - from)).mkString
+        }
+      val k = rnd.nextInt(5)
+      val (u1, u2) = (UTF8String.fromString(s1), UTF8String.fromString(t2))
+      val got = graft.functions.BoundedEditDistance.compute(u1, u2, k)
+      val want = u1.levenshteinDistance(u2, k)
+      assert(got == want, s"'$s1' vs '$t2' k=$k: got $got want $want")
+    }
+  }
 }
