@@ -810,6 +810,61 @@ object SparkEntry {
         .select(col("w.start").cast("date").as("wstart"),
           col("event_type"), col("n"), col("total"))),
 
+    // Trailing 7-row moving average over the gap-filled grid (q131's
+    // output — on a holey grid a 7-row frame spans >7 days, the bug
+    // fill-forward exists to prevent). Same key sort serves fill and
+    // frame; decimal-summed, 6dp.
+    "q136_rolling_mean" -> ((s, dir) => {
+      val grid = graft.operators.Resample.dailyFillForward(
+        t(s, dir, "events"), "user_id", "ts", "value")
+      graft.operators.Resample.rollingMean(
+        grid, "user_id", "day", "filled", windowRows = 7)
+    }),
+
+    // Bounded k-core peeling (3 level-synchronous peels at k=80 on
+    // the co-purchase graph): per round one degree agg + two
+    // semi-joins on 8-byte keys, per-round lineage truncation.
+    "q137_kcore" -> ((s, dir) => {
+      val po = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("pv"))
+        .distinct()
+      val e = po.join(po.withColumnRenamed("pv", "pw"), Seq("o"))
+        .filter(col("pv") < col("pw"))
+        .select(col("pv").as("p1"), col("pw").as("p2"))
+      Graph.kCorePeel(e, "p1", "p2", k = 80, iters = 3)
+    }),
+
+    // Chi-square contingency cells (event type x weekday): observed,
+    // independence-expected, per-cell chi2 term — all from one count
+    // aggregation plus broadcast marginals.
+    "q138_chi2" -> ((s, dir) =>
+      graft.operators.Profile.chiSquare(
+        t(s, dir, "events")
+          .select(col("event_type"), dayofweek(col("ts")).as("dow")),
+        "event_type", "dow")),
+
+    // Hierarchical fallback lookup: per-customer override dim, else
+    // per-nation rule, else default — fact streams through N
+    // broadcast joins in ONE stage, scanned once.
+    "q139_fallback_lookup" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val fact = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(cust.select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .drop("c_custkey")
+      val dim1 = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), (col("c_custkey") % 5 + 1).as("adj"))
+      val dim2 = t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          (col("n_nationkey") % 3 + 100).as("adj"))
+      graft.operators.Joins.coalesceLookup(fact,
+          Seq((dim1, Seq("o_custkey" -> "c_custkey"), "adj"),
+            (dim2, Seq("c_nationkey" -> "n_nationkey"), "adj")),
+          outCol = "adj", default = lit(0L))
+        .select(col("o_orderkey"), col("adj"))
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -3061,6 +3116,79 @@ object SparkEntry {
         |  CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS is_gap
         |FROM grid g LEFT JOIN daily d
         |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
+    "q136_rolling_mean" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events GROUP BY user_id, day),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM span),
+        |f AS (SELECT g.user_id, g.day,
+        |    CAST(last_value(d.v IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.day) AS DOUBLE) AS filled,
+        |    CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS is_gap
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day, filled, is_gap,
+        |  round(CAST(sum(CAST(filled AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / count(*) OVER w, 6) AS mean_7
+        |FROM f
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // k-core: three unrolled peels, then degrees on the survivor
+    // edge set filtered at k.
+    "q137_kcore" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p),
+        |d1 AS (SELECT n, count(*) AS c FROM
+        |  (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n),
+        |k1 AS (SELECT n FROM d1 WHERE c >= 80),
+        |e1 AS (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+        |d2 AS (SELECT n, count(*) AS c FROM
+        |  (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n),
+        |k2 AS (SELECT n FROM d2 WHERE c >= 80),
+        |e2 AS (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
+        |d3 AS (SELECT n, count(*) AS c FROM
+        |  (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n),
+        |k3 AS (SELECT n FROM d3 WHERE c >= 80),
+        |e3 AS (SELECT u, v FROM e2
+        |  WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3)),
+        |df AS (SELECT n, count(*) AS deg FROM
+        |  (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3) GROUP BY n)
+        |SELECT n, deg FROM df WHERE deg >= 80""".stripMargin,
+    "q138_chi2" ->
+      """WITH base AS (SELECT event_type,
+        |    CAST(date_part('dow', ts) AS INT) + 1 AS dow FROM events),
+        |cells AS (SELECT event_type, dow, count(*) AS o FROM base
+        |  GROUP BY event_type, dow),
+        |rt AS (SELECT event_type, sum(o) AS ra FROM cells
+        |  GROUP BY event_type),
+        |ct AS (SELECT dow, sum(o) AS cb FROM cells GROUP BY dow),
+        |tt AS (SELECT sum(o) AS n FROM cells),
+        |j AS (SELECT cells.event_type, cells.dow, o,
+        |    round(CAST(ra AS DOUBLE) * cb / n, 6) AS e
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), tt)
+        |SELECT event_type, dow, o, e,
+        |  round(pow(o - e, 2) / e, 6) AS chi2_cell FROM j""".stripMargin,
+    "q139_fallback_lookup" ->
+      """WITH fact AS (SELECT o_orderkey, o_custkey, c_nationkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |d1 AS (SELECT c_custkey, c_custkey % 5 + 1 AS adj
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |d2 AS (SELECT n_nationkey, n_nationkey % 3 + 100 AS adj
+        |  FROM nation)
+        |SELECT o_orderkey, coalesce(d1.adj, d2.adj, 0) AS adj
+        |FROM fact
+        |LEFT JOIN d1 ON o_custkey = d1.c_custkey
+        |LEFT JOIN d2 ON c_nationkey = d2.n_nationkey""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

@@ -231,6 +231,61 @@ object Graph {
     pr
   }
 
+  /** Bounded k-core peeling: `iters` rounds of "drop every node whose
+    * degree in the current subgraph is below k" (the standard core-
+    * decomposition peel — Batagelj/Zaveršnik's sequential algorithm,
+    * done level-synchronously as in the Quick/Wilkinson/Naughton
+    * MapReduce formulation; public descriptions only). With `iters`
+    * large enough to converge this yields the exact k-core; a small
+    * fixed `iters` is the deterministic, oracle-checkable prefix
+    * (identical round structure to [[pageRankFixedPoint]]).
+    * Returns `(n, deg)` — surviving nodes with their degree in the
+    * peeled subgraph (degree >= k by construction).
+    *
+    * Scale posture: each round is one degree aggregation plus two
+    * semi-joins on the node id — all hash-partitioned on 8-byte keys,
+    * nothing data-squared. The surviving edge set is materialized and
+    * local-checkpointed per round (superseded blocks freed), so
+    * Catalyst plans each peel against a flat leaf instead of a
+    * growing join tower — the same discipline as the CC/PageRank
+    * loops.
+    */
+  def kCorePeel(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    var e = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .distinct()
+    var prevRdd: RDD[InternalRow] = null
+    for (_ <- 1 to iters) {
+      val deg = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      val next = e
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "leftsemi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "leftsemi")
+        .select(col("u"), col("v"))
+      // Same per-round lineage truncation as pageRankFixedPoint: the
+      // surviving edge set materializes once per peel, superseded
+      // blocks freed, next round plans against a fresh leaf.
+      val schema = next.schema
+      val rdd = next.queryExecution.toRdd.map(_.copy())
+      rdd.localCheckpoint()
+      rdd.count()
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
+      e = GraftBridge.internalCreateDataFrame(edges.sparkSession, rdd, schema)
+    }
+    e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+  }
+
   /** Per-node triangle counts by degree-oriented node iteration
     * (Schank/Wagner "forward" algorithm; the MapReduce formulation is
     * Suri & Vassilvitskii, WWW'11 — public algorithm descriptions

@@ -265,4 +265,46 @@ object Joins {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Hierarchical fallback lookup: resolve a value for each fact row
+    * by trying progressively coarser dimension tables — exact match
+    * first, fall back level by level, default last. The standard
+    * "override table" enrichment (per-customer price rule, else
+    * per-region rule, else list default) that otherwise gets written
+    * as N self-UNIONs rescanning the fact table N times.
+    *
+    * `levels` are (dim, factKey→dimKey pairs, dim value column) in
+    * priority order. Each level contributes one LEFT join; the
+    * emitted `outCol` is the first non-null level value, else
+    * `default`. A fact row matching several rows in one dim fans out
+    * (same contract as any join) — dims are expected key-unique.
+    *
+    * Scale posture: the fact table streams through N broadcast hash
+    * joins in a single stage — lookup dims are override/config-sized
+    * by nature, so every level is `broadcast()` and the fact is
+    * scanned ONCE with zero shuffles. For a genuinely large level,
+    * drop to a plain join upstream instead of using this helper.
+    */
+  def coalesceLookup(
+      fact: DataFrame,
+      levels: Seq[(DataFrame, Seq[(String, String)], String)],
+      outCol: String,
+      default: Column = lit(null)): DataFrame = {
+    require(levels.nonEmpty, "coalesceLookup needs at least one level")
+    val joined = levels.zipWithIndex.foldLeft(fact) {
+      case (acc, ((dim, keys, valCol), i)) =>
+        val slim = dim.select(
+          (keys.map { case (_, dk) => col(dk) } :+
+            col(valCol).as(s"__lv$i")): _*)
+        val cond = keys.map { case (fk, dk) => acc(fk) === slim(dk) }
+          .reduce(_ && _)
+        keys.foldLeft(acc.join(broadcast(slim), cond, "left")) {
+          case (d, (_, dk)) => d.drop(slim(dk))
+        }
+    }
+    val firstHit = coalesce(
+      levels.indices.map(i => col(s"__lv$i")) :+ default: _*)
+    joined.withColumn(outCol, firstHit)
+      .drop(levels.indices.map(i => s"__lv$i"): _*)
+  }
 }

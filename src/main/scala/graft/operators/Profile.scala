@@ -138,4 +138,33 @@ object Profile {
           / lit(nb)).as("hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Chi-square contingency cells for two categorical columns: per
+    * (a, b) cell the observed count `o`, the independence-expected
+    * count `e` = row_total·col_total/N, and the cell's chi² term
+    * (o−e)²/e — the association screen a feature-selection or
+    * drift-detection pass runs over category pairs. Σ chi2_cell
+    * against the χ² distribution with (|A|−1)(|B|−1) dof is the test
+    * statistic; per-cell terms are returned so the caller can see
+    * WHERE the dependence lives, not just that it exists.
+    *
+    * One count aggregation over the data; marginals re-aggregate the
+    * |A|·|B|-sized cell table (driver-small for real categoricals)
+    * and come back as broadcasts. `e` and the chi² term are 6dp-
+    * rounded doubles derived from exact integer counts — identical
+    * on any engine evaluating the same expression.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col(aCol)).agg(sum(col("o")).as("__ra"))
+    val colT = cells.groupBy(col(bCol)).agg(sum(col("o")).as("__cb"))
+    val tot = cells.agg(sum(col("o")).as("__n"))
+    val e = round(col("__ra").cast("double") * col("__cb") / col("__n"), 6)
+    cells.join(broadcast(rowT), Seq(aCol))
+      .join(broadcast(colT), Seq(bCol))
+      .crossJoin(broadcast(tot))
+      .select(col(aCol), col(bCol), col("o"), e.as("e"),
+        round(pow(col("o") - e, 2) / e, 6).as("chi2_cell"))
+  }
 }

@@ -56,4 +56,30 @@ object Resample {
           .as("filled"),
         when(col("_v").isNull, lit(1)).otherwise(lit(0)).as("is_gap"))
   }
+
+  /** Trailing moving average over a regularized per-key series (run
+    * it on [[dailyFillForward]]'s output — on a grid WITH holes a
+    * "7-row" frame silently spans more than 7 days, which is the bug
+    * gap-filling exists to prevent). Adds `mean_<windowRows>`:
+    * the mean of the last `windowRows` rows (fewer at the series
+    * head), decimal-summed inside the frame and 6dp-rounded so frame
+    * accumulation order cannot diverge between engines.
+    *
+    * The frame rides the SAME (key, day) sort the fill used — one
+    * logical key shuffle serves fill and rolling stats; the trailing
+    * frame is a running computation, not a per-row rescan.
+    */
+  def rollingMean(
+      grid: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      windowRows: Int): DataFrame = {
+    require(windowRows >= 1, "windowRows must be >= 1")
+    val w = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    grid.withColumn(s"mean_$windowRows",
+      round(sum(col(valueCol).cast("decimal(18,4)")).over(w)
+        .cast("double") / count(lit(1)).over(w), 6))
+  }
 }

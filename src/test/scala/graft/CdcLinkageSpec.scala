@@ -102,6 +102,70 @@ class CdcLinkageSpec extends AnyFunSuite {
 
   // -------------------------------------------------------- resample
 
+  test("kCorePeel removes the low-degree fringe, cascading") {
+    // Triangle core {1,2,3} (degree 2 each) + a pendant chain 3-4-5.
+    // k=2: round 1 drops 5 (deg 1); round 2 drops 4 (its degree fell
+    // to 1 when 5 left) — the cascade a single pass misses.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val got = Graph.kCorePeel(edges, "s", "d", k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // One peel only: 5 is gone but 4 (now deg 1) still holds edge 3-4
+    // — though the final >= k degree filter hides 4 itself.
+    val one = Graph.kCorePeel(edges, "s", "d", k = 2, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 2L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("coalesceLookup resolves by priority with a default") {
+    val fact = Seq((1L, 10L, 100L), (2L, 20L, 100L), (3L, 30L, 200L),
+      (4L, 40L, 999L)).toDF("id", "k1", "k2")
+    val d1 = Seq((10L, "exact")).toDF("k", "v")
+    val d2 = Seq((100L, "coarse")).toDF("k", "v")
+    val got = graft.operators.Joins.coalesceLookup(fact,
+        Seq((d1, Seq("k1" -> "k"), "v"), (d2, Seq("k2" -> "k"), "v")),
+        outCol = "res", default = lit("dflt"))
+      .select("id", "res").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "exact", 2L -> "coarse", 3L -> "dflt",
+      4L -> "dflt"))
+  }
+
+  test("rollingMean averages the trailing frame, short at the head") {
+    val grid = Seq((1L, "2024-01-01", 1.0), (1L, "2024-01-02", 2.0),
+      (1L, "2024-01-03", 6.0), (1L, "2024-01-04", 3.0))
+      .toDF("k", "day_s", "v")
+      .select(col("k"), col("day_s").cast("date").as("day"), col("v"))
+    val got = graft.operators.Resample.rollingMean(grid, "k", "day", "v", 3)
+      .select(col("day").cast("string"), col("mean_3"))
+      .as[(String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("2024-01-01", 1.0), ("2024-01-02", 1.5),
+      ("2024-01-03", 3.0), ("2024-01-04", 3.666667)))
+  }
+
+  test("chiSquare: independent columns give zero cell terms") {
+    // 2x2 balanced: o == e everywhere.
+    val d = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("c1", "c2")
+    val got = graft.operators.Profile.chiSquare(d, "c1", "c2")
+      .select("o", "e", "chi2_cell")
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == 4)
+    assert(got.forall { case (o, e, x2) => o == 1L && e == 1.0 && x2 == 0.0 })
+  }
+
+  test("chiSquare: dependence concentrates in the right cell") {
+    // c2 == c1 on 9 of 10 rows: diagonal cells o >> e.
+    val d = (Seq.fill(9)(("a", "a")) ++ Seq(("b", "b")) ++
+      Seq.fill(9)(("b", "b")) ++ Seq(("a", "b"))).toDF("c1", "c2")
+    val cells = graft.operators.Profile.chiSquare(d, "c1", "c2")
+      .select("c1", "c2", "o", "chi2_cell")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    assert(cells(("a", "a"))._1 == 9L)
+    assert(cells(("a", "a"))._2 > cells(("a", "b"))._2)
+  }
+
   test("forward fill completes the grid and carries the last value") {
     val ev = Seq(
       (7L, "2024-01-01 10:00:00", 1.5),
