@@ -865,6 +865,41 @@ object SparkEntry {
         .select(col("o_orderkey"), col("adj"))
     }),
 
+    // A/B readout: splitmix64 unit->variant assignment (stable across
+    // runs/engines/partitionings), per-variant decimal means, lift vs
+    // control via one broadcast row.
+    "q140_ab_report" -> ((s, dir) =>
+      graft.operators.Experiment.abReport(
+        t(s, dir, "orders"), "o_custkey", "o_totalprice",
+        variants = 2, seed = 17)),
+
+    // Dwell time by state: integer-microsecond gaps to the successor
+    // event (float seconds would be partition-order-dependent),
+    // summed per event type.
+    "q141_dwell" -> ((s, dir) =>
+      Sessionize.dwellByState(t(s, dir, "events"),
+        "user_id", "ts", "event_type", tieCols = Seq("event_id"))),
+
+    // Per-group min-max scaling: group extrema ride ONE unordered
+    // whole-partition window — a single key shuffle serves extrema
+    // and the scale projection.
+    "q142_minmax_scale" -> ((s, dir) =>
+      graft.operators.Cleanse.minMaxScale(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_suppkey"), col("l_extendedprice")),
+        Seq("l_suppkey"), "l_extendedprice")),
+
+    // Weighted priority sample: fixed n per language, selection odds
+    // prop. to weight, integer priorities (hash div weight), winners
+    // via the bounded-state top-k heap — never a data sort.
+    "q143_weighted_sample" -> ((s, dir) =>
+      Sketches.weightedPrioritySample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        weights = Map("en" -> 4L, "zh" -> 2L, "es" -> 2L, "de" -> 1L,
+          "fr" -> 1L),
+        n = 5, seed = 7)),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -3189,6 +3224,62 @@ object SparkEntry {
         |FROM fact
         |LEFT JOIN d1 ON o_custkey = d1.c_custkey
         |LEFT JOIN d2 ON c_nationkey = d2.n_nationkey""".stripMargin,
+    // A/B: the splitmix64 finalizer replayed in HUGEINT; variant =
+    // low bit (power-of-two buckets keep signed/unsigned out of it).
+    "q140_ab_report" ->
+      s"""WITH z0 AS (SELECT o_custkey, o_totalprice,
+         |    (CAST(o_custkey AS HUGEINT) + ${sqlMixAdd(17)})
+         |      % 18446744073709551616 AS z
+         |  FROM orders),
+         |${sqlMixFinal("o_custkey, o_totalprice")},
+         |a AS (SELECT CAST(z % 2 AS BIGINT) AS variant, o_totalprice
+         |  FROM z3),
+         |s AS (SELECT variant, count(*) AS n,
+         |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+         |      AS DOUBLE) / count(*), 6) AS mean
+         |  FROM a GROUP BY variant),
+         |c AS (SELECT mean AS m0 FROM s WHERE variant = 0)
+         |SELECT variant, n, mean, round(mean - m0, 6) AS lift
+         |FROM s, c""".stripMargin,
+    "q141_dwell" ->
+      """WITH seq AS (SELECT event_type AS state,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS gap
+        |  FROM events)
+        |SELECT state, count(*) AS n, sum(gap) AS total_us,
+        |  round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS avg_us
+        |FROM seq WHERE gap IS NOT NULL GROUP BY state""".stripMargin,
+    "q142_minmax_scale" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+        |  CASE WHEN l_extendedprice IS NULL THEN NULL
+        |    WHEN mx = mn THEN 0.0
+        |    ELSE round((l_extendedprice - mn) / (mx - mn), 6) END
+        |    AS scaled
+        |FROM (SELECT l_orderkey, l_linenumber, l_suppkey,
+        |    l_extendedprice,
+        |    min(l_extendedprice) OVER (PARTITION BY l_suppkey) AS mn,
+        |    max(l_extendedprice) OVER (PARTITION BY l_suppkey) AS mx
+        |  FROM lineitem)""".stripMargin,
+    // Weighted sample: priority = (mix64 with the sign bit cleared)
+    // floor-div weight; n smallest (priority, id) per stratum.
+    "q143_weighted_sample" ->
+      s"""WITH z0 AS (SELECT doc_id, lang,
+         |    (CAST(doc_id AS HUGEINT) + ${sqlMixAdd(7)})
+         |      % 18446744073709551616 AS z
+         |  FROM documents),
+         |${sqlMixFinal("doc_id, lang")},
+         |p AS (SELECT doc_id, lang,
+         |    CAST((z % 9223372036854775808) //
+         |      (CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 2
+         |        WHEN 'es' THEN 2 WHEN 'de' THEN 1 WHEN 'fr' THEN 1
+         |        ELSE 0 END) AS BIGINT) AS priority
+         |  FROM z3
+         |  WHERE lang IN ('en', 'zh', 'es', 'de', 'fr')),
+         |r AS (SELECT doc_id, lang, priority,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY priority, doc_id) AS rn
+         |  FROM p)
+         |SELECT doc_id, lang, priority FROM r WHERE rn <= 5""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

@@ -247,6 +247,40 @@ object Sketches {
     df.filter(bucket < threshold)
   }
 
+  /** Weighted priority sample: a FIXED-SIZE deterministic sample per
+    * stratum in which a row's selection odds scale with its stratum
+    * weight — the "keep n per source, favoring the high-value
+    * sources" draw a corpus-mixing pipeline runs (the rate-based
+    * [[stratifiedSample]] keeps a proportion; this keeps a count).
+    *
+    * Priority = (splitmix64(key) with the sign bit cleared) div
+    * weight — an integer everywhere, so the order is engine- and
+    * partitioning-exact (no float keys); the n SMALLEST priorities
+    * win, so doubling a weight halves a row's expected priority. The
+    * per-stratum winners come from the bounded-state top-k aggregate
+    * ([[graft.operators.TopN.topNPerKey]] — a heap of n rows per
+    * stratum in the aggregation buffer, never a sort of the data).
+    */
+  def weightedPrioritySample(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      weights: Map[String, Long], n: Int, seed: Int = 7): DataFrame = {
+    require(n >= 1 && weights.nonEmpty && weights.values.forall(_ >= 1))
+    val w = weights.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    val pr = Mix64.mix64(col(keyCol).cast("long"), seed)
+      .bitwiseAND(lit(Long.MaxValue))
+    // `div` (truncating integer division) on a non-negative hash ==
+    // floor division, so both engines agree without a negative-
+    // rounding caveat.
+    val bound = df.filter(w > 0)
+      .withColumn("__wps_p", pr).withColumn("__wps_w", w)
+      .withColumn("priority", expr("__wps_p div __wps_w"))
+      .drop("__wps_p", "__wps_w")
+    graft.operators.TopN.topNPerKey(bound, Seq(stratumCol),
+      Seq(col("priority"), col(keyCol)), n)
+  }
+
   /** Exact heavy hitters with CMS cross-check: top-k tokens by exact
     * corpus frequency (groupBy + TakeOrdered — partial aggregation
     * collapses per-partition counts before the shuffle) with each

@@ -164,4 +164,29 @@ object Cleanse {
           .otherwise(0))
       .drop("__med", "__mad")
   }
+
+  /** Per-group min-max feature scaling: `scaledCol` :=
+    * (x − group min)/(group max − group min), 6dp-rounded; a
+    * constant group (max = min) scales to 0.0, nulls stay null.
+    *
+    * The group extrema ride an unordered whole-partition window —
+    * ONE key shuffle serves extrema and scaling (a groupBy+join
+    * formulation shuffles twice and re-materializes the frame).
+    * Groups are independent; group count can be data-sized.
+    */
+  def minMaxScale(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      scaledCol: String = "scaled"): DataFrame = {
+    require(keyCols.nonEmpty, "minMaxScale needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val mn = min(col(valueCol)).over(w)
+    val mx = max(col(valueCol)).over(w)
+    df.withColumn(scaledCol,
+      when(col(valueCol).isNull, lit(null).cast("double"))
+        .when(mx === mn, lit(0.0))
+        .otherwise(round((col(valueCol) - mn) / (mx - mn), 6)))
+  }
 }

@@ -151,4 +151,30 @@ object Sessionize {
       .select(col("from_type"), col("to_type"), col("n"),
         round(try_divide(col("n"), col("__tn")), 6).as("p"))
   }
+
+  /** Dwell time by state: how long a key sits in each state before
+    * its next event. Gap to the successor event (same lead() window
+    * discipline as [[transitionMatrix]] — `tieCols` for a total
+    * order), summed per state in exact MICROSECONDS (integer — float
+    * seconds would make the sum partition-order-dependent). Each
+    * key's last event has no successor and drops. Returns
+    * (state, n, total_us, avg_us) with avg 6dp-rounded.
+    */
+  def dwellByState(
+      df: DataFrame, keyCol: String, tsCol: String, stateCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col(tsCol) +: tieCols.map(col)).map(_.asc): _*)
+    // TIMESTAMP_NTZ inputs (parquet micros) cast to instants for
+    // unix_micros; sessions here pin UTC, so the cast is exact.
+    val asTs = (c: Column) => c.cast("timestamp")
+    df.select(col(stateCol).as("state"),
+        (unix_micros(asTs(lead(col(tsCol), 1).over(w))) -
+          unix_micros(asTs(col(tsCol)))).as("__gap"))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n"), sum(col("__gap")).as("total_us"),
+        round(sum(col("__gap")).cast("double") / count(lit(1)), 6)
+          .as("avg_us"))
+  }
 }

@@ -262,6 +262,77 @@ class CleanseSpec extends AnyFunSuite {
       ("b", "a", 1L, 1.0)))
   }
 
+  test("abReport: assignment is unit-stable, lift is mean minus control") {
+    import graft.operators.Experiment
+    // two rows per unit: both must land in the unit's variant, so
+    // per-variant n is even
+    val d = (1L to 100L).flatMap(u => Seq((u, 10.0), (u, 20.0)))
+      .toDF("unit", "m")
+    val rep = Experiment.abReport(d, "unit", "m", variants = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rep.keySet == Set(0L, 1L))
+    assert(rep.values.forall(_._1 % 2 == 0)) // unit-stable assignment
+    assert(rep(0L)._3 == 0.0)                // control lift is zero
+    val lift = rep(1L)._2 - rep(0L)._2
+    assert(math.abs(rep(1L)._3 - math.round(lift * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("abReport rejects a non-power-of-two variant count") {
+    import graft.operators.Experiment
+    val d = Seq((1L, 1.0)).toDF("unit", "m")
+    intercept[IllegalArgumentException] {
+      Experiment.abReport(d, "unit", "m", variants = 3)
+    }
+  }
+
+  test("dwellByState sums successor gaps in exact microseconds") {
+    val ev = Seq(
+      (1L, 1L, 1000000L, "a"), (1L, 2L, 3500000L, "b"),
+      (1L, 3L, 4000000L, "a"),
+      (2L, 4L, 0L, "a"), (2L, 5L, 2000000L, "a"))
+      .toDF("user_id", "event_id", "us", "ts_ignore")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"),
+        col("ts_ignore").as("event_type"))
+    // state a: gaps 2500000 (u1 e1->e2), 2000000 (u2); state b: 500000
+    val byState = graft.operators.Sessionize.dwellByState(
+        ev, "user_id", "ts", "event_type", tieCols = Seq("event_id"))
+      .select("state", "total_us").as[(String, Long)].collect().toMap
+    assert(byState == Map("a" -> 4500000L, "b" -> 500000L))
+  }
+
+  test("minMaxScale: per-group bounds; constant group scales to 0") {
+    val d = Seq(("g1", 0.0), ("g1", 5.0), ("g1", 10.0),
+      ("g2", 7.0), ("g2", 7.0)).toDF("g", "v")
+    val got = graft.operators.Cleanse.minMaxScale(d, Seq("g"), "v")
+      .select("g", "v", "scaled").as[(String, Double, Double)]
+      .collect().toSet
+    assert(got == Set(("g1", 0.0, 0.0), ("g1", 5.0, 0.5),
+      ("g1", 10.0, 1.0), ("g2", 7.0, 0.0)))
+  }
+
+  test("weightedPrioritySample: n per stratum, heavier weight shrinks priority") {
+    import graft.ml.Sketches
+    val d = (1L to 200L).map(i => (i, if (i <= 100) "hot" else "cold"))
+      .toDF("id", "src")
+    val got = Sketches.weightedPrioritySample(d, "id", "src",
+      weights = Map("hot" -> 8L, "cold" -> 1L), n = 10)
+    val bySrc = got.select("src").as[String].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(bySrc == Map("hot" -> 10, "cold" -> 10))
+    // determinism: identical call yields identical ids
+    val ids1 = got.select("id").as[Long].collect().sorted.toSeq
+    val ids2 = Sketches.weightedPrioritySample(d, "id", "src",
+        weights = Map("hot" -> 8L, "cold" -> 1L), n = 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // a stratum absent from the weight map contributes nothing
+    val got2 = Sketches.weightedPrioritySample(d, "id", "src",
+      weights = Map("hot" -> 8L), n = 10)
+    assert(got2.select("src").as[String].collect().toSet == Set("hot"))
+  }
+
   test("transitionMatrix tie-break makes equal timestamps deterministic") {
     val ts = new java.sql.Timestamp(1000)
     val ev = Seq((1L, 1L, ts, "x"), (1L, 2L, ts, "y"), (1L, 3L, ts, "z"))
