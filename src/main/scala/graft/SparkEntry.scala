@@ -900,6 +900,45 @@ object SparkEntry {
           "fr" -> 1L),
         n = 5, seed = 7)),
 
+    // Equi-depth (quantile) binning: nearest-rank quartile edges as
+    // one broadcast row, stateless bucket projection — the skew-proof
+    // complement of q133's equi-width histogram.
+    "q144_equidepth_bins" -> ((s, dir) =>
+      graft.operators.Profile.equiDepthBins(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice")),
+        "l_extendedprice", nb = 4)),
+
+    // Pairwise association rules on co-purchased parts: support from
+    // the per-basket self-join (min-support prunes BEFORE item stats
+    // attach), conf/lift as 6dp ratios of exact counts.
+    "q145_assoc_rules" -> ((s, dir) =>
+      graft.ml.Association.pairRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L)),
+
+    // Join fan-out pre-flight: exact output cardinality of a
+    // (possibly accidental) self-join on l_partkey from per-key
+    // counts only — the join never runs.
+    "q146_join_fanout" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Profile.joinFanout(li, li,
+        Seq("l_partkey" -> "l_partkey"), k = 20)
+    }),
+
+    // Funnel time-to-convert: exact quantiles (integer microseconds)
+    // of purchase-minus-view over fully converted users — composes
+    // q125's one-shuffle funnel with q87's quantile kernel.
+    "q147_funnel_time" -> ((s, dir) => {
+      val f = Sessionize.funnelMatch(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"))
+      val dt = f.filter(col("depth") === 3)
+        .select((unix_micros(col("t_purchase").cast("timestamp")) -
+          unix_micros(col("t_view").cast("timestamp"))).as("dt_us"))
+      Sketches.exactQuantiles(dt, "dt_us", Seq(0.25, 0.5, 0.75, 0.9))
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -3280,6 +3319,73 @@ object SparkEntry {
          |      ORDER BY priority, doc_id) AS rn
          |  FROM p)
          |SELECT doc_id, lang, priority FROM r WHERE rn <= 5""".stripMargin,
+    "q144_equidepth_bins" ->
+      """WITH n1 AS (SELECT count(l_extendedprice) AS n FROM lineitem),
+        |ks AS (SELECT
+        |    CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1 AS k0,
+        |    CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 AS k1,
+        |    CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1 AS k2 FROM n1),
+        |srt AS (SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS r
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |e AS (SELECT
+        |    (SELECT v FROM srt, ks WHERE r = k0) AS e0,
+        |    (SELECT v FROM srt, ks WHERE r = k1) AS e1,
+        |    (SELECT v FROM srt, ks WHERE r = k2) AS e2)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  CASE WHEN l_extendedprice IS NULL THEN NULL
+        |    ELSE CAST(l_extendedprice > e0 AS INT)
+        |      + CAST(l_extendedprice > e1 AS INT)
+        |      + CAST(l_extendedprice > e2 AS INT) END AS bucket
+        |FROM lineitem, e""".stripMargin,
+    "q145_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |ic AS (SELECT i, count(*) AS supp FROM bi GROUP BY i),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+        |pc AS (SELECT a.i AS i, b.i AS j, count(*) AS sp
+        |  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY a.i, b.i HAVING count(*) >= 2),
+        |dr AS (SELECT i AS ante, j AS cons, sp FROM pc
+        |  UNION ALL SELECT j, i, sp FROM pc)
+        |SELECT ante, cons, sp AS supp_pair,
+        |  a.supp AS supp_ante, c.supp AS supp_cons,
+        |  round(sp / a.supp, 6) AS conf,
+        |  round(CAST(sp AS DOUBLE) * n
+        |    / (CAST(a.supp AS DOUBLE) * c.supp), 6) AS lift
+        |FROM dr JOIN ic a ON ante = a.i JOIN ic c ON cons = c.i, nb"""
+        .stripMargin,
+    "q146_join_fanout" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem
+        |  GROUP BY l_partkey),
+        |j AS (SELECT l_partkey, n AS n_left, n AS n_right,
+        |    n * n AS out_rows FROM c),
+        |t AS (SELECT sum(out_rows) AS tot FROM j)
+        |SELECT l_partkey, n_left, n_right, out_rows,
+        |  round(out_rows / tot, 6) AS share
+        |FROM j, t ORDER BY out_rows DESC, l_partkey LIMIT 20"""
+        .stripMargin,
+    "q147_funnel_time" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ts) AS t_click FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ts) AS t_purchase FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t_click
+        |  GROUP BY e.user_id),
+        |dt AS (SELECT epoch_us(t_purchase) - epoch_us(t_view) AS dt_us
+        |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)),
+        |n1 AS (SELECT count(*) AS n FROM dt),
+        |srt AS (SELECT dt_us,
+        |    row_number() OVER (ORDER BY dt_us) AS r FROM dt),
+        |q AS (SELECT CAST(0.25 AS DOUBLE) AS p UNION ALL
+        |  SELECT 0.5 UNION ALL SELECT 0.75 UNION ALL SELECT 0.9),
+        |k AS (SELECT p, CAST(floor(p * (n - 1)) AS BIGINT) + 1 AS kk
+        |  FROM q, n1)
+        |SELECT k.p, srt.dt_us FROM k JOIN srt ON srt.r = k.kk"""
+        .stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

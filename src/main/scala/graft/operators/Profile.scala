@@ -139,6 +139,81 @@ object Profile {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Equi-depth (quantile) binning: assign each row the bucket of its
+    * `valueCol` among `nb` population-quantile bins — the binning that
+    * stays informative under skew, where [[histogram]]'s equi-width
+    * buckets collapse (one bucket takes 99% of a heavy-tailed
+    * column). Adds `bucket` (0-based; nulls get null).
+    *
+    * Edges are NEAREST-RANK quantiles at i/nb via
+    * [[graft.ml.Sketches.exactQuantiles]] (histogram + distributed
+    * prefix sums — same never-a-value-counting-aggregate rationale as
+    * winsorize); the nb−1 edges attach as ONE broadcast row and the
+    * assignment `Σ 1[v > edge_i]` is a stateless projection. Ties at
+    * an edge go to the lower bucket (v > edge, strictly).
+    */
+  def equiDepthBins(df: DataFrame, valueCol: String, nb: Int): DataFrame = {
+    require(nb >= 2, "need at least two bins")
+    val qs = (1 until nb).map(i => i.toDouble / nb)
+    val aggs = qs.zipWithIndex.map { case (q, i) =>
+      min(when(col("p") === q, col(valueCol))).as(s"__e$i")
+    }
+    val edges = graft.ml.Sketches.exactQuantiles(df, valueCol, qs)
+      .agg(aggs.head, aggs.tail: _*)
+    val bucket = (0 until nb - 1)
+      .map(i => when(col(valueCol) > col(s"__e$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        when(col(valueCol).isNull, lit(null).cast("int"))
+          .otherwise(bucket))
+      .drop((0 until nb - 1).map(i => s"__e$i"): _*)
+  }
+
+  /** Join fan-out pre-flight: the EXACT output cardinality a join on
+    * `keyCols` would produce — Σ_k count_left(k)·count_right(k) — and
+    * the top-k contributing keys, computed from the two per-key count
+    * aggregates WITHOUT running the join. The companion of
+    * [[skewReport]]: that one flags a skewed shuffle, this one flags
+    * a fan-out explosion (the duplicate-keyed dimension that turns a
+    * "lookup" into a row multiplier) before it burns the cluster.
+    *
+    * Cost: one aggregation per side + an inner join of the per-key
+    * COUNT tables (bounded by distinct keys, not rows) + a top-k.
+    * Returns the top `k` keys by contribution with both side counts,
+    * the pair product, and its share of the exact total output rows.
+    */
+  def joinFanout(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)], k: Int = 20): DataFrame = {
+    require(keys.nonEmpty && k >= 1)
+    val lc = left.groupBy(keys.map { case (l, _) => col(l) }: _*)
+      .agg(count(lit(1)).as("n_left"))
+    // Right keys rename before the join: a self-estimate (left ==
+    // right, the accidental-self-join check) would otherwise carry
+    // ambiguous attributes.
+    val rc = right.groupBy(keys.map { case (_, r) => col(r) }: _*)
+      .agg(count(lit(1)).as("n_right"))
+      .select(keys.zipWithIndex.map { case ((_, r), i) =>
+        col(r).as(s"__rk$i") } :+ col("n_right"): _*)
+    val cond = keys.zipWithIndex
+      .map { case ((l, _), i) => col(l) === col(s"__rk$i") }
+      .reduce(_ && _)
+    val joined = lc.join(rc, cond)
+      .select(keys.map { case (l, _) => col(l) } ++
+        Seq(col("n_left"), col("n_right"),
+          (col("n_left") * col("n_right")).as("out_rows")): _*)
+    val total = joined.agg(sum(col("out_rows")).as("__total"))
+    joined.crossJoin(broadcast(total))
+      .select(keys.map { case (l, _) => col(l) } ++
+        Seq(col("n_left"), col("n_right"), col("out_rows"),
+          round(try_divide(col("out_rows"), col("__total")), 6)
+            .as("share")): _*)
+      .orderBy(col("out_rows").desc +:
+        keys.map { case (l, _) => col(l).asc }: _*)
+      .limit(k)
+  }
+
   /** Chi-square contingency cells for two categorical columns: per
     * (a, b) cell the observed count `o`, the independence-expected
     * count `e` = row_total·col_total/N, and the cell's chi² term

@@ -333,6 +333,60 @@ class CleanseSpec extends AnyFunSuite {
     assert(got2.select("src").as[String].collect().toSet == Set("hot"))
   }
 
+  test("equiDepthBins: quartiles split a uniform column evenly") {
+    val d = (1 to 100).map(_.toDouble).toDF("v")
+    val buckets = graft.operators.Profile.equiDepthBins(d, "v", nb = 4)
+      .groupBy("bucket").count()
+      .as[(Int, Long)].collect().toMap
+    // nearest-rank edges at ranks 25/50/75 -> values 25,50,75; ties
+    // go low, so buckets are 25/25/25/25
+    assert(buckets == Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L))
+    // skewed data still splits by population, not by range
+    val skew = (Seq.fill(90)(1.0) ++ (1 to 10).map(_ * 1000.0)).toDF("v")
+    val top = graft.operators.Profile.equiDepthBins(skew, "v", nb = 4)
+      .filter(col("bucket") === 3).count()
+    assert(top == 10) // the whole heavy tail isolates in the top bin
+  }
+
+  test("pairRules: counts, confidence and lift on a known basket set") {
+    // baskets: {x,y} x3, {x,z}, {y,z} -> pair xy supp 3, xz 1, yz 1
+    val d = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"), (4L, "x"), (4L, "z"), (5L, "y"), (5L, "z"))
+      .toDF("b", "i")
+    val rules = graft.ml.Association.pairRules(d, "b", "i",
+        minSupport = 2L)
+      .select("ante", "cons", "supp_pair", "conf", "lift")
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(rules.keySet == Set(("x", "y"), ("y", "x"))) // only xy >= 2
+    val (_, _, sp, conf, lift) = rules(("x", "y"))
+    assert(sp == 3L && conf == 0.75) // x in 4 baskets, xy in 3
+    assert(lift == 0.9375) // 3*5/(4*4)
+  }
+
+  test("pairRules drops oversized baskets loudly, keeps the rest") {
+    val big = (1 to 50).map(i => (99L, s"i$i"))
+    val small = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+    val rules = graft.ml.Association.pairRules(
+        (big ++ small).toDF("b", "i"), "b", "i",
+        minSupport = 2L, maxBasketSize = Some(10))
+      .select("ante", "cons").as[(String, String)].collect().toSet
+    assert(rules == Set(("a", "b"), ("b", "a")))
+  }
+
+  test("joinFanout: exact output cardinality without running the join") {
+    val left = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDF("k", "x")
+    val right = Seq(("k1", 10), ("k1", 20), ("k1", 30), ("k3", 40))
+      .toDF("j", "y")
+    val got = graft.operators.Profile.joinFanout(left, right,
+        Seq("k" -> "j"))
+      .select("k", "n_left", "n_right", "out_rows")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("k1", 2L, 3L, 6L))) // k2/k3 never match
+    val actual = left.join(right, left("k") === right("j")).count()
+    assert(actual == got.map(_._4).sum)
+  }
+
   test("transitionMatrix tie-break makes equal timestamps deterministic") {
     val ts = new java.sql.Timestamp(1000)
     val ev = Seq((1L, 1L, ts, "x"), (1L, 2L, ts, "y"), (1L, 3L, ts, "z"))
