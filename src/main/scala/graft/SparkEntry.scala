@@ -939,6 +939,38 @@ object SparkEntry {
       Sketches.exactQuantiles(dt, "dt_us", Seq(0.25, 0.5, 0.75, 0.9))
     }),
 
+    // Referential-integrity audit vs a parent with a simulated lost
+    // partition (o_orderkey%97==0 dropped): fact collapses to per-key
+    // counts map-side, ONE anti-join against distinct parent keys.
+    "q148_ref_integrity" -> ((s, dir) =>
+      graft.operators.DataQuality.referentialCheck(
+        t(s, dir, "lineitem"),
+        t(s, dir, "orders").filter(col("o_orderkey") % 97 =!= 0),
+        keys = Seq("l_orderkey" -> "o_orderkey"))),
+
+    // Feed completeness: daily counts vs the exact median day, thin
+    // days flagged — the half-arrived-partition detector.
+    "q149_feed_completeness" -> ((s, dir) =>
+      graft.operators.Drift.feedCompleteness(
+        t(s, dir, "events"), "ts", threshold = 0.5)),
+
+    // PSI drift between the lineitem price distribution (reference)
+    // and order totals (current): reference equi-depth buckets, 6dp
+    // floored shares, per-bucket (p-q)ln(p/q) terms.
+    "q150_psi_drift" -> ((s, dir) =>
+      graft.operators.Drift.psi(
+        t(s, dir, "lineitem").select(col("l_extendedprice").as("v")),
+        t(s, dir, "orders").select(col("o_totalprice").as("v")),
+        "v", nb = 4)),
+
+    // Pareto report: parts ranked by revenue with running share —
+    // the cumulative sum is the DISTRIBUTED prefix-sum shape (range
+    // repartition + per-partition windows + broadcast offsets), never
+    // a global single-task window.
+    "q151_pareto" -> ((s, dir) =>
+      graft.operators.Profile.paretoShare(
+        t(s, dir, "lineitem"), Seq("l_partkey"), "l_extendedprice")),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -3386,6 +3418,74 @@ object SparkEntry {
         |  FROM q, n1)
         |SELECT k.p, srt.dt_us FROM k JOIN srt ON srt.r = k.kk"""
         .stripMargin,
+    "q148_ref_integrity" ->
+      """WITH par AS (SELECT DISTINCT o_orderkey FROM orders
+        |  WHERE o_orderkey % 97 <> 0),
+        |c AS (SELECT l_orderkey, count(*) AS n_orphan_rows
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |  GROUP BY l_orderkey)
+        |SELECT l_orderkey, n_orphan_rows FROM c
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM par)"""
+        .stripMargin,
+    "q149_feed_completeness" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY day),
+        |n1 AS (SELECT count(*) AS cnt FROM daily),
+        |ks AS (SELECT CAST(floor(0.5 * (cnt - 1)) AS BIGINT) + 1 AS k
+        |  FROM n1),
+        |srt AS (SELECT n, row_number() OVER (ORDER BY n) AS r
+        |  FROM daily),
+        |med AS (SELECT n AS m FROM srt, ks WHERE r = k)
+        |SELECT day, n, round(CAST(n AS DOUBLE) / m, 6) AS ratio,
+        |  CASE WHEN CAST(n AS DOUBLE) < 0.5 * m THEN 1 ELSE 0 END
+        |    AS is_low
+        |FROM daily, med""".stripMargin,
+    "q150_psi_drift" ->
+      """WITH r AS (SELECT l_extendedprice AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT o_totalprice AS v FROM orders
+        |  WHERE o_totalprice IS NOT NULL),
+        |n1 AS (SELECT count(*) AS n FROM r),
+        |ks AS (SELECT
+        |    CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1 AS k0,
+        |    CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 AS k1,
+        |    CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1 AS k2 FROM n1),
+        |srt AS (SELECT v, row_number() OVER (ORDER BY v) AS rr FROM r),
+        |e AS (SELECT
+        |    (SELECT v FROM srt, ks WHERE rr = k0) AS e0,
+        |    (SELECT v FROM srt, ks WHERE rr = k1) AS e1,
+        |    (SELECT v FROM srt, ks WHERE rr = k2) AS e2),
+        |rb AS (SELECT CAST(v > e0 AS INT) + CAST(v > e1 AS INT)
+        |    + CAST(v > e2 AS INT) AS bucket FROM r, e),
+        |cb AS (SELECT CAST(v > e0 AS INT) + CAST(v > e1 AS INT)
+        |    + CAST(v > e2 AS INT) AS bucket FROM c, e),
+        |rc AS (SELECT bucket, count(*) AS nr FROM rb GROUP BY bucket),
+        |cc AS (SELECT bucket, count(*) AS nc FROM cb GROUP BY bucket),
+        |tr AS (SELECT sum(nr) AS t FROM rc),
+        |tc AS (SELECT sum(nc) AS t FROM cc),
+        |g AS (SELECT CAST(unnest(range(4)) AS INT) AS bucket),
+        |j AS (SELECT g.bucket,
+        |    greatest(round(CAST(coalesce(nr, 0) AS DOUBLE) / tr.t, 6),
+        |      1e-6) AS p,
+        |    greatest(round(CAST(coalesce(nc, 0) AS DOUBLE) / tc.t, 6),
+        |      1e-6) AS q
+        |  FROM g LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket),
+        |    tr, tc)
+        |SELECT bucket, p AS p_ref, q AS q_cur,
+        |  round((p - q) * ln(p / q), 6) AS psi_term FROM j""".stripMargin,
+    // Pareto: the oracle IS the one-task global window — exactly the
+    // plan the engine-side distributed prefix sum avoids.
+    "q151_pareto" ->
+      """WITH r AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT sum(w) AS tot FROM r),
+        |cw AS (SELECT l_partkey, w,
+        |    sum(w) OVER (ORDER BY w DESC, l_partkey) AS c FROM r)
+        |SELECT l_partkey, CAST(w AS DOUBLE) AS revenue,
+        |  round(CAST(w AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+        |  round(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+        |FROM cw, t""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

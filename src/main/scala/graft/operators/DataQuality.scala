@@ -175,4 +175,32 @@ object DataQuality {
     }
     one.select(inline(array(rows: _*)))
   }
+
+  /** Referential-integrity audit: child keys with no matching parent
+    * row, one output row per ORPHANED KEY with its child-row count —
+    * the FK check a warehouse load runs before trusting a fact feed
+    * (a star-schema fact row whose dimension key resolves to nothing
+    * silently drops from every inner-joined report).
+    *
+    * The child aggregates to per-key counts FIRST (map-side combine
+    * collapses the fact table to its key cardinality), then one
+    * anti-join against the parent's distinct keys — the data-sized
+    * table crosses the wire once as (key, count) pairs, and a clean
+    * feed returns an empty frame at the cost of the aggregate alone.
+    */
+  def referentialCheck(
+      child: DataFrame, parent: DataFrame,
+      keys: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "referentialCheck needs at least one key pair")
+    // SQL FK semantics: a NULL key is "no reference", not a violation
+    // (and an anti-join would misreport every null-keyed row).
+    val childCnt = child
+      .filter(keys.map { case (c, _) => col(c).isNotNull }.reduce(_ && _))
+      .groupBy(keys.map { case (c, _) => col(c) }: _*)
+      .agg(count(lit(1)).as("n_orphan_rows"))
+    val parentKeys = parent
+      .select(keys.map { case (c, p) => col(p).as(c) }: _*)
+      .distinct()
+    childCnt.join(parentKeys, keys.map(_._1), "left_anti")
+  }
 }

@@ -214,6 +214,59 @@ object Profile {
       .limit(k)
   }
 
+  /** Pareto (cumulative-share) report: keys ranked by their summed
+    * value descending, each with its share and RUNNING share of the
+    * total — the "which 20% of parts carry 80% of revenue" readout.
+    * Returns (keys..., revenue, share, cum_share); revenue is
+    * decimal-summed and surfaced as double.
+    *
+    * The raw table collapses to per-key sums first (data-sized →
+    * key-cardinality). The running sum over the ranked keys is a
+    * DISTRIBUTED prefix sum, not a global window (`Window.orderBy`
+    * with no partition funnels every key through one task): range-
+    * repartition by (value desc, keys), per-partition running sums in
+    * parallel, then a partition-count-sized offset table broadcast
+    * back — the same shape as the packing manifest
+    * ([[graft.ml.TextAnalysis.packingManifest]]).
+    */
+  def paretoShare(
+      df: DataFrame, keyCols: Seq[String], valueCol: String,
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "paretoShare needs at least one key column")
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val order = col("revenue").desc +: keyCols.map(col(_).asc)
+    val local = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("revenue"))
+      .repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local",
+        sum(col("revenue")).over(
+          Window.partitionBy(col("__pid")).orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist()
+    val prefixes = local.groupBy(col("__pid"))
+      .agg(sum(col("revenue")).as("__t"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__t")).over(
+          Window.partitionBy(pmod(col("__pid"), lit(1)))
+            .orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .select(col("__pid"), col("__prefix"))
+    val total = local.agg(sum(col("revenue")).as("__total"))
+    local.join(broadcast(prefixes), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .select(keyCols.map(col) ++ Seq(
+        col("revenue").cast("double").as("revenue"),
+        round(col("revenue").cast("double") / col("__total")
+          .cast("double"), 6).as("share"),
+        round((col("__local") + col("__prefix")).cast("double") /
+          col("__total").cast("double"), 6).as("cum_share")): _*)
+  }
+
   /** Chi-square contingency cells for two categorical columns: per
     * (a, b) cell the observed count `o`, the independence-expected
     * count `e` = row_total·col_total/N, and the cell's chi² term
