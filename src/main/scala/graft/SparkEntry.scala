@@ -971,6 +971,65 @@ object SparkEntry {
       graft.operators.Profile.paretoShare(
         t(s, dir, "lineitem"), Seq("l_partkey"), "l_extendedprice")),
 
+    // Per-type OLS trend of daily totals: five decimal sums in ONE
+    // map-side-combined aggregate; only the closed-form division
+    // drops to rounded doubles.
+    "q152_group_trend" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("y"))
+        .withColumn("x",
+          datediff(col("day"), lit("2024-01-01").cast("date")))
+      Sketches.groupTrend(daily, Seq("event_type"), "x", "y")
+    }),
+
+    // Rolling-baseline anomaly flags on the gap-filled grid: each day
+    // vs mean±2σ of its 7 PRECEDING days (the current row never votes
+    // on its own baseline); moments from exact decimal frame sums.
+    "q153_rolling_anomaly" -> ((s, dir) => {
+      val grid = graft.operators.Resample.dailyFillForward(
+        t(s, dir, "events"), "user_id", "ts", "value")
+      graft.operators.Resample.rollingAnomaly(
+        grid, "user_id", "day", "filled")
+    }),
+
+    // Last-touch attribution: running last non-purchase touch per
+    // user (O(1) window carry), purchases credited per channel.
+    "q154_attribution" -> ((s, dir) =>
+      Sessionize.lastTouchAttribution(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        conversionType = "purchase", valueCol = "value",
+        tieCols = Seq("event_id"))),
+
+    // SCD validity-chain audit over deliberately flawed versions:
+    // overlaps (key%3==0), gaps (key%3==1), open-not-last (key%5==0)
+    // — one lead() window per key, no joins; clean keys emit nothing.
+    "q155_scd_audit" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      def d(s0: String) = lit(java.sql.Date.valueOf(s0))
+      val v1 = c.select(col("c_custkey"), lit(1).as("ver"),
+        d("2020-01-01").as("eff_from"), d("2022-01-01").as("eff_to"))
+      val v2 = c.select(col("c_custkey"), lit(2).as("ver"),
+        when(col("c_custkey") % 3 === 0, d("2021-06-01"))
+          .when(col("c_custkey") % 3 === 1, d("2022-06-01"))
+          .otherwise(d("2022-01-01")).as("eff_from"),
+        when(col("c_custkey") % 5 === 0, lit(null).cast("date"))
+          .otherwise(d("2024-01-01")).as("eff_to"))
+      val v3 = c.select(col("c_custkey"), lit(3).as("ver"),
+        d("2024-01-01").as("eff_from"), lit(null).cast("date").as("eff_to"))
+      graft.pipeline.Scd.validityAudit(
+        v1.unionByName(v2).unionByName(v3), Seq("c_custkey"))
+    }),
+
+    // Token-budget selection: greedy fill of a 10k-token budget in
+    // descending score order — running total via the distributed
+    // prefix sum, never a one-task global window.
+    "q156_token_budget" -> ((s, dir) =>
+      graft.ml.Curation.selectToBudget(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", "n_chars", budgetTokens = 10000L)),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -3486,6 +3545,112 @@ object SparkEntry {
         |  round(CAST(w AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
         |  round(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
         |FROM cw, t""".stripMargin,
+    "q152_group_trend" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS y
+        |  FROM events GROUP BY event_type, day),
+        |d2 AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', day)
+        |      AS DECIMAL(10,0)) AS x, y
+        |  FROM daily),
+        |a AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx
+        |  FROM d2 GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - round((n * sxy - sx * sy)
+        |    / (n * sxx - sx * sx), 6) * sx) / n, 6) AS intercept
+        |FROM a""".stripMargin,
+    "q153_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events GROUP BY user_id, day),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM span),
+        |f AS (SELECT g.user_id, g.day,
+        |    CAST(last_value(d.v IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.day) AS DOUBLE) AS filled,
+        |    CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS is_gap
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day),
+        |m AS (SELECT user_id, day, filled, is_gap,
+        |    count(filled) OVER w AS bn,
+        |    CAST(sum(CAST(filled AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |      AS sv,
+        |    CAST(sum(CAST(CAST(filled AS DECIMAL(18,4)) *
+        |        CAST(filled AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+        |      OVER w AS DOUBLE) AS sv2
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, day, filled, is_gap,
+        |  round(sv / bn, 6) AS base_mean,
+        |  round(sqrt(greatest(0.0,
+        |    sv2 / bn - (sv / bn) * (sv / bn))), 6) AS base_sigma,
+        |  CASE WHEN bn >= 3 AND filled IS NOT NULL
+        |      AND abs(filled - round(sv / bn, 6)) >
+        |        2.0 * round(sqrt(greatest(0.0,
+        |          sv2 / bn - (sv / bn) * (sv / bn))), 6)
+        |    THEN 1 ELSE 0 END AS is_anomaly
+        |FROM m""".stripMargin,
+    "q154_attribution" ->
+      """WITH a AS (SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS ch
+        |  FROM events)
+        |SELECT coalesce(ch, '(direct)') AS channel,
+        |  count(*) AS n_conversions,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_value
+        |FROM a WHERE event_type = 'purchase' GROUP BY channel"""
+        .stripMargin,
+    "q155_scd_audit" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, 1 AS ver, DATE '2020-01-01' AS eff_from,
+        |    DATE '2022-01-01' AS eff_to FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 2,
+        |    CASE WHEN c_custkey % 3 = 0 THEN DATE '2021-06-01'
+        |      WHEN c_custkey % 3 = 1 THEN DATE '2022-06-01'
+        |      ELSE DATE '2022-01-01' END,
+        |    CASE WHEN c_custkey % 5 = 0 THEN CAST(NULL AS DATE)
+        |      ELSE DATE '2024-01-01' END FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 3, DATE '2024-01-01', CAST(NULL AS DATE)
+        |  FROM customer),
+        |w AS (SELECT c_custkey, ver, eff_from, eff_to,
+        |    lead(eff_from) OVER (PARTITION BY c_custkey
+        |      ORDER BY eff_from) AS next_from
+        |  FROM dim)
+        |SELECT c_custkey, ver, eff_from, eff_to, next_from,
+        |  CASE WHEN eff_to IS NULL THEN 'open_not_last'
+        |    WHEN next_from < eff_to THEN 'overlap'
+        |    WHEN next_from > eff_to THEN 'gap' END AS status
+        |FROM w WHERE next_from IS NOT NULL
+        |  AND (eff_to IS NULL OR next_from <> eff_to)""".stripMargin,
+    "q156_token_budget" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_chars, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS "offset"
+        |  FROM d)
+        |SELECT doc_id, n_chars, n_tokens, "offset" FROM o
+        |WHERE "offset" < 10000""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

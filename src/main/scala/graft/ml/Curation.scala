@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators: source-level controls a training-data
@@ -242,5 +243,53 @@ object Curation {
         Window.partitionBy(col("shard"))
           .orderBy(col("__key"), col(idCol))) - 1).cast("long"))
       .drop("__key")
+  }
+
+  /** Token-budget selection: greedily take documents in descending
+    * score order until `budgetTokens` is filled — the "fill 1B
+    * training tokens with the best-scoring data" cut every curation
+    * pipeline ends with. A document is selected when the tokens of
+    * all BETTER-scored documents fit strictly under the budget, so
+    * the last selected document may overflow it (greedy-fill
+    * convention — a budget boundary never splits a document).
+    * Returns (idCol, scoreCol, n_tokens, offset) for selected rows;
+    * `offset` = tokens consumed before this document.
+    *
+    * The running total over the score-ranked corpus is the
+    * DISTRIBUTED prefix sum (range-repartition by (score desc, id),
+    * per-partition running sums, partition-count-sized offsets
+    * broadcast back) — same shape as the packing manifest; a global
+    * `Window.orderBy` would funnel the corpus through one task.
+    */
+  def selectToBudget(
+      df: DataFrame, idCol: String, tokensCol: String, scoreCol: String,
+      budgetTokens: Long, partitions: Int = 0): DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be positive")
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    val local = df
+      .select(col(idCol), col(scoreCol),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local",
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy(col("__pid")).orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .persist()
+    val prefixes = local.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__t")).over(
+          Window.partitionBy(pmod(col("__pid"), lit(1)))
+            .orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__prefix"))
+    local.join(broadcast(prefixes), Seq("__pid"))
+      .withColumn("offset", col("__local") + col("__prefix"))
+      .filter(col("offset") < budgetTokens)
+      .select(col(idCol), col(scoreCol), col("n_tokens"), col("offset"))
   }
 }

@@ -281,6 +281,41 @@ object Sketches {
       Seq(col("priority"), col(keyCol)), n)
   }
 
+  /** Per-group ordinary-least-squares trend: slope and intercept of
+    * y over x within each key group, from the closed form
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) — the "is this metric
+    * drifting up" readout over per-day aggregates.
+    *
+    * ONE map-side-combined aggregation carries all five sums; the
+    * sums ride DECIMAL (exact — float Σxy would be
+    * partition-order-dependent) and only the final division drops to
+    * 6dp-rounded doubles, so both engines draw identical lines. `x`
+    * must fit decimal(10,0) (a day/bucket index, not a timestamp in
+    * micros — rebase first); a constant-x group returns null slope.
+    */
+  def groupTrend(
+      df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "groupTrend needs at least one key column")
+    val x = col(xCol).cast("decimal(10,0)")
+    val y = col(yCol).cast("decimal(18,4)")
+    val agg = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("__sx"),
+        sum(y).cast("double").as("__sy"),
+        sum((x * y).cast("decimal(38,4)")).cast("double").as("__sxy"),
+        sum((x * x).cast("decimal(28,0)")).cast("double").as("__sxx"))
+    val denom = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = round(
+      try_divide(col("n") * col("__sxy") - col("__sx") * col("__sy"),
+        denom), 6)
+    val intercept = round(
+      try_divide(col("__sy") - slope * col("__sx"), col("n")), 6)
+    agg.select(keyCols.map(col) :+ col("n") :+ slope.as("slope") :+
+      intercept.as("intercept"): _*)
+  }
+
   /** Exact heavy hitters with CMS cross-check: top-k tokens by exact
     * corpus frequency (groupBy + TakeOrdered — partial aggregation
     * collapses per-partition counts before the shuffle) with each

@@ -82,4 +82,44 @@ object Resample {
       round(sum(col(valueCol).cast("decimal(18,4)")).over(w)
         .cast("double") / count(lit(1)).over(w), 6))
   }
+
+  /** Rolling-baseline anomaly flags over a regularized series: each
+    * row compared against the mean ± k·stddev of the PRECEDING
+    * `baselineRows` rows (current row excluded — an anomaly must not
+    * vote on its own baseline). Adds `base_mean`, `base_sigma` (6dp,
+    * population stddev) and `is_anomaly` (0/1; rows with fewer than
+    * `minBaseline` preceding rows flag 0 — a 1-row baseline calls
+    * everything anomalous).
+    *
+    * Both baseline moments come from decimal frame sums (Σv, Σv²
+    * exact; only the final mean/σ drop to rounded doubles), over the
+    * SAME (key, day) sort the fill and rolling mean use — still one
+    * logical key shuffle for the whole regularized-series family.
+    */
+  def rollingAnomaly(
+      grid: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      baselineRows: Int = 7,
+      k: Double = 2.0,
+      minBaseline: Int = 3): DataFrame = {
+    require(baselineRows >= 1 && minBaseline >= 1)
+    val w = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(-baselineRows, -1)
+    val v = col(valueCol).cast("decimal(18,4)")
+    val n = count(v).over(w)
+    val mu = round(sum(v).over(w).cast("double") / n, 6)
+    val sg = round(sqrt(greatest(lit(0.0),
+      sum((v * v).cast("decimal(38,8)")).over(w).cast("double") / n -
+        (sum(v).over(w).cast("double") / n) *
+        (sum(v).over(w).cast("double") / n))), 6)
+    grid
+      .withColumn("base_mean", mu)
+      .withColumn("base_sigma", sg)
+      .withColumn("is_anomaly",
+        when(n >= minBaseline && col(valueCol).isNotNull &&
+          abs(col(valueCol) - col("base_mean")) >
+            lit(k) * col("base_sigma"), 1).otherwise(0))
+  }
 }

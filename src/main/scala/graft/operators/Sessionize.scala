@@ -177,4 +177,35 @@ object Sessionize {
         round(sum(col("__gap")).cast("double") / count(lit(1)), 6)
           .as("avg_us"))
   }
+
+  /** Last-touch attribution: credit each conversion event to the most
+    * recent PRECEDING non-conversion event of the same key (its
+    * "channel"), then summarize conversions and value per channel.
+    * Conversions with no preceding touch credit `(direct)`. Returns
+    * (channel, n_conversions, total_value) with the value
+    * decimal-summed and surfaced as double.
+    *
+    * One lead-style window per key carries the running last touch
+    * (`last(..., ignoreNulls)` over unbounded-preceding-to-previous
+    * — an O(1) running carry, not a per-row rescan), then one small
+    * channel aggregate. Same tie-break discipline as
+    * [[transitionMatrix]].
+    */
+  def lastTouchAttribution(
+      df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      conversionType: String, valueCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col(tsCol) +: tieCols.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = last(
+      when(col(typeCol) =!= conversionType, col(typeCol)),
+      ignoreNulls = true).over(w)
+    df.withColumn("__channel", touch)
+      .filter(col(typeCol) === conversionType)
+      .groupBy(coalesce(col("__channel"), lit("(direct)")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double")
+          .as("total_value"))
+  }
 }

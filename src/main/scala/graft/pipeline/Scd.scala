@@ -155,4 +155,36 @@ object Scd {
       updates: DataFrame,
       keys: Seq[String]): DataFrame =
     graft.operators.Joins.mergeFrames(current, updates, keys)
+
+  /** Validity-chain audit for an SCD Type-2 dimension: per key, order
+    * the versions by `effCol` and compare each version's `endCol`
+    * against its successor's `effCol`. Returns one row per FLAWED
+    * version — `status` is `overlap` (successor starts before this
+    * version ends — two versions simultaneously valid, the corruption
+    * [[scd2Apply]]'s duplicate-batch guard exists to prevent),
+    * `gap` (successor starts after this version ends — dates in the
+    * hole resolve to NO version), or `open_not_last` (an open-ended
+    * version that has a successor). A clean dimension returns an
+    * empty frame.
+    *
+    * One lead() window per key over the version sort — the dimension
+    * streams through a single key shuffle; nothing joins.
+    */
+  def validityAudit(
+      dim: DataFrame, keys: Seq[String],
+      effCol: String = "eff_from",
+      endCol: String = "eff_to"): DataFrame = {
+    require(keys.nonEmpty, "validityAudit needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(effCol).asc)
+    val nextFrom = lead(col(effCol), 1).over(w)
+    val status = when(nextFrom.isNull, lit(null).cast("string"))
+      .when(col(endCol).isNull, lit("open_not_last"))
+      .otherwise(when(nextFrom < col(endCol), lit("overlap"))
+        .when(nextFrom > col(endCol), lit("gap")))
+    dim.withColumn("next_from", nextFrom)
+      .withColumn("status", status)
+      .filter(col("status").isNotNull)
+  }
 }

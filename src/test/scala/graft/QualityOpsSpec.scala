@@ -65,6 +65,103 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(0, 1, 2, 3))
   }
 
+  test("groupTrend recovers exact slopes per group") {
+    val d = (0 to 10).flatMap(x => Seq(
+      ("up", x, 2.0 * x + 5.0),     // slope 2, intercept 5
+      ("down", x, -1.5 * x + 30.0), // slope -1.5, intercept 30
+      ("flat", x, 7.0)))            // slope 0
+      .toDF("g", "x", "y")
+    val got = graft.ml.Sketches.groupTrend(d, Seq("g"), "x", "y")
+      .select("g", "slope", "intercept")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("up") == ((2.0, 5.0)))
+    assert(got("down") == ((-1.5, 30.0)))
+    assert(got("flat") == ((0.0, 7.0)))
+  }
+
+  test("groupTrend: constant-x group yields null slope, not a crash") {
+    val d = Seq(("g", 3, 1.0), ("g", 3, 2.0)).toDF("g", "x", "y")
+    val row = graft.ml.Sketches.groupTrend(d, Seq("g"), "x", "y")
+      .select("slope").collect().head
+    assert(row.isNullAt(0))
+  }
+
+  test("rollingAnomaly: spike flagged against its preceding baseline") {
+    import graft.operators.Resample
+    val days = (1 to 10).map(d => f"2024-01-$d%02d")
+    val vals = Seq(10.0, 14.0, 6.0, 10.0, 12.0, 8.0, 10.0, 50.0, 10.0,
+      10.0)
+    val grid = days.zip(vals).map { case (d, v) => (1L, d, v) }
+      .toDF("k", "day_s", "v")
+      .select(col("k"), col("day_s").cast("date").as("day"), col("v"))
+    val got = Resample.rollingAnomaly(grid, "k", "day", "v",
+        baselineRows = 7, k = 2.0, minBaseline = 3)
+      .select(col("day").cast("string"), col("is_anomaly"))
+      .as[(String, Int)].collect().toMap
+    assert(got("2024-01-08") == 1)   // the spike
+    assert(got("2024-01-01") == 0)   // no baseline yet
+    assert(got("2024-01-03") == 0)   // under minBaseline
+    // day 9: the spike is IN the baseline now, inflating sigma — a
+    // normal value must not flag
+    assert(got("2024-01-09") == 0)
+    assert(got.values.sum == 1)
+  }
+
+  test("lastTouchAttribution credits the latest prior touch, else direct") {
+    val ev = Seq(
+      (1L, 1L, "view", 0.0), (1L, 2L, "click", 0.0),
+      (1L, 3L, "purchase", 10.0), // credited to click
+      (2L, 4L, "purchase", 5.0),  // no touch -> (direct)
+      (2L, 5L, "view", 0.0), (2L, 6L, "purchase", 7.0)) // view
+      .map { case (u, s, t, v) =>
+        (u, s, new java.sql.Timestamp(s * 60000), t, v) }
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = graft.operators.Sessionize.lastTouchAttribution(
+        ev, "user_id", "ts", "event_type", "purchase", "value",
+        tieCols = Seq("event_id"))
+      .select("channel", "n_conversions", "total_value")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map("click" -> ((1L, 10.0)), "(direct)" -> ((1L, 5.0)),
+      "view" -> ((1L, 7.0))))
+  }
+
+  test("validityAudit: overlap, gap, open-not-last; clean chain silent") {
+    import graft.pipeline.Scd
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq(
+      // key 1: clean chain
+      (1L, d("2020-01-01"), d("2021-01-01")),
+      (1L, d("2021-01-01"), null.asInstanceOf[java.sql.Date]),
+      // key 2: overlap
+      (2L, d("2020-01-01"), d("2021-01-01")),
+      (2L, d("2020-06-01"), null.asInstanceOf[java.sql.Date]),
+      // key 3: gap
+      (3L, d("2020-01-01"), d("2021-01-01")),
+      (3L, d("2022-01-01"), null.asInstanceOf[java.sql.Date]),
+      // key 4: open version with a successor
+      (4L, d("2020-01-01"), null.asInstanceOf[java.sql.Date]),
+      (4L, d("2021-01-01"), null.asInstanceOf[java.sql.Date]))
+      .toDF("k", "eff_from", "eff_to")
+    val got = Scd.validityAudit(dim, Seq("k"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "overlap", 3L -> "gap",
+      4L -> "open_not_last"))
+  }
+
+  test("selectToBudget: greedy fill by score, last doc may overflow") {
+    import graft.ml.Curation
+    val d = Seq((1L, 10L, 100), (2L, 10L, 90), (3L, 10L, 80),
+      (4L, 10L, 70)).toDF("id", "tok", "score")
+    // budget 25: scores 100 (offset 0), 90 (offset 10), 80 (offset 20
+    // < 25, overflows to 30), 70 (offset 30 -> out)
+    val got = Curation.selectToBudget(d, "id", "tok", "score", 25L,
+        partitions = 3)
+      .select("id", "offset").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 10L, 3L -> 20L))
+  }
+
   test("paretoShare matches the single-window reference ordering") {
     val rnd = new scala.util.Random(99)
     val d = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000) / 10.0))
