@@ -744,15 +744,22 @@ object SparkEntry {
     }),
 
     // Blocked fuzzy record linkage: customers vs a deterministically
-    // corrupted copy (dirty digits in the name for key%2==0), blocked
-    // on nationkey, summed per-field Levenshtein <= 2. No cross
-    // product — pair space is Σ_block |L||R|.
+    // corrupted copy (dirty last digit for key%2==0), summed
+    // per-field Levenshtein <= 2 via the banded native kernel. The
+    // block key is (nation, middle name digits) — its CARDINALITY
+    // scales with the data, so per-block size (and the pair volume)
+    // stays bounded as the corpus grows; a fixed-cardinality block
+    // (nation alone) made the pair space quadratic and tripped the
+    // 10x-step scaling gate at sf0.1. The corruption never touches
+    // the blocked characters, so every planted twin stays in-block.
     "q130_linkage" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val left = c.select(col("c_custkey"), col("c_nationkey"),
+      val blk = concat(col("c_nationkey").cast("string"), lit("_"),
+        substring(col("c_name"), 13, 3))
+      val left = c.select(col("c_custkey"), blk.as("blk"),
         col("c_name"))
       val dirty = c.select((col("c_custkey") + 1000000L).as("d_custkey"),
-        col("c_nationkey"),
+        blk.as("blk"),
         when(col("c_custkey") % 2 === 0,
             concat(substring(col("c_name"), 1, 17),
               translate(substring(col("c_name"), 18, 1),
@@ -760,7 +767,7 @@ object SparkEntry {
           .otherwise(col("c_name")).as("d_name"))
       graft.ml.Linkage.linkPairs(left, dirty,
         leftIdCol = "c_custkey", rightIdCol = "d_custkey",
-        blockCol = "c_nationkey",
+        blockCol = "blk",
         compareCols = Seq("c_name" -> "d_name"), maxDistance = 2)
     }),
 
@@ -1029,6 +1036,27 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
           TextAnalysis.tokenCount(col("text")).as("n_tok")),
         "doc_id", "n_tok", "n_chars", budgetTokens = 10000L)),
+
+    // Top first-5-step user paths: per-key ordered sequence built in
+    // ONE aggregation buffer (sort_array over (ts, tie, state)
+    // structs — total order, partition-independent), TakeOrdered
+    // top-k.
+    "q157_top_paths" -> ((s, dir) =>
+      Sessionize.topPaths(t(s, dir, "events"),
+        "user_id", "ts", "event_type", tieCols = Seq("event_id"),
+        k = 20, maxSteps = 5)),
+
+    // Audience growth: new keys per first-seen day + running total —
+    // two tiny aggregations and a calendar-sized running sum.
+    "q158_user_growth" -> ((s, dir) =>
+      Sessionize.userGrowth(t(s, dir, "events"), "user_id", "ts")),
+
+    // Growth accounting: day-over-day revenue bridge split into
+    // new/resurrected/expansion/contraction/churned — decimal-exact,
+    // the bucket identity sums to the day's total delta.
+    "q159_growth_accounting" -> ((s, dir) =>
+      Sessionize.growthAccounting(t(s, dir, "events"),
+        "user_id", "ts", "value")),
 
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
@@ -3251,8 +3279,14 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tri)
         |SELECT node, count(*) AS n_tri FROM n GROUP BY node""".stripMargin,
     "q130_linkage" ->
-      """WITH dirty AS (
-        |  SELECT c_custkey + 1000000 AS d_custkey, c_nationkey,
+      """WITH lft AS (SELECT c_custkey,
+        |    CAST(c_nationkey AS VARCHAR) || '_' ||
+        |      substring(c_name, 13, 3) AS blk, c_name
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey + 1000000 AS d_custkey,
+        |    CAST(c_nationkey AS VARCHAR) || '_' ||
+        |      substring(c_name, 13, 3) AS blk,
         |    CASE WHEN c_custkey % 2 = 0
         |      THEN substring(c_name, 1, 17) ||
         |        translate(substring(c_name, 18, 1),
@@ -3262,7 +3296,7 @@ object SparkEntry {
         |SELECT l.c_custkey, d.d_custkey,
         |  levenshtein(l.c_name, d.d_name) AS d_c_name,
         |  levenshtein(l.c_name, d.d_name) AS distance
-        |FROM customer l JOIN dirty d ON l.c_nationkey = d.c_nationkey
+        |FROM lft l JOIN dirty d ON l.blk = d.blk
         |WHERE levenshtein(l.c_name, d.d_name) <= 2""".stripMargin,
     "q131_fill_forward" ->
       """WITH daily AS (
@@ -3651,6 +3685,50 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, n_chars, n_tokens, "offset" FROM o
         |WHERE "offset" < 10000""".stripMargin,
+    "q157_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, count(*) AS n_keys FROM p GROUP BY path
+        |ORDER BY n_keys DESC, path LIMIT 20""".stripMargin,
+    "q158_user_growth" ->
+      """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT day, count(*) AS n_new FROM fd GROUP BY day)
+        |SELECT day, n_new,
+        |  sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum_users
+        |FROM d""".stripMargin,
+    "q159_growth_accounting" ->
+      """WITH ud AS (SELECT user_id AS k, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS rev
+        |  FROM events GROUP BY k, day),
+        |fd AS (SELECT k, min(day) AS f FROM ud GROUP BY k),
+        |pv AS (SELECT k, day + 1 AS day, rev AS prev_rev FROM ud),
+        |j AS (SELECT coalesce(ud.k, pv.k) AS k,
+        |    coalesce(ud.day, pv.day) AS day, ud.rev, pv.prev_rev
+        |  FROM ud FULL OUTER JOIN pv
+        |    ON ud.k = pv.k AND ud.day = pv.day),
+        |e AS (SELECT j.*, fd.f FROM j JOIN fd ON j.k = fd.k)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN prev_rev IS NULL AND day = f
+        |    THEN coalesce(rev, 0) ELSE 0 END) AS DOUBLE) AS new_rev,
+        |  CAST(sum(CASE WHEN prev_rev IS NULL AND day > f
+        |    THEN coalesce(rev, 0) ELSE 0 END) AS DOUBLE)
+        |    AS resurrected_rev,
+        |  CAST(sum(CASE WHEN rev IS NOT NULL AND prev_rev IS NOT NULL
+        |      AND rev > prev_rev THEN rev - prev_rev ELSE 0 END)
+        |    AS DOUBLE) AS expansion,
+        |  CAST(sum(CASE WHEN rev IS NOT NULL AND prev_rev IS NOT NULL
+        |      AND rev < prev_rev THEN rev - prev_rev ELSE 0 END)
+        |    AS DOUBLE) AS contraction,
+        |  CAST(sum(CASE WHEN rev IS NULL THEN -prev_rev ELSE 0 END)
+        |    AS DOUBLE) AS churned_rev
+        |FROM e GROUP BY day""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

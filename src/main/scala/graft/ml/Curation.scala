@@ -287,9 +287,15 @@ object Curation {
             .orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__prefix"))
-    local.join(broadcast(prefixes), Seq("__pid"))
+    val out = local.join(broadcast(prefixes), Seq("__pid"))
       .withColumn("offset", col("__local") + col("__prefix"))
       .filter(col("offset") < budgetTokens)
       .select(col(idCol), col(scoreCol), col("n_tokens"), col("offset"))
+    // session-cache hygiene (the jaccardPairs contract): materialize
+    // the selected subset, release the CacheManager-registered ranked
+    // table before returning
+    val materialized = out.localCheckpoint()
+    local.unpersist()
+    materialized
   }
 }

@@ -254,13 +254,25 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1)
-    var e = edges
+    val canon = edges
       .filter(col(srcCol) =!= col(dstCol))
       .select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .distinct()
-    var prevRdd: RDD[InternalRow] = null
+    // Materialize the canonical edge set BEFORE round 1: the first
+    // round references it three times (degree agg + two semi-joins),
+    // and an expensive derivation upstream (e.g. a per-basket
+    // self-join) would otherwise run three times. Same RDD-level
+    // truncation as the per-round checkpoints, so nothing registers
+    // with the CacheManager.
+    val schema0 = canon.schema
+    val rdd0 = canon.queryExecution.toRdd.map(_.copy())
+    rdd0.localCheckpoint()
+    rdd0.count()
+    var e = GraftBridge.internalCreateDataFrame(
+      edges.sparkSession, rdd0, schema0)
+    var prevRdd: RDD[InternalRow] = rdd0
     for (_ <- 1 to iters) {
       val deg = e.select(col("u").as("n"))
         .unionAll(e.select(col("v").as("n")))
@@ -364,11 +376,17 @@ object Graph {
     val closing =
       if (m <= broadcastEdgeLimit) broadcast(closing0) else closing0
     val tris = wedges.join(closing, Seq("x", "y"), "leftsemi")
-    tris.select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+    val out = tris
+      .select(explode(array(col("a"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    // `oriented` stays persisted until the caller's action completes;
-    // freeing it here would recompute the two probes. Callers running
-    // many graphs per session should clearCache() between them (same
-    // session-cache contract as jaccardPairs).
+    // Same session-cache hygiene as jaccardPairs: the (node, count)
+    // output — per-node cardinality, far smaller than the edge set —
+    // materializes via localCheckpoint (ContextCleaner-managed), and
+    // the CacheManager-registered orientation table is released
+    // before returning, so a long-lived session running many graphs
+    // accumulates nothing.
+    val materialized = out.localCheckpoint()
+    oriented.unpersist()
+    materialized
   }
 }

@@ -257,7 +257,7 @@ object Profile {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
       .select(col("__pid"), col("__prefix"))
     val total = local.agg(sum(col("revenue")).as("__total"))
-    local.join(broadcast(prefixes), Seq("__pid"))
+    val out = local.join(broadcast(prefixes), Seq("__pid"))
       .crossJoin(broadcast(total))
       .select(keyCols.map(col) ++ Seq(
         col("revenue").cast("double").as("revenue"),
@@ -265,6 +265,11 @@ object Profile {
           .cast("double"), 6).as("share"),
         round((col("__local") + col("__prefix")).cast("double") /
           col("__total").cast("double"), 6).as("cum_share")): _*)
+    // session-cache hygiene (the jaccardPairs contract): materialize
+    // the result, release the CacheManager-registered intermediate
+    val materialized = out.localCheckpoint()
+    local.unpersist()
+    materialized
   }
 
   /** Chi-square contingency cells for two categorical columns: per

@@ -208,4 +208,96 @@ object Sessionize {
         sum(col(valueCol).cast("decimal(18,4)")).cast("double")
           .as("total_value"))
   }
+
+  /** Top event paths: each key's full ordered state sequence joined
+    * into a `a>b>c` path string, counted across keys, top-k by
+    * frequency — the "what do users actually do" readout.
+    *
+    * One aggregation per key (collect + sort inside the aggregation
+    * buffer — `sort_array` over (ts, tie, state) structs makes the
+    * order total and partition-independent), one path count, one
+    * TakeOrdered top-k (never a global sort). The per-key collect
+    * holds ONE key's events in one buffer — same whale-key caveat as
+    * [[sessionize]]: cap per-key history upstream for keys with
+    * unbounded event counts.
+    */
+  def topPaths(
+      df: DataFrame, keyCol: String, tsCol: String, stateCol: String,
+      tieCols: Seq[String] = Nil, k: Int = 20,
+      maxSteps: Int = 5): DataFrame = {
+    require(maxSteps >= 1, "maxSteps must be >= 1")
+    val item = struct(
+      (col(tsCol) +: tieCols.map(col) :+ col(stateCol)): _*)
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(item)).as("__seq"))
+      .select(array_join(
+        transform(slice(col("__seq"), 1, maxSteps),
+          x => x.getField(stateCol)), ">")
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("n_keys").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** Daily audience growth: per first-seen day, the number of new
+    * keys and the running total audience — two tiny aggregations
+    * (per-key min, then per-day count) and a running sum over the
+    * DAY table (calendar-sized — hundreds of rows — so the
+    * single-task window is safe; the constant partition key keeps
+    * WindowExec from warning about a data-sized global window).
+    */
+  def userGrowth(
+      df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val firstDay = df.groupBy(col(keyCol))
+      .agg(min(col(tsCol).cast("date")).as("day"))
+    val daily = firstDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy(pmod(dayofmonth(col("day")), lit(1)))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum(col("n_new")).over(w))
+  }
+
+  /** Growth accounting (the standard revenue-bridge decomposition):
+    * day-over-day revenue change per key classified as new /
+    * resurrected / expansion / contraction / churned, aggregated per
+    * day. Returns one row per day with the five decimal-exact
+    * buckets as doubles; the identity
+    * `Σ buckets = total(d) − total(d−1)` holds by construction.
+    *
+    * Shape: one (key, day) revenue aggregate, a self full-outer join
+    * keyed on (key, day)/(key, day+1) — hash-partitioned on the key,
+    * no range machinery — a first-seen-day join for the
+    * new-vs-resurrected split, and one per-day aggregate.
+    */
+  def growthAccounting(
+      df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val ud = df.groupBy(col(keyCol).as("k"),
+        col(tsCol).cast("date").as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,4)")).as("rev"))
+    val firstDay = ud.groupBy(col("k")).agg(min(col("day")).as("__fd"))
+    val cur = ud.select(col("k"), col("day"), col("rev"))
+    val prev = ud.select(col("k"), date_add(col("day"), 1).as("day"),
+      col("rev").as("__prev_rev"))
+    val joined = cur.join(prev, Seq("k", "day"), "full_outer")
+      .join(firstDay, Seq("k"))
+    val z = lit(BigDecimal(0)).cast("decimal(18,4)")
+    val curRev = coalesce(col("rev"), z)
+    val prevRev = coalesce(col("__prev_rev"), z)
+    joined.groupBy(col("day"))
+      .agg(
+        sum(when(col("__prev_rev").isNull && col("day") === col("__fd"),
+          curRev).otherwise(z)).cast("double").as("new_rev"),
+        sum(when(col("__prev_rev").isNull && col("day") > col("__fd"),
+          curRev).otherwise(z)).cast("double").as("resurrected_rev"),
+        sum(when(col("rev").isNotNull && col("__prev_rev").isNotNull &&
+            curRev > prevRev, curRev - prevRev).otherwise(z))
+          .cast("double").as("expansion"),
+        sum(when(col("rev").isNotNull && col("__prev_rev").isNotNull &&
+            curRev < prevRev, curRev - prevRev).otherwise(z))
+          .cast("double").as("contraction"),
+        sum(when(col("rev").isNull, -prevRev).otherwise(z))
+          .cast("double").as("churned_rev"))
+  }
 }

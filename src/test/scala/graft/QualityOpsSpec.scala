@@ -162,6 +162,67 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 10L, 3L -> 20L))
   }
 
+  test("topPaths orders steps by (ts, tie) and truncates at maxSteps") {
+    import graft.operators.Sessionize
+    val ts0 = 1700000000000L
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"),
+      (3L, 1L, "x"), (3L, 2L, "y"))
+      .map { case (u, s, t) =>
+        (u, s, new java.sql.Timestamp(ts0 + s * 1000), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sessionize.topPaths(ev, "user_id", "ts", "event_type",
+        tieCols = Seq("event_id"), k = 10, maxSteps = 2)
+      .as[(String, Long)].collect().toSeq
+    // truncation at 2 steps folds both a>b>c users into "a>b"
+    assert(got == Seq(("a>b", 2L), ("x>y", 1L)))
+  }
+
+  test("userGrowth: new keys per day and a running audience total") {
+    import graft.operators.Sessionize
+    val ev = Seq((1L, "2024-01-01"), (1L, "2024-01-03"),
+      (2L, "2024-01-01"), (3L, "2024-01-03"))
+      .toDF("user_id", "d")
+      .select(col("user_id"), col("d").cast("timestamp").as("ts"))
+    val got = Sessionize.userGrowth(ev, "user_id", "ts")
+      .select(col("day").cast("string"), col("n_new"), col("cum_users"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("2024-01-01", 2L, 2L),
+      ("2024-01-03", 1L, 3L)))
+  }
+
+  test("growthAccounting buckets sum to the day-over-day delta") {
+    import graft.operators.Sessionize
+    // u1: 10 on d1, 15 on d2 (expansion 5)
+    // u2: 10 on d1 only (churned -10 on d2)
+    // u3: new 7 on d2
+    // u4: 5 on d1, returns 4 on d3 (resurrected, not d2-churn... d2
+    //     churn -5, d3 resurrect 4)
+    val ev = Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-02", 15.0),
+      (2L, "2024-01-01", 10.0),
+      (3L, "2024-01-02", 7.0),
+      (4L, "2024-01-01", 5.0), (4L, "2024-01-03", 4.0))
+      .toDF("user_id", "d", "value")
+      .select(col("user_id"), col("d").cast("timestamp").as("ts"),
+        col("value"))
+    val got = Sessionize.growthAccounting(ev, "user_id", "ts", "value")
+      .select(col("day").cast("string"), col("new_rev"),
+        col("resurrected_rev"), col("expansion"), col("contraction"),
+        col("churned_rev"))
+      .as[(String, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("2024-01-02") ==
+      (("2024-01-02", 7.0, 0.0, 5.0, 0.0, -15.0)))
+    assert(got("2024-01-03") == (("2024-01-03", 0.0, 4.0, 0.0, 0.0,
+      -22.0)))
+    // identity: buckets sum to total(d) - total(d-1) for day 2:
+    // total(d2)=22, total(d1)=25 -> delta -3 == 7+0+5+0-15
+    val d2 = got("2024-01-02")
+    assert(d2._2 + d2._3 + d2._4 + d2._5 + d2._6 == -3.0)
+  }
+
   test("paretoShare matches the single-window reference ordering") {
     val rnd = new scala.util.Random(99)
     val d = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000) / 10.0))
