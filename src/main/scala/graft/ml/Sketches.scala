@@ -363,14 +363,32 @@ object Sketches {
     */
   def exactQuantiles(
       df: DataFrame, valueCol: String, ps: Seq[Double],
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    exactQuantilesWeighted(
+      df.select(col(valueCol).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c")),
+      "v", "c", ps, partitions)
+      .select(col("p"), col("v").as(valueCol))
+
+  /** [[exactQuantiles]] over a PRE-AGGREGATED (value, count)
+    * histogram — the rank machinery without rebuilding the value
+    * histogram. Exists because derived distributions are often cheap
+    * projections of a histogram already in hand: the median absolute
+    * deviation re-aggregates |v − median| over the ORIGINAL
+    * histogram's distinct values instead of scanning the data again
+    * ([[graft.operators.Cleanse.flagOutliersMad]]). Rows must carry
+    * unique values (a grouped histogram does by construction).
+    */
+  def exactQuantilesWeighted(
+      hist0: DataFrame, valueCol: String, countCol: String,
+      ps: Seq[Double], partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"fractions must be in [0, 1], got $ps")
     val nPart = if (partitions > 0) partitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    val hist = df.select(col(valueCol).as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      else hist0.sparkSession.sessionState.conf.numShufflePartitions
+    val hist = hist0
+      .select(col(valueCol).as("v"), col(countCol).as("c"))
       .repartitionByRange(nPart, col("v"))
       .sortWithinPartitions(col("v"))
       .withColumn("__pid", spark_partition_id())

@@ -150,19 +150,32 @@ object Cleanse {
       df: DataFrame,
       valueCol: String,
       k: Double = 3.0): DataFrame = {
-    val med = graft.ml.Sketches.exactQuantiles(df, valueCol, Seq(0.5))
-      .agg(min(col(valueCol)).as("__med"))
-    val withMed = df.crossJoin(broadcast(med))
-    val dev = withMed.select(
-      abs(col(valueCol) - col("__med")).as("__absdev"))
-    val mad = graft.ml.Sketches.exactQuantiles(dev, "__absdev", Seq(0.5))
-      .agg(min(col("__absdev")).as("__mad"))
-    withMed.crossJoin(broadcast(mad))
-      .withColumn("is_outlier",
-        when(col(valueCol).isNotNull &&
-          abs(col(valueCol) - col("__med")) > lit(k) * col("__mad"), 1)
-          .otherwise(0))
-      .drop("__med", "__mad")
+    // ONE value histogram serves both medians: the deviation
+    // distribution |v − median| is a projection of the histogram
+    // already in hand, re-aggregated over DISTINCT values only — the
+    // data itself is scanned and shuffled once, not twice.
+    val hist = df.select(col(valueCol).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .persist()
+    // Each median is ONE scalar — collected as bounded driver
+    // metadata (the bloom-bits/centroids convention), which lets the
+    // histogram release before returning and leaves the flag pass a
+    // pure stateless projection with literal bounds.
+    val med = lit(graft.ml.Sketches
+      .exactQuantilesWeighted(hist, "__v", "__c", Seq(0.5))
+      .agg(min(col("__v"))).collect()(0).get(0))
+    val devHist = hist
+      .groupBy(abs(col("__v") - med).as("__d"))
+      .agg(sum(col("__c")).as("__c"))
+    val mad = lit(graft.ml.Sketches
+      .exactQuantilesWeighted(devHist, "__d", "__c", Seq(0.5))
+      .agg(min(col("__d"))).collect()(0).get(0))
+    hist.unpersist()
+    // null med/mad (empty input) makes the predicate null -> flag 0
+    df.withColumn("is_outlier",
+      when(col(valueCol).isNotNull &&
+        abs(col(valueCol) - med) > lit(k) * mad, 1)
+        .otherwise(0))
   }
 
   /** Per-group min-max feature scaling: `scaledCol` :=
