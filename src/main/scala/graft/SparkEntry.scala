@@ -1058,6 +1058,54 @@ object SparkEntry {
       Sessionize.growthAccounting(t(s, dir, "events"),
         "user_id", "ts", "value")),
 
+    // Truncated EWMA over the filled grid: integer-scaled binary
+    // weights make the sequential recurrence an order-free exact
+    // windowed dot product.
+    "q160_ewma" -> ((s, dir) => {
+      val grid = graft.operators.Resample.dailyFillForward(
+        t(s, dir, "events"), "user_id", "ts", "value")
+      graft.operators.Resample.ewma(grid, "user_id", "day", "filled")
+    }),
+
+    // Window-function parity suite: row_number/ntile over a total
+    // order; rank/dense_rank/percent_rank/cume_dist over the tied
+    // price order (ties are the point — rank semantics differ from
+    // row_number exactly there).
+    "q161_rank_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wt = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+      val wp = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice"))
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          row_number().over(wt).as("rn"),
+          rank().over(wp).as("rnk"),
+          dense_rank().over(wp).as("drnk"),
+          // raw doubles: both engines derive these from the same
+          // integer rank/count ratios, so they are bit-identical —
+          // a 6dp round would reintroduce half-up-vs-half-even skew
+          percent_rank().over(wp).as("prnk"),
+          cume_dist().over(wp).as("cdist"),
+          ntile(4).over(wt).as("quartile"))
+    }),
+
+    // Day-over-day deltas per event type: lag arithmetic, null-safe
+    // first day.
+    "q162_dod_change" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.select(col("event_type"), col("day"), col("n"),
+        (col("n") - lag(col("n"), 1).over(w)).as("delta"),
+        try_divide(col("n") - lag(col("n"), 1).over(w),
+          lag(col("n"), 1).over(w)).as("pct_change"))
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -3729,6 +3777,63 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rev IS NULL THEN -prev_rev ELSE 0 END)
         |    AS DOUBLE) AS churned_rev
         |FROM e GROUP BY day""".stripMargin,
+    "q160_ewma" -> {
+      val k = 7
+      val lagTerm = (i: Int) => {
+        val wt = 1L << (k - 1 - i)
+        val lv = if (i == 0) "CAST(filled AS DECIMAL(18,4))"
+          else s"lag(CAST(filled AS DECIMAL(18,4)), $i) OVER wk"
+        (s"CASE WHEN $lv IS NOT NULL THEN CAST($lv * $wt AS DECIMAL(28,4)) ELSE CAST(0 AS DECIMAL(28,4)) END",
+          s"CASE WHEN $lv IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      val nums = (0 until k).map(i => lagTerm(i)._1).mkString(" + ")
+      val dens = (0 until k).map(i => lagTerm(i)._2).mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |    sum(CAST(value AS DECIMAL(18,4))) AS v
+         |  FROM events GROUP BY user_id, day),
+         |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |  FROM daily GROUP BY user_id),
+         |grid AS (SELECT user_id,
+         |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |      AS day
+         |  FROM span),
+         |f AS (SELECT g.user_id, g.day,
+         |    CAST(last_value(d.v IGNORE NULLS) OVER (
+         |      PARTITION BY g.user_id ORDER BY g.day) AS DOUBLE)
+         |      AS filled,
+         |    CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS is_gap
+         |  FROM grid g LEFT JOIN daily d
+         |    ON g.user_id = d.user_id AND g.day = d.day)
+         |SELECT user_id, day, filled, is_gap,
+         |  round(CAST($nums AS DOUBLE) / CAST($dens AS DOUBLE), 6)
+         |    AS ewma
+         |FROM f
+         |WINDOW wk AS (PARTITION BY user_id ORDER BY day)""".stripMargin
+    },
+    "q161_rank_suite" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER wt AS rn,
+        |  rank() OVER wp AS rnk,
+        |  dense_rank() OVER wp AS drnk,
+        |  percent_rank() OVER wp AS prnk,
+        |  cume_dist() OVER wp AS cdist,
+        |  ntile(4) OVER wt AS quartile
+        |FROM lineitem
+        |WINDOW wt AS (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber),
+        |  wp AS (PARTITION BY l_suppkey ORDER BY l_extendedprice)"""
+        .stripMargin,
+    "q162_dod_change" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY event_type, day)
+        |SELECT event_type, day, n,
+        |  n - lag(n) OVER w AS delta,
+        |  (n - lag(n) OVER w) / lag(n) OVER w AS pct_change
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day)"""
+        .stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

@@ -83,6 +83,44 @@ object Resample {
         .cast("double") / count(lit(1)).over(w), 6))
   }
 
+  /** Truncated exponentially-weighted moving average over a
+    * regularized series: smoothed_t = Σ_{i<k} αⁱ·v_{t−i} / Σ αⁱ with
+    * α = 1/2, truncated at `windowRows` terms and re-normalized over
+    * the terms actually present (short at the series head). Scaling
+    * both sides by 2^(k−1) turns the weights into INTEGERS
+    * (2^(k−1−i)), so numerator and denominator are exact decimal/
+    * integer sums and the recurrence — which a streaming EWMA
+    * computes sequentially and no parallel engine can reproduce
+    * float-exactly — becomes an order-free windowed dot product,
+    * identical on any engine. Adds `ewma` (6dp double).
+    *
+    * k lag() references over ONE (key, day) sort — the same single
+    * key shuffle as the rest of the regularized-series family.
+    */
+  def ewma(
+      grid: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      windowRows: Int = 7): DataFrame = {
+    require(windowRows >= 1 && windowRows <= 20,
+      "windowRows must be in [1, 20]")
+    val w = Window.partitionBy(keyCol).orderBy(dayCol)
+    val v = col(valueCol).cast("decimal(18,4)")
+    val terms = (0 until windowRows).map { i =>
+      val wt = 1L << (windowRows - 1 - i)
+      val lv = if (i == 0) v else lag(v, i).over(w)
+      (when(lv.isNotNull, (lv * lit(wt)).cast("decimal(28,4)"))
+        .otherwise(lit(null).cast("decimal(28,4)")),
+        when(lv.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    val num = terms.map(t => coalesce(t._1, lit(0).cast("decimal(28,4)")))
+      .reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    grid.withColumn("ewma",
+      round(num.cast("double") / den.cast("double"), 6))
+  }
+
   /** Rolling-baseline anomaly flags over a regularized series: each
     * row compared against the mean ± k·stddev of the PRECEDING
     * `baselineRows` rows (current row excluded — an anomaly must not

@@ -223,6 +223,22 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(d2._2 + d2._3 + d2._4 + d2._5 + d2._6 == -3.0)
   }
 
+  test("ewma: binary weights, head renormalization, recency bias") {
+    import graft.operators.Resample
+    val grid = Seq((1L, "2024-01-01", 10.0), (1L, "2024-01-02", 20.0),
+      (1L, "2024-01-03", 40.0))
+      .toDF("k", "day_s", "v")
+      .select(col("k"), col("day_s").cast("date").as("day"), col("v"))
+    val got = Resample.ewma(grid, "k", "day", "v", windowRows = 3)
+      .select(col("day").cast("string"), col("ewma"))
+      .as[(String, Double)].collect().toMap
+    // day1: only itself -> 10; day2: (4*20 + 2*10)/6 = 16.666667
+    // day3: (4*40 + 2*20 + 1*10)/7 = 30
+    assert(got("2024-01-01") == 10.0)
+    assert(got("2024-01-02") == 16.666667)
+    assert(got("2024-01-03") == 30.0)
+  }
+
   test("paretoShare matches the single-window reference ordering") {
     val rnd = new scala.util.Random(99)
     val d = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000) / 10.0))
