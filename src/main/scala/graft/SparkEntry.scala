@@ -1106,6 +1106,27 @@ object SparkEntry {
           lag(col("n"), 1).over(w)).as("pct_change"))
     }),
 
+    // Sorted-neighborhood linkage (the merge-purge discipline): both
+    // sides rank globally by name via the distributed prefix-count
+    // rank, then each record compares only against the next w-1
+    // positions — candidate volume exactly n*(w-1), skew-free, no
+    // blocking key needed.
+    "q163_sorted_neighbors" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val left = c.select(col("c_custkey"), col("c_name"))
+      val dirty = c.select((col("c_custkey") + 1000000L).as("d_custkey"),
+        when(col("c_custkey") % 2 === 0,
+            concat(substring(col("c_name"), 1, 17),
+              translate(substring(col("c_name"), 18, 1),
+                "0123456789", "1234567890")))
+          .otherwise(col("c_name")).as("d_name"))
+      graft.ml.Linkage.sortedNeighborPairs(left, dirty,
+        leftIdCol = "c_custkey", rightIdCol = "d_custkey",
+        sortKeyLeft = "c_name", sortKeyRight = "d_name",
+        compareLeft = "c_name", compareRight = "d_name",
+        maxDistance = 2, windowSize = 10)
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -3833,6 +3854,32 @@ object SparkEntry {
         |  (n - lag(n) OVER w) / lag(n) OVER w AS pct_change
         |FROM daily
         |WINDOW w AS (PARTITION BY event_type ORDER BY day)"""
+        .stripMargin,
+    // Sorted neighbors: the oracle's rank is the one-task global
+    // window the engine-side distributed rank avoids.
+    "q163_sorted_neighbors" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey + 1000000 AS d_custkey,
+        |    CASE WHEN c_custkey % 2 = 0
+        |      THEN substring(c_name, 1, 17) ||
+        |        translate(substring(c_name, 18, 1),
+        |          '0123456789', '1234567890')
+        |      ELSE c_name END AS d_name
+        |  FROM customer),
+        |u AS (SELECT c_custkey AS id, 0 AS side, c_name AS key,
+        |    c_name AS cmp FROM customer
+        |  UNION ALL
+        |  SELECT d_custkey, 1, d_name, d_name FROM dirty),
+        |rk AS (SELECT id, side, cmp,
+        |    row_number() OVER (ORDER BY key, side, id) AS rnk FROM u),
+        |pr AS (SELECT a.id AS ida, a.side AS sa, a.cmp AS ca,
+        |    a.rnk + o AS rnk
+        |  FROM rk a, (SELECT unnest(range(1, 10)) AS o) offs)
+        |SELECT CASE WHEN sa = 0 THEN ida ELSE b.id END AS c_custkey,
+        |  CASE WHEN sa = 0 THEN b.id ELSE ida END AS d_custkey,
+        |  levenshtein(ca, b.cmp) AS distance
+        |FROM pr JOIN rk b ON pr.rnk = b.rnk
+        |WHERE sa <> b.side AND levenshtein(ca, b.cmp) <= 2"""
         .stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.

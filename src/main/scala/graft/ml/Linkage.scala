@@ -93,4 +93,87 @@ object Linkage {
       .filter(inBand && total <= lit(maxDistance))
       .select(outCols: _*)
   }
+
+  /** Sorted-neighborhood record linkage (Hernández/Stolfo's merge-
+    * purge method; public descriptions only) — the OTHER classic
+    * candidate discipline: both sides merge into one list sorted by
+    * `sortKeyCol`, and only records within `windowSize` positions
+    * compare. Where [[linkPairs]] needs a good equality blocking key,
+    * this needs a good SORT key: near-duplicates land adjacent even
+    * when every blocking attribute is dirty, and candidate volume is
+    * exactly n·(w−1) — linear by construction, skew-free.
+    *
+    * The global sort position is a DISTRIBUTED rank, not a global
+    * window: range-repartition on (sort key, side, id), per-partition
+    * row_number, partition-count-sized offsets broadcast back — rank
+    * is exact (prefix COUNTS, unaffected by boundary sampling), and
+    * the neighbor probe is then a plain integer equi-join of each
+    * record against rank+1..rank+w−1. Cross-side pairs within the
+    * edit budget emit with their banded distance (same
+    * [[graft.functions.BoundedEditDistance]] kernel).
+    */
+  def sortedNeighborPairs(
+      left: DataFrame,
+      right: DataFrame,
+      leftIdCol: String,
+      rightIdCol: String,
+      sortKeyLeft: String,
+      sortKeyRight: String,
+      compareLeft: String,
+      compareRight: String,
+      maxDistance: Int,
+      windowSize: Int = 10,
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(leftIdCol != rightIdCol,
+      "leftIdCol and rightIdCol must differ (output carries both)")
+    require(windowSize >= 2, "windowSize must be >= 2")
+    val p = if (partitions > 0) partitions
+      else left.sparkSession.sessionState.conf.numShufflePartitions
+    val l = left.select(col(leftIdCol).cast("long").as("_id"),
+      lit(0).as("_side"), col(sortKeyLeft).as("_key"),
+      col(compareLeft).as("_cmp"))
+    val r = right.select(col(rightIdCol).cast("long").as("_id"),
+      lit(1).as("_side"), col(sortKeyRight).as("_key"),
+      col(compareRight).as("_cmp"))
+    val order = Seq(col("_key").asc, col("_side").asc, col("_id").asc)
+    val local = l.unionByName(r)
+      .repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(order: _*)))
+      .persist()
+    val offsets = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__t"))
+      .withColumn("__off",
+        coalesce(sum(col("__t")).over(
+          Window.partitionBy(pmod(col("__pid"), lit(1)))
+            .orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val ranked = local.join(broadcast(offsets), Seq("__pid"))
+      .select(col("_id"), col("_side"), col("_cmp"),
+        (col("__rn") + col("__off")).as("_rank"))
+    val probes = ranked.select(col("_id").as("_ida"),
+        col("_side").as("_sa"), col("_cmp").as("_ca"),
+        explode(sequence(col("_rank") + 1,
+          col("_rank") + (windowSize - 1))).as("_rank"))
+    val d = graft.functions.BoundedEditDistance.boundedLevenshtein(
+      col("_ca"), col("_cmp"), maxDistance)
+    val out = probes.join(ranked, Seq("_rank"))
+      .filter(col("_sa") =!= col("_side"))
+      .select(
+        when(col("_sa") === 0, col("_ida")).otherwise(col("_id"))
+          .as(leftIdCol),
+        when(col("_sa") === 0, col("_id")).otherwise(col("_ida"))
+          .as(rightIdCol),
+        d.as("distance"))
+      .filter(col("distance") >= 0 && col("distance") <= maxDistance)
+    // session-cache hygiene: materialize the (small) pair output,
+    // release the ranked table
+    val materialized = out.localCheckpoint()
+    local.unpersist()
+    materialized
+  }
 }

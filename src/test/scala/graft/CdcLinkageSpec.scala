@@ -100,6 +100,35 @@ class CdcLinkageSpec extends AnyFunSuite {
     assert(got == Seq((51L, 100L))) // only the cold-block pair survives
   }
 
+  test("sortedNeighborPairs finds adjacent near-dups without blocking") {
+    // names sort adjacently; "smith"~"smyth" are neighbors in sort
+    // order even though no blocking key exists
+    val left = Seq((1L, "smith"), (2L, "jones"), (3L, "zzzza"))
+      .toDF("lid", "name")
+    val right = Seq((10L, "smyth"), (11L, "jonez"), (12L, "aaaaa"))
+      .toDF("rid", "name")
+    val got = graft.ml.Linkage.sortedNeighborPairs(left, right,
+        "lid", "rid", "name", "name", "name", "name",
+        maxDistance = 1, windowSize = 4, partitions = 3)
+      .select("lid", "rid", "distance")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 10L, 1), (2L, 11L, 1)))
+  }
+
+  test("sortedNeighborPairs: window bound caps the candidate span") {
+    // identical keys everywhere: with windowSize w each record only
+    // sees w-1 successors, so pair count stays linear
+    val left = (1L to 30L).map(i => (i, f"k$i%03d")).toDF("lid", "name")
+    val right = (1L to 30L).map(i => (i + 100, f"k$i%03d"))
+      .toDF("rid", "name")
+    val n = graft.ml.Linkage.sortedNeighborPairs(left, right,
+        "lid", "rid", "name", "name", "name", "name",
+        maxDistance = 2, windowSize = 3, partitions = 4).count()
+    // each cross-side pair within 2 positions of the interleaved sort:
+    // exactly bounded by total*(w-1) = 60*2 = 120 candidate probes
+    assert(n > 0 && n <= 120)
+  }
+
   // -------------------------------------------------------- resample
 
   test("kCorePeel removes the low-degree fringe, cascading") {
