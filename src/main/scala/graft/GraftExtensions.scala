@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SimHash64, SortedIntersectCount, Winnow}
+import graft.functions.{BoundedEditDistance, DotProduct, MinHashSignature, ShingleHashes, SimHash64, SortedIntersectCount, Winnow}
 
 /** SQL registration of the engine's native expressions.
   *
@@ -58,6 +58,14 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "winnow(hashes, w)")
         Winnow(args.head, intArg(args(1), "winnow w"))
+      }),
+    (new FunctionIdentifier("bounded_levenshtein"),
+      new ExpressionInfo(classOf[BoundedEditDistance].getName,
+        "bounded_levenshtein"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bounded_levenshtein(a, b, k)")
+        BoundedEditDistance(args.head, args(1),
+          intArg(args(2), "bounded_levenshtein k"))
       }))
 
   /** Register into a live session's function registry. */

@@ -1127,6 +1127,13 @@ object SparkEntry {
         maxDistance = 2, windowSize = 10)
     }),
 
+    // Rolling 7-day active users + stickiness: windowed DISTINCT via
+    // explode-to-window-ends + re-distinct — strictly linear in
+    // activity x window, never a per-day self-join.
+    "q164_rolling_actives" -> ((s, dir) =>
+      Sessionize.rollingActiveUsers(t(s, dir, "events"),
+        "user_id", "ts", windowDays = 7)),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -3881,6 +3888,18 @@ object SparkEntry {
         |FROM pr JOIN rk b ON pr.rnk = b.rnk
         |WHERE sa <> b.side AND levenshtein(ca, b.cmp) <= 2"""
         .stripMargin,
+    "q164_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE)
+        |    AS day FROM events),
+        |b AS (SELECT max(day) AS d1 FROM ud),
+        |contrib AS (SELECT DISTINCT k, day + o AS day
+        |  FROM ud, (SELECT CAST(unnest(range(7)) AS INT) AS o) offs),
+        |wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY day),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+        |SELECT w.day, coalesce(dau, 0) AS dau, wau,
+        |  coalesce(dau, 0) / wau AS stickiness
+        |FROM wau w LEFT JOIN dau USING (day), b
+        |WHERE w.day <= d1""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

@@ -258,6 +258,47 @@ object Sessionize {
     daily.withColumn("cum_users", sum(col("n_new")).over(w))
   }
 
+  /** Rolling active users: for every day, the distinct keys active in
+    * the trailing `windowDays`-day window (WAU for 7), the keys
+    * active that day (DAU), and the stickiness ratio DAU/WAU — the
+    * standard engagement panel, computed EXACTLY at scale.
+    *
+    * Distinct-over-sliding-window is the trap here: a windowed
+    * `count(DISTINCT)` doesn't exist, and per-day self-joins go
+    * quadratic in the window. Instead each (key, active day) pair —
+    * already collapsed to one row — is exploded to the `windowDays`
+    * window-end days it contributes to, re-collapsed to distinct
+    * (key, window), and counted: strictly linear in activity ×
+    * window size, three map-side-combinable distinct/count
+    * aggregations, no join wider than a broadcast of the calendar
+    * bounds. Windows are clipped to days with any activity.
+    */
+  def rollingActiveUsers(
+      df: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val ud = df.select(col(keyCol).as("k"),
+      col(tsCol).cast("date").as("day")).distinct()
+    val bounds = ud.agg(min(col("day")).as("__d0"),
+      max(col("day")).as("__d1"))
+    val contrib = ud.select(col("k"),
+        explode(sequence(col("day"),
+          date_add(col("day"), windowDays - 1))).as("day"))
+      .distinct()
+    val wau = contrib.groupBy(col("day"))
+      .agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("__d1"))
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col("wau"),
+        // raw double: identical integer ratio on every engine; a 6dp
+        // round would reintroduce half-up-vs-half-even tie skew
+        try_divide(coalesce(col("dau"), lit(0L)), col("wau"))
+          .as("stickiness"))
+  }
+
   /** Growth accounting (the standard revenue-bridge decomposition):
     * day-over-day revenue change per key classified as new /
     * resurrected / expansion / contraction / churned, aggregated per

@@ -325,12 +325,16 @@ class ApiSpec extends AnyFunSuite {
       "SELECT simhash64('a b c') AS s, size(shingle_hashes('a b c d', 2)) AS n," +
       " size(minhash_signature(shingle_hashes('a b c d', 2), 16)) AS m," +
       " sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS i," +
-      " dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      " dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d," +
+      " bounded_levenshtein('kitten', 'sitting', 3) AS bl," +
+      " bounded_levenshtein('kitten', 'sitting', 2) AS blm")
       .collect().head
     assert(got.getAs[Long]("s") != 0L)
     assert(got.getAs[Int]("n") == 3)
     assert(got.getAs[Int]("m") == 16)
     assert(got.getAs[Int]("i") == 2)
     assert(got.getAs[Double]("d") == 11.0)
+    assert(got.getAs[Int]("bl") == 3)
+    assert(got.getAs[Int]("blm") == -1)
   }
 }

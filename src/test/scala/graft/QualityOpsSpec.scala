@@ -239,6 +239,23 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(got("2024-01-03") == 30.0)
   }
 
+  test("rollingActiveUsers: exact trailing-window distinct counts") {
+    import graft.operators.Sessionize
+    val ev = Seq((1L, "2024-01-01"), (1L, "2024-01-02"), // u1: d1, d2
+      (2L, "2024-01-01"),                                // u2: d1
+      (3L, "2024-01-05"))                                // u3: d5
+      .toDF("user_id", "d")
+      .select(col("user_id"), col("d").cast("timestamp").as("ts"))
+    val got = Sessionize.rollingActiveUsers(ev, "user_id", "ts",
+        windowDays = 3)
+      .select(col("day").cast("string"), col("dau"), col("wau"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // window [d-2, d]: d1 {1,2}; d2 {1,2}; d3 {1,2}; d4 {1}; d5 {3}
+    assert(got == Seq(("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 2L),
+      ("2024-01-03", 0L, 2L), ("2024-01-04", 0L, 1L),
+      ("2024-01-05", 1L, 1L)))
+  }
+
   test("paretoShare matches the single-window reference ordering") {
     val rnd = new scala.util.Random(99)
     val d = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000) / 10.0))
