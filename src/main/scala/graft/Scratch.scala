@@ -112,6 +112,22 @@ object Scratch {
         joined.filter(levenshtein(col("ln"), col("rn")) <= 2).count()))
       spark.stop(); return
     }
+    if (name == "tri_profile") {
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val po = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("pv"))
+        .distinct()
+      val e = po.join(po.withColumnRenamed("pv", "pw"), Seq("o"))
+        .filter(col("pv") < col("pw"))
+        .select(col("pv").as("p1"), col("pw").as("p2"))
+      timed("edges")(println("m=" + e.count()))
+      val full = graft.ml.Graph.triangleCounts(e, "p1", "p2")
+      timed("triangles total")(println("n=" + full.count()))
+      spark.stop(); return
+    }
     if (name == "fuzzy_profile") {
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
