@@ -1134,6 +1134,63 @@ object SparkEntry {
       Sessionize.rollingActiveUsers(t(s, dir, "events"),
         "user_id", "ts", windowDays = 7)),
 
+    // GROUPING SETS multi-grain report (A4 completeness beyond the
+    // q45-q47 rollup/cube rows): three explicit grains in one pass,
+    // GROUPING() flags disambiguating the null-key rows.
+    "q165_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_q165")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          GROUPING(o_orderstatus) AS g_status,
+          GROUPING(o_orderpriority) AS g_priority,
+          count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS total
+        FROM orders_q165
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      """)
+    }),
+
+    // argmin/argmax aggregates: per status the order ids carrying the
+    // extreme prices, with a composite integer order key so ties
+    // break identically on every engine.
+    "q166_argminmax" -> ((s, dir) => {
+      val v = (floor(col("o_totalprice") * 100).cast("long") *
+        lit(100000000L) + col("o_orderkey")).as("__ord")
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice"), v)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max_by(col("o_orderkey"), col("__ord")).as("max_order"),
+          min_by(col("o_orderkey"), col("__ord")).as("min_order"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+    }),
+
+    // Per-(source, lang) corpus quality scorecard: keep-rate and mean
+    // size ratios straight off integer sums (raw doubles — identical
+    // IEEE on both engines, no rounding).
+    "q167_quality_scorecard" -> ((s, dir) => {
+      val q = TextAnalysis.qualityMetrics(
+        t(s, dir, "documents"), "text")
+      q.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality_keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("n_keep"),
+          try_divide(col("n_keep"), col("n_docs")).as("keep_rate"),
+          try_divide(col("total_tokens"), col("n_docs"))
+            .as("avg_tokens"))
+    }),
+
+    // Per-group Pearson correlation: six decimal sums, one aggregate,
+    // closed form in doubles.
+    "q168_correlation" -> ((s, dir) =>
+      Sketches.groupCorrelation(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice")),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -3900,6 +3957,75 @@ object SparkEntry {
         |  coalesce(dau, 0) / wau AS stickiness
         |FROM wau w LEFT JOIN dau USING (day), b
         |WHERE w.day <= d1""".stripMargin,
+    "q165_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  GROUPING(o_orderstatus) AS g_status,
+        |  GROUPING(o_orderpriority) AS g_priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+        .stripMargin,
+    "q166_argminmax" ->
+      """WITH o AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) * 100000000
+        |      + o_orderkey AS ord
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  arg_max(o_orderkey, ord) AS max_order,
+        |  arg_min(o_orderkey, ord) AS min_order,
+        |  max(o_totalprice) AS max_price,
+        |  min(o_totalprice) AS min_price
+        |FROM o GROUP BY o_orderstatus""".stripMargin,
+    "q167_quality_scorecard" ->
+      """WITH m AS (SELECT source, lang,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS n_tokens,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      AS n_alpha,
+        |    length(regexp_replace(text, '[^ \t\n\r]', '', 'g'))
+        |      AS n_space,
+        |    length(text) AS n_chars
+        |  FROM documents),
+        |k AS (SELECT source, lang, n_tokens,
+        |    CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+        |      AND (n_chars - n_space) <= n_tokens * 15
+        |      AND n_alpha * 2 >= n_chars THEN 1 ELSE 0 END AS keep
+        |  FROM m)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  sum(keep) AS n_keep,
+        |  sum(keep) / count(*) AS keep_rate,
+        |  sum(n_tokens) / count(*) AS avg_tokens
+        |FROM k GROUP BY source, lang""".stripMargin,
+    "q168_correlation" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |      AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,4))
+        |          AS DECIMAL(28,4)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,4))
+        |      AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,4))
+        |          AS DECIMAL(28,4)) *
+        |        CAST(l_quantity AS DECIMAL(18,4))
+        |      AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |          AS DECIMAL(28,4)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,4))
+        |      AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) = 0
+        |    THEN NULL
+        |    ELSE round((n * sxy - sx * sy)
+        |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |    END AS r
+        |FROM a""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

@@ -316,6 +316,35 @@ object Sketches {
       intercept.as("intercept"): _*)
   }
 
+  /** Per-group Pearson correlation of two measures, from the closed
+    * form over six decimal-exact sums in ONE map-side-combined
+    * aggregation — same engine-exactness discipline as [[groupTrend]]
+    * (a float Σxy would be partition-order-dependent; the only
+    * doubles are the final closed-form arithmetic, identical on any
+    * engine). Returns (keys..., n, r) with r 6dp-rounded; a
+    * zero-variance side yields null.
+    */
+  def groupCorrelation(
+      df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "groupCorrelation needs key columns")
+    val x = col(xCol).cast("decimal(18,4)")
+    val y = col(yCol).cast("decimal(18,4)")
+    val agg = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("__sx"),
+        sum(y).cast("double").as("__sy"),
+        sum((x * y).cast("decimal(38,8)")).cast("double").as("__sxy"),
+        sum((x * x).cast("decimal(38,8)")).cast("double").as("__sxx"),
+        sum((y * y).cast("decimal(38,8)")).cast("double").as("__syy"))
+    val num = col("n") * col("__sxy") - col("__sx") * col("__sy")
+    val den = sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+      (col("n") * col("__syy") - col("__sy") * col("__sy")))
+    agg.select(keyCols.map(col) :+ col("n") :+
+      round(try_divide(num, den), 6).as("r"): _*)
+  }
+
   /** Exact heavy hitters with CMS cross-check: top-k tokens by exact
     * corpus frequency (groupBy + TakeOrdered — partial aggregation
     * collapses per-partition counts before the shuffle) with each

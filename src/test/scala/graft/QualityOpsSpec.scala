@@ -256,6 +256,21 @@ class QualityOpsSpec extends AnyFunSuite {
       ("2024-01-05", 1L, 1L)))
   }
 
+  test("groupCorrelation: perfect, inverse, and zero-variance groups") {
+    import graft.ml.Sketches
+    val d = Seq(
+      ("pos", 1.0, 2.0), ("pos", 2.0, 4.0), ("pos", 3.0, 6.0),
+      ("neg", 1.0, 9.0), ("neg", 2.0, 6.0), ("neg", 3.0, 3.0),
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0))
+      .toDF("g", "x", "y")
+    val got = Sketches.groupCorrelation(d, Seq("g"), "x", "y")
+      .select("g", "r").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("pos").contains(1.0))
+    assert(got("neg").contains(-1.0))
+    assert(got("flat").isEmpty) // zero variance in y -> null
+  }
+
   test("paretoShare matches the single-window reference ordering") {
     val rnd = new scala.util.Random(99)
     val d = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000) / 10.0))
