@@ -1191,6 +1191,17 @@ object SparkEntry {
       Sketches.groupCorrelation(t(s, dir, "lineitem"),
         Seq("l_returnflag"), "l_quantity", "l_extendedprice")),
 
+    // k-NN majority-vote label eval: queries broadcast, corpus
+    // streams once, neighbors via the bounded top-k heap,
+    // deterministic tie-breaks end to end.
+    "q169_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnClassify(
+        e.filter(col("vec_id") % 7 =!= 0),
+        e.filter(col("vec_id") % 7 === 0),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -4026,6 +4037,33 @@ object SparkEntry {
         |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         |    END AS r
         |FROM a""".stripMargin,
+    "q169_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+        |    label AS qlabel FROM embeddings WHERE vec_id % 7 = 0),
+        |sc AS (SELECT q.qid, q.qlabel, e.vec_id AS cid,
+        |    e.label AS clabel,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE)
+        |        * CAST(q.qe[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding,
+        |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qe,
+        |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS raw
+        |  FROM embeddings e, q WHERE e.vec_id % 7 <> 0),
+        |nn AS (SELECT qid, qlabel, clabel,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY raw DESC, cid) AS rn
+        |  FROM sc),
+        |v AS (SELECT qid, qlabel, clabel, count(*) AS n
+        |  FROM nn WHERE rn <= 5 GROUP BY qid, qlabel, clabel),
+        |p AS (SELECT qid, qlabel, clabel,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY n DESC, clabel) AS rn
+        |  FROM v)
+        |SELECT qid AS vec_id, qlabel AS true_label,
+        |  clabel AS predicted,
+        |  CAST(qlabel = clabel AS INT) AS correct
+        |FROM p WHERE rn = 1""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

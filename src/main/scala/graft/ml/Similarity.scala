@@ -55,6 +55,50 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** k-NN majority-vote classification: each query vector takes the
+    * modal label of its k nearest corpus vectors by cosine — the
+    * standard embedding-quality eval (a probe of whether the space
+    * clusters by label at all). Returns (query id, true label,
+    * predicted label, correct 0/1).
+    *
+    * Scale posture: eval QUERY sets are small by construction, so the
+    * query side broadcasts and the corpus STREAMS — one scan however
+    * large the corpus; per-(query, corpus) scores never materialize
+    * beyond the bounded top-k heap
+    * ([[graft.operators.TopN.topNPerKey]]). Ties break (score desc,
+    * corpus id asc) for the neighbors and (votes desc, label asc)
+    * for the winner, so the prediction is deterministic on any
+    * engine. For corpus sizes where even one streaming scan per eval
+    * is too slow, swap the scorer for the LSH/IVF index paths —
+    * the vote logic is unchanged.
+    */
+  def knnClassify(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("__qid"),
+      col(vecCol).as("__qv"), col(labelCol).as("__qlabel"))
+    val scored = corpus
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+        col(labelCol).as("__clabel"))
+      .crossJoin(broadcast(q))
+      .select(col("__qid"), col("__qlabel"), col("__cid"),
+        col("__clabel"), cosine(col("__cv"), col("__qv")).as("__score"))
+    val nn = graft.operators.TopN.topNPerKey(scored, Seq("__qid"),
+      Seq(col("__score") * -1, col("__cid")), k)
+    val votes = nn.groupBy(col("__qid"), col("__qlabel"),
+        col("__clabel"))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("__n").desc, col("__clabel").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__qid").as(idCol), col("__qlabel").as("true_label"),
+        col("__clabel").as("predicted"),
+        (col("__qlabel") === col("__clabel")).cast("int").as("correct"))
+  }
+
   /** Int8 scalar quantization of an embedding: per-vector affine codes
     * `q_i = floor((x_i − min)/scale + 0.5)` ∈ [0, 255] with
     * `scale = (max − min)/255` → struct(codes array<int>, mn double,

@@ -271,6 +271,29 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(got("flat").isEmpty) // zero variance in y -> null
   }
 
+  test("knnClassify votes the planted cluster's label; ties break low") {
+    import graft.ml.Similarity
+    // two tight clusters in 3d: label "a" around (1,0,0), "b" around
+    // (0,1,0); queries sit inside each cluster
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat,
+      z.toFloat)
+    val corpus = Seq(
+      (1L, v(1, 0, 0), "a"), (2L, v(0.9, 0.1, 0), "a"),
+      (3L, v(0.95, 0, 0.05), "a"),
+      (4L, v(0, 1, 0), "b"), (5L, v(0.1, 0.9, 0), "b"),
+      (6L, v(0, 0.95, 0.05), "b")).toDF("id", "vec", "label")
+    val queries = Seq((10L, v(0.97, 0.03, 0), "a"),
+      (11L, v(0.02, 0.98, 0), "b"), (12L, v(0.03, 0.97, 0), "a"))
+      .toDF("id", "vec", "label") // q12's true label is wrong on purpose
+    val got = Similarity.knnClassify(corpus, queries,
+        "id", "vec", "label", k = 3)
+      .select("id", "predicted", "correct")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L) == ((10L, "a", 1)))
+    assert(got(11L) == ((11L, "b", 1)))
+    assert(got(12L) == ((12L, "b", 0))) // nearest cluster wins anyway
+  }
+
   test("paretoShare matches the single-window reference ordering") {
     val rnd = new scala.util.Random(99)
     val d = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000) / 10.0))
