@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * count, is the cost driver. Real transaction baskets are tens of
   * items; a degenerate basket (a crawler session with 10⁵ "items")
   * would dominate the run quadratically, so baskets over
-  * `maxBasketSize` are dropped loudly rather than silently burning
-  * the stage (same cap discipline as Linkage blocks / Dedup buckets).
+  * `maxBasketSize` are EXCLUDED up front rather than burning the
+  * stage (same cap discipline as Linkage blocks / Dedup buckets;
+  * run [[graft.operators.Profile.skewReport]] on the basket key to
+  * see what a given cap would cut).
   * The min-support filter runs ON THE PAIR COUNTS before item stats
   * attach — the heavy table shrinks before any join. Counts are
   * integers; confidence and lift are 6dp-rounded ratios of exact

@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   * Within the threshold the banded result IS the exact distance, so
   * nothing is recomputed for survivors. A hot block (e.g. a NULL
   * or default-valued key) should be capped or salted upstream —
-  * `maxBlockSize` drops oversized blocks loudly into the report
-  * rather than letting one block go quadratic.
+  * `maxBlockSize` EXCLUDES oversized blocks (both sides, so no
+  * half-blocked pair can emit) rather than letting one block go
+  * quadratic; run [[graft.operators.Profile.skewReport]] on the
+  * block key to see what a given cap cuts.
   */
 object Linkage {
 
