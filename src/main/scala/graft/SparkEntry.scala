@@ -1202,6 +1202,41 @@ object SparkEntry {
         "vec_id", "embedding", "label", k = 5)
     }),
 
+    // Fulfillment-lag quantiles per priority: ship-minus-order days
+    // through the per-group quantile kernel (lag is a SMALL-domain
+    // integer, exactly where the value-counting percentile aggregate
+    // is the right plan — contrast q87/q121's histogram path for
+    // high-cardinality measures).
+    "q170_fulfillment_lag" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val lag = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+      Sketches.groupQuantiles(lag, Seq("o_orderpriority"), "lag_days",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+    }),
+
+    // On-time shipment rate by order month: integer-count ratio as a
+    // raw double (engine-identical), calendar-sized output.
+    "q171_ontime_rate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(datediff(col("l_shipdate"), col("o_orderdate"))
+            <= 30, 1L).otherwise(0L)).as("n_ontime"))
+        .withColumn("ontime_rate",
+          try_divide(col("n_ontime"), col("n_lines")))
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -4064,6 +4099,25 @@ object SparkEntry {
         |  clabel AS predicted,
         |  CAST(qlabel = clabel AS INT) AS correct
         |FROM p WHERE rn = 1""".stripMargin,
+    "q170_fulfillment_lag" ->
+      """WITH lag AS (SELECT o_orderpriority,
+        |    date_diff('day', o_orderdate, l_shipdate) AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority,
+        |  round(quantile_cont(lag_days, 0.25), 4) AS p25,
+        |  round(quantile_cont(lag_days, 0.5), 4) AS p50,
+        |  round(quantile_cont(lag_days, 0.9), 4) AS p90,
+        |  count(*) AS n
+        |FROM lag GROUP BY o_orderpriority""".stripMargin,
+    "q171_ontime_rate" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_lines,
+        |  sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+        |    THEN 1 ELSE 0 END) AS n_ontime,
+        |  sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+        |    THEN 1 ELSE 0 END) / count(*) AS ontime_rate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY month""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->
