@@ -1237,6 +1237,49 @@ object SparkEntry {
           try_divide(col("n_ontime"), col("n_lines")))
     }),
 
+    // Repeat-purchase intervals: per-customer order-date gaps (lag
+    // window, orderkey tie-break), quantiles per priority via the
+    // value-counting kernel (small-domain integer days).
+    "q172_repurchase_interval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).as("gap_days"))
+        .filter(col("gap_days").isNotNull)
+      Sketches.groupQuantiles(gaps, Seq("o_orderpriority"), "gap_days",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+    }),
+
+    // Market share by nation and order year (the TPC-H Q8 shape):
+    // revenue share = decimal nation sum / decimal year total, raw
+    // double ratio; dims broadcast, one fact scan.
+    "q173_market_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"),
+        col("n_name"))
+      val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("yr"), col("n_name"))
+        .agg(sum(col("rev")).as("rev"))
+      val totals = base.groupBy(col("yr"))
+        .agg(sum(col("rev")).as("__tot"))
+      base.join(broadcast(totals), Seq("yr"))
+        .select(col("yr"), col("n_name"),
+          col("rev").cast("double").as("revenue"),
+          (col("rev").cast("double") / col("__tot").cast("double"))
+            .as("share"))
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -4118,6 +4161,33 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) / count(*) AS ontime_rate
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY month""".stripMargin,
+    "q172_repurchase_interval" ->
+      """WITH g AS (SELECT o_orderpriority,
+        |    date_diff('day', lag(o_orderdate) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey), o_orderdate)
+        |      AS gap_days
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  round(quantile_cont(gap_days, 0.25), 4) AS p25,
+        |  round(quantile_cont(gap_days, 0.5), 4) AS p50,
+        |  round(quantile_cont(gap_days, 0.9), 4) AS p90,
+        |  count(*) AS n
+        |FROM g WHERE gap_days IS NOT NULL
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q173_market_share" ->
+      """WITH base AS (SELECT year(o_orderdate) AS yr, n_name,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY yr, n_name),
+        |t AS (SELECT yr, sum(rev) AS tot FROM base GROUP BY yr)
+        |SELECT base.yr, n_name, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM base JOIN t ON base.yr = t.yr""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->
