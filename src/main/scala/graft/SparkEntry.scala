@@ -1280,6 +1280,35 @@ object SparkEntry {
             .as("share"))
     }),
 
+    // Discount-response curve: quantity and revenue by discount band
+    // (integer floor banding — DuckDB rounds double->int casts, so
+    // both sides band via explicit floor), decimal means.
+    "q174_discount_bands" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(floor(col("l_discount") * 100).cast("int").as("disc_pct"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double") / count(lit(1)), 6).as("avg_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))),
+
+    // Supplier concentration (Herfindahl index) per ship year:
+    // HHI = Σ rev_i² / (Σ rev_i)² with the squares summed as EXACT
+    // decimals — a float Σ share² would be partition-order-dependent.
+    "q175_supplier_hhi" -> ((s, dir) => {
+      val sup = t(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("yr"), col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      sup.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rev")).cast("double").as("total_rev"),
+          sum((col("rev") * col("rev")).cast("decimal(38,4)"))
+            .cast("double").as("__sq"))
+        .select(col("yr"), col("n_suppliers"), col("total_rev"),
+          (col("__sq") / (col("total_rev") * col("total_rev")))
+            .as("hhi"))
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -4188,6 +4217,26 @@ object SparkEntry {
         |SELECT base.yr, n_name, CAST(rev AS DOUBLE) AS revenue,
         |  CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS share
         |FROM base JOIN t ON base.yr = t.yr""".stripMargin,
+    "q174_discount_bands" ->
+      """SELECT CAST(floor(l_discount * 100) AS INT) AS disc_pct,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY disc_pct""".stripMargin,
+    "q175_supplier_hhi" ->
+      """WITH sup AS (SELECT year(l_shipdate) AS yr, l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY yr, l_suppkey),
+        |a AS (SELECT yr, count(*) AS n_suppliers,
+        |    CAST(sum(rev) AS DOUBLE) AS total_rev,
+        |    CAST(sum(CAST(CAST(rev AS DECIMAL(28,2)) * rev
+        |      AS DECIMAL(38,4))) AS DOUBLE) AS sq
+        |  FROM sup GROUP BY yr)
+        |SELECT yr, n_suppliers, total_rev,
+        |  sq / (total_rev * total_rev) AS hhi
+        |FROM a""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->
