@@ -1309,6 +1309,27 @@ object SparkEntry {
             .as("hhi"))
     }),
 
+    // Customer-LTV deciles: per-customer revenue through the
+    // equi-depth binning kernel, then per-decile counts, totals and
+    // revenue share — the classic value-segmentation report.
+    "q176_ltv_deciles" -> ((s, dir) => {
+      val custRev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        .withColumn("rev_d", col("rev").cast("double"))
+      val binned = graft.operators.Profile.equiDepthBins(
+        custRev, "rev_d", nb = 10)
+      val tot = binned.agg(sum(col("rev")).as("__t"))
+      binned.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).as("__rev"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_customers"),
+          col("__rev").cast("double").as("revenue"),
+          (col("__rev").cast("double") / col("__t").cast("double"))
+            .as("rev_share"))
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -4237,6 +4258,35 @@ object SparkEntry {
         |SELECT yr, n_suppliers, total_rev,
         |  sq / (total_rev * total_rev) AS hhi
         |FROM a""".stripMargin,
+    "q176_ltv_deciles" -> {
+      val nb = 10
+      val edgeDefs = (1 until nb).map { i =>
+        val q = i.toDouble / nb
+        s"CAST(floor($q * (n - 1)) AS BIGINT) + 1 AS k$i"
+      }.mkString(",\n        |    ")
+      val edgeSel = (1 until nb).map { i =>
+        s"(SELECT v FROM srt, ks WHERE r = k$i) AS e$i"
+      }.mkString(",\n        |    ")
+      val bucketExpr = (1 until nb)
+        .map(i => s"CAST(rev_d > e$i AS INT)").mkString(" + ")
+      s"""WITH cr AS (SELECT o_custkey,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         |      AS DOUBLE) AS rev_d
+         |  FROM orders GROUP BY o_custkey),
+         |n1 AS (SELECT count(rev_d) AS n FROM cr),
+         |ks AS (SELECT $edgeDefs FROM n1),
+         |srt AS (SELECT rev_d AS v,
+         |    row_number() OVER (ORDER BY rev_d) AS r
+         |  FROM cr WHERE rev_d IS NOT NULL),
+         |e AS (SELECT $edgeSel),
+         |b AS (SELECT $bucketExpr AS bucket, rev FROM cr, e),
+         |t AS (SELECT CAST(sum(rev) AS DOUBLE) AS tot FROM cr)
+         |SELECT bucket, count(*) AS n_customers,
+         |  CAST(sum(rev) AS DOUBLE) AS revenue,
+         |  CAST(sum(rev) AS DOUBLE) / tot AS rev_share
+         |FROM b, t GROUP BY bucket, tot""".stripMargin
+    },
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->
