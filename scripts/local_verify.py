@@ -20,10 +20,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # Exact representations only: the driver hashes the value ENCODING,
+    # so rounding floats or str()-ing ints here hides real mismatches
+    # (the round-8 HUGEINT incident shipped because of exactly that).
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(v)
+    if isinstance(v, int):
+        # Width matters to the driver: tag anything outside int64 range
+        # so an int128-valued oracle cell can never compare equal.
+        if v < -(2 ** 63) or v >= 2 ** 63:
+            return f"int128:{v}"
+        return f"i:{v}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -36,6 +45,37 @@ def norm(v):
 def rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+# Coarse physical-encoding classes. The driver's hash covers the value
+# encoding, so an int128 (DuckDB HUGEINT) column can NEVER hash-match a
+# Spark int64 column even when every value is equal — that is the bug
+# class this check exists to catch locally.
+def type_class(name):
+    t = str(name).upper()
+    if "HUGEINT" in t or "INT128" in t:
+        return "int128"
+    if any(k in t for k in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                            "INT8", "INT16", "INT32", "INT64", "INT")):
+        return "int64"
+    if any(k in t for k in ("DOUBLE", "FLOAT", "REAL", "HALF")):
+        return "float"
+    if "DECIMAL" in t or "NUMERIC" in t:
+        return "decimal"
+    if "BOOL" in t:
+        return "bool"
+    if "TIMESTAMP" in t:
+        return "timestamp"
+    if "DATE" in t:
+        return "date"
+    if any(k in t for k in ("VARCHAR", "STRING", "UTF8", "LARGE_STRING")):
+        return "string"
+    return "other"
+
+
+def duck_types(con, sql):
+    rel = con.sql(sql)
+    return dict(zip(rel.columns, [str(t) for t in rel.types]))
 
 
 def main(sf_dir, out_dir):
@@ -64,6 +104,28 @@ def main(sf_dir, out_dir):
             duck_rows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        # Type gate first: any HUGEINT in the oracle result, or an
+        # encoding-class mismatch vs the Spark parquet schema, fails
+        # even when the sf0.01 VALUES happen to be equal.
+        try:
+            dtypes = duck_types(con, oracle[name])
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle type probe: {e}")
+            n_fail += 1
+            continue
+        stypes = {f.name: str(f.type) for f in tbl.schema}
+        type_bad = []
+        for c, t in dtypes.items():
+            if type_class(t) == "int128":
+                type_bad.append(f"{c}: oracle {t} (int128 — cast the "
+                                f"sum to BIGINT/DOUBLE)")
+            elif c in stypes and type_class(t) != type_class(stypes[c]):
+                type_bad.append(
+                    f"{c}: oracle {t} vs spark {stypes[c]}")
+        if type_bad:
+            print(f"FAIL {name}: type mismatch: " + "; ".join(type_bad))
             n_fail += 1
             continue
         if sorted(spark_cols) != sorted(duck_cols):

@@ -429,7 +429,13 @@ object SparkEntry {
       // self-join is quadratic in per-shingle frequency; the prefix
       // filter collapses the candidate set and is the only variant that
       // survives a 100× scale-up (r2 verdict: 98s → target well under
-      // half of bench total).
+      // half of bench total). This runs the DEFAULT kernel, which since
+      // r9 carries the 100×-survivable frequency cap
+      // (Dedup.DefaultMaxShingleFreq = 256); the cap does not bind on
+      // this corpus (distinct-text shingle DF max = 7 at sf0.01), so
+      // the all-shared-shingle shortcut oracle stays exact — q109
+      // oracle-gates a BINDING cap with the full candidate-discipline
+      // replay.
       Dedup.jaccardPairs(doubled, "text", "doc_id", prefixFilter = true)
         .select(col("id_a"), col("id_b"),
           col("intersection").cast("int").as("n_inter"),
@@ -1305,7 +1311,12 @@ object SparkEntry {
           sum((col("rev") * col("rev")).cast("decimal(38,4)"))
             .cast("double").as("__sq"))
         .select(col("yr"), col("n_suppliers"), col("total_rev"),
-          (col("__sq") / (col("total_rev") * col("total_rev")))
+          // round(…,6): the decimal(38,4)→double cast is correctly
+          // rounded in Spark but doubly-rounded in DuckDB (hugeint /
+          // 10^scale), so the raw quotients differ by ~2 ULP at 1e-18
+          // — rounding both sides to the repo's 6-dp ratio convention
+          // makes the row comparator-proof
+          round(col("__sq") / (col("total_rev") * col("total_rev")), 6)
             .as("hhi"))
     }),
 
@@ -3682,7 +3693,8 @@ object SparkEntry {
         |    epoch_us(lead(ts) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id)) - epoch_us(ts) AS gap
         |  FROM events)
-        |SELECT state, count(*) AS n, sum(gap) AS total_us,
+        |SELECT state, count(*) AS n,
+        |  CAST(sum(gap) AS BIGINT) AS total_us,
         |  round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS avg_us
         |FROM seq WHERE gap IS NOT NULL GROUP BY state""".stripMargin,
     "q142_minmax_scale" ->
@@ -3951,9 +3963,10 @@ object SparkEntry {
         |      AS BIGINT) AS n_tokens
         |  FROM documents),
         |o AS (SELECT doc_id, n_chars, n_tokens,
-        |    COALESCE(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |    CAST(COALESCE(sum(n_tokens) OVER (
+        |      ORDER BY n_chars DESC, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS "offset"
+        |      AS BIGINT) AS "offset"
         |  FROM d)
         |SELECT doc_id, n_chars, n_tokens, "offset" FROM o
         |WHERE "offset" < 10000""".stripMargin,
@@ -3971,9 +3984,9 @@ object SparkEntry {
         |  FROM events GROUP BY user_id),
         |d AS (SELECT day, count(*) AS n_new FROM fd GROUP BY day)
         |SELECT day, n_new,
-        |  sum(n_new) OVER (ORDER BY day
+        |  CAST(sum(n_new) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS cum_users
+        |    AS BIGINT) AS cum_users
         |FROM d""".stripMargin,
     "q159_growth_accounting" ->
       """WITH ud AS (SELECT user_id AS k, CAST(ts AS DATE) AS day,
@@ -4133,9 +4146,9 @@ object SparkEntry {
         |      AND n_alpha * 2 >= n_chars THEN 1 ELSE 0 END AS keep
         |  FROM m)
         |SELECT source, lang, count(*) AS n_docs,
-        |  sum(keep) AS n_keep,
-        |  sum(keep) / count(*) AS keep_rate,
-        |  sum(n_tokens) / count(*) AS avg_tokens
+        |  CAST(sum(keep) AS BIGINT) AS n_keep,
+        |  CAST(sum(keep) AS DOUBLE) / count(*) AS keep_rate,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
         |FROM k GROUP BY source, lang""".stripMargin,
     "q168_correlation" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n,
@@ -4205,10 +4218,12 @@ object SparkEntry {
     "q171_ontime_rate" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  count(*) AS n_lines,
-        |  sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
-        |    THEN 1 ELSE 0 END) AS n_ontime,
-        |  sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
-        |    THEN 1 ELSE 0 END) / count(*) AS ontime_rate
+        |  CAST(sum(CASE WHEN
+        |      date_diff('day', o_orderdate, l_shipdate) <= 30
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+        |  CAST(sum(CASE WHEN
+        |      date_diff('day', o_orderdate, l_shipdate) <= 30
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ontime_rate
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY month""".stripMargin,
     "q172_repurchase_interval" ->
@@ -4256,7 +4271,7 @@ object SparkEntry {
         |      AS DECIMAL(38,4))) AS DOUBLE) AS sq
         |  FROM sup GROUP BY yr)
         |SELECT yr, n_suppliers, total_rev,
-        |  sq / (total_rev * total_rev) AS hhi
+        |  round(sq / (total_rev * total_rev), 6) AS hhi
         |FROM a""".stripMargin,
     "q176_ltv_deciles" -> {
       val nb = 10

@@ -60,7 +60,11 @@ object BoundedEditDistance {
       GraftBridge.expression(a), GraftBridge.expression(b), k))
 
   // Two DP rows, grown on demand, reused across calls on the same
-  // task thread — zero allocation in steady state.
+  // task thread — zero allocation in steady state. Retention is
+  // CAPPED: a right-hand string above the threshold gets a local
+  // allocation instead, so one pathological multi-MB value doesn't
+  // pin that much scratch per executor thread for the JVM's life.
+  private val MaxRetainedScratch = 16 * 1024 // ints → 64 KiB/row
   private val scratch = new ThreadLocal[Array[Array[Int]]] {
     override def initialValue(): Array[Array[Int]] =
       Array(new Array[Int](64), new Array[Int](64))
@@ -81,7 +85,7 @@ object BoundedEditDistance {
     var rows = scratch.get()
     if (rows(0).length < nb + 2) {
       rows = Array(new Array[Int](nb + 2), new Array[Int](nb + 2))
-      scratch.set(rows)
+      if (nb + 2 <= MaxRetainedScratch) scratch.set(rows)
     }
     var prev = rows(0)
     var cur  = rows(1)

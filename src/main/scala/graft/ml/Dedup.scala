@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default candidate-generation cap for the exact pair kernel
+    * ([[jaccardPairs]] / [[clusters]]): shingles shared by more than
+    * this many DISTINCT texts are excluded from candidate generation
+    * (verification always uses full shingle sets). The uncapped
+    * configuration's candidate volume grows with Σf² of prefix-shingle
+    * document frequency, so a 100× denser corpus can go quadratic —
+    * the cap bounds per-shingle candidates at f², making total cost
+    * linear in corpus size. 256 is far above any discriminative
+    * shingle's frequency (a trigram shared by >256 distinct documents
+    * carries no near-dup signal — it's boilerplate), so recall loss is
+    * confined to pairs whose EVERY shared prefix shingle is boilerplate
+    * (MlSpec pins the semantics; q109 oracle-gates a binding cap).
+    * Pass `maxShingleFreq = None` to opt in to the exact uncapped
+    * kernel on corpora known to be frequency-bounded.
+    */
+  val DefaultMaxShingleFreq: Option[Long] = Some(256L)
+
   /** Exact dedup: keep the smallest `idCol` per identical `textCol`.
     * The group key is the MD5 fingerprint, not the text, so the shuffle
     * payload is (16-byte key, id) — the winning rows are then recovered
@@ -234,7 +251,8 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numer: Int = 1, denom: Int = 2,
       maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxShingleFreq: Option[Long] = DefaultMaxShingleFreq): DataFrame = {
     val fp = df.select(col(idCol).as("id"),
       TextAnalysis.fingerprint(col(textCol)).as("__fp"))
     val groups = fp.groupBy(col("__fp"))
@@ -256,7 +274,7 @@ object Dedup {
       .persist()
     cached += repSh
     val pairs = repPairKernel(repSh, numer, denom,
-        prefixFilter = true, maxShingleFreq = None, cached)
+        prefixFilter = true, maxShingleFreq, cached)
       .select(col("id_a"), col("id_b"))
     val labels = Graph
       .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)
@@ -538,7 +556,7 @@ object Dedup {
       shingleSize: Int = 3,
       numer: Int = 1, denom: Int = 2,
       prefixFilter: Boolean = true,
-      maxShingleFreq: Option[Long] = None): DataFrame = {
+      maxShingleFreq: Option[Long] = DefaultMaxShingleFreq): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     // persisted intermediates, unpersisted after the output

@@ -40,9 +40,12 @@ object Linkage {
     *
     * Returns `leftIdCol`, `rightIdCol`, per-field distances
     * (`d_<field>`) and `distance` (the sum), one row per matched
-    * pair. Rows whose block exceeds `maxBlockSize` distinct left or
-    * right members are EXCLUDED (a degenerate block key would
-    * otherwise dominate the run quadratically); pass None to disable.
+    * pair. Blocks exceeding `maxBlockSize` ROWS on either side are
+    * EXCLUDED entirely (a degenerate block key would otherwise
+    * dominate the run quadratically); pass None to disable. The cap
+    * deliberately counts rows, not distinct ids — the join's cost is
+    * rows_left × rows_right, so a duplicate-keyed input is exactly as
+    * expensive as a distinct one and is capped the same way.
     */
   def linkPairs(
       left: DataFrame,

@@ -260,6 +260,12 @@ object Sketches {
     * per-stratum winners come from the bounded-state top-k aggregate
     * ([[graft.operators.TopN.topNPerKey]] — a heap of n rows per
     * stratum in the aggregation buffer, never a sort of the data).
+    *
+    * Strata ABSENT from `weights` are DROPPED: an unlisted stratum
+    * defaults to weight 0 and is excluded before the priority draw
+    * (explicit zero weights are rejected by the precondition, so only
+    * unlisted strata drop). An incomplete map is therefore a filter,
+    * not an error — list every stratum you want represented.
     */
   def weightedPrioritySample(
       df: DataFrame, keyCol: String, stratumCol: String,

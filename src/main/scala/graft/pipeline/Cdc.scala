@@ -31,6 +31,10 @@ object Cdc {
     * `seqCol` must be unique per key (LSN / commit offset — every real
     * CDC source provides one); with duplicated seqs the winner among
     * the tied rows is partition-order-dependent.
+    *
+    * A winning row with a NULL op is NOT a delete: the key survives
+    * (null-safe comparison) with its payload, so malformed log rows
+    * surface in the output instead of silently erasing keys.
     */
   def compact(
       log: DataFrame,
@@ -48,7 +52,11 @@ object Cdc {
       .agg(winner.as("_win"), count(lit(1)).as("n_ops"))
     val outCols = keys.map(col) ++
       payload.map(c => col(s"_win.$c").as(c)) :+ col("n_ops")
-    agg.filter(col(s"_win.$opCol") =!= lit(deleteOp))
+    // Null-SAFE delete test: a plain `=!=` is null-rejecting, so a
+    // malformed log row with a NULL op would act as a silent delete.
+    // A null op is not a delete — the key survives and the bad value
+    // surfaces in the output where a DQ rule can catch it.
+    agg.filter(!(col(s"_win.$opCol") <=> lit(deleteOp)))
       .select(outCols: _*)
   }
 }

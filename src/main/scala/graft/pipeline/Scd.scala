@@ -34,6 +34,12 @@ object Scd {
     *    emitted (`effCol` := `batchDate`, `endCol` := NULL);
     *  - an update whose key has no open row inserts a new open row.
     *
+    * NULL natural keys: a null-keyed OPEN row never matches any update
+    * (the equi-join is null-rejecting) and passes through untouched —
+    * it is never silently dropped. A null-keyed UPDATE row fails the
+    * `validateBatch` guard (bad upstream data until proven otherwise);
+    * with `validateBatch=false` it inserts as a new open row.
+    *
     * `batchDate` must be a literal/deterministic column — the caller
     * owns the batch's effective date; this function never reads the
     * wall clock (a retry must produce byte-identical output).
@@ -68,14 +74,32 @@ object Scd {
       require(dup == 0L,
         s"scd2Apply: update batch has duplicate keys on (${keys.mkString(", ")})" +
           " — deduplicate upstream (e.g. latest-timestamp-wins) or pass validateBatch=false")
+      // A null-keyed update row can never match an open row (the
+      // equi-join is null-rejecting), so it would always insert a
+      // null-keyed open version — almost certainly bad upstream data;
+      // fail fast under the same flag as the duplicate guard.
+      val nullKeyed = upd
+        .filter(keys.map(k => col(k).isNull).reduce(_ || _))
+        .limit(1).count()
+      require(nullKeyed == 0L,
+        s"scd2Apply: update batch has NULL keys on (${keys.mkString(", ")})" +
+          " — clean upstream or pass validateBatch=false to insert them as-is")
     }
 
+    // Side-presence MARKERS, not key-nullability: the full-outer join
+    // never matches NULL keys, so inferring presence from
+    // `key.isNotNull` silently DELETED any null-keyed open row (both
+    // legs evaluated to null). With markers, a null-keyed open row is
+    // hasOpen=true / hasUpdate=false — it passes through untouched like
+    // any update-less row — and a null-keyed update (validateBatch
+    // off) inserts, per the "no open row" contract.
     val u = upd.columns.foldLeft(upd)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
-    val joined = open.join(
+      .withColumn("__u_present", lit(true))
+    val joined = open.withColumn("__o_present", lit(true)).join(
       u, keys.map(k => col(k) === col(s"__u_$k")).reduce(_ && _), "full_outer")
 
-    val hasOpen   = keys.map(k => col(k).isNotNull).reduce(_ && _)
-    val hasUpdate = keys.map(k => col(s"__u_$k").isNotNull).reduce(_ && _)
+    val hasOpen   = coalesce(col("__o_present"), lit(false))
+    val hasUpdate = coalesce(col("__u_present"), lit(false))
     val changed   = tracked.map(c => !(col(c) <=> col(s"__u_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
 

@@ -29,6 +29,18 @@ class CdcLinkageSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "b", 2L), (3L, "p", 1L), (4L, "r", 3L)))
   }
 
+  test("cdc compact: a NULL winning op is NOT a delete — the key survives") {
+    val log = Seq(
+      (1L, 1L, Some("I"), "a"), (1L, 2L, Option.empty[String], "b"),
+      (2L, 1L, Some("I"), "x"), (2L, 2L, Some("D"), ""))
+      .toDF("k", "seq", "op", "payload")
+    val got = Cdc.compact(log, Seq("k"), "seq", "op")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // key 1's winner has a null op: it must surface (with its payload)
+    // for a downstream DQ rule, not silently vanish like the D on key 2
+    assert(got.toSeq == Seq((1L, "b", 2L)))
+  }
+
   test("cdc compact: out-of-order arrival gives the same state") {
     val inOrder = Seq((1L, 1L, "I", "a"), (1L, 2L, "U", "b"),
       (1L, 3L, "U", "c")).toDF("k", "seq", "op", "v")

@@ -332,11 +332,16 @@ class MlSpec extends AnyFunSuite {
 
   test("jaccard maxShingleFreq caps candidate generation, not verification") {
     // with a generous cap nothing is lost (every shared shingle here has
-    // frequency <= 3: base, nearDup, and the exact dup)
+    // frequency <= 3: base, nearDup, and the exact dup); the DEFAULT is
+    // the capped-at-256 configuration since r9, and the explicit
+    // None opt-in must agree with both here
     val capped = Dedup.jaccardPairs(docs, "text", "doc_id",
       maxShingleFreq = Some(10L)).collect().toSet
-    val uncapped = Dedup.jaccardPairs(docs, "text", "doc_id").collect().toSet
+    val default = Dedup.jaccardPairs(docs, "text", "doc_id").collect().toSet
+    val uncapped = Dedup.jaccardPairs(docs, "text", "doc_id",
+      maxShingleFreq = None).collect().toSet
     assert(capped == uncapped)
+    assert(default == uncapped)
     // cap of 0 excludes every shingle from candidate generation → no
     // CROSS-text pairs; the identical-text pair (1,4) comes from the
     // exact-contraction expansion, which never needs candidates and is

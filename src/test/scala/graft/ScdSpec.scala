@@ -94,6 +94,35 @@ class ScdSpec extends AnyFunSuite {
     assert(joins.size == 1, s"expected exactly one join:\n$plan")
   }
 
+  test("null-keyed open rows pass through; null-keyed updates are rejected") {
+    // a null-keyed OPEN row can never match any update (null-rejecting
+    // equi-join) — it must survive the batch untouched, not vanish
+    val dimWithNull = dim.unionByName(
+      Seq((Option.empty[Long], "NULLK", 77.0, d0,
+        Option.empty[Date], true))
+        .toDF("k", "seg", "bal", "eff_from", "eff_to", "is_current"))
+    val r = Scd.scd2Apply(dimWithNull,
+      Seq((1L, "MOTO", 11.0)).toDF("k", "seg", "bal"),
+      Seq("k"), Seq("seg", "bal"), lit(d1))
+      .as[(Option[Long], String, Double, Date, Option[Date], Boolean)]
+      .collect().toSet
+    assert(r.contains((None, "NULLK", 77.0, d0, None, true)))
+    assert(r.exists(t => t._1.contains(1L) && t._2 == "MOTO" && t._6))
+    // a null-keyed UPDATE fails the batch guard…
+    val nullUpd = Seq((Option.empty[Long], "X", 1.0)).toDF("k", "seg", "bal")
+    intercept[IllegalArgumentException] {
+      Scd.scd2Apply(dim, nullUpd, Seq("k"), Seq("seg", "bal"), lit(d1))
+        .count()
+    }
+    // …and inserts as a new open row when the guard is waived
+    val ins = Scd.scd2Apply(dim, nullUpd, Seq("k"), Seq("seg", "bal"),
+      lit(d1), validateBatch = false)
+      .filter(col("k").isNull)
+      .as[(Option[Long], String, Double, Date, Option[Date], Boolean)]
+      .collect().toSet
+    assert(ins == Set((None, "X", 1.0, d1, None, true)))
+  }
+
   test("duplicate-keyed update batch is rejected (fan-out corrupts)") {
     val updates = Seq((1L, "A", 1.0), (1L, "B", 2.0)).toDF("k", "seg", "bal")
     intercept[IllegalArgumentException] { out(updates) }
