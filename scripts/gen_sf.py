@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""Local scale-factor generator for scaling spot-checks (driver-side
+tooling, like local_verify.py — not product code).
+
+The driver generates /root/testdata/sf{0.001,0.01,0.1} (read-only, seed
+42); its generator is not in the repo, so one-decade-up validation
+(sf0.1 -> sf1) needs a local twin. This script mirrors the OBSERVED
+schemas, domains, and distributions of the driver data:
+
+  - lineitem: l_orderkey ~ U(orders)  => Poisson(~4) lines/order
+    (sf0.1 observed 4.075 mean, 98.2% order coverage — matches),
+    uniform partkey/suppkey, shipdate = orderdate + U(1,90) days
+  - orders: uniform custkey, dates U(1995-01-01, 2001-08-01),
+    totalprice U(1000, 500000)
+  - documents: k ~ U(10,100) tokens drawn uniformly from the observed
+    31-word vocabulary; lang {en:41%, zh/es/fr/de ~15%}; source
+    src0..src19 (shingle DF density therefore grows linearly with the
+    corpus — exactly the property the capped pair kernel is gated on)
+  - events: 30 days of 2024-01, users = 10x sf0.1, 5 uniform types
+  - embeddings: 64-dim N(0,1) float32, label U(0,9)
+  - nation/region: copied verbatim from sf0.1 (fixed-size dims)
+
+Row counts at sf=1: lineitem 6M, orders 1.5M, customer 150k, part
+200k, supplier 10k, documents 50k, embeddings 20k, events 1M — 10x the
+sf0.1 tables, same ratios.
+
+Usage: python3 scripts/gen_sf.py <sf> <outDir>
+   e.g. python3 scripts/gen_sf.py 1 target/sf1
+"""
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = np.array([
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window"])
+LANGS = np.array(["en", "zh", "es", "fr", "de"])
+LANG_P = np.array([0.41, 0.15, 0.15, 0.15, 0.14])
+SEGMENTS = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE",
+                     "HOUSEHOLD", "MACHINERY"])
+PRIORITIES = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                       "4-NOT SPECIFIED", "5-LOW"])
+PTYPES = np.array(["ECONOMY", "LARGE", "MEDIUM", "PROMO",
+                   "SMALL", "STANDARD"])
+PNOUNS = np.array(["bolt", "ring", "screw", "plate", "tube",
+                   "rod", "cap", "pin"])
+PADJS = np.array(["large", "hot", "small", "red", "blue",
+                  "green", "dim", "bright"])
+EVENT_TYPES = np.array(["click", "view", "purchase", "signup", "error"])
+
+
+def write(out, name, cols):
+    pq.write_table(pa.table(cols), f"{out}/{name}.parquet")
+    print(f"[gen] {name}: {len(next(iter(cols.values())))} rows")
+
+
+def main(sf, out):
+    import os
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(42)
+    n_li = int(6_000_000 * sf)
+    n_ord = int(1_500_000 * sf)
+    n_cust = int(150_000 * sf)
+    n_part = int(200_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_doc = int(50_000 * sf)
+    n_emb = int(20_000 * sf)
+    n_ev = int(1_000_000 * sf)
+
+    # dims copied verbatim (fixed-size at every sf)
+    for t in ("nation", "region"):
+        pq.write_table(
+            pq.read_table(f"/root/testdata/sf0.1/{t}.parquet"),
+            f"{out}/{t}.parquet")
+
+    write(out, "customer", {
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_name": np.char.add("Customer#",
+                              np.char.zfill(np.arange(n_cust).astype(str), 9)),
+        "c_nationkey": rng.integers(0, 25, n_cust).astype(np.int32),
+        "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+        "c_mktsegment": SEGMENTS[rng.integers(0, 5, n_cust)]})
+
+    write(out, "supplier", {
+        "s_suppkey": np.arange(n_supp, dtype=np.int64),
+        "s_name": np.char.add("Supplier#",
+                              np.char.zfill(np.arange(n_supp).astype(str), 9)),
+        "s_nationkey": rng.integers(0, 25, n_supp).astype(np.int32),
+        "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2)})
+
+    write(out, "part", {
+        "p_partkey": np.arange(n_part, dtype=np.int64),
+        "p_name": np.char.add(np.char.add(
+            PADJS[rng.integers(0, len(PADJS), n_part)], " "),
+            PNOUNS[rng.integers(0, len(PNOUNS), n_part)]),
+        "p_brand": np.char.add("Brand#",
+                               rng.integers(1, 25, n_part).astype(str)),
+        "p_type": PTYPES[rng.integers(0, len(PTYPES), n_part)],
+        "p_size": rng.integers(1, 51, n_part).astype(np.int32),
+        "p_retailprice": np.round(900.0 + np.arange(n_part) * 0.1 % 1000, 2)})
+
+    day_us = 86_400_000_000
+    d0 = np.datetime64("1995-01-01", "us")
+    span_days = int((np.datetime64("2001-08-01") -
+                     np.datetime64("1995-01-01")).astype(int))
+    odate = d0 + (rng.integers(0, span_days + 1, n_ord) *
+                  day_us).astype("timedelta64[us]")
+    write(out, "orders", {
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rng.integers(0, n_cust, n_ord).astype(np.int64),
+        "o_orderstatus": np.array(["O", "F", "P"])[
+            rng.integers(0, 3, n_ord)],
+        "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
+        "o_orderdate": odate,
+        "o_orderpriority": PRIORITIES[rng.integers(0, 5, n_ord)]})
+
+    lo = rng.integers(0, n_ord, n_li).astype(np.int64)
+    lo.sort()  # group lines of one order (drives linenumber sequence)
+    lnum = np.ones(n_li, dtype=np.int32)
+    same = np.flatnonzero(lo[1:] == lo[:-1]) + 1
+    # within-order running line number without a python loop
+    run = np.zeros(n_li, dtype=np.int32)
+    for off in (1, 2, 4, 8, 16):  # orders have <= ~20 lines
+        shifted = np.zeros(n_li, dtype=np.int32)
+        shifted[off:] = run[:-off] + off
+        ok = np.ones(n_li, dtype=bool)
+        ok[:off] = False
+        ok[off:] &= lo[off:] == lo[:-off]
+        run = np.where(ok & (shifted > run), shifted, run)
+    lnum = run + 1
+    write(out, "lineitem", {
+        "l_orderkey": lo,
+        "l_partkey": rng.integers(0, n_part, n_li).astype(np.int64),
+        "l_suppkey": rng.integers(0, n_supp, n_li).astype(np.int64),
+        "l_linenumber": lnum,
+        "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+        "l_returnflag": np.array(["A", "N", "R"])[
+            rng.integers(0, 3, n_li)],
+        "l_linestatus": np.array(["O", "F"])[rng.integers(0, 2, n_li)],
+        "l_shipdate": odate[lo] + (rng.integers(1, 91, n_li) *
+                                   day_us).astype("timedelta64[us]")})
+
+    lens = rng.integers(10, 101, n_doc)
+    flat = VOCAB[rng.integers(0, len(VOCAB), int(lens.sum()))]
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    texts = [" ".join(flat[offs[i]:offs[i + 1]]) for i in range(n_doc)]
+    write(out, "documents", {
+        "doc_id": np.arange(n_doc, dtype=np.int64),
+        "text": texts,
+        "lang": LANGS[rng.choice(len(LANGS), n_doc, p=LANG_P)],
+        "source": np.char.add("src", rng.integers(0, 20, n_doc).astype(str)),
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)})
+
+    emb = rng.standard_normal((n_emb, 64)).astype(np.float32)
+    write(out, "embeddings", {
+        "vec_id": np.arange(n_emb, dtype=np.int64),
+        "embedding": pa.array(list(emb), type=pa.list_(pa.float32())),
+        "label": rng.integers(0, 10, n_emb).astype(np.int32)})
+
+    t0 = np.datetime64("2024-01-01", "us")
+    write(out, "events", {
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "ts": t0 + rng.integers(0, 30 * day_us, n_ev)
+            .astype("timedelta64[us]"),
+        "user_id": rng.integers(0, int(15_000 * sf) or 1, n_ev)
+            .astype(np.int64),
+        "event_type": EVENT_TYPES[rng.integers(0, 5, n_ev)],
+        "value": np.round(rng.uniform(0, 560, n_ev), 2),
+        "props": np.char.add(np.char.add(
+            '{"k": ', rng.integers(0, 100, n_ev).astype(str)), "}")})
+
+
+if __name__ == "__main__":
+    main(float(sys.argv[1]), sys.argv[2])

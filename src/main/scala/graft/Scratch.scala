@@ -117,15 +117,61 @@ object Scratch {
         val t0 = System.nanoTime(); val r = f
         println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
       }
-      val po = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("pv"))
+      // in-row pair derivation (mirrors SparkEntry.coPurchaseEdges)
+      val parts = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairArr = flatten(transform(col("ps"), (x, i) =>
+        transform(
+          slice(col("ps"), i + lit(2),
+            greatest(lit(0), size(col("ps")) - i - lit(1))),
+          y => struct(x.as("p1"), y.as("p2")))))
+      val e = parts.select(explode(pairArr).as("p"))
+        .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
         .distinct()
-      val e = po.join(po.withColumnRenamed("pv", "pw"), Seq("o"))
-        .filter(col("pv") < col("pw"))
-        .select(col("pv").as("p1"), col("pw").as("p2"))
-      timed("edges")(println("m=" + e.count()))
-      val full = graft.ml.Graph.triangleCounts(e, "p1", "p2")
-      timed("triangles total")(println("n=" + full.count()))
+      timed("edges derive")(println("m=" + e.count()))
+      // phase replay of triangleCounts
+      val canon = e.filter(col("p1") =!= col("p2"))
+        .select(least(col("p1"), col("p2")).as("u"),
+          greatest(col("p1"), col("p2")).as("v"))
+        .distinct().persist()
+      timed("canon")(println("canon=" + canon.count()))
+      val deg = canon.select(col("u").as("n"))
+        .unionAll(canon.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val ranked = canon
+        .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+      val oriented = ranked.select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b")))
+          .as("en"))
+        .select(col("en.a").as("a"), col("en.b").as("b"))
+        .persist()
+      timed("orient")(println("m=" + oriented.count()))
+      val adj = oriented.groupBy(col("a"))
+        .agg(sort_array(collect_list(col("b"))).as("ns"))
+      val wArr = flatten(transform(col("ns"), (x, i) =>
+        transform(
+          slice(col("ns"), i + lit(2),
+            greatest(lit(0), size(col("ns")) - i - lit(1))),
+          y => struct(x.as("x"), y.as("y")))))
+      val wedges = adj.select(col("a"), explode(wArr).as("p"))
+        .select(col("a"), col("p.x").as("x"), col("p.y").as("y"))
+      timed("wedges")(println("w=" + wedges.count()))
+      val closing = broadcast(oriented.select(
+        least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y")))
+      val tris = wedges.join(closing, Seq("x", "y"), "leftsemi")
+      val out = tris
+        .select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      timed("close+agg")(println("n=" + out.count()))
+      timed("full q129 fresh")(println("rows=" +
+        SparkEntry.queries("q129_triangles")(spark, sfDir)
+          .queryExecution.toRdd.count()))
       spark.stop(); return
     }
     if (name == "fuzzy_profile") {

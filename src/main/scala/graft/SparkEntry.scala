@@ -35,6 +35,32 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Co-purchase part graph (parts sharing an order) — the edge set
+    * q129 (triangles) and q137 (k-core) both consume. Pairs generate
+    * IN-ROW from each order's sorted distinct part array (the same
+    * suffix-transform used for wedges in
+    * [[graft.ml.Graph.triangleCounts]]) instead of the former
+    * (order, part) self-join: ONE shuffle — the groupBy(order) —
+    * replaces the join's two sorted exchanges, and the per-order
+    * arrays are tiny (≈4 parts/order at every SF, bounded by order
+    * size, not data size). Derived fresh per query — Bench's
+    * release() discipline measures each query cold, so a cross-query
+    * cache would be both unfair and (post-release) dangling.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val pairArr = flatten(transform(col("ps"), (x, i) =>
+      transform(
+        slice(col("ps"), i + lit(2),
+          greatest(lit(0), size(col("ps")) - i - lit(1))),
+        y => struct(x.as("p1"), y.as("p2")))))
+    parts.select(explode(pairArr).as("p"))
+      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .distinct()
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-join revenue rollup: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
     * region with broadcast dims — the shape every warehouse load in the
@@ -739,15 +765,9 @@ object SparkEntry {
     // supplier universe is small — 1.6e8 triangles is the workload,
     // not the plan, so the benched graph must be one whose density
     // scales with the data).
-    "q129_triangles" -> ((s, dir) => {
-      val po = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("pv"))
-        .distinct()
-      val e = po.join(po.withColumnRenamed("pv", "pw"), Seq("o"))
-        .filter(col("pv") < col("pw"))
-        .select(col("pv").as("p1"), col("pw").as("p2"))
-      Graph.triangleCounts(e, "p1", "p2")
-    }),
+    "q129_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(coPurchaseEdges(s, dir), "p1", "p2",
+        canonical = true)),
 
     // Blocked fuzzy record linkage: customers vs a deterministically
     // corrupted copy (dirty last digit for key%2==0), summed
@@ -837,15 +857,9 @@ object SparkEntry {
     // Bounded k-core peeling (3 level-synchronous peels at k=80 on
     // the co-purchase graph): per round one degree agg + two
     // semi-joins on 8-byte keys, per-round lineage truncation.
-    "q137_kcore" -> ((s, dir) => {
-      val po = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("pv"))
-        .distinct()
-      val e = po.join(po.withColumnRenamed("pv", "pw"), Seq("o"))
-        .filter(col("pv") < col("pw"))
-        .select(col("pv").as("p1"), col("pw").as("p2"))
-      Graph.kCorePeel(e, "p1", "p2", k = 80, iters = 3)
-    }),
+    "q137_kcore" -> ((s, dir) =>
+      Graph.kCorePeel(coPurchaseEdges(s, dir), "p1", "p2",
+        k = 80, iters = 3, canonical = true)),
 
     // Chi-square contingency cells (event type x weekday): observed,
     // independence-expected, per-cell chi2 term — all from one count
@@ -1340,6 +1354,40 @@ object SparkEntry {
           (col("__rev").cast("double") / col("__t").cast("double"))
             .as("rev_share"))
     }),
+
+    // S11 spigot graduated from spec-only to the oracle scoreboard
+    // (r8 verdict #6): tee the first k rows of a deterministically
+    // ordered stream to a JSON side-path, then return the SIDE-WRITTEN
+    // file read back (types pinned by explicit schema — JSON carries
+    // no parquet types). The sort + coalesce(1) make limit(k)
+    // deterministic, so a plain LIMIT replay is the exact oracle.
+    "q177_spigot" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_spigot_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val in = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .orderBy(col("c_custkey")).coalesce(1)
+      val teed = graft.sources.Sinks.spigot(in, base, topk = 50)
+      teed.unpersist()
+      s.read.schema("c_custkey long, c_name string, c_nationkey long")
+        .json(base)
+    }),
+
+    // S5 sampled source graduated to the oracle scoreboard (r8
+    // verdict #6): getSampleFrame(num) ≡ first-N — over a sorted
+    // stream Spark plans it as TakeOrdered, so the N rows are exact
+    // and a LIMIT replay oracles it.
+    "q178_sampled_source" -> ((s, dir) =>
+      graft.sources.Sources.sample(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .orderBy(col("o_orderkey")), 500)),
+
+    // LSH banding S-curve (1 − (1 − s^r)^b) over a (threshold × band
+    // grid) — the tuning report behind q39's (16, 4) banding choice.
+    // Integer-millionths folds, floor after every multiply, so the
+    // curve is engine-exact (float pow never could be).
+    "q179_lsh_tuning" -> ((s, dir) => Dedup.lshTuningCurve(s)),
 
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
@@ -4302,6 +4350,34 @@ object SparkEntry {
          |  CAST(sum(rev) AS DOUBLE) / tot AS rev_share
          |FROM b, t GROUP BY bucket, tot""".stripMargin
     },
+    // Spigot tee: the side-written JSON is the query output, so the
+    // oracle is the deterministic first-k replay.
+    "q177_spigot" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |ORDER BY c_custkey LIMIT 50""".stripMargin,
+    // Sampled source: first-N over a sorted stream.
+    "q178_sampled_source" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 500""".stripMargin,
+    // LSH S-curve: the ppm fold replayed with list_reduce — floor
+    // after every multiply, identical chain length on both engines
+    // (r copies reduced = r−1 multiplies = Spark's aggregate over
+    // r−1 repeats seeded with the base).
+    "q179_lsh_tuning" ->
+      """WITH th AS (SELECT CAST(i * 50000 AS BIGINT) AS s_ppm
+        |  FROM (SELECT unnest(range(1, 20)) AS i)),
+        |g AS (SELECT * FROM (VALUES (4,4),(8,4),(16,4),(32,4),
+        |    (8,8),(16,8),(8,16),(4,32)) t(bands, rws)),
+        |m AS (SELECT s_ppm, bands, rws,
+        |    1000000 - list_reduce(
+        |      list_transform(range(rws), i -> s_ppm),
+        |      (a, x) -> (a * x) // 1000000) AS miss
+        |  FROM th, g)
+        |SELECT s_ppm, bands, rws,
+        |  CAST(1000000 - list_reduce(
+        |    list_transform(range(bands), i -> miss),
+        |    (a, x) -> (a * x) // 1000000) AS BIGINT) AS p_ppm
+        |FROM m""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

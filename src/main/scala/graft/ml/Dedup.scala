@@ -519,6 +519,46 @@ object Dedup {
       .select(col(idCol), col("n_sh"), col("n_hit"))
   }
 
+  /** LSH band-tuning curve: for every (threshold, bands, rows) grid
+    * point, the probability that a pair with Jaccard similarity `s`
+    * collides in at least one band — `1 − (1 − s^r)^b` — the standard
+    * S-curve used to pick a MinHash banding for a target similarity
+    * threshold (Leskovec/Rajaraman/Ullman, "Mining of Massive
+    * Datasets" ch. 3, public formulation).
+    *
+    * ALL math is integer millionths (ppm) with a floor after every
+    * multiply — the fold is `a ← ⌊a·x / 10⁶⌋` over r copies of s, then
+    * over b copies of the miss probability — so the curve is
+    * engine-exact (a float `pow` differs by ULPs between libm
+    * implementations and could never be oracle-gated). Error vs the
+    * real-valued curve is < b·r ppm — invisible at tuning granularity.
+    *
+    * Returns (s_ppm, bands, rws, p_ppm), one row per grid point,
+    * computed in-plan from a range cross join (no driver loop, no
+    * data scan — the output IS the report).
+    */
+  def lshTuningCurve(
+      spark: org.apache.spark.sql.SparkSession,
+      thresholdsPpm: Seq[Long] = (1 to 19).map(_ * 50000L),
+      grid: Seq[(Int, Int)] = Seq((4, 4), (8, 4), (16, 4), (32, 4),
+        (8, 8), (16, 8), (8, 16), (4, 32))): DataFrame = {
+    import spark.implicits._
+    val t = thresholdsPpm.toDF("s_ppm")
+    val g = grid.toDF("bands", "rws")
+    // ppm-scaled power by left fold: products stay < 10¹² (safe in
+    // long arithmetic); the long/long divide runs in double — exact
+    // below 2⁵³ — and floors back to long
+    def powPpm(base: Column, n: Column): Column =
+      aggregate(array_repeat(base, (n - lit(1)).cast("int")), base,
+        (acc, x) => floor(acc * x / lit(1000000L)).cast("long"))
+    t.crossJoin(g)
+      .withColumn("__miss",
+        lit(1000000L) - powPpm(col("s_ppm"), col("rws")))
+      .select(col("s_ppm"), col("bands"), col("rws"),
+        (lit(1000000L) - powPpm(col("__miss"), col("bands")))
+          .as("p_ppm"))
+  }
+
   /** N-gram Jaccard near-dup pairs: candidate pairs share at least one
     * shingle hash (a long-keyed self-join — no text moves), then the
     * exact Jaccard over distinct shingle sets is verified with integer

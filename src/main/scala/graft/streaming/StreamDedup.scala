@@ -250,4 +250,33 @@ object StreamDedup {
         finally { out.unpersist(); () }
       }
       .start()
+
+  /** Built-in-path twin of [[dedupStream]] for time-local duplicates:
+    * fingerprint the text, then `dropDuplicatesWithinWatermark` — the
+    * dedup state lives in Spark's checkpointed state store and is
+    * EVICTED once older than the watermark `delay`, so state stays
+    * bounded by (arrival rate × delay) instead of corpus lifetime.
+    *
+    * The two policies answer different questions. This one: "have I
+    * seen this text RECENTLY" — right for retry storms, double-sends,
+    * at-least-once replays, where duplicates cluster in time and
+    * exactly-once state management (per-batch transactional, replay-
+    * safe) matters more than history depth. [[dedupStream]]: "have I
+    * seen this text EVER" — the external fingerprint store never
+    * evicts, the contract corpus dedup needs. At 100 TB of stream
+    * history the state-store path is the only bounded one; pair it
+    * with a periodic batch [[graft.ml.Dedup.exact]] pass for the
+    * long-range duplicates the watermark let through.
+    *
+    * Returns the transformed STREAMING frame — attach any sink
+    * (append mode; the watermark requires event-time column `tsCol`).
+    */
+  def dedupStreamWithinWatermark(
+      stream: DataFrame, textCol: String, tsCol: String,
+      delay: String): DataFrame =
+    stream
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 }

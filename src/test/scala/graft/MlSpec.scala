@@ -330,6 +330,26 @@ class MlSpec extends AnyFunSuite {
     assert(direct == prefixed)
   }
 
+  test("lshTuningCurve matches the closed-form S-curve within fold error") {
+    val got = Dedup.lshTuningCurve(spark,
+        thresholdsPpm = Seq(100000L, 500000L, 900000L),
+        grid = Seq((16, 4), (8, 8)))
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => ((r._1, r._2, r._3), r._4)).toMap
+    assert(got.size == 6)
+    for (((sPpm, b, r), pPpm) <- got) {
+      val s = sPpm / 1e6
+      val exact = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      // every multiply floors: error < b·r ppm
+      assert(math.abs(pPpm / 1e6 - exact) < (b.toLong * r + 1) / 1e6,
+        s"s=$s b=$b r=$r got=$pPpm exact=$exact")
+    }
+    // the S shape: steeper banding (16,4) admits more at low s than
+    // (8,8), and both saturate at high s
+    assert(got((100000L, 16, 4)) > got((100000L, 8, 8)))
+    assert(got((900000L, 16, 4)) > 990000L)
+  }
+
   test("jaccard maxShingleFreq caps candidate generation, not verification") {
     // with a generous cap nothing is lost (every shared shingle here has
     // frequency <= 3: base, nearDup, and the exact dup); the DEFAULT is
@@ -840,6 +860,46 @@ class MlSpec extends AnyFunSuite {
     val plan = fromIndex.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
       plan.contains("__lsh_bucket"), s"no partition pruning in:\n$plan")
+  }
+
+  test("vacuumIndex sweeps orphans past the grace period, keeps the manifest set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac_idx").toString
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val base  = e.filter($"vec_id" =!= 0)
+    val query = e.filter($"vec_id" === 0)
+    Similarity.writeLshIndex(base, "vec_id", "embedding", dir,
+      dim = 64, planes = 4)
+    // plant orphans: an aborted-build leftover inside a live bucket
+    // dir and a whole stale bucket directory no build references
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bucketDir = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/vectors"))
+      .filter(_.isDirectory).head.getPath
+    val orphan1 = new org.apache.hadoop.fs.Path(bucketDir, "part-orphan.parquet")
+    val staleDir = new org.apache.hadoop.fs.Path(
+      s"$dir/vectors/__lsh_bucket=99999")
+    fs.mkdirs(staleDir)
+    val orphan2 = new org.apache.hadoop.fs.Path(staleDir, "part-old.parquet")
+    Seq(orphan1, orphan2).foreach { p =>
+      val o = fs.create(p, true); o.write(Array[Byte](1, 2, 3)); o.close()
+    }
+    // within the grace period nothing is dropped…
+    val safe = Similarity.vacuumIndex(spark, dir, minAgeHours = 1)
+    assert(safe.droppedFiles == 0)
+    // …dryRun reports but leaves everything in place…
+    val dry = Similarity.vacuumIndex(spark, dir, minAgeHours = 0,
+      dryRun = true)
+    assert(dry.droppedFiles == 2 && fs.exists(orphan1) && fs.exists(orphan2))
+    // …and a zero-grace sweep drops exactly the two orphans (plus the
+    // emptied stale bucket directory), never a manifest file
+    val swept = Similarity.vacuumIndex(spark, dir, minAgeHours = 0)
+    assert(swept.droppedFiles == 2 && swept.keptFiles == dry.keptFiles)
+    assert(!fs.exists(orphan1) && !fs.exists(orphan2) && !fs.exists(staleDir))
+    // the index still probes correctly after the sweep
+    val fromIndex = Similarity.lshTopKFromIndex(spark, dir,
+      "vec_id", "embedding", query, "embedding", dim = 64, k = 5, planes = 4)
+    assert(fromIndex.count() > 0)
   }
 
   test("multimodal feature extraction is deterministic from bytes") {

@@ -169,6 +169,41 @@ class StreamingSpec extends AnyFunSuite {
       got.toSet.subsetOf(Set(12L, 11L, 13L)))
   }
 
+  test("dedupStreamWithinWatermark drops time-local duplicates via the state store") {
+    import graft.streaming.StreamDedup
+    val src = Files.createTempDirectory("graft_wmdedup_src").toString
+    val ckp = Files.createTempDirectory("graft_wmdedup_ckp").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // two files → two micro-batches (maxFilesPerTrigger=1): the batch-2
+    // replay of "aa" (id 30) arrives within the 1h watermark of batch
+    // 1's "aa" (id 10) and must drop; "cc" is new and emits
+    Seq((10L, "aa", ts(0)), (11L, "bb", ts(1)), (12L, "aa", ts(2)))
+      .toDF("doc_id", "text", "ts")
+      .write.mode("overwrite").parquet(s"$src/f1")
+    Seq((30L, "aa", ts(5)), (31L, "cc", ts(6)))
+      .toDF("doc_id", "text", "ts")
+      .write.mode("overwrite").parquet(s"$src/f2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+    val out = StreamDedup.dedupStreamWithinWatermark(
+      stream, "text", "ts", "1 hour")
+    val name = "graft_wmdedup_out"
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckp)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).select($"doc_id").as[Long]
+      .collect().toSet
+    // one survivor per distinct text across BOTH batches: the state
+    // store carried "aa" over the batch boundary
+    assert(got.size == 3)
+    assert(got.intersect(Set(10L, 12L, 30L)).size == 1) // one "aa"
+    assert(got.contains(11L) && got.contains(31L))
+  }
+
   test("nearDedupStream drops cross-batch near-duplicates via the band store") {
     import graft.streaming.StreamDedup
     val src = Files.createTempDirectory("graft_ndstream_src").toString
