@@ -1389,6 +1389,70 @@ object SparkEntry {
     // curve is engine-exact (float pow never could be).
     "q179_lsh_tuning" -> ((s, dir) => Dedup.lshTuningCurve(s)),
 
+    // Cluster-aware leakage-free split: the split key is the near-dup
+    // COMPONENT representative, so near-duplicates can never straddle
+    // train/valid/test (q91's exact-key split leaks under re-crawls).
+    // Oracle replays the q67 pair-graph CC and the q91 mix64 buckets
+    // over coalesce(component, doc_id).
+    "q180_cluster_split" -> ((s, dir) =>
+      Curation.clusterAwareSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", valid1024 = 64, test1024 = 64)
+        .select(col("doc_id"), col("component"), col("split"))),
+
+    // Split leakage audit: near-dup pairs straddling the q91 exact-key
+    // split — the contamination report q180's cluster-aware split
+    // exists to zero out. One row per (split, split) combination.
+    "q184_split_leakage" -> ((s, dir) => {
+      val split = Curation.datasetSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", valid1024 = 64, test1024 = 64)
+      Curation.splitLeakageAudit(split, "text", "doc_id", "split")
+    }),
+
+    // C1/C2/C3 collection combinators graduated to the scoreboard:
+    // build a {high, low} price-band collection, map an aggregation
+    // over every member, flatMap a band tag back in, select both legs
+    // and union — each combinator's output feeds the next, so the
+    // oracle (one grouped CASE aggregation) gates the whole chain.
+    "q181_collection_ops" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import graft.core.{GlueFrame, GlueFrameCollection}
+      val o = t(s, dir, "orders")
+      val coll = GlueFrameCollection(Map(
+        "high" -> GlueFrame(o.filter(col("o_totalprice") > 250000)),
+        "low"  -> GlueFrame(o.filter(col("o_totalprice") <= 250000))))
+      val mapped = coll.map(g => g.transform(df =>
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))))
+      val tagged = mapped.flatMap((k, g) =>
+        Seq(k -> g.transform(_.withColumn("band", lit(k)))))
+      tagged.select("high").data
+        .unionByName(tagged.select("low").data)
+    }),
+
+    // S6 RDD source graduated: a Row RDD wrapped back into a frame
+    // with an explicit schema — the create_dynamic_frame_from_rdd
+    // path — must round-trip values and types exactly.
+    "q182_rdd_source" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      graft.sources.Sources.fromRdd(s, base.rdd, base.schema)
+    }),
+
+    // R9 with_frame_schema graduated: reshape a frame to a TARGET
+    // schema (prune to two columns, reorder, retype n_chars to int)
+    // via Dataset.to — the reader-schema contract end-to-end.
+    "q183_with_schema" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      t(s, dir, "documents").to(StructType(Seq(
+        StructField("lang", StringType),
+        StructField("n_chars", IntegerType),
+        StructField("doc_id", LongType))))
+    }),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
     // distinct per doc — the standard plagiarism/overlap fingerprint
@@ -4378,6 +4442,97 @@ object SparkEntry {
         |    list_transform(range(bands), i -> miss),
         |    (a, x) -> (a * x) // 1000000) AS BIGINT) AS p_ppm
         |FROM m""".stripMargin,
+    // Cluster-aware split: q67's pair-graph connected components
+    // (undoubled corpus) feed the q91 mix64 bucket replay over the
+    // component-or-own-id key.
+    "q180_cluster_split" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(1, len(toks)-1),
+         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s a, s b WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.sh, b.sh)) * 2 >=
+         |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION ALL SELECT id_b, id_a FROM p),
+         |nd AS (SELECT DISTINCT src AS id FROM e),
+         |cc(id, comp) AS (
+         |  SELECT id, id FROM nd
+         |  UNION
+         |  SELECT e.dst, cc.comp FROM cc JOIN e ON cc.id = e.src
+         |),
+         |cmp AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
+         |k AS (SELECT d.doc_id, cmp.component,
+         |    COALESCE(cmp.component, d.doc_id) AS key
+         |  FROM documents d LEFT JOIN cmp ON d.doc_id = cmp.id),
+         |z0 AS (SELECT doc_id, component,
+         |    (CAST(key AS HUGEINT) + ${sqlMixAdd(11)})
+         |      % 18446744073709551616 AS z
+         |  FROM k),
+         |${sqlMixFinal("doc_id, component")}
+         |SELECT doc_id, component,
+         |  CASE WHEN z % 1024 < 64 THEN 'valid'
+         |       WHEN z % 1024 < 128 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM z3""".stripMargin,
+    // Leakage audit: q91 split replay + q41-style pair replay, then
+    // cross-split pairs aggregated per split combination.
+    "q184_split_leakage" ->
+      s"""WITH z0 AS (SELECT doc_id,
+         |    (CAST(doc_id AS HUGEINT) + ${sqlMixAdd(11)})
+         |      % 18446744073709551616 AS z
+         |  FROM documents),
+         |${sqlMixFinal("doc_id")},
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN z % 1024 < 64 THEN 'valid'
+         |       WHEN z % 1024 < 128 THEN 'test'
+         |       ELSE 'train' END AS split
+         |  FROM z3),
+         |t AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(1, len(toks)-1),
+         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s a, s b WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.sh, b.sh)) * 2 >=
+         |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         |cr AS (SELECT least(sa.split, sb.split) AS split_a,
+         |    greatest(sa.split, sb.split) AS split_b, p.id_a, p.id_b
+         |  FROM p JOIN sp sa ON p.id_a = sa.doc_id
+         |         JOIN sp sb ON p.id_b = sb.doc_id
+         |  WHERE sa.split <> sb.split),
+         |np AS (SELECT split_a, split_b, count(*) AS n_pairs
+         |  FROM cr GROUP BY split_a, split_b),
+         |d AS (SELECT split_a, split_b, unnest([id_a, id_b]) AS id
+         |  FROM cr),
+         |nd AS (SELECT split_a, split_b,
+         |    count(DISTINCT id) AS n_docs
+         |  FROM d GROUP BY split_a, split_b)
+         |SELECT np.split_a, np.split_b, n_pairs, n_docs
+         |FROM np JOIN nd USING (split_a, split_b)""".stripMargin,
+    // Collection select/map/flatMap chain == one grouped CASE agg.
+    "q181_collection_ops" ->
+      """SELECT CASE WHEN o_totalprice > 250000 THEN 'high'
+        |    ELSE 'low' END AS band,
+        |  o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders GROUP BY band, o_orderpriority""".stripMargin,
+    // RDD round-trip is the identity on (values, schema).
+    "q182_rdd_source" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem""".stripMargin,
+    // Target-schema reshape: prune + reorder + retype.
+    "q183_with_schema" ->
+      """SELECT lang, CAST(n_chars AS INT) AS n_chars, doc_id
+        |FROM documents""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

@@ -76,6 +76,87 @@ object Curation {
         .otherwise(lit("train")))
   }
 
+  /** Leakage-free split at NEAR-DUP-CLUSTER granularity: the split
+    * key is the document's near-dup component representative
+    * ([[Dedup.clusters]] — min id per connected component of the
+    * Jaccard pair graph), so two near-duplicate documents can NEVER
+    * straddle train/valid/test. [[datasetSplit]] alone is leak-free
+    * only against EXACT re-keying — a boilerplate-tail re-crawl of a
+    * test document lands in train with probability train-share and
+    * silently contaminates every eval on it; splitting by cluster is
+    * the standard decontamination posture for LLM corpora.
+    *
+    * Documents in no cluster (pairless singletons, shingle-less
+    * texts) fall back to their own id — bucket assignment for them is
+    * IDENTICAL to [[datasetSplit]]'s, so adopting the cluster-aware
+    * split re-shuffles only documents that have near-duplicates.
+    * Output carries `component` (nullable — the cluster label, for
+    * audit) and `split`.
+    *
+    * Scale posture: everything rides the [[Dedup.clusters]] kernel
+    * (LSH-free exact PPJoin with the frequency-capped candidate
+    * generation by default, contraction on exact duplicates,
+    * accumulator-fold connected components) plus one key join; the
+    * split assignment itself stays a stateless projection.
+    */
+  def clusterAwareSplit(
+      df: DataFrame, textCol: String, idCol: String,
+      valid1024: Int, test1024: Int, seed: Int = 11,
+      shingleSize: Int = 3, numer: Int = 1, denom: Int = 2,
+      maxShingleFreq: Option[Long] = Dedup.DefaultMaxShingleFreq): DataFrame = {
+    val comps = Dedup.clusters(df, textCol, idCol, shingleSize,
+        numer, denom, maxShingleFreq = maxShingleFreq)
+      .withColumnRenamed("id", "__ca_id")
+    val keyed = df
+      .join(comps, col(idCol) === col("__ca_id"), "left")
+      .drop("__ca_id")
+      .withColumn("__ca_key",
+        coalesce(col("component"), col(idCol).cast("long")))
+    datasetSplit(keyed, "__ca_key", valid1024, test1024, seed)
+      .drop("__ca_key")
+  }
+
+  /** Split leakage audit — the REPORT companion of
+    * [[clusterAwareSplit]]: given an already-split corpus, find every
+    * near-dup pair that straddles two splits and aggregate to one row
+    * per (split, split) combination with the pair count and the
+    * number of distinct documents involved. A non-empty result on a
+    * train/test corpus is exactly the contamination
+    * [[clusterAwareSplit]] prevents; run this before trusting any
+    * eval on a split you didn't produce cluster-aware.
+    *
+    * Scale posture: the pair kernel is [[Dedup.jaccardPairs]] (capped
+    * candidate generation by default); everything after it touches
+    * only the fixed-width pair table — two 8-byte-key joins to attach
+    * split labels and two small aggregations.
+    */
+  def splitLeakageAudit(
+      df: DataFrame, textCol: String, idCol: String, splitCol: String,
+      shingleSize: Int = 3, numer: Int = 1, denom: Int = 2,
+      maxShingleFreq: Option[Long] = Dedup.DefaultMaxShingleFreq): DataFrame = {
+    val pairs = Dedup.jaccardPairs(df, textCol, idCol, shingleSize,
+        numer, denom, prefixFilter = true, maxShingleFreq)
+      .select(col("id_a"), col("id_b"))
+    val labels = df.select(col(idCol), col(splitCol))
+    val cross = pairs
+      .join(labels.select(col(idCol).as("id_a"),
+        col(splitCol).as("__sa")), Seq("id_a"))
+      .join(labels.select(col(idCol).as("id_b"),
+        col(splitCol).as("__sb")), Seq("id_b"))
+      .filter(col("__sa") =!= col("__sb"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"),
+        col("id_a"), col("id_b"))
+    val nPairs = cross.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = cross
+      .select(col("split_a"), col("split_b"),
+        explode(array(col("id_a"), col("id_b"))).as("__id"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(countDistinct(col("__id")).as("n_docs"))
+    nPairs.join(nDocs, Seq("split_a", "split_b"))
+  }
+
   /** Canonical URL for dedup keying: crawls reach the same page as
     * `HTTP://WWW.Site.COM:80/a/?utm_source=x` and
     * `http://www.site.com/a` — URL-level dedup is worthless without

@@ -73,14 +73,21 @@ object Dedup {
     * `rows = numHashes/bands` and hash each band. Docs sharing any band
     * key are near-dup candidates.
     *
-    * Single `transform` lambda so the signature appears ONCE in the
-    * expression tree — `bands` separate slice expressions would make
-    * Catalyst inline (and recompute) the whole minhash pipeline per
-    * band when projections collapse.
+    * The signature is bound ONCE PER ROW via a 1-element transform
+    * (the [[graft.ml.Similarity.normalize]] idiom): `bands` separate
+    * slice expressions would make Catalyst inline the whole minhash
+    * pipeline per band at projection collapse, and even a single
+    * occurrence INSIDE the band lambda is re-evaluated per element —
+    * higher-order functions evaluate non-lambda subexpressions on
+    * every lambda invocation (see functions/TextHashes.scala docs).
+    * Measured on the sf1 twin corpus (50k distinct texts): the
+    * unbound form re-ran the 64-finalizer kernel 16× per row — 10.6s
+    * for the band table vs ~1.5s bound.
     */
   def lshBandKeys(signature: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(signature, b * lit(rows) + lit(1), lit(rows))))
+    element_at(transform(array(signature), sig =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(sig, b * lit(rows) + lit(1), lit(rows))))), 1)
 
   /** The (id, band key) table behind every MinHash/LSH operator: one
     * row per (document, band). Staged projections ensure each

@@ -414,13 +414,21 @@ object Graph {
     val withCommon = withAdj.select(col("x"), col("y"),
       graft.functions.SortedIntersect
         .sortedIntersect(col("nx"), col("ny")).as("zs"))
-      .filter(size(col("zs")) > 0)
+    // No separate filter on size(zs): predicate pushdown would inline
+    // (and re-evaluate) the intersection into the filter — instead an
+    // empty-intersection row maps to an empty contribution array,
+    // which explode drops for free. zs is referenced several times
+    // here, all within ONE projection, so CollapseProject's
+    // non-cheap-duplication guard keeps the upstream alias
+    // materialized: one intersection per edge, total.
+    val emptyContrib = array().cast("array<struct<node:bigint,c:bigint>>")
     val out = withCommon
-      .select(explode(concat(
+      .select(explode(when(size(col("zs")) > 0, concat(
         array(
           struct(col("x").as("node"), size(col("zs")).cast("long").as("c")),
           struct(col("y").as("node"), size(col("zs")).cast("long").as("c"))),
         transform(col("zs"), z => struct(z.as("node"), lit(1L).as("c")))))
+        .otherwise(emptyContrib))
         .as("t"))
       .groupBy(col("t.node").as("node"))
       .agg(sum(col("t.c")).as("n_tri"))

@@ -483,6 +483,47 @@ class MlSpec extends AnyFunSuite {
     assert(old.forall { case (id, lbl) => now(id) == lbl })
   }
 
+  test("clusterAwareSplit keeps every near-dup cluster in one split") {
+    // base/nearDup/exact-dup form one cluster; `other`+copy another;
+    // `lone` is a pairless singleton that falls back to its own id
+    val a = base
+    val b = base.replace("today", "tonight")
+    val lone = "completely unrelated text with nothing shared at all " +
+      "padded until shingles exist for this document too yes"
+    val df = Seq((1L, a), (2L, b), (4L, a), (8L, other), (9L, other),
+      (20L, lone)).toDF("doc_id", "text")
+    val out = Curation.clusterAwareSplit(df, "text", "doc_id", 256, 256)
+      .select($"doc_id", $"component", $"split")
+      .as[(Long, Option[Long], String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 6)
+    // the invariant: one split per component
+    assert(Set(out(1L), out(2L), out(4L)).size == 1)
+    assert(out(8L) == out(9L))
+    assert(out(1L)._1.contains(1L) && out(8L)._1.contains(8L))
+    // the singleton's assignment matches the plain exact-key split
+    val plain = Curation.datasetSplit(
+      df.filter($"doc_id" === 20L), "doc_id", 256, 256)
+      .select($"split").as[String].head()
+    assert(out(20L) == ((None, plain)))
+  }
+
+  test("splitLeakageAudit counts cross-split near-dup pairs; clean split audits empty") {
+    val a = base
+    val b = base.replace("today", "tonight")
+    val df = Seq((1L, a), (2L, b), (3L, other)).toDF("doc_id", "text")
+    // force the near-dups onto different sides
+    val leaky = df.withColumn("split",
+      when($"doc_id" === 1L, lit("train")).otherwise(lit("test")))
+    val got = Curation.splitLeakageAudit(leaky, "text", "doc_id", "split")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("test", "train", 1L, 2L)))
+    // a cluster-aware split of the same corpus audits EMPTY
+    val clean = Curation.clusterAwareSplit(df, "text", "doc_id", 256, 256)
+    assert(Curation.splitLeakageAudit(clean, "text", "doc_id", "split")
+      .isEmpty)
+  }
+
   test("canonicalizeUrl normalizes crawl-variant URLs to one key") {
     val urls = Seq(
       (1L, "HTTP://WWW.Site.COM:80/A/b/?utm_source=x&z=1&gclid=g#top"),
