@@ -1214,11 +1214,18 @@ object SparkEntry {
     // k-NN majority-vote label eval: queries broadcast, corpus
     // streams once, neighbors via the bounded top-k heap,
     // deterministic tie-breaks end to end.
+    // The eval set is PINNED (vec_id < 2000), not a corpus fraction:
+    // an eval harness scores a fixed benchmark against a growing
+    // corpus, so the brute kernel stays linear in the data. Letting
+    // the query side grow with sf made the benched workload
+    // inherently quadratic (the r9 sf1 sweep measured 49× on the 10×
+    // step); per-query retrieval at scale is the ANN index family's
+    // job (q44/q52), not this eval's.
     "q169_knn_classify" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.knnClassify(
         e.filter(col("vec_id") % 7 =!= 0),
-        e.filter(col("vec_id") % 7 === 0),
+        e.filter(col("vec_id") % 7 === 0 && col("vec_id") < 2000),
         "vec_id", "embedding", "label", k = 5)
     }),
 
@@ -1408,6 +1415,38 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", valid1024 = 64, test1024 = 64)
       Curation.splitLeakageAudit(split, "text", "doc_id", "split")
+    }),
+
+    // S4/S10 catalog source+sink graduated: write a frame to the
+    // session metastore through the sink factory, read it back with
+    // the catalog source (push_down_predicate applied on read). The
+    // oracle replays the filtered projection straight from parquet.
+    "q185_catalog_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+      // a managed-table location left by an EARLIER session is orphan
+      // state to a fresh in-memory catalog — saveAsTable refuses the
+      // name (LOCATION_ALREADY_EXISTS); drop both table and location
+      s.sql("DROP TABLE IF EXISTS default.graft_q185")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_q185")
+      val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.sources.Sinks.write(src, "catalog",
+        options = Map("table" -> "default.graft_q185"),
+        mode = "overwrite")
+      graft.sources.Sources.fromCatalog(s, "default", "graft_q185",
+        pushDownPredicate = Some(col("s_acctbal") > 0))
+    }),
+
+    // X1/X2 physical ops graduated: repartition then shuffle-coalesce
+    // must be CONTENT-neutral — the oracle is the untouched table, so
+    // any row lost or duplicated by the exchanges fails the hash.
+    "q186_physical_roundtrip" -> ((s, dir) => {
+      val p = graft.operators.PhysicalOps.repartition(
+        t(s, dir, "part"), 16)
+      graft.operators.PhysicalOps.coalesce(p, 4, shuffle = true)
     }),
 
     // C1/C2/C3 collection combinators graduated to the scoreboard:
@@ -4292,7 +4331,8 @@ object SparkEntry {
         |FROM a""".stripMargin,
     "q169_knn_classify" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe,
-        |    label AS qlabel FROM embeddings WHERE vec_id % 7 = 0),
+        |    label AS qlabel FROM embeddings
+        |  WHERE vec_id % 7 = 0 AND vec_id < 2000),
         |sc AS (SELECT q.qid, q.qlabel, e.vec_id AS cid,
         |    e.label AS clabel,
         |    list_sum(list_transform(range(1, len(e.embedding)+1),
@@ -4517,6 +4557,13 @@ object SparkEntry {
          |  FROM d GROUP BY split_a, split_b)
          |SELECT np.split_a, np.split_b, n_pairs, n_docs
          |FROM np JOIN nd USING (split_a, split_b)""".stripMargin,
+    // Catalog round-trip with a read-side pushdown predicate.
+    "q185_catalog_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_acctbal > 0""".stripMargin,
+    // Exchange content-neutrality: repartition+coalesce == identity.
+    "q186_physical_roundtrip" ->
+      """SELECT * FROM part""".stripMargin,
     // Collection select/map/flatMap chain == one grouped CASE agg.
     "q181_collection_ops" ->
       """SELECT CASE WHEN o_totalprice > 250000 THEN 'high'
