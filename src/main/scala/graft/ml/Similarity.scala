@@ -403,6 +403,13 @@ object Similarity {
     * the O(n²) stage is a dot product only — `cosine()` per pair would
     * recompute both norms for every pair (measured 60s → 4s at 2k
     * vectors).
+    *
+    * QUADRATIC BY DEFINITION — n²/2 dot products is what "exact
+    * all-pairs" means (the r9 sf1 sweep measured the expected ~100×
+    * on a 10× corpus). This is the recall oracle for small corpora
+    * and validation samples; at scale use [[nearDupPairs]] (LSH
+    * buckets, with `planes` grown ~log₂(n) so bucket sizes stay flat)
+    * or [[semDedup]].
     */
   def nearDupPairsExact(
       embeddings: DataFrame, idCol: String, vecCol: String,
@@ -423,6 +430,14 @@ object Similarity {
     * Σ_bucket n_b², never the global n². Vectors are L2-normalized once
     * per side BEFORE the join (the q50 lesson: cosine() per pair
     * recomputes both norms for every pair).
+    *
+    * `planes` must GROW with the corpus: 2^planes buckets over n
+    * vectors means n²/2^planes candidate pairs at uniform spread, so
+    * a fixed plane count degrades toward quadratic as n grows (the
+    * r9 sf1 sweep measured 12× on a 10× corpus at planes = 8). Size
+    * it as ~log₂(n / targetBucketSize); each added plane halves the
+    * candidate volume at a recall cost on near-threshold pairs (the
+    * standard hyperplane-LSH trade).
     *
     * At 100 TB the coded table is written partitioned by `bk`; the
     * self-join is then partition-local with no shuffle.

@@ -687,27 +687,32 @@ class MlSpec extends AnyFunSuite {
     assert(loose == Seq(1L, 3L))
   }
 
-  test("simhashDedup bucket cap bounds a planted hot bucket") {
-    // 40 identical docs all land in the same bucket of every rotated
-    // table (identical signature): a 40-wide bucket means 780
-    // candidate pairs per table from one key — the quadratic shape the
-    // cap exists to stop. With the cap below the clique size every
-    // hot bucket is excluded from candidate generation, so nothing is
-    // dropped (documented recall trade); an under-cap near-dup pair
-    // elsewhere still dedups.
+  test("simhashDedup bucket cap bounds cross-signature candidates; contraction is cap-immune") {
+    // Since r9 the kernel contracts IDENTICAL signatures before the
+    // bucket self-join (one representative per distinct signature),
+    // so a 40-copy boilerplate clique costs ONE kernel row and its 39
+    // copies drop against their own representative — with or without
+    // the cap (the same cap-immunity jaccardPairs' contraction has).
+    // The cap's remaining job is bounding CROSS-signature candidate
+    // generation: with maxBucketSize = 1, any bucket holding two
+    // distinct signatures is excluded, so the (100, 101) exact-dup
+    // pair still collapses via contraction, while a DISTINCT-text
+    // near-dup pair (200, 201) that only a bucket pairing could find
+    // survives — the documented recall trade.
     val hot = (1L to 40L).map(i => (i, "the same boilerplate banner"))
     val pair = Seq(
       (100L, "a genuinely unique document about rivers"),
-      (101L, "a genuinely unique document about rivers"))
+      (101L, "a genuinely unique document about rivers"),
+      (200L, "completely different text all about mountain weather stations"),
+      (201L, "completely different text all about mountain weather station"))
     val df = (hot ++ pair).toDF("doc_id", "text")
-    val capped = Dedup.simhashDedup(df, "text", "doc_id",
-        maxBucketSize = Some(10L))
+    val exact = Dedup.simhashDedup(df, "text", "doc_id", maxHamming = 12)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    assert(capped == ((1L to 40L) :+ 100L))
-    // uncapped remains exact: the clique collapses to its min id
-    val exact = Dedup.simhashDedup(df, "text", "doc_id")
+    assert(exact == Seq(1L, 100L, 200L))
+    val capped = Dedup.simhashDedup(df, "text", "doc_id", maxHamming = 12,
+        maxBucketSize = Some(1L))
       .select("doc_id").as[Long].collect().sorted.toSeq
-    assert(exact == Seq(1L, 100L))
+    assert(capped == Seq(1L, 100L, 200L, 201L))
   }
 
   test("simhash: identical → distance 0, near-dup close, distinct far") {
