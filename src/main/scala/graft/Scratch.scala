@@ -130,11 +130,12 @@ object Scratch {
         .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
         .distinct()
       timed("edges derive")(println("m=" + e.count()))
-      // phase replay of triangleCounts
-      val canon = e.filter(col("p1") =!= col("p2"))
-        .select(least(col("p1"), col("p2")).as("u"),
-          greatest(col("p1"), col("p2")).as("v"))
-        .distinct().persist()
+      // phase replay of the EDGE-CENTRIC triangleCounts (r9): canon →
+      // degree-oriented DAG → adjacency arrays → per-edge native
+      // intersection closure
+      val canon = e
+        .select(col("p1").cast("long").as("u"), col("p2").cast("long").as("v"))
+        .persist()
       timed("canon")(println("canon=" + canon.count()))
       val deg = canon.select(col("u").as("n"))
         .unionAll(canon.select(col("v").as("n")))
@@ -153,21 +154,24 @@ object Scratch {
       timed("orient")(println("m=" + oriented.count()))
       val adj = oriented.groupBy(col("a"))
         .agg(sort_array(collect_list(col("b"))).as("ns"))
-      val wArr = flatten(transform(col("ns"), (x, i) =>
-        transform(
-          slice(col("ns"), i + lit(2),
-            greatest(lit(0), size(col("ns")) - i - lit(1))),
-          y => struct(x.as("x"), y.as("y")))))
-      val wedges = adj.select(col("a"), explode(wArr).as("p"))
-        .select(col("a"), col("p.x").as("x"), col("p.y").as("y"))
-      timed("wedges")(println("w=" + wedges.count()))
-      val closing = broadcast(oriented.select(
-        least(col("a"), col("b")).as("x"),
-        greatest(col("a"), col("b")).as("y")))
-      val tris = wedges.join(closing, Seq("x", "y"), "leftsemi")
-      val out = tris
-        .select(explode(array(col("a"), col("x"), col("y"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        .persist()
+      timed("adj")(println("nodes=" + adj.count()))
+      val e2 = oriented.select(col("a").as("x"), col("b").as("y"))
+      val withAdj = e2
+        .join(broadcast(adj.select(col("a").as("x"), col("ns").as("nx"))), Seq("x"))
+        .join(broadcast(adj.select(col("a").as("y"), col("ns").as("ny"))), Seq("y"))
+      val withCommon = withAdj.select(col("x"), col("y"),
+        graft.functions.SortedIntersect
+          .sortedIntersect(col("nx"), col("ny")).as("zs"))
+      val out = withCommon
+        .select(explode(when(size(col("zs")) > 0, concat(
+          array(
+            struct(col("x").as("node"), size(col("zs")).cast("long").as("c")),
+            struct(col("y").as("node"), size(col("zs")).cast("long").as("c"))),
+          transform(col("zs"), z => struct(z.as("node"), lit(1L).as("c")))))
+          .otherwise(array().cast("array<struct<node:bigint,c:bigint>>")))
+          .as("t"))
+        .groupBy(col("t.node")).agg(sum(col("t.c")).as("n_tri"))
       timed("close+agg")(println("n=" + out.count()))
       timed("full q129 fresh")(println("rows=" +
         SparkEntry.queries("q129_triangles")(spark, sfDir)

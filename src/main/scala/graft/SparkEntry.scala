@@ -765,9 +765,13 @@ object SparkEntry {
     // supplier universe is small — 1.6e8 triangles is the workload,
     // not the plan, so the benched graph must be one whose density
     // scales with the data).
+    // broadcastEdgeLimit raised above the library default here: this
+    // driver runs a 24g heap (build.sbt), where broadcasting the sf1
+    // twin graph's 12M-edge adjacency is comfortably cheaper than the
+    // shuffled closure; a default-sized driver keeps the safe 8M.
     "q129_triangles" -> ((s, dir) =>
       Graph.triangleCounts(coPurchaseEdges(s, dir), "p1", "p2",
-        canonical = true)),
+        broadcastEdgeLimit = 32000000L, canonical = true)),
 
     // Blocked fuzzy record linkage: customers vs a deterministically
     // corrupted copy (dirty last digit for key%2==0), summed
@@ -1369,8 +1373,10 @@ object SparkEntry {
     // no parquet types). The sort + coalesce(1) make limit(k)
     // deterministic, so a plain LIMIT replay is the exact oracle.
     "q177_spigot" -> ((s, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_spigot_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      // fixed path + overwrite (the q51 tmp discipline) — a per-run
+      // UUID dir under java.io.tmpdir would accumulate garbage across
+      // bench/verify runs with nothing ever cleaning it
+      val base = "target/tmp_spigot/customer"
       val in = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
         .orderBy(col("c_custkey")).coalesce(1)
@@ -2799,9 +2805,13 @@ object SparkEntry {
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),
         |t AS (SELECT doc_id,
         |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM d),
-        |s AS (SELECT doc_id, list_distinct(list_transform(
-        |  range(1, len(toks)-1),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
+        |s AS (SELECT doc_id, CASE
+        |  WHEN len(toks) = 1 AND toks[1] = '' THEN CAST([] AS VARCHAR[])
+        |  WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |  END AS sh FROM t),
         |pg AS (SELECT doc_id, unnest(sh) AS g FROM s),
         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
         |  FROM pg x JOIN pg y ON x.g = y.g AND x.doc_id < y.doc_id),
@@ -3072,11 +3082,16 @@ object SparkEntry {
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),
         |t AS (SELECT doc_id,
         |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM d),
-        |s AS (SELECT doc_id, list_distinct(list_transform(
-        |  range(1, len(toks)-1),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
+        |s AS (SELECT doc_id, CASE
+        |  WHEN len(toks) = 1 AND toks[1] = '' THEN CAST([] AS VARCHAR[])
+        |  WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |  END AS sh FROM t),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM s a, s b WHERE a.doc_id < b.doc_id
+        |    AND len(a.sh) > 0 AND len(b.sh) > 0
         |    AND len(list_intersect(a.sh, b.sh)) * 2 >=
         |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
         |e AS (SELECT id_a AS src, id_b AS dst FROM p
@@ -4489,12 +4504,16 @@ object SparkEntry {
       s"""WITH RECURSIVE t AS (SELECT doc_id,
          |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
          |  FROM documents),
-         |s AS (SELECT doc_id, list_distinct(list_transform(
-         |  range(1, len(toks)-1),
-         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-         |  FROM t),
+         |s AS (SELECT doc_id, CASE
+         |  WHEN len(toks) = 1 AND toks[1] = '' THEN CAST([] AS VARCHAR[])
+         |  WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+         |  ELSE list_distinct(list_transform(
+         |    range(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |  END AS sh FROM t),
          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM s a, s b WHERE a.doc_id < b.doc_id
+         |    AND len(a.sh) > 0 AND len(b.sh) > 0
          |    AND len(list_intersect(a.sh, b.sh)) * 2 >=
          |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
          |e AS (SELECT id_a AS src, id_b AS dst FROM p
@@ -4535,12 +4554,16 @@ object SparkEntry {
          |t AS (SELECT doc_id,
          |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
          |  FROM documents),
-         |s AS (SELECT doc_id, list_distinct(list_transform(
-         |  range(1, len(toks)-1),
-         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-         |  FROM t),
+         |s AS (SELECT doc_id, CASE
+         |  WHEN len(toks) = 1 AND toks[1] = '' THEN CAST([] AS VARCHAR[])
+         |  WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+         |  ELSE list_distinct(list_transform(
+         |    range(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |  END AS sh FROM t),
          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM s a, s b WHERE a.doc_id < b.doc_id
+         |    AND len(a.sh) > 0 AND len(b.sh) > 0
          |    AND len(list_intersect(a.sh, b.sh)) * 2 >=
          |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
          |cr AS (SELECT least(sa.split, sb.split) AS split_a,

@@ -200,7 +200,11 @@ object Dedup {
       maxHamming: Int = 3, prefixBits: Int = 16,
       tables: Int = 4, maxBucketSize: Option[Long] = None): DataFrame = {
     val rot = 64 / tables
+    // persisted: the signature kernel (tokenize + 64-lane hash per
+    // text) feeds BOTH the group aggregation and the member join —
+    // unpersisted it would run twice over the corpus
     val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+      .persist()
     // SIGNATURE contraction (the r9 twin of jaccardPairs' exact-text
     // contraction, exact here too): equal signatures are Hamming-0
     // near-dups sharing every bucket, so (a) every non-minimal member
@@ -261,6 +265,7 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     members.unpersist()
+    sigs.unpersist()
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 

@@ -336,7 +336,7 @@ object Graph {
     */
   def triangleCounts(
       edges: DataFrame, srcCol: String, dstCol: String,
-      broadcastEdgeLimit: Long = 32000000L,
+      broadcastEdgeLimit: Long = 8000000L,
       canonical: Boolean = false): DataFrame = {
     // canon feeds THREE plan references (the degree union's two legs
     // and the orientation join) — persist it, or the upstream edge
@@ -395,9 +395,12 @@ object Graph {
     val adj = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("ns"))
       .persist()
-    // The adjacency table is 8·m bytes ≈ the edge set itself. Under
-    // the guard it broadcasts (both joins collapse map-side; 32M
-    // edges ≈ 256MB — sized for multi-GB executors); past it, two
+    // The adjacency table is 8·m bytes raw (≈2-4× built as an
+    // in-memory broadcast relation). Under the guard it broadcasts
+    // (both joins collapse map-side); the 8M-edge default keeps the
+    // built relation in the low hundreds of MB — survivable on a
+    // default-sized driver; raise it per deployment (the bench
+    // environment runs 32M on a 24g heap). Past the guard, two
     // shuffled equi-joins on 8-byte keys take over — worst-case
     // shuffle O(m·√m) array elements, the same asymptotic volume as
     // wedge rows at a 3-4× smaller constant and no wedge-stream sort.

@@ -507,7 +507,7 @@ object Similarity {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val files = listIndexFiles(fs, root)
-      .map(p => relativize(root, p)).sorted
+      .map { case (p, _) => relativize(root, p) }.sorted
     val tmp = new Path(root, "_manifest.tmp")
     val out = fs.create(tmp, true)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
@@ -544,41 +544,50 @@ object Similarity {
         .getLines().filter(_.nonEmpty).toSet
       finally in.close()
     val cutoff = System.currentTimeMillis() - minAgeHours * 3600000L
+    // listIndexFiles already carries each file's modification time —
+    // re-statting every path would cost one metadata RPC per file on
+    // an object store and race against concurrent deletes
     val all = listIndexFiles(fs, root)
-    val (kept, orphans) = all.partition { p =>
-      manifest.contains(relativize(root, p)) ||
-        fs.getFileStatus(p).getModificationTime >= cutoff
+    val (kept, orphans) = all.partition { case (p, mtime) =>
+      manifest.contains(relativize(root, p)) || mtime >= cutoff
     }
-    if (!dryRun) orphans.foreach(p => fs.delete(p, false))
-    // prune directories emptied by the sweep (and stale _temporary
-    // trees from aborted jobs)
+    if (!dryRun) orphans.foreach { case (p, _) => fs.delete(p, false) }
+    // prune stale _temporary trees from aborted jobs — committers
+    // create them under the WRITE TARGET (e.g. $path/vectors/
+    // _temporary), so scan every directory level, not just root —
+    // and directories the orphan sweep emptied
     var droppedDirs = 0L
-    if (!dryRun && fs.exists(root)) fs.listStatus(root).foreach { st =>
-      if (st.isDirectory) {
-        val stale = st.getPath.getName == "_temporary" &&
-          st.getModificationTime < cutoff
-        if (stale) { fs.delete(st.getPath, true); droppedDirs += 1 }
-        else fs.listStatus(st.getPath).foreach { sub =>
-          if (sub.isDirectory && !fs.listFiles(sub.getPath, true).hasNext) {
-            fs.delete(sub.getPath, true); droppedDirs += 1
+    def sweepDirs(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) {
+          if (st.getPath.getName == "_temporary") {
+            if (st.getModificationTime < cutoff && !dryRun) {
+              fs.delete(st.getPath, true); droppedDirs += 1
+            }
+          } else {
+            sweepDirs(st.getPath)
+            if (!dryRun && !fs.listFiles(st.getPath, true).hasNext) {
+              fs.delete(st.getPath, true); droppedDirs += 1
+            }
           }
         }
       }
-    }
+    if (fs.exists(root)) sweepDirs(root)
     IndexVacuumResult(kept.length.toLong, orphans.length.toLong,
       droppedDirs)
   }
 
-  /** Every data file under an index root: parquet parts under any
-    * depth, excluding `_`/`.`-prefixed bookkeeping (manifest, SUCCESS
-    * markers, in-flight temporaries).
+  /** Every data file under an index root as (path, mtime): parquet
+    * parts under any depth, excluding `_`/`.`-prefixed bookkeeping
+    * (manifest, SUCCESS markers, in-flight temporaries).
     */
   private def listIndexFiles(
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      root: org.apache.hadoop.fs.Path):
+      Seq[(org.apache.hadoop.fs.Path, Long)] = {
     if (!fs.exists(root)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.hadoop.fs.Path]
+      .empty[(org.apache.hadoop.fs.Path, Long)]
     val it = fs.listFiles(root, true)
     // a segment containing "=" is a partition directory (Spark's
     // `__lsh_bucket=N` / `__cluster=N` start with underscores but are
@@ -590,7 +599,7 @@ object Similarity {
       val st = it.next()
       if (st.isFile && !relativize(root, st.getPath)
           .split('/').exists(bookkeeping))
-        out += st.getPath
+        out += ((st.getPath, st.getModificationTime))
     }
     out.toSeq
   }
