@@ -24,8 +24,19 @@ Row counts at sf=1: lineitem 6M, orders 1.5M, customer 150k, part
 200k, supplier 10k, documents 50k, embeddings 20k, events 1M — 10x the
 sf0.1 tables, same ratios.
 
-Usage: python3 scripts/gen_sf.py <sf> <outDir>
+Usage: python3 scripts/gen_sf.py <sf> <outDir> [--zipf]
    e.g. python3 scripts/gen_sf.py 1 target/sf1
+        python3 scripts/gen_sf.py 0.1 target/sf0.1zipf --zipf
+
+--zipf replaces the uniform key draws with Zipf(1.3) draws (key 0 is
+the hottest; the hottest key absorbs a few percent of all rows) on the
+join/agg keys the skew gate exercises — orders.o_custkey,
+lineitem.{l_orderkey,l_partkey,l_suppkey}, events.user_id — and makes
+document TEXTS repeat with Zipf multiplicity (hot boilerplate docs, the
+shape the exact-contraction + capped pair kernels are designed for).
+Schemas, row counts, value domains, and the seed are unchanged, so a
+zipf dir is a drop-in SPARK_GRAFT_SF_DIR whose times are comparable to
+the uniform dir at the same sf.
 """
 import sys
 
@@ -58,10 +69,16 @@ def write(out, name, cols):
     print(f"[gen] {name}: {len(next(iter(cols.values())))} rows")
 
 
-def main(sf, out):
+def main(sf, out, zipf=False):
     import os
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
+
+    def keys(n_rows, n_keys):
+        """Key draw: uniform, or Zipf(1.3) folded into [0, n_keys)."""
+        if not zipf:
+            return rng.integers(0, n_keys, n_rows).astype(np.int64)
+        return ((rng.zipf(1.3, n_rows) - 1) % n_keys).astype(np.int64)
     n_li = int(6_000_000 * sf)
     n_ord = int(1_500_000 * sf)
     n_cust = int(150_000 * sf)
@@ -111,31 +128,35 @@ def main(sf, out):
                   day_us).astype("timedelta64[us]")
     write(out, "orders", {
         "o_orderkey": np.arange(n_ord, dtype=np.int64),
-        "o_custkey": rng.integers(0, n_cust, n_ord).astype(np.int64),
+        "o_custkey": keys(n_ord, n_cust),
         "o_orderstatus": np.array(["O", "F", "P"])[
             rng.integers(0, 3, n_ord)],
         "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
         "o_orderdate": odate,
         "o_orderpriority": PRIORITIES[rng.integers(0, 5, n_ord)]})
 
-    lo = rng.integers(0, n_ord, n_li).astype(np.int64)
+    lo = keys(n_li, n_ord)
     lo.sort()  # group lines of one order (drives linenumber sequence)
-    lnum = np.ones(n_li, dtype=np.int32)
-    same = np.flatnonzero(lo[1:] == lo[:-1]) + 1
-    # within-order running line number without a python loop
+    # within-order running line number without a python loop; the
+    # doubling ladder must cover the LARGEST group (zipf hot orders
+    # run to thousands of lines, not the uniform ~20)
     run = np.zeros(n_li, dtype=np.int32)
-    for off in (1, 2, 4, 8, 16):  # orders have <= ~20 lines
+    off = 1
+    while off < n_li:
         shifted = np.zeros(n_li, dtype=np.int32)
         shifted[off:] = run[:-off] + off
-        ok = np.ones(n_li, dtype=bool)
-        ok[:off] = False
-        ok[off:] &= lo[off:] == lo[:-off]
-        run = np.where(ok & (shifted > run), shifted, run)
+        ok = np.zeros(n_li, dtype=bool)
+        ok[off:] = lo[off:] == lo[:-off]
+        grown = ok & (shifted > run)
+        if not grown.any() and off > 16:
+            break
+        run = np.where(grown, shifted, run)
+        off *= 2
     lnum = run + 1
     write(out, "lineitem", {
         "l_orderkey": lo,
-        "l_partkey": rng.integers(0, n_part, n_li).astype(np.int64),
-        "l_suppkey": rng.integers(0, n_supp, n_li).astype(np.int64),
+        "l_partkey": keys(n_li, n_part),
+        "l_suppkey": keys(n_li, n_supp),
         "l_linenumber": lnum,
         "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
         "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
@@ -151,6 +172,11 @@ def main(sf, out):
     flat = VOCAB[rng.integers(0, len(VOCAB), int(lens.sum()))]
     offs = np.concatenate(([0], np.cumsum(lens)))
     texts = [" ".join(flat[offs[i]:offs[i + 1]]) for i in range(n_doc)]
+    if zipf:
+        # hot boilerplate: each doc's text is drawn from the unique
+        # pool with Zipf multiplicity — text 0 repeats across a few
+        # percent of the corpus (web-crawl re-crawl shape)
+        texts = [texts[i] for i in keys(n_doc, n_doc)]
     write(out, "documents", {
         "doc_id": np.arange(n_doc, dtype=np.int64),
         "text": texts,
@@ -169,8 +195,7 @@ def main(sf, out):
         "event_id": np.arange(n_ev, dtype=np.int64),
         "ts": t0 + rng.integers(0, 30 * day_us, n_ev)
             .astype("timedelta64[us]"),
-        "user_id": rng.integers(0, int(15_000 * sf) or 1, n_ev)
-            .astype(np.int64),
+        "user_id": keys(n_ev, int(15_000 * sf) or 1),
         "event_type": EVENT_TYPES[rng.integers(0, 5, n_ev)],
         "value": np.round(rng.uniform(0, 560, n_ev), 2),
         "props": np.char.add(np.char.add(
@@ -178,4 +203,4 @@ def main(sf, out):
 
 
 if __name__ == "__main__":
-    main(float(sys.argv[1]), sys.argv[2])
+    main(float(sys.argv[1]), sys.argv[2], zipf="--zipf" in sys.argv[3:])

@@ -35,6 +35,31 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Session-scoped scratch dir for queries that tee through the
+    * filesystem (q51/q73/q74/q78/q177): java.io.tmpdir + the Spark
+    * applicationId, so paths neither depend on the cwd nor race
+    * between concurrent bench/verify runs (ADVICE r9 — two runs
+    * sharing `target/tmp_spigot` could read each other's half-written
+    * tee). The per-application dir is removed on JVM exit, so runs do
+    * not accumulate garbage the way per-query UUID dirs would.
+    */
+  private val scratchHooked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def scratchDir(s: SparkSession, name: String): String = {
+    val base = new java.io.File(new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_scratch"),
+      s.sparkContext.applicationId)
+    if (scratchHooked.putIfAbsent(base.getPath, java.lang.Boolean.TRUE) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+          f.delete(); ()
+        }
+        rm(base)
+      }))
+    new java.io.File(base, name).getPath
+  }
+
   /** Co-purchase part graph (parts sharing an order) — the edge set
     * q129 (triangles) and q137 (k-core) both consume. Pairs generate
     * IN-ROW from each order's sorted distinct part array (the same
@@ -1373,10 +1398,7 @@ object SparkEntry {
     // no parquet types). The sort + coalesce(1) make limit(k)
     // deterministic, so a plain LIMIT replay is the exact oracle.
     "q177_spigot" -> ((s, dir) => {
-      // fixed path + overwrite (the q51 tmp discipline) — a per-run
-      // UUID dir under java.io.tmpdir would accumulate garbage across
-      // bench/verify runs with nothing ever cleaning it
-      val base = "target/tmp_spigot/customer"
+      val base = scratchDir(s, "tmp_spigot/customer")
       val in = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
         .orderBy(col("c_custkey")).coalesce(1)
@@ -1497,6 +1519,30 @@ object SparkEntry {
         StructField("n_chars", IntegerType),
         StructField("doc_id", LongType))))
     }),
+
+    // Auto-sized LSH near-dup pairs (r9 verdict #2): the q53 kernel
+    // with `planes` DERIVED from corpus cardinality —
+    // autoPlanes(count, targetBucket=16) — so the bucketed self-join's
+    // candidate volume stays ~n·16/2 at every scale instead of
+    // drifting quadratic on a fixed plane count. At sf0.01 (n=500)
+    // the derivation lands on 5 planes; at sf0.1 (n=2000) it is 7 —
+    // the bench therefore exercises the growth path while the oracle
+    // replays the sf0.01 constant exactly.
+    "q188_auto_lsh_pairs" -> ((s, dir) =>
+      Similarity.nearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, targetBucketSize = Some(16L))
+        .select(col("id_a"), col("id_b"),
+          round(col("score"), 4).as("score"))),
+
+    // Cap-default audit (ADVICE r9): the visibility companion to
+    // Dedup.DefaultMaxShingleFreq — distinct-shingle DF census with
+    // the candidate-pair mass the 256 cap would remove on THIS
+    // corpus, so the approximate-by-default semantics of
+    // jaccardPairs/clusters is a measured number at the call site,
+    // not a silent knob. One shuffle on 8-byte shingle hashes.
+    "q187_shingle_cap_audit" -> ((s, dir) =>
+      Dedup.shingleCapStats(t(s, dir, "documents"), "text")),
 
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
@@ -1730,7 +1776,7 @@ object SparkEntry {
     // difference between scanning a directory and scanning the lake
     // (the plan's PartitionFilters row, asserted in ApiSpec).
     "q73_partitioned_etl" -> ((s, dir) => {
-      val path = "target/tmp_part/orders"
+      val path = scratchDir(s, "tmp_part/orders")
       t(s, dir, "orders").write.mode("overwrite")
         .partitionBy("o_orderstatus").parquet(path)
       s.read.parquet(path)
@@ -1743,7 +1789,7 @@ object SparkEntry {
     // read back with schema inference — the interchange format every
     // crawl/training-data feed actually arrives in.
     "q74_jsonl_roundtrip" -> ((s, dir) => {
-      val path = "target/tmp_jsonl/documents"
+      val path = scratchDir(s, "tmp_jsonl/documents")
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
         .write.mode("overwrite").json(path)
@@ -1789,7 +1835,7 @@ object SparkEntry {
     // conflict as an encoded choice column, and resolveChoice
     // cast:string flattens it for output.
     "q78_choice_infer" -> ((s, dir) => {
-      val path = "target/tmp_choice_json/customer"
+      val path = scratchDir(s, "tmp_choice_json/customer")
       t(s, dir, "customer")
         .select(concat(
           lit("{\"k\": "), col("c_custkey").cast("string"),
@@ -2321,14 +2367,22 @@ object SparkEntry {
     }),
 
     // Embedding near-dup pairs, exact threshold variant (oracle-able).
+    // The benched input is PINNED (vec_id < 2000, the q169
+    // discipline): the exact all-pairs kernel is the per-sample
+    // recall oracle — quadratic BY CONTRACT — so the benched row
+    // draws a fixed-size sample from the growing corpus instead of
+    // inheriting corpus cardinality (the r9 sf1 sweep measured the
+    // expected ~100x on a 10x corpus when it did). Corpus-scale
+    // near-dup detection is q53 (LSH buckets) / q86 (SemDeDup).
     "q50_embed_pairs" -> ((s, dir) =>
       Similarity.nearDupPairsExact(
-        t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.35)),
+        t(s, dir, "embeddings").filter(col("vec_id") < 2000),
+        "vec_id", "embedding", minCosine = 0.35)),
 
     // TSV round-trip: write through the TSV sink, read with the S1
     // reader, restore types — proves the headerless all-string contract.
     "q51_tsv_roundtrip" -> ((s, dir) => {
-      val path = "target/tmp_tsv/nation"
+      val path = scratchDir(s, "tmp_tsv/nation")
       t(s, dir, "nation").coalesce(1).write.mode("overwrite")
         .option("sep", "\t").csv(path)
       FieldOps.castColumns(
@@ -2365,10 +2419,23 @@ object SparkEntry {
     * call the Spark query makes, so the oracle buckets with bit-equal
     * plane constants (Double.toString round-trips exactly).
     */
-  private def lshPlaneMatrixSql: String =
-    graft.ml.Similarity.hyperplanes(64, 4, 42L)
+  private def lshPlaneMatrixSqlFor(planes: Int): String =
+    graft.ml.Similarity.hyperplanes(64, planes, 42L)
       .map(_.map(_.toString).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
+
+  private def lshPlaneMatrixSql: String = lshPlaneMatrixSqlFor(4)
+
+  /** q188's derived plane count, computed by the SAME
+    * [[graft.ml.Similarity.autoPlanes]] call the engine makes at run
+    * time (the q179 discipline: engine-derived constants are inlined
+    * into the oracle, never re-derived by hand). n = 500 is the
+    * embeddings cardinality at the driver's sf0.01 verify scale — the
+    * one scale the DuckDB compare runs at; the ENGINE side derives
+    * the count from the data, so the bench exercises plane growth at
+    * every SF while the oracle pins sf0.01 exactly.
+    */
+  private def q188Planes: Int = graft.ml.Similarity.autoPlanes(500L, 16L)
 
   /** 64-bit wrap-around helpers for the q39/q40 oracles, as DuckDB SQL
     * fragments over HUGEINT (DuckDB integer ops trap on overflow, so
@@ -3395,14 +3462,16 @@ object SparkEntry {
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30
         |FROM orders""".stripMargin,
     "q50_embed_pairs" ->
-      """WITH sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 2000),
+        |sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_sum(list_transform(range(1, len(a.embedding)+1),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
         |  (sqrt(list_sum(list_transform(a.embedding,
         |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
         |   sqrt(list_sum(list_transform(b.embedding,
         |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS raw
-        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        | FROM e a, e b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
         |WHERE raw >= 0.35""".stripMargin,
     "q51_tsv_roundtrip" ->
@@ -4603,6 +4672,32 @@ object SparkEntry {
     "q183_with_schema" ->
       """SELECT lang, CAST(n_chars AS INT) AS n_chars, doc_id
         |FROM documents""".stripMargin,
+    // Shingle-DF census over DISTINCT texts (the kernel caps on
+    // contracted reps); shingle formation replays the q67 oracle's
+    // tokenizer CASE exactly.
+    "q187_shingle_cap_audit" ->
+      """WITH d AS (SELECT DISTINCT text FROM documents),
+        |t AS (SELECT text,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM d),
+        |s AS (SELECT text, CASE
+        |  WHEN len(toks) = 1 AND toks[1] = '' THEN CAST([] AS VARCHAR[])
+        |  WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |  END AS sh FROM t),
+        |f AS (SELECT unnest(sh) AS g FROM s),
+        |c AS (SELECT g, count(*) AS df FROM f GROUP BY g)
+        |SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(sum(CASE WHEN df > 256 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_capped,
+        |  CAST(coalesce(sum(df * (df - 1) // 2), 0) AS BIGINT)
+        |    AS candidate_pairs,
+        |  CAST(coalesce(sum(CASE WHEN df > 256
+        |      THEN df * (df - 1) // 2 ELSE 0 END), 0) AS BIGINT)
+        |    AS capped_pairs
+        |FROM c""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->
@@ -4692,6 +4787,28 @@ object SparkEntry {
          |    list_sum(list_transform(range(1, 5), p ->
          |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
          |          i -> CAST(embedding[i] AS DOUBLE) * ($lshPlaneMatrixSql)[p][i])) >= 0
+         |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
+         |  FROM embeddings),
+         |sc AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+         |  list_sum(list_transform(range(1, len(a.u) + 1),
+         |    i -> a.u[i] * x.u[i])) AS raw
+         | FROM coded a, coded x
+         | WHERE a.bk = x.bk AND a.vec_id < x.vec_id)
+         |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
+         |WHERE raw >= 0.35""".stripMargin,
+    // q53's replay at the DERIVED plane count (q188Planes =
+    // autoPlanes(500, 16) for the sf0.01 verify corpus) — the matrix
+    // literal and the bit weights are generated from the same engine
+    // calls, so the oracle buckets bit-equal with the auto-sized run.
+    "q188_auto_lsh_pairs" ->
+      s"""WITH coded AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u,
+         |    list_sum(list_transform(range(1, ${q188Planes + 1}), p ->
+         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> CAST(embedding[i] AS DOUBLE) * (${lshPlaneMatrixSqlFor(q188Planes)})[p][i])) >= 0
          |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
          |  FROM embeddings),
          |sc AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,

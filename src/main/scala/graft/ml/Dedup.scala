@@ -35,8 +35,51 @@ object Dedup {
     * (MlSpec pins the semantics; q109 oracle-gates a binding cap).
     * Pass `maxShingleFreq = None` to opt in to the exact uncapped
     * kernel on corpora known to be frequency-bounded.
+    *
+    * SEMANTIC FLAG (ADVICE r9): because this default is approximate,
+    * a caller migrating from an uncapped build can audit exactly what
+    * the cap binds on THEIR corpus with [[shingleCapStats]] — it
+    * reports the distinct shingles over the cap and the share of
+    * candidate volume the cap removes, before any pairs are dropped.
     */
   val DefaultMaxShingleFreq: Option[Long] = Some(256L)
+
+  /** Audit of what [[DefaultMaxShingleFreq]] (or an explicit `cap`)
+    * binds on a corpus — the visibility companion to the capped
+    * default of [[jaccardPairs]]/[[clusters]]: one row over the
+    * corpus' distinct texts (the kernel caps on document frequency
+    * over the CONTRACTED reps, so the audit counts the same way) —
+    *
+    *  - `n_shingles`: distinct shingles in the corpus;
+    *  - `n_capped`: shingles with DF > cap (excluded from candidate
+    *    generation; verification always uses full shingle sets);
+    *  - `candidate_pairs`: Σ df·(df−1)/2 — the uncapped kernel's
+    *    candidate-join volume;
+    *  - `capped_pairs`: the part of that volume the cap removes (the
+    *    quadratic mass concentrated in boilerplate shingles).
+    *
+    * A corpus where `n_capped` is 0 loses nothing to the default; a
+    * corpus where `capped_pairs` dominates `candidate_pairs` is
+    * exactly the one the cap exists for. Runs in one shuffle on
+    * 8-byte shingle hashes — no text moves after the distinct.
+    */
+  def shingleCapStats(
+      df: DataFrame, textCol: String,
+      shingleSize: Int = 3,
+      cap: Long = DefaultMaxShingleFreq.get): DataFrame = {
+    val perShingle = df.select(col(textCol)).distinct()
+      .select(explode(array_distinct(
+        shingleHashes(col(textCol), shingleSize))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val pairs = expr("df * (df - 1) DIV 2")
+    perShingle.agg(
+      count(lit(1)).as("n_shingles"),
+      coalesce(sum(when(col("df") > cap, 1L).otherwise(0L)), lit(0L))
+        .as("n_capped"),
+      coalesce(sum(pairs), lit(0L)).as("candidate_pairs"),
+      coalesce(sum(when(col("df") > cap, pairs).otherwise(0L)), lit(0L))
+        .as("capped_pairs"))
+  }
 
   /** Exact dedup: keep the smallest `idCol` per identical `textCol`.
     * The group key is the MD5 fingerprint, not the text, so the shuffle

@@ -163,6 +163,38 @@ object Similarity {
     Seq.fill(planes)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
   }
 
+  /** Hyperplane count sized from corpus cardinality (r9 verdict #2 —
+    * the q53 degradation rule, automated): 2^planes buckets over `n`
+    * vectors keeps the EXPECTED bucket near `targetBucketSize` at
+    * planes = ceil(log₂(n / targetBucketSize)), so the bucketed
+    * self-join's candidate volume stays ~n·targetBucketSize/2 instead
+    * of drifting toward n²/2^planes as the corpus grows. Each added
+    * plane halves candidate volume at a recall cost on near-threshold
+    * pairs — the standard hyperplane-LSH trade; `targetBucketSize` is
+    * therefore the recall/cost dial callers actually mean. Clamped to
+    * [1, 62] (the bucket code is one long).
+    */
+  def autoPlanes(n: Long, targetBucketSize: Long = 128L): Int = {
+    require(n >= 0 && targetBucketSize > 0,
+      "autoPlanes needs n >= 0 and targetBucketSize > 0")
+    if (n <= targetBucketSize) 1
+    else math.min(62, math.ceil(
+      math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt)
+  }
+
+  /** IVF list count sized from corpus cardinality — the [[autoPlanes]]
+    * analogue for [[ivfTopK]]/[[writeIvfIndex]]: nlist = ceil(√n)
+    * (clamped to [1, 4096]) balances the two linear costs a probe
+    * pays — nprobe·(n/nlist) candidate scans vs nlist centroid
+    * distances — at ~√n each, the standard IVF sizing. A FIXED nlist
+    * degrades toward a full scan as n grows (every list holds n/nlist
+    * vectors); this is the r9 "next cliff" on q52, automated.
+    */
+  def autoNlist(n: Long): Int = {
+    require(n >= 0, "autoNlist needs n >= 0")
+    math.max(1, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+  }
+
   /** Sign-bit LSH code for an embedding: bit p = sign(v · plane_p).
     * One projection, no shuffle; cardinality 2^planes buckets.
     *
@@ -434,10 +466,12 @@ object Similarity {
     * `planes` must GROW with the corpus: 2^planes buckets over n
     * vectors means n²/2^planes candidate pairs at uniform spread, so
     * a fixed plane count degrades toward quadratic as n grows (the
-    * r9 sf1 sweep measured 12× on a 10× corpus at planes = 8). Size
-    * it as ~log₂(n / targetBucketSize); each added plane halves the
-    * candidate volume at a recall cost on near-threshold pairs (the
-    * standard hyperplane-LSH trade).
+    * r9 sf1 sweep measured 12× on a 10× corpus at planes = 8). Pass
+    * `targetBucketSize` to size it AUTOMATICALLY as
+    * [[autoPlanes]](count, target) — one metadata-cheap count, then
+    * the plane count tracks the corpus; an explicit `planes` value
+    * remains for callers whose plane matrix is pinned externally
+    * (the inlined-plane oracles q44/q53/q86).
     *
     * At 100 TB the coded table is written partitioned by `bk`; the
     * self-join is then partition-local with no shuffle.
@@ -445,8 +479,12 @@ object Similarity {
   def nearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double, planes: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val ps = hyperplanes(dim, planes, seed)
+      seed: Long = 42L,
+      targetBucketSize: Option[Long] = None): DataFrame = {
+    val sized = targetBucketSize
+      .map(t => autoPlanes(embeddings.count(), t))
+      .getOrElse(planes)
+    val ps = hyperplanes(dim, sized, seed)
     val b = embeddings.select(col(idCol).as("id"),
       normalize(col(vecCol)).as("u"),
       lshCode(col(vecCol), ps).as("bk"))
@@ -478,9 +516,11 @@ object Similarity {
       embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double, planes: Int = 8,
       seed: Long = 42L, maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      targetBucketSize: Option[Long] = None): DataFrame = {
     val pairs =
-      nearDupPairs(embeddings, idCol, vecCol, dim, minCosine, planes, seed)
+      nearDupPairs(embeddings, idCol, vecCol, dim, minCosine, planes,
+          seed, targetBucketSize)
         .select(col("id_a"), col("id_b"))
     val losers = Graph
       .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)
@@ -513,10 +553,13 @@ object Similarity {
     try out.write(files.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(root, "_manifest")
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(
-        s"failed to publish index manifest at $dst")
+    // rename WITH overwrite (FileContext — FileSystem.rename has no
+    // overwrite flag): a delete-then-rename leaves a window with no
+    // manifest at all, in which a concurrent vacuumIndex fails its
+    // manifest-exists require
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(root.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Remove index files no committed build references: every data file
@@ -524,8 +567,10 @@ object Similarity {
     * `minAgeHours` (the grace period protects a build in flight and
     * readers of a snapshot taken before the last overwrite — same
     * 168h default as [[graft.sources.GovernedTable.vacuum]]). Empty
-    * partition directories left behind are pruned. `dryRun` reports
-    * without deleting.
+    * partition directories left behind are pruned under the SAME
+    * grace period (a dir whose last file was just swept may be a
+    * build in flight). `dryRun` reports both counts — files and
+    * directories a real run would drop — without deleting.
     */
   def vacuumIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -551,23 +596,53 @@ object Similarity {
     val (kept, orphans) = all.partition { case (p, mtime) =>
       manifest.contains(relativize(root, p)) || mtime >= cutoff
     }
+    // snapshot directory mtimes BEFORE deleting anything: deleting a
+    // child bumps the parent's mtime on most filesystems, which would
+    // otherwise shield a just-emptied directory from its own sweep
+    val dirMtime = scala.collection.mutable.Map.empty[String, Long]
+    def snapshot(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) {
+          dirMtime(st.getPath.toUri.getPath) = st.getModificationTime
+          snapshot(st.getPath)
+        }
+      }
+    if (fs.exists(root)) snapshot(root)
     if (!dryRun) orphans.foreach { case (p, _) => fs.delete(p, false) }
     // prune stale _temporary trees from aborted jobs — committers
     // create them under the WRITE TARGET (e.g. $path/vectors/
     // _temporary), so scan every directory level, not just root —
-    // and directories the orphan sweep emptied
+    // and directories the orphan sweep emptied. dryRun COUNTS what a
+    // real run would drop (orphan deletion is simulated against the
+    // orphan set), and the grace cutoff applies to emptied-dir pruning
+    // too: a dir whose last file was just orphan-swept may still be a
+    // build in flight about to write its next part.
     var droppedDirs = 0L
+    val orphanPaths = orphans.map { case (p, _) => p.toUri.getPath }.toSet
+    // live = would survive the orphan sweep (under dryRun the files
+    // are still on disk, so "directory now empty" must be simulated)
+    def hasLiveFile(dir: org.apache.hadoop.fs.Path): Boolean = {
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext)
+        if (!orphanPaths.contains(it.next().getPath.toUri.getPath))
+          return true
+      false
+    }
     def sweepDirs(dir: org.apache.hadoop.fs.Path): Unit =
       fs.listStatus(dir).foreach { st =>
         if (st.isDirectory) {
+          val mtime = dirMtime.getOrElse(
+            st.getPath.toUri.getPath, st.getModificationTime)
           if (st.getPath.getName == "_temporary") {
-            if (st.getModificationTime < cutoff && !dryRun) {
-              fs.delete(st.getPath, true); droppedDirs += 1
+            if (mtime < cutoff) {
+              if (!dryRun) fs.delete(st.getPath, true)
+              droppedDirs += 1
             }
           } else {
             sweepDirs(st.getPath)
-            if (!dryRun && !fs.listFiles(st.getPath, true).hasNext) {
-              fs.delete(st.getPath, true); droppedDirs += 1
+            if (mtime < cutoff && !hasLiveFile(st.getPath)) {
+              if (!dryRun) fs.delete(st.getPath, true)
+              droppedDirs += 1
             }
           }
         }

@@ -167,6 +167,30 @@ class MlSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L))
   }
 
+  test("autoPlanes/autoNlist size LSH and IVF from corpus cardinality") {
+    // bucket target: ceil(log2(n/target)), clamped to [1, 62]
+    assert(Similarity.autoPlanes(200L, 16L) == 4)
+    assert(Similarity.autoPlanes(2000L, 16L) == 7)
+    assert(Similarity.autoPlanes(20000L, 16L) == 11)
+    assert(Similarity.autoPlanes(10L, 128L) == 1)   // tiny corpus
+    assert(Similarity.autoPlanes(Long.MaxValue, 1L) == 62)
+    // IVF: ceil(sqrt(n)) in [1, 4096]
+    assert(Similarity.autoNlist(200L) == 15)
+    assert(Similarity.autoNlist(0L) == 1)
+    assert(Similarity.autoNlist(100_000_000L) == 4096)
+    // the derived path is row-identical to the explicit plane count
+    // it lands on (the q188 contract)
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val auto = Similarity.nearDupPairs(e, "vec_id", "embedding",
+      dim = 64, minCosine = 0.35, targetBucketSize = Some(16L))
+      .collect().toSet
+    val explicit = Similarity.nearDupPairs(e, "vec_id", "embedding",
+      dim = 64, minCosine = 0.35,
+      planes = Similarity.autoPlanes(e.count(), 16L))
+      .collect().toSet
+    assert(auto == explicit)
+  }
+
   test("domain cap keeps the k smallest ids per host") {
     val rows = (1L to 30L).map { i =>
       val host = if (i % 3 == 0) "a.example.com" else "b.example.com"
@@ -328,6 +352,23 @@ class MlSpec extends AnyFunSuite {
     val prefixed = Dedup.jaccardPairs(docs, "text", "doc_id",
       prefixFilter = true).collect().toSet
     assert(direct == prefixed)
+  }
+
+  test("duplicate zero-shingle texts never pair or cluster (oracle agreement)") {
+    // ADVICE r9: the DuckDB oracles exclude zero-shingle docs
+    // (len(sh) > 0 on both sides), so the exact-text contraction must
+    // NOT emit the J=1 pair for two identical empty/whitespace-only
+    // texts — shingle-less docs never appear in the uncontracted pair
+    // graph, copies or not. Pin the agreement by construction.
+    val d = Seq((1L, ""), (2L, ""), (3L, "   "), (4L, "   "),
+        (5L, "a b c d"), (6L, "a b c d"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(d, "text", "doc_id")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((5L, 6L)))
+    val comps = Dedup.clusters(d, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(comps == Set((5L, 5L), (6L, 5L)))
   }
 
   test("lshTuningCurve matches the closed-form S-curve within fold error") {
@@ -937,10 +978,14 @@ class MlSpec extends AnyFunSuite {
     val dry = Similarity.vacuumIndex(spark, dir, minAgeHours = 0,
       dryRun = true)
     assert(dry.droppedFiles == 2 && fs.exists(orphan1) && fs.exists(orphan2))
+    // dryRun's dir count simulates the orphan sweep: the stale bucket
+    // dir would be emptied and dropped, and nothing was touched
+    assert(dry.droppedDirs >= 1 && fs.exists(staleDir))
     // …and a zero-grace sweep drops exactly the two orphans (plus the
     // emptied stale bucket directory), never a manifest file
     val swept = Similarity.vacuumIndex(spark, dir, minAgeHours = 0)
     assert(swept.droppedFiles == 2 && swept.keptFiles == dry.keptFiles)
+    assert(swept.droppedDirs == dry.droppedDirs)
     assert(!fs.exists(orphan1) && !fs.exists(orphan2) && !fs.exists(staleDir))
     // the index still probes correctly after the sweep
     val fromIndex = Similarity.lshTopKFromIndex(spark, dir,
