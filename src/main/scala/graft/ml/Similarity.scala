@@ -282,6 +282,8 @@ object Similarity {
   def ivfCentroids(
       embeddings: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3, seed: Long = 42L): Seq[Seq[Double]] = {
+    require(nlist > 0, "nlist must be positive (0 = auto only at the " +
+      "ivfTopK/writeIvfIndex entry points, which resolve it first)")
     // The build re-reads the vectors iters+1 times: persist the id+vec
     // projection for the duration of the build (the same caching
     // discipline as Spark MLlib's KMeans; MEMORY_AND_DISK spills at
@@ -344,7 +346,12 @@ object Similarity {
       query: DataFrame, queryVecCol: String,
       nlist: Int, nprobe: Int = 2, k: Int = 10,
       iters: Int = 3, seed: Long = 42L): DataFrame = {
-    val centroids = ivfCentroids(embeddings, idCol, vecCol, nlist, iters, seed)
+    // nlist = 0 opts into [[autoNlist]] sizing (ceil sqrt n) — the knob
+    // the r9 verdict flagged as the next fixed-constant scale cliff
+    val sizedNlist =
+      if (nlist == 0) autoNlist(embeddings.count()) else nlist
+    val centroids =
+      ivfCentroids(embeddings, idCol, vecCol, sizedNlist, iters, seed)
     val assigned  = assignClusters(embeddings, vecCol, centroids)
     val q = query.select(col(queryVecCol).as("__qvec"))
     val qAssigned = assignClustersProbe(q, "__qvec", centroids, nprobe)
@@ -365,7 +372,11 @@ object Similarity {
   def writeIvfIndex(
       embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int, iters: Int = 3, seed: Long = 42L): Unit = {
-    val centroids = ivfCentroids(embeddings, idCol, vecCol, nlist, iters, seed)
+    // nlist = 0 → [[autoNlist]] sizing, as in [[ivfTopK]]
+    val sizedNlist =
+      if (nlist == 0) autoNlist(embeddings.count()) else nlist
+    val centroids =
+      ivfCentroids(embeddings, idCol, vecCol, sizedNlist, iters, seed)
     assignClusters(embeddings, vecCol, centroids)
       .write.mode("overwrite").partitionBy("__cluster")
       .parquet(s"$path/vectors")

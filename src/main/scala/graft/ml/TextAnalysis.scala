@@ -607,4 +607,145 @@ object TextAnalysis {
     dl.unpersist()
     materialized
   }
+
+  /** One greedy left-to-right BPE merge applied to a token array: every
+    * non-overlapping (left, right) adjacency becomes the merged token,
+    * scanning from the left (so in `a a a` with pair (a,a) the FIRST
+    * two merge and the third survives). Expressed as an array fold —
+    * append the incoming token unless it completes the pair with the
+    * accumulator's tail, in which case the tail is replaced by the
+    * merged token. The fold cannot double-merge: the merged token is
+    * strictly longer than `left`, so it never re-matches as a tail.
+    */
+  private def applyMerge(
+      toks: Column, left: String, right: String): Column = {
+    val merged = left + right
+    aggregate(toks, typedlit(Seq.empty[String]), (acc, t) =>
+      when(size(acc) > 0 && element_at(acc, -1) === left && t === right,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(t))))
+  }
+
+  /** Distributed BPE tokenizer training (Sennrich, Haddow & Birch,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016) — the merge-learning step [[buildVocab]] (frequency
+    * vocab) and [[encodeDocuments]] (id assignment) do not cover.
+    *
+    * Standard word-weighted formulation: the corpus collapses to WORD
+    * TYPES with counts in one map-side-combined shuffle, and every
+    * round thereafter runs on that types table (absolute size:
+    * vocabulary of the corpus — MBs at 100 TB, never the corpus), so
+    * `merges` rounds cost `merges` small aggregates, not `merges`
+    * corpus scans. Each round:
+    *
+    *  1. pair census: adjacent-token pairs per word type, weighted by
+    *     the word count — map-side combined (hot pairs collapse
+    *     before the exchange);
+    *  2. argmax with the deterministic tie-break
+    *     (count desc, left asc, right asc) — ONE row to the driver
+    *     (bounded metadata, like a centroid);
+    *  3. the merge applies to every word state via [[applyMerge]]
+    *     (greedy non-overlapping left-to-right, the reference BPE
+    *     semantics), and the state localCheckpoints so round r+1's
+    *     plan does not replay rounds 1..r (the Graph loop discipline).
+    *
+    * Stops early when the best pair's count drops below
+    * `minPairCount`. Returns the learned merge table
+    * (merge_rank, left, right, merged, pair_count) — rank 1 first.
+    * Initial states are single characters (no end-of-word marker; the
+    * whole-word boundary is already carried by the types table).
+    */
+  def bpeTrain(
+      df: DataFrame, textCol: String,
+      merges: Int, minPairCount: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    require(merges >= 1, s"merges must be >= 1 (got $merges)")
+    var state = df
+      .select(explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("toks"))
+      .localCheckpoint()
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < merges && !done) {
+      val best = state
+        .filter(size(col("toks")) >= 2)
+        .select(col("cnt"), explode(
+          transform(sequence(lit(1), size(col("toks")) - 1), i =>
+            struct(element_at(col("toks"), i).as("l"),
+              element_at(col("toks"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else {
+        val (l, rt, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((r + 1, l, rt, l + rt, c))
+        val next = state
+          .select(col("cnt"), applyMerge(col("toks"), l, rt).as("toks"))
+          .localCheckpoint()
+        state.unpersist()
+        state = next
+        r += 1
+      }
+    }
+    state.unpersist()
+    import spark.implicits._
+    learned.toSeq
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Apply a learned merge list to a corpus — the [[bpeTrain]]
+    * counterpart of [[encodeDocuments]]: each document's words segment
+    * into the subword tokens the merges produce, flattened to one
+    * space-joined string (ARRAY outputs die in the driver's
+    * comparator; the q27/q88 flattening discipline).
+    *
+    * Scale shape: merges fold over the DISTINCT-words table (word
+    * types again, never the corpus), the segmented table broadcasts
+    * against the corpus token stream, and only (id, pos, subwords)
+    * rows cross the reassembly exchange — the [[encodeDocuments]]
+    * plan with the merge fold in place of the id lookup. Documents
+    * with no words survive with an empty segmentation.
+    */
+  def bpeEncode(
+      df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df
+      .select(explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("word"))
+      .distinct()
+    // fold the merge list; checkpoint every few rounds so the plan
+    // stays flat when the list is hundreds of merges long
+    var seg = words.select(col("word"),
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("toks"))
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      seg = seg.select(col("word"), applyMerge(col("toks"), l, r).as("toks"))
+      if ((i + 1) % 16 == 0) seg = seg.localCheckpoint()
+    }
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(filter(tokens(col(textCol)), t => length(t) > 0))
+        .as(Seq("pos", "word")))
+    val perDoc = tok
+      .join(broadcast(seg), Seq("word"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("toks"))))
+        .as("__ps"))
+      .select(col("id"),
+        flatten(transform(col("__ps"), p => p.getField("toks")))
+          .as("__flat"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(concat_ws(" ", col("__flat")), lit("")).as("bpe_tokens"),
+        coalesce(size(col("__flat")), lit(0)).cast("int").as("n_subwords"))
+  }
 }

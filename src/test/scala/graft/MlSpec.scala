@@ -297,6 +297,55 @@ class MlSpec extends AnyFunSuite {
     assert(got.map(_._3) == got.indices.map(_.toLong))
   }
 
+  test("bpeTrain learns word-weighted merges with greedy application") {
+    // corpus: "aaab" x3, "ab" x2 → word types {aaab:3, ab:2}
+    // round 1 pairs: (a,a) from aaab = 2 adjacencies x3 = 6;
+    //   (a,b) = 1x3 + 1x2 = 5 → merge (a,a). GREEDY left-to-right on
+    //   a,a,a,b merges the FIRST two: [aa, a, b] (not [a, aa, b]).
+    // round 2 pairs over {[aa,a,b]:3, [a,b]:2}: (aa,a)=3, (a,b)=5,
+    //   (aa,b)=0 → merge (a,b) → {[aa,a? no: [aa,ab]:3? apply (a,b)
+    //   to [aa,a,b] → [aa, ab]; to [a,b] → [ab]}
+    // round 3: (aa,ab)=3 → merge.
+    val df = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).toDF("text")
+    val got = TextAnalysis.bpeTrain(df, "text", merges = 3)
+      .orderBy($"merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+    // minPairCount stops early: round 4 would need a pair that no
+    // longer exists (all words are single tokens)
+    assert(TextAnalysis.bpeTrain(df, "text", merges = 10).count() == 3)
+    // tie-break is (count desc, left, right): "ba" x1 + "bc" x1 tie
+    // at 1 → (b,a) wins on the right token
+    val tie = TextAnalysis.bpeTrain(
+      Seq("ba", "bc").toDF("text"), "text", merges = 1, minPairCount = 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(tie == Seq((1, "b", "a", "ba", 1L)))
+  }
+
+  test("bpeEncode segments documents with the learned merges") {
+    val corpus = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).toDF("text")
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val docs = Seq(
+      (1L, "aaab ab"),    // known words: [aaab] [ab]
+      (2L, "aaa"),        // unseen word: greedy (a,a) → [aa, a]
+      (3L, "")            // empty doc survives with empty encoding
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, "text", "doc_id", merges)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "aaab ab", 2),
+      (2L, "aa a", 2),
+      (3L, "", 0)))
+    // encode(train corpus) round-trips: every word segments to the
+    // tokens its own training produced
+    val enc = TextAnalysis.bpeEncode(corpus.withColumn("id",
+        monotonically_increasing_id()), "text", "id", merges)
+    assert(enc.filter($"n_subwords" =!= 1).count() == 0)
+  }
+
   test("filterFunnel reports cumulative stage survivors in one pass") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
