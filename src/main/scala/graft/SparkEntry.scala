@@ -71,11 +71,28 @@ object SparkEntry {
     * size, not data size). Derived fresh per query — Bench's
     * release() discipline measures each query cold, so a cross-query
     * cache would be both unfair and (post-release) dangling.
+    *
+    * SKEW GUARD (r10 — found by the Zipf gate, not hypothesized):
+    * baskets above `MaxBasketSize` distinct parts are DROPPED before
+    * pair expansion. The expansion is quadratic in basket size, so a
+    * single hot basket (the Zipf sf0.1 twin has a 152k-line order)
+    * otherwise emits ~10⁹ pairs from one row — measured 122× (q129)
+    * and 40× (q137) vs the uniform twin, with one outright OOM crash.
+    * Dropping, not sampling, is the standard market-basket treatment:
+    * a basket containing a large share of the catalog asserts
+    * co-occurrence between essentially everything and carries no
+    * per-pair signal. The cap is far above any uniform basket (~4
+    * parts ±Poisson at every SF), so it binds ONLY on pathological
+    * hubs; the oracles encode the same cap, so both engines agree by
+    * construction, not corpus luck.
     */
+  private[graft] val MaxBasketSize = 256
+
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val parts = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) <= MaxBasketSize)
     val pairArr = flatten(transform(col("ps"), (x, i) =>
       transform(
         slice(col("ps"), i + lit(2),
@@ -3932,8 +3949,10 @@ object SparkEntry {
         |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
     // Triangles: canonical a<b<c three-way join — each triangle once.
     "q129_triangles" ->
-      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS sv
+      """WITH pd AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS sv
         |  FROM lineitem),
+        |ok AS (SELECT o FROM pd GROUP BY o HAVING count(*) <= 256),
+        |ps AS (SELECT o, sv FROM pd WHERE o IN (SELECT o FROM ok)),
         |e AS (SELECT DISTINCT a.sv AS u, b.sv AS v
         |  FROM ps a JOIN ps b ON a.o = b.o AND a.sv < b.sv),
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -4007,8 +4026,10 @@ object SparkEntry {
     // k-core: three unrolled peels, then degrees on the survivor
     // edge set filtered at k.
     "q137_kcore" ->
-      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      """WITH pd AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),
+        |ok AS (SELECT o FROM pd GROUP BY o HAVING count(*) <= 256),
+        |ps AS (SELECT o, p FROM pd WHERE o IN (SELECT o FROM ok)),
         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
         |  FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p),
         |d1 AS (SELECT n, count(*) AS c FROM
