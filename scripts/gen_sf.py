@@ -85,7 +85,12 @@ def main(sf, out, zipf=False):
     n_part = int(200_000 * sf)
     n_supp = int(10_000 * sf)
     n_doc = int(50_000 * sf)
-    n_emb = int(20_000 * sf)
+    # 500 floor: the checked-in /root/testdata dirs (older generator)
+    # carry 500 embeddings even at sf0.001/sf0.01, and the q188 oracle
+    # pins its plane count against a 500-vector input (vec_id < 500) —
+    # an unfloored sf0.01 twin would only have 200 and silently change
+    # the engine-derived cardinality (ADVICE r10).
+    n_emb = max(500, int(20_000 * sf))
     n_ev = int(1_000_000 * sf)
 
     # dims copied verbatim (fixed-size at every sf)

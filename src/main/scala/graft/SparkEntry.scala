@@ -1541,13 +1541,19 @@ object SparkEntry {
     // with `planes` DERIVED from corpus cardinality —
     // autoPlanes(count, targetBucket=16) — so the bucketed self-join's
     // candidate volume stays ~n·16/2 at every scale instead of
-    // drifting quadratic on a fixed plane count. At sf0.01 (n=500)
-    // the derivation lands on 5 planes; at sf0.1 (n=2000) it is 7 —
-    // the bench therefore exercises the growth path while the oracle
-    // replays the sf0.01 constant exactly.
+    // drifting quadratic on a fixed plane count. The input is PINNED
+    // to `vec_id < 500` (ADVICE r10): the oracle inlines the plane
+    // matrix for autoPlanes(500, 16), so the engine must derive the
+    // same cardinality on every data dir — the pin (plus gen_sf.py's
+    // 500-row embeddings floor) makes that true by construction
+    // instead of by generator-version luck. The derivation itself is
+    // still live: the engine counts the pinned frame and sizes from
+    // the count; the growth path (n=2000 → 7 planes) is exercised by
+    // MlSpec's autoPlanes cases.
     "q188_auto_lsh_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding",
+        t(s, dir, "embeddings").filter(col("vec_id") < Q188Cardinality),
+        "vec_id", "embedding",
         dim = 64, minCosine = 0.35, targetBucketSize = Some(16L))
         .select(col("id_a"), col("id_b"),
           round(col("score"), 4).as("score"))),
@@ -2523,16 +2529,26 @@ object SparkEntry {
 
   private def lshPlaneMatrixSql: String = lshPlaneMatrixSqlFor(4)
 
+  /** q188's pinned input cardinality: both the engine query
+    * (`vec_id < 500`) and the oracle's WHERE clause restrict the
+    * embeddings table to the same 500 vectors, so the engine-derived
+    * plane count equals [[q188Planes]] on every data dir — including
+    * gen_sf.py twins, whose embeddings table now floors at 500 rows
+    * (ADVICE r10: the checked-in sf0.01 dir has 500 embeddings from
+    * an older generator; an unfloored regeneration would have 200 and
+    * the derivation would silently land on 4 planes vs the oracle's
+    * inlined 5-plane matrix).
+    */
+  private val Q188Cardinality = 500L
+
   /** q188's derived plane count, computed by the SAME
     * [[graft.ml.Similarity.autoPlanes]] call the engine makes at run
     * time (the q179 discipline: engine-derived constants are inlined
-    * into the oracle, never re-derived by hand). n = 500 is the
-    * embeddings cardinality at the driver's sf0.01 verify scale — the
-    * one scale the DuckDB compare runs at; the ENGINE side derives
-    * the count from the data, so the bench exercises plane growth at
-    * every SF while the oracle pins sf0.01 exactly.
+    * into the oracle, never re-derived by hand) over the SAME pinned
+    * cardinality ([[Q188Cardinality]]).
     */
-  private def q188Planes: Int = graft.ml.Similarity.autoPlanes(500L, 16L)
+  private def q188Planes: Int =
+    graft.ml.Similarity.autoPlanes(Q188Cardinality, 16L)
 
   /** q191/q192: the BPE merge-learning replay, unrolled round by round
     * (the q119 PageRank discipline — K deterministic iterations become
@@ -2542,7 +2558,15 @@ object SparkEntry {
     *  - p_r: adjacent-pair census weighted by word count (BIGINT-cast
     *    — DuckDB sum(BIGINT) is HUGEINT);
     *  - b_r: the argmax with the engine's tie-break
-    *    (count desc, left, right);
+    *    (count desc, left, right), filtered at the engine's
+    *    [[graft.ml.TextAnalysis.DefaultMinPairCount]] stop floor
+    *    (ADVICE r10): when no pair reaches the floor, b_r is EMPTY —
+    *    the q191 UNION leg contributes no row (matching the engine's
+    *    early stop) and every later round is a no-op by NULL
+    *    plumbing: the scalar subselects go NULL, `hit` is NULL/false,
+    *    `sel` = `NULL AND false` = false, so w_r = w_{r-1} and the
+    *    census (hence the empty b) is stable for all remaining
+    *    rounds;
     *  - greedy non-overlapping application via gaps-and-islands: hit
     *    positions island on (word, hit) runs, odd island-ranks are the
     *    selected merge STARTS, the following position is consumed
@@ -2577,7 +2601,9 @@ object SparkEntry {
         |    FROM $w WHERE len(toks) >= 2)
         |  GROUP BY p.l, p.r),
         |b$r AS MATERIALIZED (
-        |  SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+        |  SELECT l, r, c FROM p$r
+        |  WHERE c >= ${TextAnalysis.DefaultMinPairCount}
+        |  ORDER BY c DESC, l, r LIMIT 1),
         |m$r AS (SELECT word, cnt, toks,
         |    unnest(range(1, len(toks) + 1)) AS i FROM $w),
         |h$r AS (SELECT word, cnt, toks, i,
@@ -3948,10 +3974,13 @@ object SparkEntry {
         |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, n_ops
         |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
     // Triangles: canonical a<b<c three-way join — each triangle once.
+    // The basket cap interpolates the ENGINE constant (ADVICE r10:
+    // bumping MaxBasketSize must not silently desync the oracle).
     "q129_triangles" ->
-      """WITH pd AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS sv
+      s"""WITH pd AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS sv
         |  FROM lineitem),
-        |ok AS (SELECT o FROM pd GROUP BY o HAVING count(*) <= 256),
+        |ok AS (SELECT o FROM pd GROUP BY o
+        |  HAVING count(*) <= $MaxBasketSize),
         |ps AS (SELECT o, sv FROM pd WHERE o IN (SELECT o FROM ok)),
         |e AS (SELECT DISTINCT a.sv AS u, b.sv AS v
         |  FROM ps a JOIN ps b ON a.o = b.o AND a.sv < b.sv),
@@ -4026,9 +4055,10 @@ object SparkEntry {
     // k-core: three unrolled peels, then degrees on the survivor
     // edge set filtered at k.
     "q137_kcore" ->
-      """WITH pd AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      s"""WITH pd AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),
-        |ok AS (SELECT o FROM pd GROUP BY o HAVING count(*) <= 256),
+        |ok AS (SELECT o FROM pd GROUP BY o
+        |  HAVING count(*) <= $MaxBasketSize),
         |ps AS (SELECT o, p FROM pd WHERE o IN (SELECT o FROM ok)),
         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
         |  FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p),
@@ -4845,9 +4875,9 @@ object SparkEntry {
     // contracted reps); shingle formation replays the q67 oracle's
     // tokenizer CASE exactly.
     "q187_shingle_cap_audit" ->
-      """WITH d AS (SELECT DISTINCT text FROM documents),
+      s"""WITH d AS (SELECT DISTINCT text FROM documents),
         |t AS (SELECT text,
-        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
         |  FROM d),
         |s AS (SELECT text, CASE
         |  WHEN len(toks) = 1 AND toks[1] = '' THEN CAST([] AS VARCHAR[])
@@ -4859,11 +4889,12 @@ object SparkEntry {
         |f AS (SELECT unnest(sh) AS g FROM s),
         |c AS (SELECT g, count(*) AS df FROM f GROUP BY g)
         |SELECT CAST(count(*) AS BIGINT) AS n_shingles,
-        |  CAST(coalesce(sum(CASE WHEN df > 256 THEN 1 ELSE 0 END), 0)
+        |  CAST(coalesce(sum(CASE WHEN df > ${Dedup.DefaultMaxShingleFreq.get}
+        |      THEN 1 ELSE 0 END), 0)
         |    AS BIGINT) AS n_capped,
         |  CAST(coalesce(sum(df * (df - 1) // 2), 0) AS BIGINT)
         |    AS candidate_pairs,
-        |  CAST(coalesce(sum(CASE WHEN df > 256
+        |  CAST(coalesce(sum(CASE WHEN df > ${Dedup.DefaultMaxShingleFreq.get}
         |      THEN df * (df - 1) // 2 ELSE 0 END), 0) AS BIGINT)
         |    AS capped_pairs
         |FROM c""".stripMargin,
@@ -5008,9 +5039,10 @@ object SparkEntry {
          |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
          |WHERE raw >= 0.35""".stripMargin,
     // q53's replay at the DERIVED plane count (q188Planes =
-    // autoPlanes(500, 16) for the sf0.01 verify corpus) — the matrix
-    // literal and the bit weights are generated from the same engine
-    // calls, so the oracle buckets bit-equal with the auto-sized run.
+    // autoPlanes(Q188Cardinality, 16) over the pinned vec_id < 500
+    // input) — the matrix literal and the bit weights are generated
+    // from the same engine calls, so the oracle buckets bit-equal
+    // with the auto-sized run on every data dir.
     "q188_auto_lsh_pairs" ->
       s"""WITH coded AS (
          |  SELECT vec_id,
@@ -5021,7 +5053,7 @@ object SparkEntry {
          |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
          |          i -> CAST(embedding[i] AS DOUBLE) * (${lshPlaneMatrixSqlFor(q188Planes)})[p][i])) >= 0
          |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
-         |  FROM embeddings),
+         |  FROM embeddings WHERE vec_id < $Q188Cardinality),
          |sc AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
          |  list_sum(list_transform(range(1, len(a.u) + 1),
          |    i -> a.u[i] * x.u[i])) AS raw

@@ -630,13 +630,28 @@ object Similarity {
     // build in flight about to write its next part.
     var droppedDirs = 0L
     val orphanPaths = orphans.map { case (p, _) => p.toUri.getPath }.toSet
-    // live = would survive the orphan sweep (under dryRun the files
-    // are still on disk, so "directory now empty" must be simulated)
+    // a real run recursively deletes stale _temporary trees BEFORE
+    // the parent's emptied-dir check, so their contents must not
+    // count as live during dryRun either — otherwise a directory
+    // whose ONLY content is a stale _temporary tree is reported kept
+    // by dryRun but dropped by the real run (ADVICE r10: _temporary
+    // files are bookkeeping, never in orphanPaths, so the orphan-set
+    // simulation alone cannot see them go)
+    val staleTempPrefixes = dirMtime.collect {
+      case (p, m) if p.endsWith("/_temporary") && m < cutoff => p
+    }.toSeq
+    def underStaleTemp(path: String): Boolean =
+      staleTempPrefixes.exists(pre => path.startsWith(pre + "/"))
+    // live = would survive BOTH sweeps (under dryRun the files are
+    // still on disk, so "directory now empty" must be simulated
+    // against the orphan set AND the stale-_temporary set)
     def hasLiveFile(dir: org.apache.hadoop.fs.Path): Boolean = {
       val it = fs.listFiles(dir, true)
-      while (it.hasNext)
-        if (!orphanPaths.contains(it.next().getPath.toUri.getPath))
+      while (it.hasNext) {
+        val p = it.next().getPath.toUri.getPath
+        if (!orphanPaths.contains(p) && !underStaleTemp(p))
           return true
+      }
       false
     }
     def sweepDirs(dir: org.apache.hadoop.fs.Path): Unit =

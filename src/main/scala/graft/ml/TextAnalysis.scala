@@ -61,6 +61,14 @@ object TextAnalysis {
         nAlpha * 2 >= nChars)                // ≥50% alphabetic
   }
 
+  /** Default early-stop floor for [[bpeTrain]]/[[bpeTrainBatched]]:
+    * a merge whose pair count has fallen to 1 carries no corpus
+    * statistics (it would memorize one word). Exposed as a constant
+    * so the q191 oracle interpolates the SAME stop condition instead
+    * of duplicating a literal (ADVICE r10).
+    */
+  val DefaultMinPairCount: Long = 2L
+
   /** Stopword tables for the n-gram/stopword language heuristic. */
   val Stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
@@ -650,14 +658,17 @@ object TextAnalysis {
     *     plan does not replay rounds 1..r (the Graph loop discipline).
     *
     * Stops early when the best pair's count drops below
-    * `minPairCount`. Returns the learned merge table
-    * (merge_rank, left, right, merged, pair_count) — rank 1 first.
-    * Initial states are single characters (no end-of-word marker; the
-    * whole-word boundary is already carried by the types table).
+    * `minPairCount` (default [[DefaultMinPairCount]] — the q191
+    * oracle interpolates the SAME constant into its per-round argmax,
+    * so the stop condition is shared by construction). Returns the
+    * learned merge table (merge_rank, left, right, merged,
+    * pair_count) — rank 1 first. Initial states are single characters
+    * (no end-of-word marker; the whole-word boundary is already
+    * carried by the types table).
     */
   def bpeTrain(
       df: DataFrame, textCol: String,
-      merges: Int, minPairCount: Long = 2L): DataFrame = {
+      merges: Int, minPairCount: Long = DefaultMinPairCount): DataFrame = {
     val spark = df.sparkSession
     require(merges >= 1, s"merges must be >= 1 (got $merges)")
     var state = df

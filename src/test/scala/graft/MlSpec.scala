@@ -1042,6 +1042,33 @@ class MlSpec extends AnyFunSuite {
     assert(fromIndex.count() > 0)
   }
 
+  test("vacuumIndex dryRun counts a dir whose only content is a stale _temporary tree") {
+    // ADVICE r10: _temporary files are bookkeeping (never orphans), so
+    // the orphan-set simulation alone treats them as live — dryRun
+    // then under-counts the parent dir a real run drops after sweeping
+    // the stale _temporary. The fix simulates the _temporary sweep too.
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac_tmp").toString
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    Similarity.writeLshIndex(e.filter($"vec_id" =!= 0), "vec_id",
+      "embedding", dir, dim = 64, planes = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a bucket dir whose ONLY content is an aborted committer tree
+    val ghost = new org.apache.hadoop.fs.Path(
+      s"$dir/vectors/__lsh_bucket=88888")
+    val tmpFile = new org.apache.hadoop.fs.Path(
+      ghost, "_temporary/0/part-inflight.parquet")
+    val o = fs.create(tmpFile, true); o.write(Array[Byte](9)); o.close()
+    val dry = Similarity.vacuumIndex(spark, dir, minAgeHours = 0,
+      dryRun = true)
+    assert(fs.exists(tmpFile), "dryRun must not delete")
+    val swept = Similarity.vacuumIndex(spark, dir, minAgeHours = 0)
+    // both runs drop the _temporary tree AND its emptied parent
+    assert(swept.droppedDirs == dry.droppedDirs,
+      s"dry=${dry.droppedDirs} real=${swept.droppedDirs}")
+    assert(dry.droppedDirs >= 2 && !fs.exists(ghost))
+  }
+
   test("multimodal feature extraction is deterministic from bytes") {
     val d = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
       .select($"doc_id", $"text".cast("binary").as("payload"))
