@@ -88,6 +88,22 @@ object SparkEntry {
     */
   private[graft] val MaxBasketSize = 256
 
+  /** q193/q194 deterministic graph-sampling parameters — shared
+    * between the engine calls and the oracle replays (the q179
+    * discipline: one constant, interpolated into both sides).
+    * Power-of-two denominators so the oracle's unsigned `mod` equals
+    * the engine's signed `pmod` bit-for-bit; keep = 1 so the 1/p³
+    * DOULION scale factor is an exact integer.
+    */
+  private[graft] val GraphSampleDenomTri  = 4  // p = 1/4 (triangles)
+  private[graft] val GraphSampleDenomCore = 2  // p = 1/2 (k-core)
+  private[graft] val GraphSampleSeed      = 61
+  /** q194's sampled peel threshold: ⌈k·p⌉ for q137's k = 80 at
+    * p = 1/2 — sampled degree concentrates at p·deg, so the sampled
+    * 40-core approximates the exact 80-core membership.
+    */
+  private[graft] val KcoreSampledK = 40
+
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val parts = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
@@ -1637,8 +1653,10 @@ object SparkEntry {
         merges = bpeRounds)),
 
     // The learned merges applied back to the corpus: word types
-    // segment once, documents reassemble from a broadcast lookup —
-    // subword tokens flattened to one space-joined string per doc.
+    // segment once, documents reassemble from a size-guarded lookup
+    // join (broadcast only under the measured word-type cardinality
+    // limit — r10 verdict #1) — subword tokens flattened to one
+    // space-joined string per doc.
     "q192_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val m = TextAnalysis.bpeTrain(docs, "text", merges = bpeRounds)
@@ -1646,6 +1664,31 @@ object SparkEntry {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncode(docs, "text", "doc_id", m)
     }),
+
+    // DOULION sampled triangle estimate (r10 verdict #2 — the named
+    // scale path for q129's exact Θ(m^1.5) closure): the co-purchase
+    // edge set sparsifies at p = 1/4 by a deterministic mix64 edge
+    // hash (no RNG state — the oracle replays every keep decision),
+    // the exact edge-centric closure runs on the sample, and the
+    // count scales by 1/p³ = 64 (unbiased; variance
+    // T·(1/p³−1) + 2k·(1/p−1) per the DOULION paper). One output row.
+    "q193_triangles_sampled" -> ((s, dir) =>
+      Graph.triangleEstimateSampled(coPurchaseEdges(s, dir), "p1", "p2",
+        denom = GraphSampleDenomTri, keep = 1, seed = GraphSampleSeed,
+        broadcastEdgeLimit = 32000000L, canonical = true)),
+
+    // Sparsified k-core (r10 verdict #2 — q137's named scale path):
+    // the same bounded peeling on the deterministic p = 1/2 edge
+    // sample at threshold k·p = 40; sampled degrees concentrate at
+    // p·deg, so the surviving membership approximates the exact
+    // 80-core on half the edge volume. Exact-replayable: the oracle
+    // applies the identical keep decisions and peels.
+    "q194_kcore_sampled" -> ((s, dir) =>
+      Graph.kCorePeel(
+        Graph.sampleEdgesDeterministic(coPurchaseEdges(s, dir),
+          "p1", "p2", denom = GraphSampleDenomCore, keep = 1,
+          seed = GraphSampleSeed),
+        "p1", "p2", k = KcoreSampledK, iters = 3, canonical = true)),
 
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     // positional 3-gram FNV hashes, minimum of every 4-hash window,
@@ -2679,6 +2722,23 @@ object SparkEntry {
     s"""z1 AS (SELECT $carry, ${sqlMixStage(30, 0xbf58476d1ce4e5b9L)} AS z FROM z0),
        |z2 AS (SELECT $carry, ${sqlMixStage(27, 0x94d049bb133111ebL)} AS z FROM z1),
        |z3 AS (SELECT $carry, ${sqlXor64("z", "z // 2147483648")} AS z FROM z2)""".stripMargin
+
+  /** The q193/q194 deterministic edge-sampling replay: from a
+    * canonical edge CTE `e(u, v)` to the sampled CTE `sm(u, v)` —
+    * the shift-combined edge key through the seeded splitmix64 chain
+    * ([[graft.ml.Graph.sampleEdgesDeterministic]]'s exact
+    * arithmetic: the engine's `(u << 32) | v` on 32-bit-id graphs
+    * equals `u·2^32 + v`, and the unsigned `mod 2^d` here equals the
+    * engine's signed `pmod` because the denominators divide 2^64).
+    */
+  private def sqlSampledEdges(denom: Int, keep: Int): String =
+    s"""z0 AS (SELECT u, v,
+       |    ((CAST(u AS HUGEINT) * 4294967296 + v) % 18446744073709551616
+       |      + ${sqlMixAdd(GraphSampleSeed)}) % 18446744073709551616 AS z
+       |  FROM e),
+       |${sqlMixFinal("u, v")},
+       |sm AS MATERIALIZED (
+       |  SELECT u, v FROM z3 WHERE z % $denom < $keep)""".stripMargin
 
   /** The Morton interleave of [[graft.operators.Layout.zOrderKey]] as
     * a bitwise-OR chain — one term list drives both engines (the
@@ -4940,6 +5000,59 @@ object SparkEntry {
          |  CAST(coalesce(len(e.flat), 0) AS INT) AS n_subwords
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN enc e USING (doc_id)""".stripMargin,
+    // DOULION sampled triangles: the q129 edge derivation, every keep
+    // decision replayed through the splitmix64 chain, the exact
+    // canonical three-way closure on the sample, and the integer
+    // 1/p³ scale — engine and oracle share the sampling constants by
+    // interpolation.
+    "q193_triangles_sampled" ->
+      s"""WITH pd AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS sv
+         |  FROM lineitem),
+         |ok AS (SELECT o FROM pd GROUP BY o
+         |  HAVING count(*) <= $MaxBasketSize),
+         |ps AS (SELECT o, sv FROM pd WHERE o IN (SELECT o FROM ok)),
+         |e AS (SELECT DISTINCT a.sv AS u, b.sv AS v
+         |  FROM ps a JOIN ps b ON a.o = b.o AND a.sv < b.sv),
+         |${sqlSampledEdges(GraphSampleDenomTri, 1)},
+         |tc AS MATERIALIZED (SELECT count(*) AS t
+         |  FROM sm e1
+         |  JOIN sm e2 ON e2.u = e1.v
+         |  JOIN sm e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT CAST((SELECT count(*) FROM sm) AS BIGINT)
+         |    AS sampled_edges,
+         |  CAST(t AS BIGINT) AS tri_sampled,
+         |  CAST(t * ${math.pow(GraphSampleDenomTri.toDouble, 3).toLong}
+         |    AS BIGINT) AS est_triangles
+         |FROM tc""".stripMargin,
+    // Sparsified k-core: q137's three unrolled peels on the p = 1/2
+    // deterministic sample at the scaled threshold.
+    "q194_kcore_sampled" ->
+      s"""WITH pd AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |ok AS (SELECT o FROM pd GROUP BY o
+         |  HAVING count(*) <= $MaxBasketSize),
+         |ps AS (SELECT o, p FROM pd WHERE o IN (SELECT o FROM ok)),
+         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p),
+         |${sqlSampledEdges(GraphSampleDenomCore, 1)},
+         |d1 AS (SELECT n, count(*) AS c FROM
+         |  (SELECT u AS n FROM sm UNION ALL SELECT v FROM sm) GROUP BY n),
+         |k1 AS (SELECT n FROM d1 WHERE c >= $KcoreSampledK),
+         |e1 AS (SELECT u, v FROM sm
+         |  WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+         |d2 AS (SELECT n, count(*) AS c FROM
+         |  (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n),
+         |k2 AS (SELECT n FROM d2 WHERE c >= $KcoreSampledK),
+         |e2 AS (SELECT u, v FROM e1
+         |  WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
+         |d3 AS (SELECT n, count(*) AS c FROM
+         |  (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n),
+         |k3 AS (SELECT n FROM d3 WHERE c >= $KcoreSampledK),
+         |e3 AS (SELECT u, v FROM e2
+         |  WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3)),
+         |df AS (SELECT n, count(*) AS deg FROM
+         |  (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3) GROUP BY n)
+         |SELECT n, deg FROM df WHERE deg >= $KcoreSampledK""".stripMargin,
     // MAD: nearest-rank median replayed twice (value, then absolute
     // deviation), identical IEEE boundary on both engines.
     "q132_mad_outliers" ->

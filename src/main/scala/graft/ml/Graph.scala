@@ -248,7 +248,13 @@ object Graph {
     * local-checkpointed per round (superseded blocks freed), so
     * Catalyst plans each peel against a flat leaf instead of a
     * growing join tower — the same discipline as the CC/PageRank
-    * loops.
+    * loops. Cost is rounds × m; when that flags at scale, the named
+    * scale path is peeling the [[sampleEdgesDeterministic]] p-sample
+    * at threshold ⌈k·p⌉ — sampled degrees concentrate at p·deg
+    * (Chernoff), so the sampled core approximates the k-core
+    * membership on ~p of the edge volume (graph sparsification; the
+    * estimate is membership-approximate, not exact — use the full
+    * peel when exact coreness is the contract).
     */
   def kCorePeel(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -303,6 +309,86 @@ object Graph {
       .filter(col("deg") >= k)
   }
 
+  /** Deterministic edge sampling for approximate graph kernels: keep
+    * edge (u, v) iff `mix64(u << 32 | v, seed) mod denom < keep` —
+    * expected keep rate p = keep/denom, decided by a pure stateless
+    * hash of the edge's own endpoints (the repo's splitmix64 kernel,
+    * [[graft.functions.Mix64]]), so the sample is reproducible under
+    * task retry / re-partitioning AND replayable exactly by the
+    * DuckDB oracle (q64's stratified-sampler discipline — no RNG
+    * state, no sampling variance between engines).
+    *
+    * `denom` must be a power of two: the oracle computes the mod on
+    * the UNSIGNED 64-bit value while the engine's `pmod` sees the
+    * signed long — the two agree exactly when the modulus divides
+    * 2^64. Node ids must fit in 32 bits for the shift-combine to be
+    * injective (true for every graph in this repo; at larger id
+    * spaces re-key with a dense rank first — standard practice, since
+    * 64-bit adjacency arithmetic wants compact ids anyway).
+    *
+    * Canonicalize (`u < v`) BEFORE sampling so both orientations of
+    * an undirected edge share one keep decision.
+    */
+  def sampleEdgesDeterministic(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      denom: Int, keep: Int, seed: Int): DataFrame = {
+    require(denom > 0 && (denom & (denom - 1)) == 0,
+      s"denom must be a power of two (got $denom)")
+    require(keep > 0 && keep <= denom, s"keep must be in [1, $denom]")
+    val key = shiftleft(col(srcCol).cast("long"), 32)
+      .bitwiseOR(col(dstCol).cast("long"))
+    edges.filter(
+      pmod(graft.functions.Mix64.mix64(key, seed), lit(denom.toLong))
+        < keep)
+  }
+
+  /** DOULION-style sampled triangle estimate (Tsourakakis, Kang,
+    * Miller & Faloutsos, "DOULION: counting triangles in massive
+    * graphs with a coin", KDD'09 — public algorithm): sparsify with
+    * [[sampleEdgesDeterministic]] at p = keep/denom, count triangles
+    * exactly on the sample via [[triangleCounts]], scale by 1/p³. A
+    * triangle survives iff all three edges do (probability p³), so
+    * the estimate is UNBIASED; the paper bounds the variance at
+    * T·(1/p³ − 1) + 2k·(1/p − 1) for T triangles and k pairs of
+    * triangles sharing an edge — concentration is excellent exactly
+    * where sampling matters (many triangles). The exact closure is
+    * Θ(m^1.5); sampling at p cuts the expected intersection work by
+    * ~p^1.5 and the candidate volume by p², which is THE scale path
+    * past the second decade for [[triangleCounts]]'s two sf10 flags.
+    *
+    * Returns ONE row: (sampled_edges, tri_sampled, est_triangles)
+    * with est_triangles = tri_sampled · (denom/keep)³ — integer-exact
+    * when keep = 1, so the oracle replay hash-matches.
+    */
+  def triangleEstimateSampled(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      denom: Int, keep: Int = 1, seed: Int = 61,
+      broadcastEdgeLimit: Long = 8000000L,
+      canonical: Boolean = false): DataFrame = {
+    val sampled = sampleEdgesDeterministic(
+      edges, srcCol, dstCol, denom, keep, seed)
+      // one derivation feeds the edge count AND the closure; without
+      // this the upstream edge derivation (often a per-basket pair
+      // expansion) runs twice
+      .persist()
+    val perNode = triangleCounts(sampled, srcCol, dstCol,
+      broadcastEdgeLimit, canonical)
+    // Σ per-node counts = 3·T on the sample (each triangle credits
+    // its three corners once each)
+    val scale = math.round(math.pow(denom.toDouble / keep, 3)).toLong
+    val m = sampled.agg(count(lit(1)).as("sampled_edges"))
+    // integral `div`, not `/`: double division is exact only to 2^53
+    // and this row is the query's one output
+    val t = perNode.agg(coalesce(sum(col("n_tri")), lit(0L)).as("__s"))
+      .select(expr("__s div 3").as("tri_sampled"))
+    val out = m.crossJoin(t) // two one-row frames — bounded metadata
+      .select(col("sampled_edges"), col("tri_sampled"),
+        (col("tri_sampled") * lit(scale)).as("est_triangles"))
+      .localCheckpoint(true)
+    sampled.unpersist()
+    out
+  }
+
   /** Per-node triangle counts by degree-oriented node iteration
     * (Schank/Wagner "forward" algorithm; the MapReduce formulation is
     * Suri & Vassilvitskii, WWW'11 — public algorithm descriptions
@@ -320,7 +406,11 @@ object Graph {
     * each canonical edge points from its lower-(degree, id) endpoint
     * to the higher, so every node's out-degree is bounded by O(√m)
     * and the total intersection work is O(m^{3/2}) regardless of
-    * skew — the best possible for exact counting.
+    * skew — the best possible for exact counting. Θ(m^1.5) is
+    * superlinear BY CONTRACT (a 10× edge step costs ~31.6×); when the
+    * count, not the per-node attribution, is the product, the named
+    * scale path is [[triangleEstimateSampled]] — the same closure on
+    * a deterministic p-sample, unbiased at 1/p³.
     *
     * The closure itself never materializes wedges as rows: the
     * triangles through an oriented edge (x, y) are N⁺(x) ∩ N⁺(y), one

@@ -713,6 +713,150 @@ object TextAnalysis {
       .toDF("merge_rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Key separator for [[applyMergesOnePass]]'s pair-lookup map. A
+    * single space is collision-free BY CONSTRUCTION: word types come
+    * from whitespace splitting ([[tokens]]), so no token — and no
+    * concatenation of tokens — can contain one, hence
+    * `left + sep + right` is injective over pairs. The selection loop
+    * still skips any candidate containing the separator as a
+    * defensive invariant check.
+    */
+  private val PairKeySep = " "
+
+  /** One greedy left-to-right pass applying a SET of pairwise
+    * non-interacting merges — the batch counterpart of [[applyMerge]].
+    * `pairs` must be symbol-disjoint (no token appears in two pairs,
+    * and no pair's merged string is another pair's token — the
+    * invariant [[bpeTrainBatched]]'s greedy selection guarantees);
+    * under that invariant occurrences of different pairs can never
+    * overlap or be created/destroyed by each other, so one pass
+    * applying whichever pair matches at each position is EXACTLY the
+    * sequential application of each merge in any order. The lookup is
+    * a literal map keyed on `left + sep + right` (one probe per position,
+    * independent of batch size — M chained [[applyMerge]] folds would
+    * cost M array rebuilds per word instead).
+    */
+  private def applyMergesOnePass(
+      toks: Column, pairs: Seq[(String, String)]): Column = {
+    val m = typedlit(pairs.map { case (l, r) =>
+      (l + PairKeySep + r) -> (l + r)
+    }.toMap)
+    aggregate(toks, typedlit(Seq.empty[String]), (acc, t) => {
+      val hit = try_element_at(
+        m, concat(element_at(acc, -1), lit(PairKeySep), t))
+      when(size(acc) > 0 && hit.isNotNull,
+        concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
+        .otherwise(concat(acc, array(t)))
+    })
+  }
+
+  /** Batched BPE merge learning — [[bpeTrain]] at production merge
+    * counts. A 32k-merge tokenizer through the sequential trainer
+    * costs 32k driver round-trips (census + argmax + re-merge each);
+    * the standard distributed fix is to learn up to `batch` merges
+    * from ONE census per round, restricted to pairs that provably do
+    * not interact (the top-M non-overlapping batching used by
+    * parallel BPE trainers; selection is greedy over the census in
+    * the sequential tie-break order `count desc, left, right`, and a
+    * candidate is kept only when its left, right, AND merged string
+    * are all unseen among already-kept pairs' symbols).
+    *
+    * Under that disjointness invariant the batch applies in one
+    * left-to-right pass ([[applyMergesOnePass]]) with results
+    * IDENTICAL to applying the kept merges sequentially. What batching
+    * changes vs [[bpeTrain]] is only the SELECTION schedule: a later
+    * kept pair's census count is the pre-batch count, so when top
+    * pairs interact with skipped higher-ranked ones the learned order
+    * can differ from the strictly-sequential trainer's (skipped pairs
+    * re-compete next round at refreshed counts). On a corpus whose
+    * top-`batch` pairs are symbol-disjoint the two trainers are
+    * exactly equal (MlSpec pins this).
+    *
+    * Scale shape: rounds cost `merges / ~batch` censuses instead of
+    * `merges` — each census the same map-side-combined aggregate over
+    * the word-type table as [[bpeTrain]], each application one fold
+    * with a constant-size lookup map, per-round localCheckpoint
+    * keeping the plan flat. Driver state is the collected top-`batch`
+    * census rows per round — bounded metadata.
+    *
+    * Early-stops when no census pair reaches `minPairCount`. Returns
+    * the same (merge_rank, left, right, merged, pair_count) table as
+    * [[bpeTrain]]; `pair_count` is the count in the census the pair
+    * was selected from.
+    */
+  def bpeTrainBatched(
+      df: DataFrame, textCol: String,
+      merges: Int, batch: Int = 64,
+      minPairCount: Long = DefaultMinPairCount): DataFrame = {
+    val spark = df.sparkSession
+    require(merges >= 1, s"merges must be >= 1 (got $merges)")
+    require(batch >= 1, s"batch must be >= 1 (got $batch)")
+    var state = df
+      .select(explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("toks"))
+      .localCheckpoint()
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var done = false
+    while (learned.size < merges && !done) {
+      val want = math.min(batch, merges - learned.size)
+      val top = state
+        .filter(size(col("toks")) >= 2)
+        .select(col("cnt"), explode(
+          transform(sequence(lit(1), size(col("toks")) - 1), i =>
+            struct(element_at(col("toks"), i).as("l"),
+              element_at(col("toks"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .filter(col("c") >= minPairCount)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(batch).collect()
+      if (top.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val kept =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val it = top.iterator
+        while (it.hasNext && kept.size < want) {
+          val row = it.next()
+          val (l, r, c) =
+            (row.getString(0), row.getString(1), row.getLong(2))
+          if (!used(l) && !used(r) && !used(l + r) &&
+              !l.contains(PairKeySep) && !r.contains(PairKeySep)) {
+            kept += ((l, r, c))
+            used ++= Seq(l, r, l + r)
+          }
+        }
+        kept.foreach { case (l, r, c) =>
+          learned += ((learned.size + 1, l, r, l + r, c))
+        }
+        val next = state
+          .select(col("cnt"),
+            applyMergesOnePass(col("toks"),
+              kept.map(p => (p._1, p._2)).toSeq).as("toks"))
+          .localCheckpoint()
+        state.unpersist()
+        state = next
+      }
+    }
+    state.unpersist()
+    import spark.implicits._
+    learned.toSeq
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Whether the segmentation table may carry a broadcast hint in
+    * [[bpeEncode]]: true only when the measured word-type cardinality
+    * is at or under the caller's limit. Factored out so the guard's
+    * boundary is unit-testable without driving a corpus through it.
+    */
+  private[graft] def segBroadcastable(nWords: Long, limit: Long): Boolean =
+    nWords <= limit
+
   /** Apply a learned merge list to a corpus — the [[bpeTrain]]
     * counterpart of [[encodeDocuments]]: each document's words segment
     * into the subword tokens the merges produce, flattened to one
@@ -720,19 +864,38 @@ object TextAnalysis {
     * comparator; the q27/q88 flattening discipline).
     *
     * Scale shape: merges fold over the DISTINCT-words table (word
-    * types again, never the corpus), the segmented table broadcasts
-    * against the corpus token stream, and only (id, pos, subwords)
+    * types again, never the corpus), the segmented table joins the
+    * corpus token stream on `word`, and only (id, pos, subwords)
     * rows cross the reassembly exchange — the [[encodeDocuments]]
     * plan with the merge fold in place of the id lookup. Documents
     * with no words survive with an empty segmentation.
+    *
+    * BROADCAST GUARD (r10 verdict #1): unlike [[encodeDocuments]]'
+    * vocab, which is pruned by construction, the segmentation table
+    * covers EVERY distinct word — web-scale corpora have 10⁸-10⁹ word
+    * types (URLs, numbers, typos), far past what a forced
+    * `broadcast()` hint (which bypasses
+    * autoBroadcastJoinThreshold) can ship to executors. The hint is
+    * therefore applied only when the word-type cardinality — measured
+    * by the same distinct aggregate that feeds the merge fold — is at
+    * or under `broadcastWordLimit`; past it the join runs as a
+    * regular shuffle join on `word` (hash-partitioned 8-byte-ish
+    * keys; AQE may still locally convert it if the built side turns
+    * out small). Results are identical on either path.
     */
   def bpeEncode(
       df: DataFrame, textCol: String, idCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      broadcastWordLimit: Long = 4000000L): DataFrame = {
     val words = df
       .select(explode(filter(tokens(col(textCol)),
         t => length(t) > 0)).as("word"))
       .distinct()
+      .persist()
+    // ONE extra aggregate over word types (not the corpus — the
+    // distinct is persisted and shared with the fold below) buys the
+    // broadcast decision a measured cardinality instead of a guess.
+    val nWords = words.count()
     // fold the merge list; checkpoint every few rounds so the plan
     // stays flat when the list is hundreds of merges long
     var seg = words.select(col("word"),
@@ -742,11 +905,19 @@ object TextAnalysis {
       seg = seg.select(col("word"), applyMerge(col("toks"), l, r).as("toks"))
       if ((i + 1) % 16 == 0) seg = seg.localCheckpoint()
     }
+    // materialize the folded segmentation, then release the shared
+    // distinct — the returned plan must not depend on `words` staying
+    // persisted
+    seg = seg.localCheckpoint(true)
+    words.unpersist()
     val tok = df.select(col(idCol).as("id"),
       posexplode(filter(tokens(col(textCol)), t => length(t) > 0))
         .as(Seq("pos", "word")))
+    val segSide =
+      if (segBroadcastable(nWords, broadcastWordLimit)) broadcast(seg)
+      else seg
     val perDoc = tok
-      .join(broadcast(seg), Seq("word"))
+      .join(segSide, Seq("word"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("pos"), col("toks"))))
         .as("__ps"))

@@ -346,6 +346,101 @@ class MlSpec extends AnyFunSuite {
     assert(enc.filter($"n_subwords" =!= 1).count() == 0)
   }
 
+  test("bpeEncode over the broadcast word limit takes the shuffle path, same result") {
+    // r10 verdict #1: the segmentation table must not carry a FORCED
+    // broadcast hint when the word-type cardinality exceeds the limit
+    // (web corpora have 1e8+ word types). Results are identical on
+    // either path; the hint decision itself is a pure function.
+    assert(TextAnalysis.segBroadcastable(100L, 100L))
+    assert(!TextAnalysis.segBroadcastable(101L, 100L))
+    val merges = Seq(("a", "a"), ("a", "b"))
+    val docs = Seq((1L, "aaab ab"), (2L, "aaa zq"), (3L, ""))
+      .toDF("doc_id", "text")
+    val viaBroadcast = TextAnalysis
+      .bpeEncode(docs, "text", "doc_id", merges)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    val viaShuffle = TextAnalysis
+      .bpeEncode(docs, "text", "doc_id", merges, broadcastWordLimit = 0L)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(viaBroadcast == viaShuffle)
+    assert(viaShuffle.map(_._2) == Seq("aa ab ab", "aa a z q", ""))
+  }
+
+  test("bpeTrainBatched equals sequential bpeTrain when top pairs are symbol-disjoint") {
+    // four pairs with pairwise-disjoint symbols and strictly ordered
+    // counts: one census round learns all four, in the sequential order
+    val df = (Seq.fill(9)("xy") ++ Seq.fill(8)("pq") ++
+      Seq.fill(7)("mn") ++ Seq.fill(6)("de")).toDF("text")
+    val seqT = TextAnalysis.bpeTrain(df, "text", merges = 4)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val batT = TextAnalysis.bpeTrainBatched(df, "text", merges = 4, batch = 4)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(batT == seqT)
+    assert(batT.map(t => (t._2, t._3, t._5)) == Seq(
+      ("x", "y", 9L), ("p", "q", 8L), ("m", "n", 7L), ("d", "e", 6L)))
+  }
+
+  test("bpeTrainBatched defers interacting pairs to later rounds") {
+    // the bpeTrain spec corpus: round-1 census has (a,a)=6 and (a,b)=5,
+    // which SHARE the symbol a — batch selection keeps only (a,a) and
+    // re-competes (a,b) next round at its refreshed count, landing on
+    // the exact sequential merge table
+    val df = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).toDF("text")
+    val got = TextAnalysis.bpeTrainBatched(df, "text", merges = 3, batch = 8)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+    // one-pass application really applies several merges in one word:
+    // "xayb" learns nothing (all pairs count 1), but the disjoint
+    // corpus {xy, pq} words concatenated as "xypq" segment under both
+    // merges in a single encode fold
+    val enc = TextAnalysis.bpeEncode(
+      Seq((1L, "xypq")).toDF("doc_id", "text"), "text", "doc_id",
+      Seq(("x", "y"), ("p", "q")))
+      .as[(Long, String, Int)].collect().toSeq
+    assert(enc == Seq((1L, "xy pq", 2)))
+    // early stop below the pair-count floor: a one-occurrence corpus
+    // learns nothing at the default floor of 2
+    assert(TextAnalysis.bpeTrainBatched(
+      Seq("ab").toDF("text"), "text", merges = 4, batch = 4).count() == 0)
+  }
+
+  test("triangleEstimateSampled is exact at p=1 and deterministic under sampling") {
+    import graft.ml.Graph
+    // K6: 15 canonical edges, C(6,3) = 20 triangles
+    val k6 = (for { u <- 1 to 6; v <- (u + 1) to 6 }
+      yield (u.toLong, v.toLong)).toDF("u", "v")
+    val full = Graph.triangleEstimateSampled(k6, "u", "v",
+      denom = 1, keep = 1, seed = 61, canonical = true)
+      .as[(Long, Long, Long)].collect().head
+    assert(full == ((15L, 20L, 20L)))
+    // p = 1/4 sample: pure hash of the endpoints — two runs identical
+    def draw() = Graph.sampleEdgesDeterministic(k6, "u", "v",
+      denom = 4, keep = 1, seed = 61)
+      .as[(Long, Long)].collect().toSet
+    val s1 = draw()
+    assert(s1 == draw() && s1.size < 15)
+    // the estimate scales the sampled count by 1/p³ exactly
+    val est = Graph.triangleEstimateSampled(k6, "u", "v",
+      denom = 4, keep = 1, seed = 61, canonical = true)
+      .as[(Long, Long, Long)].collect().head
+    assert(est._1 == s1.size && est._3 == est._2 * 64)
+    // keep rate concentrates near p on a larger edge set
+    val big = (1 to 4000).map(i => (i.toLong, (i + 4001).toLong))
+      .toDF("u", "v")
+    val kept = Graph.sampleEdgesDeterministic(big, "u", "v",
+      denom = 4, keep = 1, seed = 61).count()
+    assert(kept > 4000 / 4 * 0.7 && kept < 4000 / 4 * 1.3,
+      s"kept=$kept of 4000 at p=1/4")
+    // non-power-of-two denominators cannot match the oracle's
+    // unsigned mod — rejected eagerly
+    intercept[IllegalArgumentException] {
+      Graph.sampleEdgesDeterministic(k6, "u", "v", 3, 1, 61)
+    }
+  }
+
   test("filterFunnel reports cumulative stage survivors in one pass") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
