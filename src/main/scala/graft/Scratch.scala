@@ -150,12 +150,15 @@ object Scratch {
       println(f"[prof] ivf probe first=$first%.3f s, " +
         f"mean-of-9 steady=${rest / 9}%.3f s (nprobe=2 of $nlist)")
       // the brute full-scan cost the probe path avoids, same query
-      val q0 = emb.filter(col("vec_id") === qids.head)
-        .select(col("embedding"))
-      val t2 = System.nanoTime()
-      graft.ml.Similarity.ivfTopK(emb, "vec_id", "embedding",
-        q0, "embedding", nlist = 0, nprobe = 2, k = 10).collect()
-      println(f"[prof] ivf in-memory (build+probe, no index): ${(System.nanoTime() - t2) / 1e9}%.2f s")
+      // (skippable at big SF — it rebuilds centroids AND scans all n)
+      if (sys.env.getOrElse("SPARK_GRAFT_IVF_BRUTE", "1") != "0") {
+        val q0 = emb.filter(col("vec_id") === qids.head)
+          .select(col("embedding"))
+        val t2 = System.nanoTime()
+        graft.ml.Similarity.ivfTopK(emb, "vec_id", "embedding",
+          q0, "embedding", nlist = 0, nprobe = 2, k = 10).collect()
+        println(f"[prof] ivf in-memory (build+probe, no index): ${(System.nanoTime() - t2) / 1e9}%.2f s")
+      }
       spark.stop(); return
     }
     if (name == "bpe_batched_profile") {

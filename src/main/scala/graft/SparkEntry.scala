@@ -1665,6 +1665,17 @@ object SparkEntry {
       TextAnalysis.bpeEncode(docs, "text", "doc_id", m)
     }),
 
+    // Batched BPE merge learning (r10 verdict #3 — sequential
+    // bpeTrain at production merge counts costs one driver round-trip
+    // PER MERGE): up to `batch` symbol-disjoint top census pairs per
+    // round, applied in one pass. batch = 3 < merges forces several
+    // rounds, so the oracle replays multi-round selection, the
+    // cumulative budget cap, and multi-merge application — including
+    // the greedy disjoint scan itself (a recursive CTE).
+    "q195_bpe_train_batched" -> ((s, dir) =>
+      TextAnalysis.bpeTrainBatched(t(s, dir, "documents"), "text",
+        merges = bpeRounds, batch = bpeBatchSize)),
+
     // DOULION sampled triangle estimate (r10 verdict #2 — the named
     // scale path for q129's exact Θ(m^1.5) closure): the co-purchase
     // edge set sparsifies at p = 1/4 by a deterministic mix64 edge
@@ -2652,6 +2663,111 @@ object SparkEntry {
         |h$r AS (SELECT word, cnt, toks, i,
         |    i < len(toks) AND toks[i] = (SELECT l FROM b$r)
         |      AND toks[i + 1] = (SELECT r FROM b$r) AS hit FROM m$r),
+        |g$r AS (SELECT *, i - row_number()
+        |    OVER (PARTITION BY word, hit ORDER BY i) AS isl FROM h$r),
+        |s$r AS (SELECT *, CASE WHEN hit THEN row_number()
+        |    OVER (PARTITION BY word, hit, isl ORDER BY i) ELSE 0 END AS rn
+        |  FROM g$r),
+        |n$r AS (SELECT word, cnt, i,
+        |    CASE WHEN hit AND rn % 2 = 1 THEN toks[i] || toks[i + 1]
+        |      ELSE toks[i] END AS nt,
+        |    hit AND rn % 2 = 1 AS sel FROM s$r),
+        |x$r AS (SELECT *, coalesce(lag(sel)
+        |    OVER (PARTITION BY word ORDER BY i), false) AS consumed
+        |  FROM n$r),
+        |w$r AS MATERIALIZED (
+        |  SELECT word, cnt, list(nt ORDER BY i) AS toks
+        |  FROM x$r WHERE NOT consumed GROUP BY word, cnt)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** q195's batch size — small enough that the verify corpus needs
+    * several census rounds to learn [[bpeRounds]] merges, so the
+    * oracle exercises multi-round selection, the cumulative-want cap,
+    * AND the single-pass multi-merge application.
+    */
+  private def bpeBatchSize: Int = 3
+
+  /** The [[graft.ml.TextAnalysis.bpeTrainBatched]] replay, unrolled
+    * round by round like [[bpeOracleCtes]] but with the argmax
+    * replaced by the batched selection:
+    *
+    *  - c_r: the top-`batch` census rows in the sequential tie-break
+    *    order, ranked;
+    *  - q_r: the GREEDY SYMBOL-DISJOINT scan as a recursive CTE — one
+    *    row per candidate rank, threading the `used` symbol list and
+    *    the kept count; a candidate keeps iff its left, right, and
+    *    merged string are all unseen and the round's budget
+    *    (`merges − Σ prior kept`, the engine's `want`) is not
+    *    exhausted;
+    *  - k_r: the kept set. Hit detection becomes a LEFT JOIN against
+    *    k_r (at most one pair matches a position — symbols are
+    *    disjoint), and the islands/odd-rank/consumed machinery is
+    *    unchanged: under disjointness a run of consecutive hits is
+    *    always a same-pair run, exactly the single-merge case.
+    *
+    * When a round keeps nothing (census dry or budget spent) the left
+    * join misses everywhere, w_r = w_{r-1}, and every later round is
+    * stable — the engine's early stop, by construction. The WHOLE
+    * statement must be `WITH RECURSIVE` (DuckDB's one recursive-CTE
+    * header covers the mixed list).
+    */
+  private def bpeBatchedOracleCtes(k: Int, batch: Int, mTotal: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+        |    list_transform(range(1, length(word) + 1),
+        |      i -> substr(word, i, 1)) AS toks
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |      '\s+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin)
+    for (r <- 1 to k) {
+      val w = s"w${r - 1}"
+      // the engine's want = merges − already-learned (bounded below
+      // by the keep-count check; the batch cap is the LIMIT on c_r)
+      val priorKept =
+        if (r == 1) "0"
+        else (1 until r).map(p => s"(SELECT count(*) FROM k$p)")
+          .mkString(" + ")
+      val keepCond = s"""q.n_kept < $mTotal - ($priorKept)
+        |      AND NOT list_contains(q.used, cr.l)
+        |      AND NOT list_contains(q.used, cr.r)
+        |      AND NOT list_contains(q.used, cr.l || cr.r)""".stripMargin
+      sb.append(s""",
+        |p$r AS MATERIALIZED (
+        |  SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM (SELECT cnt, unnest(list_transform(range(1, len(toks)),
+        |      i -> struct_pack(l := toks[i], r := toks[i + 1]))) AS p
+        |    FROM $w WHERE len(toks) >= 2)
+        |  GROUP BY p.l, p.r),
+        |c$r AS MATERIALIZED (
+        |  SELECT l, r, c, row_number() OVER (ORDER BY c DESC, l, r) AS rk
+        |  FROM (SELECT l, r, c FROM p$r
+        |    WHERE c >= ${TextAnalysis.DefaultMinPairCount}
+        |    ORDER BY c DESC, l, r LIMIT $batch)),
+        |q$r AS (
+        |  SELECT 0 AS rk, CAST(NULL AS VARCHAR) AS l,
+        |    CAST(NULL AS VARCHAR) AS r, CAST(NULL AS BIGINT) AS c,
+        |    false AS keep, CAST([] AS VARCHAR[]) AS used, 0 AS n_kept
+        |  UNION ALL
+        |  SELECT cr.rk, cr.l, cr.r, cr.c,
+        |    ($keepCond) AS keep,
+        |    CASE WHEN $keepCond
+        |      THEN list_concat(q.used, [cr.l, cr.r, cr.l || cr.r])
+        |      ELSE q.used END AS used,
+        |    q.n_kept + CASE WHEN $keepCond THEN 1 ELSE 0 END AS n_kept
+        |  FROM q$r q JOIN c$r cr ON cr.rk = q.rk + 1),
+        |k$r AS MATERIALIZED (
+        |  SELECT l, r, c, rk FROM q$r WHERE keep),
+        |m$r AS (SELECT word, cnt, toks,
+        |    unnest(range(1, len(toks) + 1)) AS i FROM $w),
+        |h$r AS (SELECT m.word, m.cnt, m.toks, m.i AS i,
+        |    (kk.l IS NOT NULL) AS hit
+        |  FROM m$r m LEFT JOIN k$r kk
+        |    ON m.i < len(m.toks) AND m.toks[m.i] = kk.l
+        |      AND m.toks[m.i + 1] = kk.r),
         |g$r AS (SELECT *, i - row_number()
         |    OVER (PARTITION BY word, hit ORDER BY i) AS isl FROM h$r),
         |s$r AS (SELECT *, CASE WHEN hit THEN row_number()
@@ -4978,6 +5094,23 @@ object SparkEntry {
            |  r AS "right", l || r AS merged, c AS pair_count
            |FROM b$r""".stripMargin).mkString("\nUNION ALL\n")
       s"WITH ${bpeOracleCtes(bpeRounds)}\n$rows"
+    },
+    // Batched BPE: every round's KEPT set with cumulative global
+    // ranks, from the batched round CTEs ([[bpeBatchedOracleCtes]] —
+    // greedy disjoint selection replayed as a recursive CTE).
+    "q195_bpe_train_batched" -> {
+      val legs = (1 to bpeRounds).map { r =>
+        val prior =
+          if (r == 1) "0"
+          else (1 until r).map(p => s"(SELECT count(*) FROM k$p)")
+            .mkString(" + ")
+        s"""SELECT CAST(($prior) + row_number() OVER (ORDER BY rk)
+           |    AS INT) AS merge_rank,
+           |  l AS "left", r AS "right", l || r AS merged,
+           |  c AS pair_count
+           |FROM k$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH RECURSIVE ${bpeBatchedOracleCtes(bpeRounds, bpeBatchSize, bpeRounds)}\n$legs"
     },
     // BPE application: documents rejoin the final round's word
     // segmentations in position order; empty docs keep an empty

