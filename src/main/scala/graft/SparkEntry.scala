@@ -104,6 +104,15 @@ object SparkEntry {
     */
   private[graft] val KcoreSampledK = 40
 
+  /** q196 constants, interpolated into both engine call and oracle.
+    * The oracle's plane count derives from the SAME
+    * `autoPlanes(Q188Cardinality, Q196TargetBucket)` call the engine
+    * makes over its pinned input (the q188/q179 discipline).
+    */
+  private[graft] val Q196Cap          = 20
+  private[graft] val Q196SampleSeed   = 17
+  private[graft] val Q196TargetBucket = 32L
+
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val parts = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
@@ -1688,6 +1697,41 @@ object SparkEntry {
         denom = GraphSampleDenomTri, keep = 1, seed = GraphSampleSeed,
         broadcastEdgeLimit = 32000000L, canonical = true)),
 
+    // Semantic-bucket balanced sampling: LSH sign-pattern buckets
+    // (semantically close docs collide) capped per bucket by a
+    // deterministic mix64 priority — topic de-biasing without a topic
+    // model, the content-side analogue of q79's domain caps. Cap via
+    // the size-capped TopK heap (no window over hot buckets). The
+    // q188 discipline: input PINNED to Q188Cardinality so the
+    // engine-derived plane count equals the oracle's inlined matrix;
+    // the growth path benches un-pinned as q198.
+    "q196_semantic_balance" -> ((s, dir) =>
+      Curation.semanticBalancedSample(
+        t(s, dir, "embeddings").filter(col("vec_id") < Q188Cardinality),
+        "vec_id", "embedding", dim = 64, planes = 0,
+        capPerBucket = Q196Cap, sampleSeed = Q196SampleSeed,
+        targetBucketSize = Q196TargetBucket)),
+
+    // BENCH GROWTH TWINS (engine-only; rows-only correctness check by
+    // design): the oracle-gated rows q188/q196 pin their input
+    // cardinality so a static oracle can inline the derived plane
+    // matrix — which also FREEZES their benched workload. These two
+    // run the SAME operators over the full embeddings table with live
+    // auto sizing, so the bench tracks plane growth and join volume
+    // at every scale. No static SQL oracle can express a
+    // data-dependent plane count, hence no oracleSql entry.
+    "q197_auto_lsh_growth" -> ((s, dir) =>
+      Similarity.nearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, targetBucketSize = Some(16L))
+        .select(col("id_a"), col("id_b"),
+          round(col("score"), 4).as("score"))),
+    "q198_semantic_balance_growth" -> ((s, dir) =>
+      Curation.semanticBalancedSample(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, planes = 0,
+        capPerBucket = Q196Cap, sampleSeed = Q196SampleSeed,
+        targetBucketSize = Q196TargetBucket)),
+
     // Sparsified k-core (r10 verdict #2 — q137's named scale path):
     // the same bounded peeling on the deterministic p = 1/2 edge
     // sample at threshold k·p = 40; sampled degrees concentrate at
@@ -2603,6 +2647,12 @@ object SparkEntry {
     */
   private def q188Planes: Int =
     graft.ml.Similarity.autoPlanes(Q188Cardinality, 16L)
+
+  /** q196's derived plane count — the same engine call over the same
+    * pinned cardinality, inlined into the oracle's plane matrix.
+    */
+  private def q196Planes: Int =
+    graft.ml.Similarity.autoPlanes(Q188Cardinality, Q196TargetBucket)
 
   /** q191/q192: the BPE merge-learning replay, unrolled round by round
     * (the q119 PageRank discipline — K deterministic iterations become
@@ -5157,6 +5207,34 @@ object SparkEntry {
          |  CAST(t * ${math.pow(GraphSampleDenomTri.toDouble, 3).toLong}
          |    AS BIGINT) AS est_triangles
          |FROM tc""".stripMargin,
+    // Semantic balance: the q53 bucket replay at the DERIVED plane
+    // count over the pinned input + the mix64 priority chain (signed
+    // conversion as in the q39 sig CTE) + a per-bucket rank capped at
+    // the shared constant.
+    "q196_semantic_balance" ->
+      s"""WITH coded AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(range(1, ${q196Planes + 1}), p ->
+         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> CAST(embedding[i] AS DOUBLE) * (${lshPlaneMatrixSqlFor(q196Planes)})[p][i])) >= 0
+         |        THEN (1 << (p - 1)) ELSE 0 END)) AS bucket
+         |  FROM embeddings WHERE vec_id < $Q188Cardinality),
+         |z0 AS (SELECT vec_id, bucket,
+         |    (CAST(vec_id AS HUGEINT) + ${sqlMixAdd(Q196SampleSeed)})
+         |      % 18446744073709551616 AS z
+         |  FROM coded),
+         |${sqlMixFinal("vec_id, bucket")},
+         |pri AS (SELECT vec_id, bucket,
+         |    CASE WHEN z >= 9223372036854775808
+         |      THEN CAST(z - 18446744073709551616 AS BIGINT)
+         |      ELSE CAST(z AS BIGINT) END AS p
+         |  FROM z3),
+         |r AS (SELECT vec_id, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY p, vec_id)
+         |      AS rn
+         |  FROM pri)
+         |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket
+         |FROM r WHERE rn <= $Q196Cap""".stripMargin,
     // Sparsified k-core: q137's three unrolled peels on the p = 1/2
     // deterministic sample at the scaled threshold.
     "q194_kcore_sampled" ->

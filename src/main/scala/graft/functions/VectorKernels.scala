@@ -31,15 +31,26 @@ import org.apache.spark.sql.types._
   * argmin (including the first-wins tie rule: strictly-less replaces,
   * equal keeps the earlier index) is unchanged.
   *
+  * MALFORMED VECTORS STAY NULL (the lambda parity that matters for
+  * data hygiene): a vector whose length differs from the centroid
+  * dimension, or that contains a null element, yields a NULL cluster
+  * — exactly what the old `zip_with`/`aggregate` composition produced
+  * via null propagation. Truncating to a common prefix instead would
+  * CONFIDENTLY MISFILE the corrupt row into the IVF index (it shows
+  * up as a NULL partition directory today, which is the signal a
+  * 100 TB ingest needs).
+  *
   * Input: array<float> or array<double> (floats widen to double per
   * element, exactly as the lambda's `.cast("double")` did). Output:
-  * the 0-based centroid index, INT.
+  * the 0-based centroid index, INT (nullable).
   */
 case class NearestCentroid(
     child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
 
   private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -55,15 +66,22 @@ case class NearestCentroid(
     }
 
   override def nullSafeEval(input: Any): Any =
-    NearestCentroid.compute(
+    NearestCentroid.computeOrNull(
       input.asInstanceOf[ArrayData], centroids, isFloat)
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // the matrix rides as a referenced JVM object, not literals
     val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.NearestCentroid.compute($c, $mat, $isFloat)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("graftNc") // unique per codegen scope
+      s"""
+      |java.lang.Integer $r =
+      |  graft.functions.NearestCentroid.computeOrNull($c, $mat, $isFloat);
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $r.intValue(); }
+      |""".stripMargin
+    })
   }
 
   override protected def withNewChildInternal(
@@ -78,25 +96,37 @@ object NearestCentroid {
     GraftBridge.column(NearestCentroid(GraftBridge.expression(vec),
       centroids.map(_.toArray).toArray))
 
-  def compute(
-      a: ArrayData, m: Array[Array[Double]], isFloat: Boolean): Int = {
+  /** Boxed so malformed input (dim mismatch, null element, empty
+    * matrix) can return null — see the class doc.
+    */
+  def computeOrNull(
+      a: ArrayData, m: Array[Array[Double]],
+      isFloat: Boolean): java.lang.Integer = {
+    if (m.length == 0) return null
+    val dim = m(0).length
+    val n = a.numElements()
+    if (n != dim) return null
+    var i = 0
+    while (i < n) { // null element → null cluster (lambda parity)
+      if (a.isNullAt(i)) return null
+      i += 1
+    }
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
     while (c < m.length) {
       val row = m(c)
-      val n = math.min(a.numElements(), row.length)
       var d = 0.0
-      var i = 0
-      while (i < n && d <= bestD) { // early abandon: d only grows
-        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        val diff = x - row(i)
+      var j = 0
+      while (j < n && d <= bestD) { // early abandon: d only grows
+        val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        val diff = x - row(j)
         d += diff * diff
-        i += 1
+        j += 1
       }
-      if (i == n && d < bestD) { bestD = d; best = c }
+      if (j == n && d < bestD) { bestD = d; best = c }
       c += 1
     }
-    best
+    java.lang.Integer.valueOf(best)
   }
 }

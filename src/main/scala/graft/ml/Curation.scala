@@ -20,33 +20,87 @@ object Curation {
     * deterministically as the smallest `idCol` values (stable across
     * runs and retries — no sampling state).
     *
-    * Scale posture (100 TB): per-group top-k via TWO bounded
-    * aggregations, not a window. A window (`row_number` over the
-    * domain partition) sorts and shuffles every row and puts each hot
-    * domain in ONE task — exactly the skew this operator exists to
-    * correct. Here each input partition first reduces every domain it
-    * sees to its local k smallest ids (partial aggregation bounds
-    * state at k per (domain, partition)); the merge pass then keeps
-    * the global k per domain from ≤ k·partitions candidates. Only
-    * (domain, id) pairs shuffle; the survivor set joins back
-    * left_semi on the id.
+    * Scale posture (100 TB): per-group top-k via the size-capped heap
+    * aggregate [[graft.functions.TopK]], not a window. A window
+    * (`row_number` over the domain partition) sorts and shuffles
+    * every row and puts each hot domain in ONE task — exactly the
+    * skew this operator exists to correct. TopK's map-side partial
+    * state is a TRUE ≤k heap per (domain, partition) — the former
+    * `collect_list`+`slice` two-level formulation buffered the whole
+    * group in the aggregation buffer before slicing, so a hot
+    * domain's full membership still crossed the first exchange. Only
+    * (domain, id) pairs feed the aggregate; the survivor set joins
+    * back left_semi on the id.
     */
   def domainCap(
       df: DataFrame, urlCol: String, idCol: String,
       maxPerDomain: Int): DataFrame = {
     require(maxPerDomain >= 1, s"maxPerDomain must be >= 1")
-    val k = maxPerDomain
-    val local = df
+    val winners = df
       .select(hostOf(col(urlCol)).as("__dom"), col(idCol))
       .filter(col("__dom").isNotNull)
-      .groupBy(col("__dom"), spark_partition_id().as("__p"))
-      .agg(slice(sort_array(collect_list(col(idCol))), 1, k).as("__ids"))
-    val winners = local
-      .select(col("__dom"), explode(col("__ids")).as(idCol))
       .groupBy(col("__dom"))
-      .agg(slice(sort_array(collect_list(col(idCol))), 1, k).as("__ids"))
+      .agg(graft.functions.TopK.topK(col(idCol), maxPerDomain)
+        .as("__ids"))
       .select(explode(col("__ids")).as(idCol))
     df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Topic-balanced corpus sampling WITHOUT a topic model: documents
+    * bucket by the sign pattern of their embedding against `planes`
+    * fixed random hyperplanes (the q44/q53 LSH code — semantically
+    * close documents share buckets), and each bucket keeps at most
+    * `capPerBucket` documents chosen by a deterministic mix64
+    * priority of the id (pseudo-random but stable under task retry,
+    * and replayable by the DuckDB oracle — no RNG state). This is
+    * the semantic analogue of [[domainCap]]: where domain caps
+    * de-bias by SOURCE, this de-biases by CONTENT — boilerplate
+    * clusters (error pages, templates, near-identical product blurbs)
+    * land in the same bucket and get capped as a group, the standard
+    * corpus-mixture rebalancing move.
+    *
+    * Scale posture (100 TB): the bucket code is one stateless
+    * projection (no shuffle); the per-bucket cap is ONE groupBy with
+    * the size-capped heap aggregate [[graft.functions.TopK]] — map
+    * side partial state is a true ≤ `capPerBucket` heap per (bucket,
+    * partition), the exchange carries ≤ k·partitions survivors per
+    * bucket, and a boilerplate mega-bucket never sorts or ships its
+    * full membership (`collect_list`+`slice` would buffer the whole
+    * group BEFORE slicing — the exact skew blowup this operator
+    * exists to correct). Only (priority, id) pairs ride the shuffle;
+    * embeddings never move.
+    *
+    * `planes = 0` derives the plane count from the corpus cardinality
+    * ([[Similarity.autoPlanes]] at `targetBucketSize`): a FIXED plane
+    * count caps the kept set at 2^planes·capPerBucket rows forever —
+    * at 100 TB that is a near-empty sample, the same fixed-constant
+    * cliff the auto-sized LSH join (q188) closed. With auto sizing
+    * the bucket count grows ~n/targetBucketSize, so the sample stays
+    * a constant FRACTION of a balanced corpus.
+    *
+    * Returns (idCol, bucket) for the kept documents.
+    */
+  def semanticBalancedSample(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int = 0, capPerBucket: Int,
+      planeSeed: Long = 42L, sampleSeed: Int = 17,
+      targetBucketSize: Long = 128L): DataFrame = {
+    require(capPerBucket >= 1, "capPerBucket must be >= 1")
+    val sizedPlanes =
+      if (planes == 0) Similarity.autoPlanes(embeddings.count(),
+        targetBucketSize)
+      else planes
+    val ps = Similarity.hyperplanes(dim, sizedPlanes, planeSeed)
+    val coded = embeddings.select(
+      Similarity.lshCode(col(vecCol), ps).as("bucket"),
+      graft.functions.Mix64
+        .mix64(col(idCol).cast("long"), sampleSeed).as("__pri"),
+      col(idCol).as("__id"))
+    coded.groupBy(col("bucket"))
+      .agg(graft.functions.TopK.topK(
+        struct(col("__pri"), col("__id")), capPerBucket).as("__w"))
+      .select(col("bucket"), explode(col("__w")).as("__s"))
+      .select(col("__s.__id").as(idCol), col("bucket"))
   }
 
   /** Leak-free deterministic train/valid/test split: the assignment

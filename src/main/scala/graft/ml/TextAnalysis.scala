@@ -1,6 +1,8 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -68,6 +70,24 @@ object TextAnalysis {
     * of duplicating a literal (ADVICE r10).
     */
   val DefaultMinPairCount: Long = 2L
+
+  /** One round-loop state materialization with RDD-level lineage
+    * truncation (the Graph CC/PageRank/k-core loop discipline):
+    * `Dataset.localCheckpoint` persists at the RDD level where
+    * `Dataset.unpersist` CANNOT reach (nothing registers with the
+    * CacheManager), so a loop that only holds Dataset handles leaks
+    * every superseded round's blocks until driver GC — harmless at 8
+    * rounds, a storage pile-up at the ~500 rounds a 32k-merge batched
+    * training runs. Returns the re-wrapped frame plus the RDD handle
+    * the NEXT round must `unpersist` once superseded.
+    */
+  private def truncateState(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+    val schema = df.schema
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    (GraftBridge.internalCreateDataFrame(df.sparkSession, rdd, schema), rdd)
+  }
 
   /** Stopword tables for the n-gram/stopword language heuristic. */
   val Stopwords: Map[String, Seq[String]] = Map(
@@ -671,14 +691,13 @@ object TextAnalysis {
       merges: Int, minPairCount: Long = DefaultMinPairCount): DataFrame = {
     val spark = df.sparkSession
     require(merges >= 1, s"merges must be >= 1 (got $merges)")
-    var state = df
+    var (state, stateRdd) = truncateState(df
       .select(explode(filter(tokens(col(textCol)),
         t => length(t) > 0)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"),
         transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))).as("toks"))
-      .localCheckpoint()
+          i => col("word").substr(i, lit(1))).as("toks")))
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var r = 0
@@ -699,15 +718,15 @@ object TextAnalysis {
         val (l, rt, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         learned += ((r + 1, l, rt, l + rt, c))
-        val next = state
-          .select(col("cnt"), applyMerge(col("toks"), l, rt).as("toks"))
-          .localCheckpoint()
-        state.unpersist()
+        val (next, nextRdd) = truncateState(state
+          .select(col("cnt"), applyMerge(col("toks"), l, rt).as("toks")))
+        stateRdd.unpersist(blocking = false) // free superseded blocks
         state = next
+        stateRdd = nextRdd
         r += 1
       }
     }
-    state.unpersist()
+    stateRdd.unpersist(blocking = false)
     import spark.implicits._
     learned.toSeq
       .toDF("merge_rank", "left", "right", "merged", "pair_count")
@@ -791,14 +810,13 @@ object TextAnalysis {
     val spark = df.sparkSession
     require(merges >= 1, s"merges must be >= 1 (got $merges)")
     require(batch >= 1, s"batch must be >= 1 (got $batch)")
-    var state = df
+    var (state, stateRdd) = truncateState(df
       .select(explode(filter(tokens(col(textCol)),
         t => length(t) > 0)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"),
         transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))).as("toks"))
-      .localCheckpoint()
+          i => col("word").substr(i, lit(1))).as("toks")))
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var done = false
@@ -834,16 +852,16 @@ object TextAnalysis {
         kept.foreach { case (l, r, c) =>
           learned += ((learned.size + 1, l, r, l + r, c))
         }
-        val next = state
+        val (next, nextRdd) = truncateState(state
           .select(col("cnt"),
             applyMergesOnePass(col("toks"),
-              kept.map(p => (p._1, p._2)).toSeq).as("toks"))
-          .localCheckpoint()
-        state.unpersist()
+              kept.map(p => (p._1, p._2)).toSeq).as("toks")))
+        stateRdd.unpersist(blocking = false) // free superseded blocks
         state = next
+        stateRdd = nextRdd
       }
     }
-    state.unpersist()
+    stateRdd.unpersist(blocking = false)
     import spark.implicits._
     learned.toSeq
       .toDF("merge_rank", "left", "right", "merged", "pair_count")

@@ -407,6 +407,52 @@ class MlSpec extends AnyFunSuite {
       Seq("ab").toDF("text"), "text", merges = 4, batch = 4).count() == 0)
   }
 
+  test("NearestCentroid argmin matches first-minimum ties and nulls malformed vectors") {
+    import graft.functions.NearestCentroid
+    val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(1.0, 1.0))
+    val df = Seq(
+      (1L, Seq(0.1, 0.1)),         // nearest centroid 0
+      (2L, Seq(1.0, 1.0)),         // exact tie between 1 and 2 → FIRST (1)
+      (3L, Seq(0.9)),              // wrong dim → null (lambda parity)
+      (4L, Seq(5.0, 5.0))          // nearest 1 (tie with 2 → first)
+    ).toDF("id", "v")
+    val got = df.select($"id", NearestCentroid
+        .nearestCentroid($"v", cents).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got == Map(1L -> Some(0), 2L -> Some(1), 3L -> None,
+      4L -> Some(1)))
+    // a null ELEMENT also nulls the assignment
+    val withNull = Seq(Tuple1(Seq[java.lang.Double](1.0, null)))
+      .toDF("v")
+      .select(NearestCentroid.nearestCentroid(
+        $"v".cast("array<double>"), cents).as("c"))
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
+  test("semanticBalancedSample caps every LSH bucket and keeps small buckets whole") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val kept = Curation.semanticBalancedSample(
+      e, "vec_id", "embedding", dim = 64, planes = 4, capPerBucket = 5)
+    val perBucket = kept.groupBy($"bucket").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perBucket.values.max <= 5)
+    // buckets smaller than the cap are untouched: counts per bucket
+    // of the full coded table, compared where < cap
+    val full = e.select(
+      graft.ml.Similarity.lshCode($"embedding",
+        graft.ml.Similarity.hyperplanes(64, 4)).as("bucket"))
+      .groupBy($"bucket").count().as[(Long, Long)].collect().toMap
+    full.foreach { case (b, n) =>
+      assert(perBucket(b) == math.min(n, 5L), s"bucket $b: $n")
+    }
+    // pure function of (id, seed): two runs identical
+    val again = Curation.semanticBalancedSample(
+      e, "vec_id", "embedding", dim = 64, planes = 4, capPerBucket = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(again == kept.as[(Long, Long)].collect().toSet)
+  }
+
   test("triangleEstimateSampled is exact at p=1 and deterministic under sampling") {
     import graft.ml.Graph
     // K6: 15 canonical edges, C(6,3) = 20 triangles
