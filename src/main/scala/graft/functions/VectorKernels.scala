@@ -10,19 +10,20 @@ import org.apache.spark.sql.types._
 
 /** Nearest-centroid assignment: argmin over squared L2 distance to a
   * centroid matrix carried INSIDE the expression as a plain JVM
-  * `double[][]` — never as a literal expression tree.
+  * `double[][]`, scanned in one tight primitive loop.
   *
   * Why not `transform(typedlit(matrix), c -> aggregate(zip_with(...)))`
-  * (the previous [[graft.ml.Similarity]] assign): the
-  * higher-order-function path allocates a zipped array per centroid
-  * per row and walks three lambda indirections per element, and the
-  * typedlit matrix is an EXPRESSION TREE of nlist×dim literals — at
-  * the autoNlist sizing (√n) a 10⁹-vector corpus needs a 31623×64
-  * matrix, ~2M literal nodes, which kills codegen long before the
-  * arithmetic matters. Measured on the sf10 embeddings table (200k
+  * (the previous [[graft.ml.Similarity]] assign): the typedlit matrix
+  * is a single Literal node (fine), but the higher-order-function
+  * evaluation allocates a zipped ArrayData per centroid per ROW,
+  * boxes through three lambda indirections per ELEMENT, and
+  * materializes the full nlist-length distance array only for argmin
+  * to throw it away — nlist×dim×rows×iters of interpreter-weight
+  * work on the k-means build's hottest path, growing with
+  * autoNlist = √n. Measured on the sf10 embeddings table (200k
   * vectors, nlist = 448): the lambda assign put the 3-iteration
-  * k-means build past 15 minutes; this kernel builds the same index
-  * in well under a minute (same loop order, bit-identical distances
+  * k-means build past a killed 15 minutes; this kernel builds the
+  * same index in 83 s (same summation order, bit-identical distances
   * and assignments — first-minimum tie-break, matching
   * `array_position(d, array_min(d))`).
   *
