@@ -113,7 +113,7 @@ object SparkEntry {
   private[graft] val Q196SampleSeed   = 17
   private[graft] val Q196TargetBucket = 32L
 
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val parts = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -125,6 +125,34 @@ object SparkEntry {
         y => struct(x.as("p1"), y.as("p2")))))
     parts.select(explode(pairArr).as("p"))
       .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .distinct()
+  }
+
+  /** [[coPurchaseEdges]] with the q193/q194 sampling predicate pushed
+    * BELOW the dedup exchange: the keep decision is a pure hash of
+    * the pair's own endpoints, so filtering right after the in-row
+    * pair expansion yields EXACTLY the set that filtering the final
+    * distinct edges would — but the `.distinct()` shuffle (the
+    * derivation's dominant exchange at scale) now carries only ~p of
+    * the pair stream. Equality with filter-after-distinct is
+    * spec-pinned.
+    */
+  private[graft] def coPurchaseEdgesSampled(
+      s: SparkSession, dir: String,
+      denom: Int, keep: Int, seed: Int): DataFrame = {
+    val parts = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) <= MaxBasketSize)
+    val pairArr = flatten(transform(col("ps"), (x, i) =>
+      transform(
+        slice(col("ps"), i + lit(2),
+          greatest(lit(0), size(col("ps")) - i - lit(1))),
+        y => struct(x.as("p1"), y.as("p2")))))
+    parts.select(explode(pairArr).as("p"))
+      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .filter(Graph.edgeSampleKeep(
+        col("p1"), col("p2"), denom, keep, seed))
       .distinct()
   }
 
@@ -1687,14 +1715,18 @@ object SparkEntry {
 
     // DOULION sampled triangle estimate (r10 verdict #2 — the named
     // scale path for q129's exact Θ(m^1.5) closure): the co-purchase
-    // edge set sparsifies at p = 1/4 by a deterministic mix64 edge
-    // hash (no RNG state — the oracle replays every keep decision),
-    // the exact edge-centric closure runs on the sample, and the
-    // count scales by 1/p³ = 64 (unbiased; variance
-    // T·(1/p³−1) + 2k·(1/p−1) per the DOULION paper). One output row.
+    // pairs sparsify at p = 1/4 by a deterministic mix64 edge hash
+    // pushed BELOW the derivation's dedup exchange (no RNG state —
+    // the oracle replays every keep decision; the pushed filter is
+    // set-identical to sampling the final edges), the exact
+    // edge-centric closure runs on the sample, and the count scales
+    // by 1/p³ = 64 (unbiased; variance T·(1/p³−1) + 2k·(1/p−1) per
+    // the DOULION paper). One output row.
     "q193_triangles_sampled" -> ((s, dir) =>
-      Graph.triangleEstimateSampled(coPurchaseEdges(s, dir), "p1", "p2",
-        denom = GraphSampleDenomTri, keep = 1, seed = GraphSampleSeed,
+      Graph.triangleEstimateFromSample(
+        coPurchaseEdgesSampled(s, dir,
+          GraphSampleDenomTri, 1, GraphSampleSeed),
+        "p1", "p2", denom = GraphSampleDenomTri, keep = 1,
         broadcastEdgeLimit = 32000000L, canonical = true)),
 
     // Semantic-bucket balanced sampling: LSH sign-pattern buckets
@@ -1740,9 +1772,8 @@ object SparkEntry {
     // applies the identical keep decisions and peels.
     "q194_kcore_sampled" -> ((s, dir) =>
       Graph.kCorePeel(
-        Graph.sampleEdgesDeterministic(coPurchaseEdges(s, dir),
-          "p1", "p2", denom = GraphSampleDenomCore, keep = 1,
-          seed = GraphSampleSeed),
+        coPurchaseEdgesSampled(s, dir,
+          GraphSampleDenomCore, 1, GraphSampleSeed),
         "p1", "p2", k = KcoreSampledK, iters = 3, canonical = true)),
 
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):

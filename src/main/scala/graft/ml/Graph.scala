@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -329,18 +329,30 @@ object Graph {
     * Canonicalize (`u < v`) BEFORE sampling so both orientations of
     * an undirected edge share one keep decision.
     */
-  def sampleEdgesDeterministic(
-      edges: DataFrame, srcCol: String, dstCol: String,
-      denom: Int, keep: Int, seed: Int): DataFrame = {
+  /** The keep predicate of [[sampleEdgesDeterministic]], exposed so
+    * callers can push the sampling BELOW their own exchanges: the
+    * decision is a pure function of the edge's endpoints, so it
+    * commutes with DISTINCT / repartition / join — filtering inside
+    * an edge DERIVATION (before its dedup shuffle) removes ~(1−p) of
+    * the rows from every downstream exchange instead of only from
+    * the final result.
+    */
+  def edgeSampleKeep(
+      src: Column, dst: Column,
+      denom: Int, keep: Int, seed: Int): Column = {
     require(denom > 0 && (denom & (denom - 1)) == 0,
       s"denom must be a power of two (got $denom)")
     require(keep > 0 && keep <= denom, s"keep must be in [1, $denom]")
-    val key = shiftleft(col(srcCol).cast("long"), 32)
-      .bitwiseOR(col(dstCol).cast("long"))
-    edges.filter(
-      pmod(graft.functions.Mix64.mix64(key, seed), lit(denom.toLong))
-        < keep)
+    val key = shiftleft(src.cast("long"), 32)
+      .bitwiseOR(dst.cast("long"))
+    pmod(graft.functions.Mix64.mix64(key, seed), lit(denom.toLong)) < keep
   }
+
+  def sampleEdgesDeterministic(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      denom: Int, keep: Int, seed: Int): DataFrame =
+    edges.filter(
+      edgeSampleKeep(col(srcCol), col(dstCol), denom, keep, seed))
 
   /** DOULION-style sampled triangle estimate (Tsourakakis, Kang,
     * Miller & Faloutsos, "DOULION: counting triangles in massive
@@ -364,9 +376,24 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       denom: Int, keep: Int = 1, seed: Int = 61,
       broadcastEdgeLimit: Long = 8000000L,
+      canonical: Boolean = false): DataFrame =
+    triangleEstimateFromSample(
+      sampleEdgesDeterministic(edges, srcCol, dstCol, denom, keep, seed),
+      srcCol, dstCol, denom, keep, broadcastEdgeLimit, canonical)
+
+  /** [[triangleEstimateSampled]] over an ALREADY-sampled edge set —
+    * for callers that pushed [[edgeSampleKeep]] below their own edge
+    * derivation (so the derivation's dedup exchange already ran on
+    * ~p of the pairs). The caller owns the invariant that `sampled`
+    * was drawn at exactly `keep`/`denom`; the scale factor here must
+    * match or the estimate is biased.
+    */
+  def triangleEstimateFromSample(
+      sampled0: DataFrame, srcCol: String, dstCol: String,
+      denom: Int, keep: Int = 1,
+      broadcastEdgeLimit: Long = 8000000L,
       canonical: Boolean = false): DataFrame = {
-    val sampled = sampleEdgesDeterministic(
-      edges, srcCol, dstCol, denom, keep, seed)
+    val sampled = sampled0
       // one derivation feeds the edge count AND the closure; without
       // this the upstream edge derivation (often a per-basket pair
       // expansion) runs twice

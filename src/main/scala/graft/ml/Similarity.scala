@@ -388,6 +388,43 @@ object Similarity {
     writeIndexManifest(spark, path)
   }
 
+  /** Append new vectors to a persisted IVF index WITHOUT a rebuild —
+    * the index-freshness path a continuously-ingesting corpus needs
+    * (a 100 TB rebuild for each day's arrivals is not a plan). The
+    * index's COMMITTED centroids define the assignment, so new
+    * vectors route into the existing `__cluster=` directories via a
+    * dynamic-partition append (only directories receiving rows are
+    * touched); probes see the appended vectors immediately through
+    * the same partition-pruned scan. Centroids are NOT refined — the
+    * standard freshness/recall trade: as appended mass drifts from
+    * the trained centroids, probe recall decays, so rebuild
+    * ([[writeIvfIndex]]) when the appended volume rivals the indexed
+    * volume or the source distribution shifts. The manifest
+    * re-publishes atomically afterward, so [[vacuumIndex]] treats the
+    * appended files as committed. `embeddings` must carry the same
+    * columns the index was built from; malformed vectors land in the
+    * NULL-cluster directory, exactly as at build time. Returns the
+    * appended row count.
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      embeddings: DataFrame, idCol: String, vecCol: String): Long = {
+    import spark.implicits._
+    val centroids: Seq[Seq[Double]] =
+      spark.read.parquet(s"$path/centroids")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toSeq
+    require(centroids.nonEmpty, s"no centroids at $path — not an IVF " +
+      "index (build it with writeIvfIndex)")
+    val assigned = assignClusters(embeddings, vecCol, centroids)
+      .persist() // one computation feeds the count AND the write
+    val n = assigned.count()
+    assigned.write.mode("append").partitionBy("__cluster")
+      .parquet(s"$path/vectors")
+    assigned.unpersist()
+    writeIndexManifest(spark, path)
+    n
+  }
+
   /** Probe a persisted IVF index: nearest `nprobe` centroids are
     * picked driver-side from the (nlist×dim) centroid metadata, the
     * vector scan is filtered on the PARTITION column `__cluster` (the

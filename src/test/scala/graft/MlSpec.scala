@@ -407,6 +407,22 @@ class MlSpec extends AnyFunSuite {
       Seq("ab").toDF("text"), "text", merges = 4, batch = 4).count() == 0)
   }
 
+  test("pushed-down edge sampling equals sampling the final distinct edge set") {
+    // the q193/q194 derivation filters INSIDE the pair expansion
+    // (before the dedup exchange); the keep decision is a pure hash
+    // of the pair, so the result must be set-identical to filtering
+    // the fully-derived edges
+    import graft.ml.Graph
+    val dir = SparkFixture.sfDir
+    val pushed = SparkEntry
+      .coPurchaseEdgesSampled(spark, dir, 4, 1, 61)
+      .as[(Long, Long)].collect().toSet
+    val post = Graph.sampleEdgesDeterministic(
+      SparkEntry.coPurchaseEdges(spark, dir), "p1", "p2", 4, 1, 61)
+      .as[(Long, Long)].collect().toSet
+    assert(pushed == post && pushed.nonEmpty)
+  }
+
   test("NearestCentroid argmin matches first-minimum ties and nulls malformed vectors") {
     import graft.functions.NearestCentroid
     val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(1.0, 1.0))
@@ -1181,6 +1197,32 @@ class MlSpec extends AnyFunSuite {
     val fromIndex = Similarity.lshTopKFromIndex(spark, dir,
       "vec_id", "embedding", query, "embedding", dim = 64, k = 5, planes = 4)
     assert(fromIndex.count() > 0)
+  }
+
+  test("appendToIvfIndex routes new vectors into existing clusters, probes see them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val base  = e.filter($"vec_id" >= 100)
+    val fresh = e.filter($"vec_id" < 100)
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", dir, nlist = 8)
+    val n = Similarity.appendToIvfIndex(spark, dir, fresh,
+      "vec_id", "embedding")
+    assert(n == fresh.count())
+    // an appended vector is its own nearest neighbor through the
+    // partition-pruned probe
+    val qid = 42L
+    val q = e.filter($"vec_id" === qid).select($"embedding")
+    val hits = Similarity.ivfTopKFromIndex(spark, dir, "vec_id",
+      "embedding", q, "embedding", nprobe = 2, k = 3)
+      .as[(Long, Double)].collect()
+    assert(hits.head._1 == qid && math.abs(hits.head._2 - 1.0) < 1e-9)
+    // total committed rows = base + appended, and the re-published
+    // manifest keeps a fresh vacuum from dropping anything
+    assert(spark.read.parquet(s"$dir/vectors").count() == e.count())
+    val vac = Similarity.vacuumIndex(spark, dir, minAgeHours = 0)
+    assert(vac.droppedFiles == 0,
+      s"vacuum dropped ${vac.droppedFiles} committed files")
+    assert(spark.read.parquet(s"$dir/vectors").count() == e.count())
   }
 
   test("vacuumIndex dryRun counts a dir whose only content is a stale _temporary tree") {
