@@ -250,6 +250,31 @@ object Similarity {
     writeIndexManifest(embeddings.sparkSession, path)
   }
 
+  /** Append new vectors to a persisted LSH index — the
+    * [[appendToIvfIndex]] analogue, simpler because the layout is
+    * derived, not trained: bucket codes come from (dim, planes, seed)
+    * alone, so appended vectors bucket EXACTLY as a rebuild would and
+    * probe recall does not drift (no centroids to go stale — the only
+    * rebuild trigger is resizing `planes` as the corpus grows, see
+    * [[autoPlanes]]). Dynamic-partition append + atomic manifest
+    * re-publish, as in the IVF path. Returns the appended row count.
+    */
+  def appendToLshIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int = 8, seed: Long = 42L): Long = {
+    val coded = embeddings
+      .withColumn("__lsh_bucket", lshCode(col(vecCol),
+        hyperplanes(dim, planes, seed)))
+      .persist() // one computation feeds the count AND the write
+    val n = coded.count()
+    coded.write.mode("append").partitionBy("__lsh_bucket")
+      .parquet(s"$path/vectors")
+    coded.unpersist()
+    writeIndexManifest(spark, path)
+    n
+  }
+
   /** Probe a persisted LSH index: one partition-pruned scan of the
     * query's bucket directory, exact rerank.
     */

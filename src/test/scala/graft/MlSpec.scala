@@ -1199,6 +1199,33 @@ class MlSpec extends AnyFunSuite {
     assert(fromIndex.count() > 0)
   }
 
+  test("appendToLshIndex buckets appended vectors exactly as a rebuild would") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_lsh_app").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_lsh_reb").toString
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    Similarity.writeLshIndex(e.filter($"vec_id" >= 100), "vec_id",
+      "embedding", dirA, dim = 64, planes = 4)
+    val n = Similarity.appendToLshIndex(spark, dirA,
+      e.filter($"vec_id" < 100), "vec_id", "embedding",
+      dim = 64, planes = 4)
+    assert(n == e.filter($"vec_id" < 100).count())
+    // derived layout: append ≡ rebuild, bucket-for-bucket
+    Similarity.writeLshIndex(e, "vec_id", "embedding", dirB,
+      dim = 64, planes = 4)
+    def snap(d: String) = spark.read.parquet(s"$d/vectors")
+      .select($"vec_id", $"__lsh_bucket".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(snap(dirA) == snap(dirB))
+    // probes see the appended vector; an aggressive vacuum keeps all
+    val q = e.filter($"vec_id" === 7L).select($"embedding")
+    val hits = Similarity.lshTopKFromIndex(spark, dirA, "vec_id",
+      "embedding", q, "embedding", dim = 64, k = 3, planes = 4)
+      .as[(Long, Double)].collect()
+    assert(hits.head._1 == 7L && math.abs(hits.head._2 - 1.0) < 1e-9)
+    assert(Similarity.vacuumIndex(spark, dirA, minAgeHours = 0)
+      .droppedFiles == 0)
+  }
+
   test("appendToIvfIndex routes new vectors into existing clusters, probes see them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
     val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
