@@ -104,6 +104,14 @@ object SparkEntry {
     */
   private[graft] val KcoreSampledK = 40
 
+  /** q199 constants: the eval/train split point within the pinned
+    * [[Q188Cardinality]] slice, the contamination threshold, and the
+    * bucket-size dial the derived plane count comes from.
+    */
+  private[graft] val Q199EvalSplit    = 100L
+  private[graft] val Q199MinCosine    = 0.35
+  private[graft] val Q199TargetBucket = 32L
+
   /** q196 constants, interpolated into both engine call and oracle.
     * The oracle's plane count derives from the SAME
     * `autoPlanes(Q188Cardinality, Q196TargetBucket)` call the engine
@@ -1764,6 +1772,22 @@ object SparkEntry {
         capPerBucket = Q196Cap, sampleSeed = Q196SampleSeed,
         targetBucketSize = Q196TargetBucket)),
 
+    // Semantic decontamination: training embeddings near an EVAL-set
+    // embedding (bucket-local candidates, exact cosine rerank) — the
+    // embedding-space complement of q70's n-gram contamination check
+    // (paraphrased benchmark leaks share no n-grams). Pinned input +
+    // derived plane count, the q188/q196 discipline; auto sizing off
+    // the TRAIN side.
+    "q199_semantic_decon" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Curation.semanticContaminationPairs(
+        e.filter(col("vec_id") >= Q199EvalSplit &&
+          col("vec_id") < Q188Cardinality),
+        e.filter(col("vec_id") < Q199EvalSplit),
+        "vec_id", "embedding", dim = 64, minCosine = Q199MinCosine,
+        planes = 0, targetBucketSize = Q199TargetBucket)
+    }),
+
     // Sparsified k-core (r10 verdict #2 — q137's named scale path):
     // the same bounded peeling on the deterministic p = 1/2 edge
     // sample at threshold k·p = 40; sampled degrees concentrate at
@@ -2684,6 +2708,13 @@ object SparkEntry {
     */
   private def q196Planes: Int =
     graft.ml.Similarity.autoPlanes(Q188Cardinality, Q196TargetBucket)
+
+  /** q199's derived plane count — autoPlanes over the pinned TRAIN
+    * cardinality (the engine sizes off the train side).
+    */
+  private def q199Planes: Int =
+    graft.ml.Similarity.autoPlanes(
+      Q188Cardinality - Q199EvalSplit, Q199TargetBucket)
 
   /** q191/q192: the BPE merge-learning replay, unrolled round by round
     * (the q119 PageRank discipline — K deterministic iterations become
@@ -5266,6 +5297,27 @@ object SparkEntry {
          |  FROM pri)
          |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket
          |FROM r WHERE rn <= $Q196Cap""".stripMargin,
+    // Semantic decontamination: the q53 bucket/normalize replay over
+    // the two pinned corpus slices, joined bucket-local, exact cosine
+    // rerank at the shared threshold.
+    "q199_semantic_decon" ->
+      s"""WITH coded AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u,
+         |    list_sum(list_transform(range(1, ${q199Planes + 1}), p ->
+         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> CAST(embedding[i] AS DOUBLE) * (${lshPlaneMatrixSqlFor(q199Planes)})[p][i])) >= 0
+         |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
+         |  FROM embeddings WHERE vec_id < $Q188Cardinality),
+         |sc AS (SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+         |    round(list_sum(list_transform(range(1, len(t.u) + 1),
+         |      i -> t.u[i] * e.u[i])), 4) AS score
+         |  FROM coded t JOIN coded e ON t.bk = e.bk
+         |  WHERE t.vec_id >= $Q199EvalSplit AND e.vec_id < $Q199EvalSplit)
+         |SELECT train_id, eval_id, score FROM sc
+         |WHERE score >= $Q199MinCosine""".stripMargin,
     // Sparsified k-core: q137's three unrolled peels on the p = 1/2
     // deterministic sample at the scaled threshold.
     "q194_kcore_sampled" ->

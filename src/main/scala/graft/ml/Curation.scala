@@ -103,6 +103,60 @@ object Curation {
       .select(col("__s.__id").as(idCol), col("bucket"))
   }
 
+  /** Semantic decontamination: find training documents whose
+    * EMBEDDING is near an evaluation-set embedding — the semantic
+    * analogue of the n-gram contamination check (q70) and the
+    * standard modern complement to it (paraphrased or re-formatted
+    * benchmark leaks share no n-grams but sit next to the eval point
+    * in embedding space). Returns the contaminated PAIRS
+    * (train id, eval id, score) above `minCosine`; compose with a
+    * `left_anti` on the train ids to drop them
+    * ([[semanticDecontaminate]]).
+    *
+    * Scale shape: both corpora code into the SAME hyperplane buckets
+    * (one stateless projection each), the candidate join is
+    * bucket-local — never train×eval — and the eval side of each
+    * bucket is small by nature (benchmarks are thousands of rows, the
+    * corpus is billions), so AQE broadcasts it. Candidate RECALL is
+    * bucket-limited exactly as in [[Similarity.nearDupPairs]] (the
+    * documented LSH trade; `planes = 0` auto-sizes from the TRAIN
+    * cardinality so bucket volume stays flat as the corpus grows).
+    */
+  def semanticContaminationPairs(
+      train: DataFrame, eval0: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double, planes: Int = 0,
+      targetBucketSize: Long = 128L, planeSeed: Long = 42L): DataFrame = {
+    val sizedPlanes =
+      if (planes == 0) Similarity.autoPlanes(train.count(), targetBucketSize)
+      else planes
+    val ps = Similarity.hyperplanes(dim, sizedPlanes, planeSeed)
+    def coded(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      Similarity.normalize(col(vecCol)).as("u"),
+      Similarity.lshCode(col(vecCol), ps).as("bk"))
+    coded(train).as("t").join(coded(eval0).as("e"), Seq("bk"))
+      .withColumn("score",
+        round(Similarity.dot(col("t.u"), col("e.u")), 4))
+      .filter(col("score") >= minCosine)
+      .select(col("t.id").as("train_id"), col("e.id").as("eval_id"),
+        col("score"))
+  }
+
+  /** The filter step over [[semanticContaminationPairs]]: the train
+    * frame minus every row whose embedding contaminates against the
+    * eval set. One anti-join on the id — at 100 TB only the
+    * contaminated-id set (benchmark-sized) crosses the wire.
+    */
+  def semanticDecontaminate(
+      train: DataFrame, eval0: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double, planes: Int = 0,
+      targetBucketSize: Long = 128L, planeSeed: Long = 42L): DataFrame = {
+    val bad = semanticContaminationPairs(train, eval0, idCol, vecCol,
+      dim, minCosine, planes, targetBucketSize, planeSeed)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Leak-free deterministic train/valid/test split: the assignment
     * is a pure function of the document KEY (mix64 bucket in [0,
     * 1024)), so a document can never migrate between splits across

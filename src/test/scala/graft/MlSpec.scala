@@ -1199,6 +1199,27 @@ class MlSpec extends AnyFunSuite {
     assert(fromIndex.count() > 0)
   }
 
+  test("semanticDecontaminate drops train rows whose embedding matches an eval row") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    // plant the leak: eval row 900001 carries train row 42's exact
+    // embedding (cosine 1.0 — always above any sane threshold)
+    val train = e.filter($"vec_id" >= 10)
+    val planted = e.filter($"vec_id" === 42L)
+      .select(lit(900001L).as("vec_id"), $"embedding")
+    val evalSet = e.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").unionByName(planted)
+    val pairs = Curation.semanticContaminationPairs(train, evalSet,
+      "vec_id", "embedding", dim = 64, minCosine = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 42L && p._2 == 900001L && p._3 >= 0.999))
+    val survivors = Curation.semanticDecontaminate(train, evalSet,
+      "vec_id", "embedding", dim = 64, minCosine = 0.9)
+    assert(survivors.filter($"vec_id" === 42L).count() == 0)
+    // decontamination only ever removes rows, never invents them
+    assert(survivors.count() ==
+      train.count() - pairs.map(_._1).distinct.length)
+  }
+
   test("appendToLshIndex buckets appended vectors exactly as a rebuild would") {
     val dirA = java.nio.file.Files.createTempDirectory("graft_lsh_app").toString
     val dirB = java.nio.file.Files.createTempDirectory("graft_lsh_reb").toString
