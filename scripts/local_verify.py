@@ -10,6 +10,7 @@ Usage: python3 scripts/local_verify.py <sfDir> <outDir>
 import json
 import math
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -87,6 +88,13 @@ def main(sf_dir, out_dir):
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
+    # Per-oracle DuckDB seconds: the r11 empty-artifact incident's
+    # second suspect was oracle cost blowing the driver's time budget
+    # (q194 hit 186s at sf0.01 before CTE materialization) — record
+    # the suite's DuckDB spend as a per-round artifact so a cost
+    # regression is visible the round it ships, not when the
+    # scoreboard zeroes.
+    oracle_secs = {}
     for name in sorted(oracle):
         qdir = Path(out_dir) / name
         if not qdir.exists():
@@ -99,9 +107,11 @@ def main(sf_dir, out_dir):
             spark_rows = [
                 tuple(row[c] for c in spark_cols)
                 for row in tbl.to_pylist()]
+            t0 = time.time()
             cur = con.execute(oracle[name])
             duck_cols = [d[0] for d in cur.description]
             duck_rows = cur.fetchall()
+            oracle_secs[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -147,7 +157,14 @@ def main(sf_dir, out_dir):
             continue
         print(f"PASS {name} ({len(spark_rows)} rows)")
         n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    total = round(sum(oracle_secs.values()), 1)
+    top = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:10]
+    (Path(out_dir) / "oracle_cost.json").write_text(json.dumps({
+        "total_duckdb_sec": total, "n_oracles": len(oracle_secs),
+        "top10": dict(top), "per_query": oracle_secs}, indent=1))
+    print(f"\n{n_pass} pass, {n_fail} fail; "
+          f"DuckDB total {total}s over {len(oracle_secs)} oracles "
+          f"(top: {', '.join(f'{k}={v}s' for k, v in top[:3])})")
     return 1 if n_fail else 0
 
 

@@ -86,7 +86,11 @@ object Bench {
     // on specific queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq.filter(_.nonEmpty))
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Bench measures the oracle-gated queries PLUS the bench-only
+    // registry (growth twins with no static oracle); Verify and the
+    // driver's comparator see only SparkEntry.queries.
+    val ordered = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
+      .toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
 
     // Materialize EVERY row fully: a plain count() lets Catalyst prune

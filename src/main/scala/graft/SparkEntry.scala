@@ -1752,26 +1752,6 @@ object SparkEntry {
         capPerBucket = Q196Cap, sampleSeed = Q196SampleSeed,
         targetBucketSize = Q196TargetBucket)),
 
-    // BENCH GROWTH TWINS (engine-only; rows-only correctness check by
-    // design): the oracle-gated rows q188/q196 pin their input
-    // cardinality so a static oracle can inline the derived plane
-    // matrix — which also FREEZES their benched workload. These two
-    // run the SAME operators over the full embeddings table with live
-    // auto sizing, so the bench tracks plane growth and join volume
-    // at every scale. No static SQL oracle can express a
-    // data-dependent plane count, hence no oracleSql entry.
-    "q197_auto_lsh_growth" -> ((s, dir) =>
-      Similarity.nearDupPairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, minCosine = 0.35, targetBucketSize = Some(16L))
-        .select(col("id_a"), col("id_b"),
-          round(col("score"), 4).as("score"))),
-    "q198_semantic_balance_growth" -> ((s, dir) =>
-      Curation.semanticBalancedSample(t(s, dir, "embeddings"),
-        "vec_id", "embedding", dim = 64, planes = 0,
-        capPerBucket = Q196Cap, sampleSeed = Q196SampleSeed,
-        targetBucketSize = Q196TargetBucket)),
-
     // Semantic decontamination: training embeddings near an EVAL-set
     // embedding (bucket-local candidates, exact cosine rerank) — the
     // embedding-space complement of q70's n-gram contamination check
@@ -2670,6 +2650,36 @@ object SparkEntry {
     }),
   )
 
+  /** BENCH-ONLY registry (r11 verdict #1): queries the bench measures
+    * but the driver's DuckDB comparator never sees. The oracle-gated
+    * rows q188/q196 pin their input cardinality so a static oracle can
+    * inline the derived plane matrix — which also FREEZES their
+    * benched workload. These twins run the SAME operators over the
+    * full embeddings table with live auto sizing, so the bench tracks
+    * plane growth and join volume at every scale. No static SQL oracle
+    * can express a data-dependent plane count — and round 11 proved an
+    * oracle-less entry in [[queries]] zeroes the driver's correctness
+    * artifact — so they live here. [[graft.Bench]] unions this map in;
+    * [[graft.Verify]] reads only [[queries]]. RegistrySpec asserts the
+    * queries↔oracleSql key sets stay 1:1 and this map stays disjoint.
+    * Engine-side correctness gate: BenchOnlySpec pins each twin to its
+    * oracle-gated sibling on the pinned slice (same operator, pinned
+    * vs live sizing agree where the cardinalities coincide).
+    */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_auto_lsh_growth" -> ((s, dir) =>
+      Similarity.nearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, targetBucketSize = Some(16L))
+        .select(col("id_a"), col("id_b"),
+          round(col("score"), 4).as("score"))),
+    "q198_semantic_balance_growth" -> ((s, dir) =>
+      Curation.semanticBalancedSample(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, planes = 0,
+        capPerBucket = Q196Cap, sampleSeed = Q196SampleSeed,
+        targetBucketSize = Q196TargetBucket)),
+  )
+
   /** The q44 hyperplane matrix as a DuckDB array literal — generated
     * from the SAME deterministic [[graft.ml.Similarity.hyperplanes]]
     * call the Spark query makes, so the oracle buckets with bit-equal
@@ -2682,6 +2692,17 @@ object SparkEntry {
 
   private def lshPlaneMatrixSql: String = lshPlaneMatrixSqlFor(4)
 
+  /** The plane matrix as a MATERIALIZED one-row CTE (`__mat(m)`).
+    * Inlining the literal directly into the per-row bucket expression
+    * makes DuckDB REBUILD the planes×64 list-of-lists for every
+    * (row, plane, component) lambda evaluation — measured 18s → 0.05s
+    * on q196 at sf0.01 just from hoisting it here (r11 verdict #2:
+    * the oracle suite's DuckDB budget). Bucketing CTEs cross-join
+    * `__mat` (one row — free) and index `__mat.m[p][i]`.
+    */
+  private def sqlPlaneMatCte(planes: Int): String =
+    s"__mat AS MATERIALIZED (SELECT ${lshPlaneMatrixSqlFor(planes)} AS m)"
+
   /** q188's pinned input cardinality: both the engine query
     * (`vec_id < 500`) and the oracle's WHERE clause restrict the
     * embeddings table to the same 500 vectors, so the engine-derived
@@ -2692,7 +2713,7 @@ object SparkEntry {
     * the derivation would silently land on 4 planes vs the oracle's
     * inlined 5-plane matrix).
     */
-  private val Q188Cardinality = 500L
+  private[graft] val Q188Cardinality = 500L
 
   /** q188's derived plane count, computed by the SAME
     * [[graft.ml.Similarity.autoPlanes]] call the engine makes at run
@@ -2906,17 +2927,24 @@ object SparkEntry {
     * - mul64 by a constant: split the constant into 32-bit halves so
     *   every product stays below 2^127;
     * - the FNV-1a step multiplies directly (the prime is < 2^41).
+    *
+    * All power-of-two `%`/`//` are spelled `&`/`>>`: every value here
+    * is non-negative by construction (each step masks back to
+    * [0, 2^64)), where the two families are identical — and int128
+    * DIVISION is what the old spelling paid per op (measured 22x on a
+    * 1M-row mul64 microbench; the minhash-family oracles dropped
+    * ~2.5x end to end). r11 verdict #2: the DuckDB oracle budget.
     */
   private def sqlXor64(a: String, b: String): String =
-    s"(xor(CAST(($a) // 4294967296 AS BIGINT), CAST(($b) // 4294967296 AS BIGINT))::HUGEINT * 4294967296" +
-    s" + xor(CAST(($a) % 4294967296 AS BIGINT), CAST(($b) % 4294967296 AS BIGINT))::HUGEINT)"
+    s"(xor(CAST(($a) >> 32 AS BIGINT), CAST(($b) >> 32 AS BIGINT))::HUGEINT * 4294967296" +
+    s" + xor(CAST(($a) & 4294967295 AS BIGINT), CAST(($b) & 4294967295 AS BIGINT))::HUGEINT)"
 
   private def sqlMul64(u: String, c: Long): String = {
     val hi = java.lang.Long.divideUnsigned(c, 4294967296L)
     val lo = java.lang.Long.remainderUnsigned(c, 4294967296L)
-    s"(((($u) % 4294967296) * $lo" +
-    s" + (((($u) % 4294967296) * $hi + (($u) // 4294967296) * $lo) % 4294967296) * 4294967296" +
-    s") % 18446744073709551616)"
+    s"(((($u) & 4294967295) * $lo" +
+    s" + (((($u) & 4294967295) * $hi + (($u) >> 32) * $lo) & 4294967295) * 4294967296" +
+    s") & 18446744073709551615)"
   }
 
   /** FNV-1a reduce over a byte-step list (one xor-then-multiply step
@@ -2926,15 +2954,15 @@ object SparkEntry {
   private def sqlFnv(steps: String): String =
     s"""list_reduce(
        |  list_prepend(CAST(14695981039346656037 AS HUGEINT), $steps),
-       |  (acc, b) -> ((acc // 65536) * 65536
-       |      + xor(CAST(acc % 65536 AS BIGINT), CAST(b AS BIGINT)))
-       |    * 1099511628211 % 18446744073709551616)""".stripMargin
+       |  (acc, b) -> (((acc >> 16) << 16)
+       |      + xor(CAST(acc & 65535 AS BIGINT), CAST(b AS BIGINT)))
+       |    * 1099511628211 & 18446744073709551615)""".stripMargin
 
   /** One splitmix64 finalizer stage pair (shift-xor then multiply) as a
     * chained CTE body: z := mul64(xor64(z, z >> shift), const).
     */
   private def sqlMixStage(shift: Int, const: Long): String =
-    sqlMul64(sqlXor64("z", s"z // ${1L << shift}"), const)
+    sqlMul64(sqlXor64("z", s"z >> $shift"), const)
 
   /** Unsigned decimal literal for the mix64 seed step (seed+1)·golden
     * mod 2^64 — precomputed HERE so the SQL replay adds a constant.
@@ -2949,7 +2977,7 @@ object SparkEntry {
   private def sqlMixFinal(carry: String): String =
     s"""z1 AS (SELECT $carry, ${sqlMixStage(30, 0xbf58476d1ce4e5b9L)} AS z FROM z0),
        |z2 AS (SELECT $carry, ${sqlMixStage(27, 0x94d049bb133111ebL)} AS z FROM z1),
-       |z3 AS (SELECT $carry, ${sqlXor64("z", "z // 2147483648")} AS z FROM z2)""".stripMargin
+       |z3 AS (SELECT $carry, ${sqlXor64("z", "z >> 31")} AS z FROM z2)""".stripMargin
 
   /** The q193/q194 deterministic edge-sampling replay: from a
     * canonical edge CTE `e(u, v)` to the sampled CTE `sm(u, v)` —
@@ -2961,12 +2989,12 @@ object SparkEntry {
     */
   private def sqlSampledEdges(denom: Int, keep: Int): String =
     s"""z0 AS (SELECT u, v,
-       |    ((CAST(u AS HUGEINT) * 4294967296 + v) % 18446744073709551616
-       |      + ${sqlMixAdd(GraphSampleSeed)}) % 18446744073709551616 AS z
+       |    ((CAST(u AS HUGEINT) * 4294967296 + v
+       |      + ${sqlMixAdd(GraphSampleSeed)}) & 18446744073709551615) AS z
        |  FROM e),
        |${sqlMixFinal("u, v")},
        |sm AS MATERIALIZED (
-       |  SELECT u, v FROM z3 WHERE z % $denom < $keep)""".stripMargin
+       |  SELECT u, v FROM z3 WHERE (z & ${denom - 1}) < $keep)""".stripMargin
 
   /** The Morton interleave of [[graft.operators.Layout.zOrderKey]] as
     * a bitwise-OR chain — one term list drives both engines (the
@@ -2988,10 +3016,19 @@ object SparkEntry {
   private def sqlMinhashBands(source: String, p: String): String = {
     val mix1 = sqlMixStage(30, 0xbf58476d1ce4e5b9L)
     val mix2 = sqlMixStage(27, 0x94d049bb133111ebL)
-    val mix3 = sqlXor64("z", s"z // ${1L << 31}")
+    val mix3 = sqlXor64("z", "z >> 31")
+    // The 64-seed splitmix chain (~15 HUGEINT ops per stage per row)
+    // runs over DISTINCT shingles, not per-document occurrences —
+    // shingle hashes are shared ~3x across this corpus, and the chain
+    // is a pure function of (s_u, seed), so per-occurrence rows only
+    // pay a BIGINT join + min. Measured at sf0.01: q39 52→20 s
+    // (r11 verdict #2: the DuckDB oracle budget). MATERIALIZED on the
+    // distinct set and the chained values — each feeds a downstream
+    // join, and default inlining would re-expand the chain per
+    // reference (the q193 lesson).
     s"""${p}tok AS (SELECT doc_id,
        |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM $source),
-       |${p}sh AS (
+       |${p}sh AS MATERIALIZED (
        |  SELECT doc_id,
        |    unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
        |      i -> ${sqlFnv(
@@ -3007,19 +3044,23 @@ object SparkEntry {
         |          )[:-2]""".stripMargin)})) AS s_u
        |  FROM ${p}tok
        |),
-       |${p}z0 AS (SELECT doc_id, seed,
-       |    (s_u + (seed + 1) * 11400714819323198485) % 18446744073709551616 AS z
-       |  FROM ${p}sh, (SELECT unnest(range(0, 64)) AS seed)),
-       |${p}z1 AS (SELECT doc_id, seed, $mix1 AS z FROM ${p}z0),
-       |${p}z2 AS (SELECT doc_id, seed, $mix2 AS z FROM ${p}z1),
-       |${p}z3 AS (SELECT doc_id, seed, $mix3 AS z FROM ${p}z2),
+       |${p}us AS MATERIALIZED (SELECT DISTINCT s_u FROM ${p}sh),
+       |${p}z0 AS (SELECT s_u, seed,
+       |    ((s_u + (seed + 1) * 11400714819323198485) & 18446744073709551615) AS z
+       |  FROM ${p}us, (SELECT unnest(range(0, 64)) AS seed)),
+       |${p}z1 AS (SELECT s_u, seed, $mix1 AS z FROM ${p}z0),
+       |${p}z2 AS (SELECT s_u, seed, $mix2 AS z FROM ${p}z1),
+       |${p}z3 AS (SELECT s_u, seed, $mix3 AS z FROM ${p}z2),
+       |${p}uz AS MATERIALIZED (
+       |  SELECT s_u, seed,
+       |    CASE WHEN z >= 9223372036854775808
+       |      THEN CAST(z - 18446744073709551616 AS BIGINT)
+       |      ELSE CAST(z AS BIGINT) END AS v
+       |  FROM ${p}z3),
        |${p}sig AS (
-       |  SELECT doc_id, seed,
-       |    min(CASE WHEN z >= 9223372036854775808
-       |        THEN CAST(z - 18446744073709551616 AS BIGINT)
-       |        ELSE CAST(z AS BIGINT) END) AS v
-       |  FROM ${p}z3 GROUP BY doc_id, seed),
-       |${p}bands AS (
+       |  SELECT doc_id, seed, min(v) AS v
+       |  FROM ${p}sh JOIN ${p}uz USING (s_u) GROUP BY doc_id, seed),
+       |${p}bands AS MATERIALIZED (
        |  SELECT doc_id, seed // 4 AS b, list(v ORDER BY seed) AS content
        |  FROM ${p}sig GROUP BY doc_id, seed // 4)""".stripMargin
   }
@@ -3043,8 +3084,8 @@ object SparkEntry {
        |bits AS (
        |  SELECT doc_id, b,
        |    CASE WHEN b < 32
-       |      THEN (CAST(hu % 4294967296 AS BIGINT) >> b) & 1
-       |      ELSE (CAST(hu // 4294967296 AS BIGINT) >> (b - 32)) & 1
+       |      THEN (CAST(hu & 4294967295 AS BIGINT) >> b) & 1
+       |      ELSE (CAST(hu >> 32 AS BIGINT) >> (b - 32)) & 1
        |    END AS bit
        |  FROM h, (SELECT unnest(range(0, 64)) AS b)
        |),
@@ -3328,13 +3369,14 @@ object SparkEntry {
     // SAME plane constants (inlined literals), then reranks the bucket
     // exactly — checks bucket membership AND scores, not just shape.
     "q44_ann_lsh" ->
-      s"""WITH coded AS (
+      s"""WITH ${sqlPlaneMatCte(4)},
+         |coded AS (
          |  SELECT vec_id, embedding,
          |    list_sum(list_transform(range(1, 5), p ->
          |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |          i -> CAST(embedding[i] AS DOUBLE) * ($lshPlaneMatrixSql)[p][i])) >= 0
+         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[p][i])) >= 0
          |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
-         |  FROM embeddings),
+         |  FROM embeddings, __mat),
          |q AS (SELECT embedding AS qe, bk AS qbk FROM coded WHERE vec_id = 0),
          |sc AS (SELECT c.vec_id,
          |  list_sum(list_transform(range(1, len(c.embedding) + 1),
@@ -3628,19 +3670,23 @@ object SparkEntry {
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),
         |t AS (SELECT doc_id,
         |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM d),
-        |s AS (SELECT doc_id, CASE
+        |s AS MATERIALIZED (SELECT doc_id, CASE
         |  WHEN len(toks) = 1 AND toks[1] = '' THEN CAST([] AS VARCHAR[])
         |  WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
         |  ELSE list_distinct(list_transform(
         |    range(1, len(toks)-1),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
         |  END AS sh FROM t),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a, s b WHERE a.doc_id < b.doc_id
-        |    AND len(a.sh) > 0 AND len(b.sh) > 0
-        |    AND len(list_intersect(a.sh, b.sh)) * 2 >=
-        |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |p AS MATERIALIZED (SELECT id_a, id_b
+        |  FROM cand JOIN s sa ON sa.doc_id = cand.id_a
+        |            JOIN s sb ON sb.doc_id = cand.id_b
+        |  WHERE len(list_intersect(sa.sh, sb.sh)) * 2 >=
+        |        len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+        |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
         |      UNION ALL SELECT id_b, id_a FROM p),
         |nd AS (SELECT DISTINCT src AS id FROM e),
         |cc(id, comp) AS (
@@ -4348,22 +4394,22 @@ object SparkEntry {
         |ok AS (SELECT o FROM pd GROUP BY o
         |  HAVING count(*) <= $MaxBasketSize),
         |ps AS (SELECT o, p FROM pd WHERE o IN (SELECT o FROM ok)),
-        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
         |  FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p),
-        |d1 AS (SELECT n, count(*) AS c FROM
+        |d1 AS MATERIALIZED (SELECT n, count(*) AS c FROM
         |  (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n),
-        |k1 AS (SELECT n FROM d1 WHERE c >= 80),
-        |e1 AS (SELECT u, v FROM e0
+        |k1 AS MATERIALIZED (SELECT n FROM d1 WHERE c >= 80),
+        |e1 AS MATERIALIZED (SELECT u, v FROM e0
         |  WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
-        |d2 AS (SELECT n, count(*) AS c FROM
+        |d2 AS MATERIALIZED (SELECT n, count(*) AS c FROM
         |  (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n),
-        |k2 AS (SELECT n FROM d2 WHERE c >= 80),
-        |e2 AS (SELECT u, v FROM e1
+        |k2 AS MATERIALIZED (SELECT n FROM d2 WHERE c >= 80),
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1
         |  WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
-        |d3 AS (SELECT n, count(*) AS c FROM
+        |d3 AS MATERIALIZED (SELECT n, count(*) AS c FROM
         |  (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n),
-        |k3 AS (SELECT n FROM d3 WHERE c >= 80),
-        |e3 AS (SELECT u, v FROM e2
+        |k3 AS MATERIALIZED (SELECT n FROM d3 WHERE c >= 80),
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2
         |  WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3)),
         |df AS (SELECT n, count(*) AS deg FROM
         |  (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3) GROUP BY n)
@@ -5060,19 +5106,23 @@ object SparkEntry {
       s"""WITH RECURSIVE t AS (SELECT doc_id,
          |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
          |  FROM documents),
-         |s AS (SELECT doc_id, CASE
+         |s AS MATERIALIZED (SELECT doc_id, CASE
          |  WHEN len(toks) = 1 AND toks[1] = '' THEN CAST([] AS VARCHAR[])
          |  WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
          |  ELSE list_distinct(list_transform(
          |    range(1, len(toks)-1),
          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
          |  END AS sh FROM t),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM s a, s b WHERE a.doc_id < b.doc_id
-         |    AND len(a.sh) > 0 AND len(b.sh) > 0
-         |    AND len(list_intersect(a.sh, b.sh)) * 2 >=
-         |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |p AS MATERIALIZED (SELECT id_a, id_b
+         |  FROM cand JOIN s sa ON sa.doc_id = cand.id_a
+         |            JOIN s sb ON sb.doc_id = cand.id_b
+         |  WHERE len(list_intersect(sa.sh, sb.sh)) * 2 >=
+         |        len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
          |      UNION ALL SELECT id_b, id_a FROM p),
          |nd AS (SELECT DISTINCT src AS id FROM e),
          |cc(id, comp) AS (
@@ -5110,18 +5160,22 @@ object SparkEntry {
          |t AS (SELECT doc_id,
          |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
          |  FROM documents),
-         |s AS (SELECT doc_id, CASE
+         |s AS MATERIALIZED (SELECT doc_id, CASE
          |  WHEN len(toks) = 1 AND toks[1] = '' THEN CAST([] AS VARCHAR[])
          |  WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
          |  ELSE list_distinct(list_transform(
          |    range(1, len(toks)-1),
          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
          |  END AS sh FROM t),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM s a, s b WHERE a.doc_id < b.doc_id
-         |    AND len(a.sh) > 0 AND len(b.sh) > 0
-         |    AND len(list_intersect(a.sh, b.sh)) * 2 >=
-         |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |p AS (SELECT id_a, id_b
+         |  FROM cand JOIN s sa ON sa.doc_id = cand.id_a
+         |            JOIN s sb ON sb.doc_id = cand.id_b
+         |  WHERE len(list_intersect(sa.sh, sb.sh)) * 2 >=
+         |        len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
          |cr AS (SELECT least(sa.split, sb.split) AS split_a,
          |    greatest(sa.split, sb.split) AS split_b, p.id_a, p.id_b
          |  FROM p JOIN sp sa ON p.id_a = sa.doc_id
@@ -5274,13 +5328,14 @@ object SparkEntry {
     // conversion as in the q39 sig CTE) + a per-bucket rank capped at
     // the shared constant.
     "q196_semantic_balance" ->
-      s"""WITH coded AS MATERIALIZED (
+      s"""WITH ${sqlPlaneMatCte(q196Planes)},
+         |coded AS MATERIALIZED (
          |  SELECT vec_id,
          |    list_sum(list_transform(range(1, ${q196Planes + 1}), p ->
          |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |          i -> CAST(embedding[i] AS DOUBLE) * (${lshPlaneMatrixSqlFor(q196Planes)})[p][i])) >= 0
+         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[p][i])) >= 0
          |        THEN (1 << (p - 1)) ELSE 0 END)) AS bucket
-         |  FROM embeddings WHERE vec_id < $Q188Cardinality),
+         |  FROM embeddings, __mat WHERE vec_id < $Q188Cardinality),
          |z0 AS (SELECT vec_id, bucket,
          |    (CAST(vec_id AS HUGEINT) + ${sqlMixAdd(Q196SampleSeed)})
          |      % 18446744073709551616 AS z
@@ -5301,16 +5356,17 @@ object SparkEntry {
     // the two pinned corpus slices, joined bucket-local, exact cosine
     // rerank at the shared threshold.
     "q199_semantic_decon" ->
-      s"""WITH coded AS MATERIALIZED (
+      s"""WITH ${sqlPlaneMatCte(q199Planes)},
+         |coded AS MATERIALIZED (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
          |      sqrt(list_sum(list_transform(embedding,
          |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u,
          |    list_sum(list_transform(range(1, ${q199Planes + 1}), p ->
          |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |          i -> CAST(embedding[i] AS DOUBLE) * (${lshPlaneMatrixSqlFor(q199Planes)})[p][i])) >= 0
+         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[p][i])) >= 0
          |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
-         |  FROM embeddings WHERE vec_id < $Q188Cardinality),
+         |  FROM embeddings, __mat WHERE vec_id < $Q188Cardinality),
          |sc AS (SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
          |    round(list_sum(list_transform(range(1, len(t.u) + 1),
          |      i -> t.u[i] * e.u[i])), 4) AS score
@@ -5329,20 +5385,20 @@ object SparkEntry {
          |e AS (SELECT DISTINCT a.p AS u, b.p AS v
          |  FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p),
          |${sqlSampledEdges(GraphSampleDenomCore, 1)},
-         |d1 AS (SELECT n, count(*) AS c FROM
+         |d1 AS MATERIALIZED (SELECT n, count(*) AS c FROM
          |  (SELECT u AS n FROM sm UNION ALL SELECT v FROM sm) GROUP BY n),
-         |k1 AS (SELECT n FROM d1 WHERE c >= $KcoreSampledK),
-         |e1 AS (SELECT u, v FROM sm
+         |k1 AS MATERIALIZED (SELECT n FROM d1 WHERE c >= $KcoreSampledK),
+         |e1 AS MATERIALIZED (SELECT u, v FROM sm
          |  WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
-         |d2 AS (SELECT n, count(*) AS c FROM
+         |d2 AS MATERIALIZED (SELECT n, count(*) AS c FROM
          |  (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n),
-         |k2 AS (SELECT n FROM d2 WHERE c >= $KcoreSampledK),
-         |e2 AS (SELECT u, v FROM e1
+         |k2 AS MATERIALIZED (SELECT n FROM d2 WHERE c >= $KcoreSampledK),
+         |e2 AS MATERIALIZED (SELECT u, v FROM e1
          |  WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
-         |d3 AS (SELECT n, count(*) AS c FROM
+         |d3 AS MATERIALIZED (SELECT n, count(*) AS c FROM
          |  (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n),
-         |k3 AS (SELECT n FROM d3 WHERE c >= $KcoreSampledK),
-         |e3 AS (SELECT u, v FROM e2
+         |k3 AS MATERIALIZED (SELECT n FROM d3 WHERE c >= $KcoreSampledK),
+         |e3 AS MATERIALIZED (SELECT u, v FROM e2
          |  WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3)),
          |df AS (SELECT n, count(*) AS deg FROM
          |  (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3) GROUP BY n)
@@ -5428,16 +5484,17 @@ object SparkEntry {
     // Same plane-literal bucketing as q44; pairs share a bucket, score
     // is the dot of L2-normalized vectors (4dp-stable across engines).
     "q53_embed_pairs_lsh" ->
-      s"""WITH coded AS (
+      s"""WITH ${sqlPlaneMatCte(4)},
+         |coded AS MATERIALIZED (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
          |      sqrt(list_sum(list_transform(embedding,
          |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u,
          |    list_sum(list_transform(range(1, 5), p ->
          |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |          i -> CAST(embedding[i] AS DOUBLE) * ($lshPlaneMatrixSql)[p][i])) >= 0
+         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[p][i])) >= 0
          |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
-         |  FROM embeddings),
+         |  FROM embeddings, __mat),
          |sc AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
          |  list_sum(list_transform(range(1, len(a.u) + 1),
          |    i -> a.u[i] * x.u[i])) AS raw
@@ -5451,16 +5508,17 @@ object SparkEntry {
     // from the same engine calls, so the oracle buckets bit-equal
     // with the auto-sized run on every data dir.
     "q188_auto_lsh_pairs" ->
-      s"""WITH coded AS (
+      s"""WITH ${sqlPlaneMatCte(q188Planes)},
+         |coded AS MATERIALIZED (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
          |      sqrt(list_sum(list_transform(embedding,
          |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u,
          |    list_sum(list_transform(range(1, ${q188Planes + 1}), p ->
          |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |          i -> CAST(embedding[i] AS DOUBLE) * (${lshPlaneMatrixSqlFor(q188Planes)})[p][i])) >= 0
+         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[p][i])) >= 0
          |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
-         |  FROM embeddings WHERE vec_id < $Q188Cardinality),
+         |  FROM embeddings, __mat WHERE vec_id < $Q188Cardinality),
          |sc AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
          |  list_sum(list_transform(range(1, len(a.u) + 1),
          |    i -> a.u[i] * x.u[i])) AS raw
@@ -5472,22 +5530,23 @@ object SparkEntry {
     // transitive closure (the q80 pattern); survivors are unpaired
     // vectors plus each cluster's min id.
     "q86_semdedup" ->
-      s"""WITH RECURSIVE coded AS (
+      s"""WITH RECURSIVE ${sqlPlaneMatCte(4)},
+         |coded AS MATERIALIZED (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
          |      sqrt(list_sum(list_transform(embedding,
          |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u,
          |    list_sum(list_transform(range(1, 5), p ->
          |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |          i -> CAST(embedding[i] AS DOUBLE) * ($lshPlaneMatrixSql)[p][i])) >= 0
+         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[p][i])) >= 0
          |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
-         |  FROM embeddings),
-         |p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b
+         |  FROM embeddings, __mat),
+         |p AS MATERIALIZED (SELECT a.vec_id AS id_a, x.vec_id AS id_b
          | FROM coded a, coded x
          | WHERE a.bk = x.bk AND a.vec_id < x.vec_id
          |   AND list_sum(list_transform(range(1, len(a.u) + 1),
          |     i -> a.u[i] * x.u[i])) >= 0.35),
-         |sym AS (SELECT id_a AS a, id_b AS b FROM p
+         |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
          |        UNION ALL SELECT id_b, id_a FROM p),
          |reach(id, r) AS (
          |  SELECT a, b FROM sym

@@ -339,20 +339,38 @@ object Graph {
     */
   def edgeSampleKeep(
       src: Column, dst: Column,
-      denom: Int, keep: Int, seed: Int): Column = {
+      denom: Int, keep: Int, seed: Int,
+      validateIds: Boolean = false): Column = {
     require(denom > 0 && (denom & (denom - 1)) == 0,
       s"denom must be a power of two (got $denom)")
     require(keep > 0 && keep <= denom, s"keep must be in [1, $denom]")
     val key = shiftleft(src.cast("long"), 32)
       .bitwiseOR(dst.cast("long"))
-    pmod(graft.functions.Mix64.mix64(key, seed), lit(denom.toLong)) < keep
+    val kept =
+      pmod(graft.functions.Mix64.mix64(key, seed), lit(denom.toLong)) < keep
+    if (!validateIds) kept
+    else {
+      // The shift-combine is injective only for ids in [0, 2^32):
+      // out-of-range ids silently alias keys and skew the keep rate.
+      // With validateIds the predicate fails LOUDLY instead — one
+      // extra codegen'd comparison pair per row, off by default for
+      // repo graphs whose id domain is proven by construction.
+      val inRange = src.between(0L, 0xFFFFFFFFL) &&
+        dst.between(0L, 0xFFFFFFFFL)
+      when(inRange, kept).otherwise(raise_error(concat(
+        lit("edgeSampleKeep: node id outside [0, 2^32) — key aliasing; " +
+          "re-key with a dense rank first (src="),
+        src.cast("string"), lit(", dst="), dst.cast("string"), lit(")"))))
+    }
   }
 
   def sampleEdgesDeterministic(
       edges: DataFrame, srcCol: String, dstCol: String,
-      denom: Int, keep: Int, seed: Int): DataFrame =
+      denom: Int, keep: Int, seed: Int,
+      validateIds: Boolean = false): DataFrame =
     edges.filter(
-      edgeSampleKeep(col(srcCol), col(dstCol), denom, keep, seed))
+      edgeSampleKeep(col(srcCol), col(dstCol), denom, keep, seed,
+        validateIds))
 
   /** DOULION-style sampled triangle estimate (Tsourakakis, Kang,
     * Miller & Faloutsos, "DOULION: counting triangles in massive
@@ -393,26 +411,41 @@ object Graph {
       denom: Int, keep: Int = 1,
       broadcastEdgeLimit: Long = 8000000L,
       canonical: Boolean = false): DataFrame = {
-    val sampled = sampled0
-      // one derivation feeds the edge count AND the closure; without
-      // this the upstream edge derivation (often a per-basket pair
-      // expansion) runs twice
-      .persist()
+    // one derivation feeds the edge count AND the closure; without a
+    // persist the upstream edge derivation (often a per-basket pair
+    // expansion) runs twice. Persist only when the caller has not —
+    // unconditionally unpersisting would evict a cache the caller
+    // still holds (r11 advice).
+    val weCache =
+      sampled0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val sampled = if (weCache) sampled0.persist() else sampled0
     val perNode = triangleCounts(sampled, srcCol, dstCol,
       broadcastEdgeLimit, canonical)
     // Σ per-node counts = 3·T on the sample (each triangle credits
     // its three corners once each)
-    val scale = math.round(math.pow(denom.toDouble / keep, 3)).toLong
     val m = sampled.agg(count(lit(1)).as("sampled_edges"))
     // integral `div`, not `/`: double division is exact only to 2^53
     // and this row is the query's one output
     val t = perNode.agg(coalesce(sum(col("n_tri")), lit(0L)).as("__s"))
       .select(expr("__s div 3").as("tri_sampled"))
+    // 1/p³ scale: exact integer arithmetic when keep | denom (the
+    // oracle-replayed configurations — keep = 1 always qualifies);
+    // otherwise (denom/keep)³ is non-integral and rounding the SCALE
+    // before multiplying biases the DOULION estimator by up to ~16%
+    // (r11 advice) — compute the product in double precision and
+    // round the final estimate instead (error ≤ 0.5 triangles).
+    val est: Column =
+      if (denom % keep == 0) {
+        val scale = { val q = (denom / keep).toLong; q * q * q }
+        col("tri_sampled") * lit(scale)
+      } else
+        round(col("tri_sampled").cast("double") *
+          lit(math.pow(denom.toDouble / keep, 3))).cast("long")
     val out = m.crossJoin(t) // two one-row frames — bounded metadata
       .select(col("sampled_edges"), col("tri_sampled"),
-        (col("tri_sampled") * lit(scale)).as("est_triangles"))
+        est.as("est_triangles"))
       .localCheckpoint(true)
-    sampled.unpersist()
+    if (weCache) sampled.unpersist()
     out
   }
 

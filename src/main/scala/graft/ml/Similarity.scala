@@ -242,12 +242,22 @@ object Similarity {
   def writeLshIndex(
       embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, dim: Int, planes: Int = 8, seed: Long = 42L): Unit = {
-    embeddings
+    require(embeddings.columns.contains(idCol) &&
+      embeddings.columns.contains(vecCol),
+      s"writeLshIndex: input lacks $idCol/$vecCol")
+    val coded = embeddings
       .withColumn("__lsh_bucket", lshCode(col(vecCol),
         hyperplanes(dim, planes, seed)))
-      .write.mode("overwrite").partitionBy("__lsh_bucket")
+      .persist() // one computation feeds the row counter AND the write
+    val n = coded.count()
+    coded.write.mode("overwrite").partitionBy("__lsh_bucket")
       .parquet(s"$path/vectors")
-    writeIndexManifest(embeddings.sparkSession, path)
+    coded.unpersist()
+    writeIndexManifest(embeddings.sparkSession, path, Seq(
+      "kind" -> "lsh", "dim" -> dim.toString,
+      "planes" -> planes.toString, "seed" -> seed.toString,
+      "columns" -> embeddings.columns.mkString(","),
+      "indexed_rows" -> n.toString, "appended_rows" -> "0"))
   }
 
   /** Append new vectors to a persisted LSH index — the
@@ -258,22 +268,67 @@ object Similarity {
     * rebuild trigger is resizing `planes` as the corpus grows, see
     * [[autoPlanes]]). Dynamic-partition append + atomic manifest
     * re-publish, as in the IVF path. Returns the appended row count.
+    *
+    * Layout safety (r11 advice): (dim, planes, seed) are validated
+    * against the values the build recorded in the manifest — a
+    * mismatch (e.g. appending with the default 8 planes to an
+    * autoPlanes-sized index) would bucket the appended vectors under
+    * a DIFFERENT code family, so probes would permanently miss them
+    * with no error. `planes = 0` derives the count from the manifest
+    * instead of requiring the caller to know it. The append is also
+    * projected onto the exact build-time column set (recorded in the
+    * manifest), so a frame with missing columns fails at analysis
+    * time and extra columns cannot commit a divergent parquet schema
+    * into `vectors/`. Pre-metadata indexes (round ≤11) have nothing
+    * recorded and fall back to trusting the caller.
     */
   def appendToLshIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int = 8, seed: Long = 42L): Long = {
-    val coded = embeddings
+    val meta = readIndexMeta(spark, path)
+    requireMetaMatch(meta, "kind", "lsh", path)
+    requireMetaMatch(meta, "dim", dim.toString, path)
+    requireMetaMatch(meta, "seed", seed.toString, path)
+    val effPlanes =
+      if (planes != 0) planes
+      else meta.getOrElse("planes", sys.error(
+        s"appendToLshIndex(planes = 0) derives the plane count from " +
+          s"the manifest, but $path/_manifest records none " +
+          "(pre-metadata index — rebuild, or pass planes explicitly)"))
+        .toInt
+    requireMetaMatch(meta, "planes", effPlanes.toString, path)
+    val src = meta.get("columns") match {
+      case Some(cs) =>
+        val buildCols = cs.split(",").toSeq
+        require(buildCols.contains(idCol) && buildCols.contains(vecCol),
+          s"index at $path was built over columns [$cs] — append " +
+            s"called with idCol=$idCol vecCol=$vecCol")
+        embeddings.select(buildCols.map(col): _*)
+      case None => embeddings // pre-metadata index: legacy behavior
+    }
+    val coded = src
       .withColumn("__lsh_bucket", lshCode(col(vecCol),
-        hyperplanes(dim, planes, seed)))
+        hyperplanes(dim, effPlanes, seed)))
       .persist() // one computation feeds the count AND the write
     val n = coded.count()
     coded.write.mode("append").partitionBy("__lsh_bucket")
       .parquet(s"$path/vectors")
     coded.unpersist()
-    writeIndexManifest(spark, path)
+    writeIndexManifest(spark, path, bumpAppendCounter(meta, n))
     n
   }
+
+  /** The re-published manifest meta after an append: layout keys kept
+    * verbatim, `appended_rows` accumulated (the [[indexStaleness]]
+    * counter). Empty for a pre-metadata index — nothing to carry.
+    */
+  private def bumpAppendCounter(
+      meta: Map[String, String], n: Long): Seq[(String, String)] =
+    if (meta.isEmpty) Nil
+    else (meta + ("appended_rows" ->
+      (meta.getOrElse("appended_rows", "0").toLong + n).toString))
+      .toSeq.sortBy(_._1)
 
   /** Probe a persisted LSH index: one partition-pruned scan of the
     * query's bucket directory, exact rerank.
@@ -402,15 +457,22 @@ object Similarity {
       if (nlist == 0) autoNlist(embeddings.count()) else nlist
     val centroids =
       ivfCentroids(embeddings, idCol, vecCol, sizedNlist, iters, seed)
-    assignClusters(embeddings, vecCol, centroids)
-      .write.mode("overwrite").partitionBy("__cluster")
+    val assigned = assignClusters(embeddings, vecCol, centroids)
+      .persist() // one assignment feeds the row counter AND the write
+    val n = assigned.count()
+    assigned.write.mode("overwrite").partitionBy("__cluster")
       .parquet(s"$path/vectors")
+    assigned.unpersist()
     val spark = embeddings.sparkSession
     import spark.implicits._
     centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    writeIndexManifest(spark, path)
+    writeIndexManifest(spark, path, Seq(
+      "kind" -> "ivf", "nlist" -> sizedNlist.toString,
+      "iters" -> iters.toString, "seed" -> seed.toString,
+      "columns" -> embeddings.columns.mkString(","),
+      "indexed_rows" -> n.toString, "appended_rows" -> "0"))
   }
 
   /** Append new vectors to a persisted IVF index WITHOUT a rebuild —
@@ -435,18 +497,32 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       embeddings: DataFrame, idCol: String, vecCol: String): Long = {
     import spark.implicits._
+    val meta = readIndexMeta(spark, path)
+    requireMetaMatch(meta, "kind", "ivf", path)
+    // project onto the exact build-time columns (manifest-recorded):
+    // a frame missing one fails at analysis time, extras cannot
+    // commit a divergent parquet schema into vectors/ (r11 advice)
+    val src = meta.get("columns") match {
+      case Some(cs) =>
+        val buildCols = cs.split(",").toSeq
+        require(buildCols.contains(idCol) && buildCols.contains(vecCol),
+          s"index at $path was built over columns [$cs] — append " +
+            s"called with idCol=$idCol vecCol=$vecCol")
+        embeddings.select(buildCols.map(col): _*)
+      case None => embeddings // pre-metadata index: legacy behavior
+    }
     val centroids: Seq[Seq[Double]] =
       spark.read.parquet(s"$path/centroids")
         .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toSeq
     require(centroids.nonEmpty, s"no centroids at $path — not an IVF " +
       "index (build it with writeIvfIndex)")
-    val assigned = assignClusters(embeddings, vecCol, centroids)
+    val assigned = assignClusters(src, vecCol, centroids)
       .persist() // one computation feeds the count AND the write
     val n = assigned.count()
     assigned.write.mode("append").partitionBy("__cluster")
       .parquet(s"$path/vectors")
     assigned.unpersist()
-    writeIndexManifest(spark, path)
+    writeIndexManifest(spark, path, bumpAppendCounter(meta, n))
     n
   }
 
@@ -613,17 +689,31 @@ object Similarity {
     * treats anything outside it as an orphan — leftovers from aborted
     * builds, a crashed dynamic-partition refresh, or a concurrent
     * writer that lost the overwrite race.
+    *
+    * `meta` rows are published as `#meta key=value` header lines ahead
+    * of the file list (readers of the file list skip `#` lines): the
+    * index LAYOUT parameters (kind, dim/planes/seed or nlist, the
+    * build-time column list) so appends can fail fast on a mismatched
+    * layout instead of silently writing vectors into wrong partitions
+    * (r11 advice), plus indexed/appended row counters so staleness is
+    * observable ([[indexStaleness]]).
     */
   private def writeIndexManifest(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      meta: Seq[(String, String)] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val files = listIndexFiles(fs, root)
       .map { case (p, _) => relativize(root, p) }.sorted
+    meta.foreach { case (k, v) =>
+      require(!k.contains('=') && !k.contains('\n') && !v.contains('\n'),
+        s"manifest meta key/value must be line-safe: $k=$v")
+    }
+    val header = meta.map { case (k, v) => s"#meta $k=$v" }
     val tmp = new Path(root, "_manifest.tmp")
     val out = fs.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    try out.write((header ++ files).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(root, "_manifest")
     // rename WITH overwrite (FileContext — FileSystem.rename has no
@@ -633,6 +723,78 @@ object Similarity {
     org.apache.hadoop.fs.FileContext
       .getFileContext(root.toUri, spark.sessionState.newHadoopConf())
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The `#meta` header of a managed index's `_manifest` as a map —
+    * empty for a pre-metadata index (round ≤11 layout) or a missing
+    * manifest, so callers degrade to trusting their own parameters.
+    */
+  private[graft] def readIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifestPath = new Path(root, "_manifest")
+    if (!fs.exists(manifestPath)) Map.empty
+    else {
+      val in = fs.open(manifestPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.startsWith("#meta "))
+        .flatMap { line =>
+          val kv = line.stripPrefix("#meta ")
+          kv.indexOf('=') match {
+            case -1 => None
+            case i  => Some(kv.substring(0, i) -> kv.substring(i + 1))
+          }
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  /** Require that a caller-supplied layout parameter matches the
+    * committed index's manifest value when one is recorded — the
+    * fail-fast that keeps an append from writing vectors into
+    * partitions a probe computed under a DIFFERENT layout will never
+    * read (r11 advice: a mismatched plane count loses the appended
+    * vectors silently and permanently).
+    */
+  private def requireMetaMatch(
+      meta: Map[String, String], key: String, actual: String,
+      path: String): Unit =
+    meta.get(key).foreach { recorded =>
+      require(recorded == actual,
+        s"index layout mismatch at $path: built with $key=$recorded, " +
+          s"append called with $key=$actual — appended vectors would " +
+          "land in partitions probes never read. Pass the build " +
+          "parameters (or rebuild the index).")
+    }
+
+  case class IndexStaleness(
+      indexedRows: Long, appendedRows: Long, ratio: Double)
+
+  /** Staleness report for a managed index: rows appended since the
+    * last full build vs rows that build indexed, from the manifest's
+    * counters (accumulated across appends, untouched by
+    * [[vacuumIndex]] — vacuum never rewrites the manifest). For IVF
+    * the ratio is the rebuild signal — appended vectors are assigned
+    * to FROZEN centroids, so recall decays as appended mass rivals
+    * indexed mass (rebuild around ratio ≥ 1.0); for LSH the layout is
+    * derived, not trained, so the ratio only signals when to re-run
+    * [[autoPlanes]] sizing. Throws on a pre-metadata index (no
+    * counters recorded — rebuild once to upgrade the manifest).
+    */
+  def indexStaleness(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): IndexStaleness = {
+    val meta = readIndexMeta(spark, path)
+    require(meta.contains("indexed_rows"),
+      s"no staleness counters in $path/_manifest — index predates " +
+        "manifest metadata; rebuild with writeLshIndex/writeIvfIndex")
+    val indexed = meta("indexed_rows").toLong
+    val appended = meta.getOrElse("appended_rows", "0").toLong
+    IndexStaleness(indexed, appended,
+      appended.toDouble / math.max(indexed, 1L))
   }
 
   /** Remove index files no committed build references: every data file
@@ -659,7 +821,9 @@ object Similarity {
     val in = fs.open(manifestPath)
     val manifest =
       try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toSet
+        .getLines().filter(_.nonEmpty)
+        .filterNot(_.startsWith("#")) // `#meta` header lines
+        .toSet
       finally in.close()
     val cutoff = System.currentTimeMillis() - minAgeHours * 3600000L
     // listIndexFiles already carries each file's modification time —

@@ -503,6 +503,60 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleEstimateFromSample: non-divisible keep scales in double " +
+      "precision; caller persists survive (r11 advice)") {
+    import graft.ml.Graph
+    // K6 passed AS the sample: tri_sampled = 20 exactly. keep = 3 of
+    // denom = 4 → (4/3)³ ≈ 2.3704, non-integral: rounding the SCALE
+    // first gave 20·2 = 40 (a −16% bias); the product must round LAST:
+    // round(20 · 2.3704) = 47.
+    val k6 = (for { u <- 1 to 6; v <- (u + 1) to 6 }
+      yield (u.toLong, v.toLong)).toDF("u", "v")
+    val est = Graph.triangleEstimateFromSample(k6, "u", "v",
+      denom = 4, keep = 3, canonical = true)
+      .as[(Long, Long, Long)].collect().head
+    assert(est == ((15L, 20L, 47L)), s"got $est")
+    // divisible keep stays exact integer arithmetic (oracle replay)
+    val exact = Graph.triangleEstimateFromSample(k6, "u", "v",
+      denom = 4, keep = 2, canonical = true)
+      .as[(Long, Long, Long)].collect().head
+    assert(exact == ((15L, 20L, 160L)), s"got $exact") // 20 · 2³
+    // a caller-held persist is not evicted as a side effect
+    val cached = k6.persist()
+    cached.count()
+    Graph.triangleEstimateFromSample(cached, "u", "v",
+      denom = 1, keep = 1, canonical = true).collect()
+    assert(cached.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "triangleEstimateFromSample evicted the caller's cache")
+    cached.unpersist()
+  }
+
+  test("edgeSampleKeep validateIds fails loudly on ids outside [0, 2^32)") {
+    import graft.ml.Graph
+    val bad = Seq((1L, 1L << 33), (2L, 3L)).toDF("u", "v")
+    // default: silent (documented contract — repo graphs prove their
+    // id domain by construction)
+    Graph.sampleEdgesDeterministic(bad, "u", "v", 4, 1, 61).count()
+    // validateIds: the aliasing id raises instead of skewing the rate
+    val e = intercept[Exception] {
+      Graph.sampleEdgesDeterministic(bad, "u", "v", 4, 1, 61,
+        validateIds = true).count()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(messages.contains("edgeSampleKeep"),
+      s"unexpected error chain: $messages")
+    // in-range ids pass the validated path with identical decisions
+    val good = Seq((1L, 5L), (2L, 3L)).toDF("u", "v")
+    assert(
+      Graph.sampleEdgesDeterministic(good, "u", "v", 4, 1, 61,
+        validateIds = true).collect().toSet ==
+      Graph.sampleEdgesDeterministic(good, "u", "v", 4, 1, 61)
+        .collect().toSet)
+  }
+
   test("filterFunnel reports cumulative stage survivors in one pass") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
@@ -1245,6 +1299,91 @@ class MlSpec extends AnyFunSuite {
     assert(hits.head._1 == 7L && math.abs(hits.head._2 - 1.0) < 1e-9)
     assert(Similarity.vacuumIndex(spark, dirA, minAgeHours = 0)
       .droppedFiles == 0)
+  }
+
+  test("append layout validation: mismatched planes fail fast, " +
+      "planes = 0 derives from the manifest (r11 advice)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_val").toString
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    Similarity.writeLshIndex(e.filter($"vec_id" >= 100), "vec_id",
+      "embedding", dir, dim = 64, planes = 4)
+    // a plane-count mismatch would bucket appends under a different
+    // code family — probes would silently never see them; fail fast
+    val boom = intercept[IllegalArgumentException] {
+      Similarity.appendToLshIndex(spark, dir,
+        e.filter($"vec_id" < 100), "vec_id", "embedding",
+        dim = 64, planes = 8)
+    }
+    assert(boom.getMessage.contains("planes=4"))
+    intercept[IllegalArgumentException] { // dim mismatch too
+      Similarity.appendToLshIndex(spark, dir,
+        e.filter($"vec_id" < 100), "vec_id", "embedding",
+        dim = 32, planes = 4)
+    }
+    // planes = 0: derive the build's count instead of knowing it
+    val n = Similarity.appendToLshIndex(spark, dir,
+      e.filter($"vec_id" < 100), "vec_id", "embedding",
+      dim = 64, planes = 0)
+    assert(n == e.filter($"vec_id" < 100).count())
+    // derived append ≡ rebuild, bucket-for-bucket
+    val dirB = java.nio.file.Files.createTempDirectory("graft_lsh_val_b").toString
+    Similarity.writeLshIndex(e, "vec_id", "embedding", dirB,
+      dim = 64, planes = 4)
+    def snap(d: String) = spark.read.parquet(s"$d/vectors")
+      .select($"vec_id", $"__lsh_bucket".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(snap(dir) == snap(dirB))
+  }
+
+  test("append schema projection: extra columns dropped, missing " +
+      "columns fail at analysis, wrong idCol fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_cols").toString
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    Similarity.writeLshIndex(e.filter($"vec_id" >= 100), "vec_id",
+      "embedding", dir, dim = 64, planes = 4)
+    val buildSchema = spark.read.parquet(s"$dir/vectors").schema
+    // an extra column cannot commit a divergent parquet schema
+    Similarity.appendToLshIndex(spark, dir,
+      e.filter($"vec_id" < 50).withColumn("junk", lit("x")),
+      "vec_id", "embedding", dim = 64, planes = 4)
+    assert(spark.read.parquet(s"$dir/vectors").schema == buildSchema)
+    // a missing build column fails at analysis time, not at read time
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Similarity.appendToLshIndex(spark, dir,
+        e.filter($"vec_id" < 50).drop("embedding")
+          .withColumn("other_vec", lit(Array(0.0))),
+        "vec_id", "embedding", dim = 64, planes = 4)
+    }
+    // a column name the build never had fails the columns check
+    intercept[IllegalArgumentException] {
+      Similarity.appendToLshIndex(spark, dir, e.filter($"vec_id" < 50),
+        "wrong_id", "embedding", dim = 64, planes = 4)
+    }
+  }
+
+  test("indexStaleness accumulates across appends and survives vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stale").toString
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val base = e.filter($"vec_id" >= 200)
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", dir, nlist = 8)
+    val baseN = base.count()
+    val s0 = Similarity.indexStaleness(spark, dir)
+    assert(s0 == Similarity.IndexStaleness(baseN, 0L, 0.0))
+    val n1 = Similarity.appendToIvfIndex(spark, dir,
+      e.filter($"vec_id" < 100), "vec_id", "embedding")
+    val n2 = Similarity.appendToIvfIndex(spark, dir,
+      e.filter($"vec_id" >= 100 && $"vec_id" < 200),
+      "vec_id", "embedding")
+    val s2 = Similarity.indexStaleness(spark, dir)
+    assert(s2.indexedRows == baseN && s2.appendedRows == n1 + n2)
+    assert(math.abs(s2.ratio - (n1 + n2).toDouble / baseN) < 1e-12)
+    // vacuum never rewrites the manifest — counters survive
+    Similarity.vacuumIndex(spark, dir, minAgeHours = 0)
+    assert(Similarity.indexStaleness(spark, dir) == s2)
+    // a rebuild resets the counters: the staleness signal is per-build
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", dir, nlist = 8)
+    val s3 = Similarity.indexStaleness(spark, dir)
+    assert(s3.appendedRows == 0L && s3.indexedRows == e.count())
   }
 
   test("appendToIvfIndex routes new vectors into existing clusters, probes see them") {
