@@ -174,12 +174,68 @@ object Scratch {
         .collect()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[prof] bpeTrainBatched merges=$merges batch=$batch learned=${learned.length} in $dt%.2f s")
+      // lineage-truncation discipline: after ~60 truncate-and-free
+      // rounds the block manager must hold only the LAST state (one
+      // persisted RDD), not a round-count's worth of dead blocks, and
+      // the driver heap must be nowhere near its ceiling
+      val live = spark.sparkContext.getPersistentRDDs
+      val rt = Runtime.getRuntime
+      val usedMb = (rt.totalMemory - rt.freeMemory) / 1048576
+      println(s"[prof] persistent RDDs after run: ${live.size} " +
+        s"(ids ${live.keys.toSeq.sorted.mkString(",")}); " +
+        s"driver heap used ${usedMb} MiB of max ${rt.maxMemory / 1048576} MiB")
       val t1 = System.nanoTime()
       val seqLearned = graft.ml.TextAnalysis
         .bpeTrain(docs, "text", merges = math.min(merges, 32))
         .collect()
       val dt1 = (System.nanoTime() - t1) / 1e9
       println(f"[prof] bpeTrain(sequential) merges=${math.min(merges, 32)} learned=${seqLearned.length} in $dt1%.2f s")
+      spark.stop(); return
+    }
+    if (name == "q104_profile") {
+      // r12: which q104 stage grows — chunk, vocab census, vocab
+      // collect, kernel encode, pack prefix-sum, final assembly.
+      //   sbt "runMain graft.Scratch q104_profile target/sf10"
+      import graft.ml.{Curation, TextAnalysis}
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val chunks = Curation.chunkDocuments(
+          d, "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+        .select((col("doc_id") * 100000 + col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      println("[prof] chunks rows=" +
+        timed("chunk scan+count")(chunks.count()))
+      val vocab = TextAnalysis.buildVocab(d.select(col("text")),
+        "text", minCount = 5)
+      val vrows = timed("vocab census+collect")(
+        vocab.select(col("token"), col("token_id")).collect())
+      println("[prof] vocab rows=" + vrows.length)
+      val map = graft.functions.VocabEncode.buildMap(
+        vrows.map(r => (r.getString(0), r.getLong(1))))
+      val toks = filter(TextAnalysis.tokens(col("chunk_text")),
+        t => length(t) > 0)
+      val enc = chunks.select(col("chunk_id"),
+          graft.functions.VocabEncode.vocabEncode(toks, map, -1L).as("__e"))
+        .filter(col("__e.n_tokens") > 0)
+        .select(col("chunk_id"), col("__e.n_tokens").as("n_tokens"),
+          col("__e.n_oov").as("n_oov"), col("__e.token_ids").as("token_ids"))
+      timed("kernel encode (materialize)")(
+        enc.queryExecution.toRdd.count())
+      val packed = TextAnalysis.packingManifestFrom(
+        enc, "chunk_id", "n_tokens", seqLen = 128)
+      timed("encode+packFrom (materialize)")(
+        packed.queryExecution.toRdd.count())
+      val full = packed.select(col("chunk_id"), col("n_tokens"),
+        col("n_oov"), col("offset"), col("seq_first"), col("seq_last"),
+        array_join(transform(col("token_ids"), x => x.cast("string")),
+          " ").as("token_ids"))
+      timed("full q104 (materialize)")(
+        full.queryExecution.toRdd.count())
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) full.explain("formatted")
       spark.stop(); return
     }
     if (name == "tri_profile") {

@@ -2419,19 +2419,21 @@ object SparkEntry {
           col("chunk_text"))
       val vocab = TextAnalysis.buildVocab(d.select(col("text")),
         "text", minCount = 5)
+      // Fused encode→pack: offsets computed in-lineage on the encoded
+      // frame (its n_tokens — identical to a re-tokenization by
+      // construction, and oracle-checked), so the token_ids payload
+      // crosses exactly ONE exchange (the pack's range repartition)
+      // instead of the old regroup + rejoin pair; the encode itself
+      // is map-only via the VocabEncode kernel (r11 verdict #3: the
+      // q104 sf10 step).
       val enc = TextAnalysis.encodeDocuments(
         chunks, "chunk_text", "chunk_id", vocab)
-        .withColumn("token_ids",
-          array_join(transform(col("token_ids"), x => x.cast("string")),
-            " "))
-      val pack = TextAnalysis.packingManifest(
-        chunks, "chunk_id", "chunk_text", seqLen = 128)
-        .select(col("chunk_id"), col("offset"),
-          col("seq_first"), col("seq_last"))
-      enc.join(pack, Seq("chunk_id"))
+      TextAnalysis.packingManifestFrom(
+        enc, "chunk_id", "n_tokens", seqLen = 128)
         .select(col("chunk_id"), col("n_tokens"), col("n_oov"),
           col("offset"), col("seq_first"), col("seq_last"),
-          col("token_ids"))
+          array_join(transform(col("token_ids"), x => x.cast("string")),
+            " ").as("token_ids"))
     }),
 
     // Governed-table maintenance end-to-end: three committed append

@@ -316,26 +316,55 @@ object TextAnalysis {
     */
   def packingManifest(
       df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, partitions: Int = 0): DataFrame =
+    packingManifestFrom(
+      df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens")),
+      idCol, "n_tokens", seqLen, partitions)
+      .select(col(idCol), col("n_tokens"), col("offset"),
+        col("seq_first"), col("seq_last"))
+
+  /** [[packingManifest]] over a frame that ALREADY carries its token
+    * count — appends (offset, seq_first, seq_last) while KEEPING every
+    * input column. This is the fused shape a chunk→encode→pack
+    * pipeline wants: computing offsets in-lineage on the encoded frame
+    * (whose `n_tokens` the encode already produced) removes both the
+    * second tokenization pass and the pack-side rejoin — the encoded
+    * payload (token_ids arrays) crosses exactly ONE exchange, the
+    * range repartition here, instead of a regroup plus a join shuffle
+    * (q104's sf10 profile). Same distributed prefix-sum: range-
+    * partition on id, per-partition running sums, per-partition totals
+    * (≤ `partitions` rows) broadcast back as offsets.
+    */
+  def packingManifestFrom(
+      df: DataFrame, idCol: String, nTokensCol: String,
       seqLen: Int, partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val local = df
-      .select(col(idCol).as("id"), tokenCount(col(textCol)).as("n_tokens"))
-      .repartitionByRange(p, col("id"))
-      .sortWithinPartitions(col("id"))
+    // Cache the input BEFORE the range exchange: RangePartitioner
+    // first runs a SAMPLING job over the child to pick boundaries,
+    // and with an expensive upstream (a whole encode stage) that job
+    // re-executes the full lineage — measured as ~2x the encode cost
+    // at sf10. The sampling pass touches every partition, so it
+    // populates this cache in one pass and the real exchange reads
+    // memory. (The q104 sf10 profile, r11 verdict #3.)
+    val src = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = src
+      .repartitionByRange(p, col(idCol))
+      .sortWithinPartitions(col(idCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local",
-        coalesce(sum(col("n_tokens")).over(
-          Window.partitionBy(col("__pid")).orderBy(col("id"))
+        coalesce(sum(col(nTokensCol)).over(
+          Window.partitionBy(col("__pid")).orderBy(col(idCol))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .persist()
     // one row per partition id — ≤ `p` rows by construction, so the
     // single-task window is safe; the constant partition key only
     // keeps WindowExec from warning about a data-sized global window
     val prefixes = local.groupBy(col("__pid"))
-      .agg(sum(col("n_tokens")).as("__t"))
+      .agg(sum(col(nTokensCol)).as("__t"))
       .withColumn("__prefix",
         coalesce(sum(col("__t")).over(
           Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
@@ -343,10 +372,11 @@ object TextAnalysis {
       .select(col("__pid"), col("__prefix"))
     local.join(broadcast(prefixes), Seq("__pid"))
       .withColumn("offset", col("__local") + col("__prefix"))
-      .select(col("id").as(idCol), col("n_tokens"), col("offset"),
-        floor(col("offset") / seqLen).cast("long").as("seq_first"),
-        floor((col("offset") + col("n_tokens") - 1) / seqLen).cast("long")
-          .as("seq_last"))
+      .withColumn("seq_first",
+        floor(col("offset") / seqLen).cast("long"))
+      .withColumn("seq_last",
+        floor((col("offset") + col(nTokensCol) - 1) / seqLen).cast("long"))
+      .drop("__pid", "__local", "__prefix")
   }
 
   /** Corpus n-gram LM familiarity scoring (the CCNet/KenLM-shaped
@@ -504,13 +534,50 @@ object TextAnalysis {
     * packing/sharding stage consumes; documents with zero tokens
     * produce no rows.
     *
-    * Scale posture (100 TB): the vocabulary broadcasts (bounded by
-    * construction — minCount pruning keeps it MBs for TB corpora), so
-    * the corpus never shuffles against it; tokens split in the scan
-    * projection and only (id, pos, token_id) triplets — the output
-    * payload itself — cross the reassembly exchange.
+    * Scale posture (100 TB): the vocabulary is bounded metadata by
+    * construction (minCount pruning keeps it MBs for TB corpora), so
+    * the encode is a MAP-ONLY pass — the vocab collects to a hash map
+    * riding inside a native [[graft.functions.VocabEncode]] kernel
+    * (the IVF-centroid pattern: bounded state ships once per executor
+    * with the task binary) and every document encodes in its own scan
+    * partition; NOTHING shuffles. The previous declarative plan
+    * (posexplode → broadcast join → groupBy collect_list → sort_array)
+    * shipped one row per TOKEN through a reassembly exchange whose
+    * payload was the output itself — the whole cost of the stage at
+    * the second decade (q102's 8.1x sf10 step). Past
+    * `collectVocabLimit` word types the kernel path is refused and the
+    * join/regroup plan runs instead — same results, spec-pinned.
     */
   def encodeDocuments(
+      df: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame, oovId: Long = -1L,
+      collectVocabLimit: Int = 4000000): DataFrame = {
+    val probe = vocab.select(col("token"), col("token_id"))
+      .limit(collectVocabLimit + 1).collect()
+    if (probe.length <= collectVocabLimit) {
+      val map = graft.functions.VocabEncode.buildMap(
+        probe.map(r => (r.getString(0), r.getLong(1))))
+      val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+      // zero-token guard on the RAW TEXT (a doc tokenizes to zero
+      // tokens iff it has no non-whitespace char), never on a field
+      // of the kernel struct: predicate pushdown would inline the
+      // whole encode into the Filter and evaluate it twice per row
+      // (the documented lambda-trap shape)
+      df.filter(col(textCol).rlike("\\S"))
+        .select(col(idCol),
+          graft.functions.VocabEncode.vocabEncode(toks, map, oovId)
+            .as("__e"))
+        .select(col(idCol), col("__e.n_tokens").as("n_tokens"),
+          col("__e.n_oov").as("n_oov"),
+          col("__e.token_ids").as("token_ids"))
+    } else encodeDocumentsJoined(df, textCol, idCol, vocab, oovId)
+  }
+
+  /** The shuffle-based encode for vocabularies too large to collect:
+    * broadcast-join the token stream, reassemble per document. Kept as
+    * [[encodeDocuments]]'s guarded fallback and directly testable.
+    */
+  private[graft] def encodeDocumentsJoined(
       df: DataFrame, textCol: String, idCol: String,
       vocab: DataFrame, oovId: Long = -1L): DataFrame = {
     val tok = df.select(col(idCol).as("id"),

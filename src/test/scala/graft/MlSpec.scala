@@ -263,6 +263,57 @@ class MlSpec extends AnyFunSuite {
       (3L, 3, 0, Seq(1L, 1L, 1L))))
   }
 
+  test("encodeDocuments kernel path ≡ join path, and falls back past " +
+      "the collect limit (r11 verdict #3)") {
+    val docs = spark.read
+      .parquet(s"${SparkFixture.sfDir}/documents.parquet")
+      .select($"doc_id", $"text")
+    val vocab = TextAnalysis.buildVocab(docs.select($"text"), "text",
+      minCount = 5)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_tokens", $"n_oov",
+        $"token_ids".cast("array<string>"))
+      .as[(Long, Int, Int, Seq[String])].collect().toSet
+    val kernel = TextAnalysis.encodeDocuments(docs, "text", "doc_id",
+      vocab)
+    val joined = TextAnalysis.encodeDocumentsJoined(docs, "text",
+      "doc_id", vocab)
+    assert(snap(kernel) == snap(joined))
+    // the kernel plan is map-only: no exchange anywhere in it
+    assert(!kernel.queryExecution.executedPlan.toString
+      .contains("Exchange"), "kernel encode path should not shuffle")
+    // a vocab larger than the collect limit refuses the kernel and
+    // runs the join plan — same results
+    val fallback = TextAnalysis.encodeDocuments(docs, "text", "doc_id",
+      vocab, collectVocabLimit = 1)
+    assert(fallback.queryExecution.executedPlan.toString
+      .contains("Exchange"), "fallback should be the join/regroup plan")
+    assert(snap(fallback) == snap(kernel))
+  }
+
+  test("packingManifestFrom keeps payload columns and matches " +
+      "packingManifest's offsets") {
+    val df = Seq(
+      (1L, "a b c", "p1"), (2L, "d e", "p2"), (3L, "f", "p3"),
+      (4L, "g h i j", "p4"), (5L, "k", "p5")
+    ).toDF("doc_id", "text", "payload")
+    val wide = df.withColumn("n_tokens",
+      TextAnalysis.tokenCount($"text"))
+    val got = TextAnalysis.packingManifestFrom(wide, "doc_id",
+        "n_tokens", seqLen = 4, partitions = 3)
+      .select("doc_id", "payload", "n_tokens", "offset", "seq_first",
+        "seq_last")
+      .as[(Long, String, Int, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    // payload survives; offsets identical to the two-pass variant
+    assert(got.map(_._2) == Seq("p1", "p2", "p3", "p4", "p5"))
+    val ref = TextAnalysis.packingManifest(df, "doc_id", "text",
+        seqLen = 4, partitions = 3)
+      .select("doc_id", "n_tokens", "offset", "seq_first", "seq_last")
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(g => (g._1, g._3, g._4, g._5, g._6)) == ref)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged per key") {
     val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"),
       (4L, null.asInstanceOf[String], "w")).toDF("id", "t", "u")
