@@ -2650,6 +2650,22 @@ object SparkEntry {
         nlist = 8, nprobe = 8, k = 10)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
     }),
+
+    // Multi-probe LSH ANN (q44's recall-recovery knob): the query
+    // bucket PLUS its `planes` Hamming-1 neighbors probed, exact
+    // rerank — the read-path answer to a fixed plane count outgrown
+    // by its corpus (the write-path answer is an autoPlanes rebuild).
+    // planes = 6 so single-bucket recall is genuinely lossy and the
+    // neighbor probes do real work; the oracle filters on
+    // xor(bk, qbk) ∈ {0} ∪ {2^p} — Hamming ≤ 1 as arithmetic.
+    "q200_ann_lsh_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshMultiProbeTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "embedding",
+        dim = 64, k = 10, planes = 6)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+    }),
   )
 
   /** BENCH-ONLY registry (r11 verdict #1): queries the bench measures
@@ -3388,6 +3404,30 @@ object SparkEntry {
          |   sqrt(list_sum(list_transform(q.qe,
          |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS raw
          | FROM coded c, q WHERE c.vec_id <> 0 AND c.bk = q.qbk)
+         |SELECT vec_id, round(raw, 4) AS score FROM sc
+         |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
+    // q44's replay at planes = 6 with the Hamming ≤ 1 probe set:
+    // xor(bk, qbk) is 0 (same bucket) or a single set bit (one
+    // hyperplane sign apart).
+    "q200_ann_lsh_multiprobe" ->
+      s"""WITH ${sqlPlaneMatCte(6)},
+         |coded AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    list_sum(list_transform(range(1, 7), p ->
+         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[p][i])) >= 0
+         |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
+         |  FROM embeddings, __mat),
+         |q AS (SELECT embedding AS qe, bk AS qbk FROM coded WHERE vec_id = 0),
+         |sc AS (SELECT c.vec_id,
+         |  list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(c.embedding,
+         |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(q.qe,
+         |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS raw
+         | FROM coded c, q WHERE c.vec_id <> 0
+         |   AND xor(c.bk, q.qbk) IN (0, 1, 2, 4, 8, 16, 32))
          |SELECT vec_id, round(raw, 4) AS score FROM sc
          |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
     "q41_jaccard_pairs" ->

@@ -234,6 +234,50 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** Multi-probe LSH top-k: probe the query's bucket PLUS every
+    * Hamming-distance-1 neighbor (the `planes` single-bit flips) and
+    * rerank the union exactly — the standard recall-recovery knob for
+    * a FIXED plane count (Lv et al., "Multi-Probe LSH", VLDB'07 —
+    * public algorithm). A single-bucket probe's recall decays as the
+    * corpus outgrows its plane count: near-neighbors land one
+    * sign-flip away ever more often, and REBUILDING at a larger
+    * `planes` (the [[autoPlanes]] path) is the expensive answer.
+    * Probing the 1 + planes neighbor buckets multiplies candidate
+    * volume by ~(1 + planes)/1 while recovering exactly the neighbors
+    * that one marginal hyperplane sign separated — the cheap answer,
+    * and the one a read-mostly serving path wants.
+    *
+    * Plan shape: the probe set is planes+1 literal codes (derived
+    * driver-side from the query vector — bounded metadata, like the
+    * IVF probe list), so the scan filter is `__lsh_bucket IN (...)`.
+    * Over [[writeLshIndex]]'s layout that is a partition-pruned read
+    * of 1 + planes directories out of 2^planes — never a full pass;
+    * in-memory it is one codegen'd IN filter. The exact rerank makes
+    * the result identical to brute force WHENEVER the true top-k all
+    * fall within Hamming ≤ 1 of the query's code.
+    */
+  def lshMultiProbeTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String,
+      dim: Int, k: Int = 10, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val ps = hyperplanes(dim, planes, seed)
+    val bucketed = embeddings.withColumn("__lsh_bucket",
+      lshCode(col(vecCol), ps))
+    // one row: the query's own code (query frames are one row by
+    // contract, as in lshTopK/ivfTopKFromIndex)
+    val q = query.select(col(queryVecCol).as("__qvec"))
+      .withColumn("__b", lshCode(col("__qvec"), ps))
+    val base = q.select(col("__b")).head().getLong(0)
+    val probeSet = base +: (0 until planes).map(p => base ^ (1L << p))
+    bucketed
+      .filter(col("__lsh_bucket").isin(probeSet: _*)) // pruned scan
+      .crossJoin(broadcast(q.select(col("__qvec"))))
+      .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** Persist the LSH layout: vectors written partitioned by bucket
     * code. The planes are derived from (dim, planes, seed), so a probe
     * needs no stored metadata — recompute the query's code and read one
@@ -329,6 +373,45 @@ object Similarity {
     else (meta + ("appended_rows" ->
       (meta.getOrElse("appended_rows", "0").toLong + n).toString))
       .toSeq.sortBy(_._1)
+
+  /** [[lshMultiProbeTopK]] over a persisted [[writeLshIndex]] layout:
+    * the Hamming ≤ 1 probe set as a partition-pruned read of
+    * 1 + planes directories out of 2^planes (the IN filter lands on
+    * the partition column, so the scan's PartitionFilters prune to
+    * exactly the probe directories — spec-asserted), exact rerank.
+    * The recall knob for a committed index whose plane count the
+    * corpus has outgrown, WITHOUT the rebuild [[autoPlanes]] would
+    * ask for; layout parameters default from the index manifest.
+    */
+  def lshMultiProbeTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String,
+      dim: Int, k: Int = 10, planes: Int = 0, seed: Long = 42L): DataFrame = {
+    val meta = readIndexMeta(spark, path)
+    requireMetaMatch(meta, "kind", "lsh", path)
+    requireMetaMatch(meta, "dim", dim.toString, path)
+    requireMetaMatch(meta, "seed", seed.toString, path)
+    val effPlanes =
+      if (planes != 0) planes
+      else meta.getOrElse("planes", sys.error(
+        s"lshMultiProbeTopKFromIndex(planes = 0) derives the plane " +
+          s"count from the manifest, but $path/_manifest records none"))
+        .toInt
+    requireMetaMatch(meta, "planes", effPlanes.toString, path)
+    val ps = hyperplanes(dim, effPlanes, seed)
+    val q = query.select(col(queryVecCol).as("__qvec"))
+      .withColumn("__b", lshCode(col("__qvec"), ps))
+    val base = q.select(col("__b")).head().getLong(0)
+    val probeSet = base +: (0 until effPlanes).map(p => base ^ (1L << p))
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("__lsh_bucket").isin(probeSet: _*)) // partition pruning
+      .crossJoin(broadcast(q.select(col("__qvec"))))
+      .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
 
   /** Probe a persisted LSH index: one partition-pruned scan of the
     * query's bucket directory, exact rerank.

@@ -1201,6 +1201,70 @@ class MlSpec extends AnyFunSuite {
     assert(top.contains(1L)) // same half-spaces ⇒ same bucket ⇒ found
   }
 
+  test("multi-probe LSH: Hamming-1 probes recover what single-bucket " +
+      "misses; candidates are a superset") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val base  = e.filter($"vec_id" =!= 0)
+    val query = e.filter($"vec_id" === 0)
+    val planes = 6
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double)].collect().toSeq
+    val single = scores(Similarity.lshTopK(base, "vec_id", "embedding",
+      query, "embedding", dim = 64, k = 10, planes = planes))
+    val multi = scores(Similarity.lshMultiProbeTopK(base, "vec_id",
+      "embedding", query, "embedding", dim = 64, k = 10, planes = planes))
+    // superset candidates ⇒ pointwise better-or-equal top-k
+    assert(multi.size >= single.size)
+    single.zip(multi).foreach { case ((_, s), (_, m)) =>
+      assert(m >= s - 1e-12, s"multi-probe rank worse: $m < $s") }
+    // every returned id really is within Hamming ≤ 1 of the query code
+    val ps = Similarity.hyperplanes(64, planes, 42L)
+    val coded = e.withColumn("__b",
+        Similarity.lshCode($"embedding", ps))
+      .select($"vec_id", $"__b").as[(Long, Long)].collect().toMap
+    val qb = coded(0L)
+    multi.foreach { case (id, _) =>
+      val d = java.lang.Long.bitCount(coded(id) ^ qb)
+      assert(d <= 1, s"id $id at Hamming $d from the query bucket") }
+    // the probe set does real work on this corpus: strictly more
+    // candidates than the single bucket (planes = 6 splits finely)
+    val nSingle = base.withColumn("__b",
+        Similarity.lshCode($"embedding", ps))
+      .filter($"__b" === qb).count()
+    val nMulti = base.withColumn("__b",
+        Similarity.lshCode($"embedding", ps))
+      .filter((0 until planes).map(p => $"__b" === (qb ^ (1L << p)))
+        .foldLeft($"__b" === qb)(_ || _)).count()
+    assert(nMulti > nSingle,
+      s"Hamming-1 probes added no candidates ($nMulti vs $nSingle)")
+  }
+
+  test("multi-probe over a persisted index prunes to the probe " +
+      "directories and matches the in-memory result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_mp").toString
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val base  = e.filter($"vec_id" =!= 0)
+    val query = e.filter($"vec_id" === 0)
+    Similarity.writeLshIndex(base, "vec_id", "embedding", dir,
+      dim = 64, planes = 6)
+    // planes = 0 derives the count from the manifest
+    val fromIndex = Similarity.lshMultiProbeTopKFromIndex(spark, dir,
+      "vec_id", "embedding", query, "embedding", dim = 64, k = 10)
+    val inMemory = Similarity.lshMultiProbeTopK(base, "vec_id",
+      "embedding", query, "embedding", dim = 64, k = 10, planes = 6)
+    assert(fromIndex.as[(Long, Double)].collect().toSeq ==
+      inMemory.as[(Long, Double)].collect().toSeq)
+    // the IN filter lands on the partition column — pruned scan
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("__lsh_bucket"), s"no partition pruning in:\n$plan")
+    // a mismatched plane count fails fast instead of probing wrong dirs
+    intercept[IllegalArgumentException] {
+      Similarity.lshMultiProbeTopKFromIndex(spark, dir, "vec_id",
+        "embedding", query, "embedding", dim = 64, k = 10, planes = 8)
+    }
+  }
+
   test("IVF ANN: full probe is exact; partial probe finds the planted twin") {
     val dim = 8
     val q    = Array.fill(dim)(1.0f)
