@@ -460,6 +460,10 @@ object Curation {
     val local = df
       .select(col(idCol), col(scoreCol),
         col(tokensCol).cast("long").as("n_tokens"))
+      // cached before the range exchange: boundary sampling re-runs
+      // the caller's scoring lineage otherwise (packingManifestFrom
+      // lesson); three narrow columns
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())

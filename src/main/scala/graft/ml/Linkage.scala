@@ -143,6 +143,10 @@ object Linkage {
       col(compareRight).as("_cmp"))
     val order = Seq(col("_key").asc, col("_side").asc, col("_id").asc)
     val local = l.unionByName(r)
+      // cached before the range exchange: boundary sampling re-runs
+      // both caller frames' lineages otherwise (packingManifestFrom
+      // lesson); four narrow columns, bounded
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())

@@ -424,6 +424,11 @@ object Sketches {
       else hist0.sparkSession.sessionState.conf.numShufflePartitions
     val hist = hist0
       .select(col(valueCol).as("v"), col(countCol).as("c"))
+      // cached before the range exchange: boundary sampling would
+      // re-run the upstream value-histogram aggregate (the
+      // packingManifestFrom lesson); the histogram is distinct-value
+      // sized, so the cache is bounded
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .repartitionByRange(nPart, col("v"))
       .sortWithinPartitions(col("v"))
       .withColumn("__pid", spark_partition_id())

@@ -624,6 +624,10 @@ object TextAnalysis {
         t => length(t) > 0)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
+      // cached before the range exchange: RangePartitioner's boundary
+      // sampling otherwise re-runs the full-corpus token census (the
+      // packingManifestFrom lesson — sampling cost ≈ the aggregate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = counts
       .repartitionByRange(p, col("n").desc, col("token"))
       .withColumn("__pid", spark_partition_id())

@@ -240,6 +240,10 @@ object Profile {
     val local = df
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col(valueCol).cast("decimal(18,2)")).as("revenue"))
+      // cached before the range exchange: boundary sampling would
+      // re-run the corpus revenue aggregate (packingManifestFrom
+      // lesson); key-cardinality sized, bounded
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
