@@ -218,9 +218,12 @@ object Scratch {
         vrows.map(r => (r.getString(0), r.getLong(1))))
       val toks = filter(TextAnalysis.tokens(col("chunk_text")),
         t => length(t) > 0)
-      val enc = chunks.select(col("chunk_id"),
+      // zero-token guard on raw text, as in production encodeDocuments
+      // — a filter on the kernel struct would inline a second kernel
+      // evaluation via pushdown and misreport the stage cost
+      val enc = chunks.filter(col("chunk_text").rlike("\\S"))
+        .select(col("chunk_id"),
           graft.functions.VocabEncode.vocabEncode(toks, map, -1L).as("__e"))
-        .filter(col("__e.n_tokens") > 0)
         .select(col("chunk_id"), col("__e.n_tokens").as("n_tokens"),
           col("__e.n_oov").as("n_oov"), col("__e.token_ids").as("token_ids"))
       timed("kernel encode (materialize)")(

@@ -3388,7 +3388,7 @@ object SparkEntry {
     // exactly — checks bucket membership AND scores, not just shape.
     "q44_ann_lsh" ->
       s"""WITH ${sqlPlaneMatCte(4)},
-         |coded AS (
+         |coded AS MATERIALIZED (
          |  SELECT vec_id, embedding,
          |    list_sum(list_transform(range(1, 5), p ->
          |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),

@@ -32,6 +32,14 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // release per query, the Bench discipline: several operators
+        // persist intermediates that outlive their action (prefix
+        // tables, pre-exchange caches) — ~200 queries in one JVM
+        // otherwise accumulate every prior query's dead blocks until
+        // the heap is mostly cache (r12 review finding)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(true))
+        spark.catalog.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -90,8 +90,9 @@ object VocabEncode {
   /** Build the reference map from collected (token, token_id) rows.
     * Keys are [[UTF8String]] so the per-token probe compares the
     * scan's binary representation directly — no String decode per
-    * token. `clone()` the UTF8Strings: collected rows may share
-    * backing buffers with the driver-side result array.
+    * token. Entries arrive as JVM Strings (already copied out of any
+    * row buffers); a variant collecting UTF8String rows directly
+    * would have to clone each key before insertion.
     */
   def buildMap(
       entries: Array[(String, Long)]): java.util.HashMap[UTF8String, java.lang.Long] = {

@@ -457,13 +457,14 @@ object Curation {
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val order = Seq(col(scoreCol).desc, col(idCol).asc)
-    val local = df
+    // cached before the range exchange: boundary sampling re-runs
+    // the caller's scoring lineage otherwise (packingManifestFrom
+    // lesson); three narrow columns, released in the epilogue
+    val src = df
       .select(col(idCol), col(scoreCol),
         col(tokensCol).cast("long").as("n_tokens"))
-      // cached before the range exchange: boundary sampling re-runs
-      // the caller's scoring lineage otherwise (packingManifestFrom
-      // lesson); three narrow columns
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = src
       .repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
@@ -489,6 +490,7 @@ object Curation {
     // table before returning
     val materialized = out.localCheckpoint()
     local.unpersist()
+    src.unpersist()
     materialized
   }
 }

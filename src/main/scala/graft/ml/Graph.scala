@@ -435,12 +435,23 @@ object Graph {
     // (r11 advice) — compute the product in double precision and
     // round the final estimate instead (error ≤ 0.5 triangles).
     val est: Column =
-      if (denom % keep == 0) {
+      // exact long arithmetic needs q³ < 2^63, i.e. q < 2^21 — past
+      // that q*q*q silently wraps (possibly negative); such extreme
+      // sparsification falls through to the double path, which
+      // saturates instead of wrapping (r12 review finding)
+      if (denom % keep == 0 && (denom / keep) < (1 << 21)) {
         val scale = { val q = (denom / keep).toLong; q * q * q }
         col("tri_sampled") * lit(scale)
-      } else
-        round(col("tri_sampled").cast("double") *
-          lit(math.pow(denom.toDouble / keep, 3))).cast("long")
+      } else {
+        val d = col("tri_sampled").cast("double") *
+          lit(math.pow(denom.toDouble / keep, 3))
+        // saturate conservatively below Long.MaxValue: a double→long
+        // cast of an overflowing value throws under ANSI (wraps
+        // otherwise) — an estimate that large carries no information
+        // beyond "huge" anyway
+        when(d >= 9.2e18, lit(Long.MaxValue))
+          .otherwise(round(d).cast("long"))
+      }
     val out = m.crossJoin(t) // two one-row frames — bounded metadata
       .select(col("sampled_edges"), col("tri_sampled"),
         est.as("est_triangles"))

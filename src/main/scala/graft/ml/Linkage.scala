@@ -142,11 +142,12 @@ object Linkage {
       lit(1).as("_side"), col(sortKeyRight).as("_key"),
       col(compareRight).as("_cmp"))
     val order = Seq(col("_key").asc, col("_side").asc, col("_id").asc)
-    val local = l.unionByName(r)
-      // cached before the range exchange: boundary sampling re-runs
-      // both caller frames' lineages otherwise (packingManifestFrom
-      // lesson); four narrow columns, bounded
+    // cached before the range exchange: boundary sampling re-runs
+    // both caller frames' lineages otherwise (packingManifestFrom
+    // lesson); four narrow columns, released in the epilogue
+    val src = l.unionByName(r)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = src
       .repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
@@ -183,6 +184,7 @@ object Linkage {
     // release the ranked table
     val materialized = out.localCheckpoint()
     local.unpersist()
+    src.unpersist()
     materialized
   }
 }

@@ -237,13 +237,14 @@ object Profile {
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val order = col("revenue").desc +: keyCols.map(col(_).asc)
-    val local = df
+    // cached before the range exchange: boundary sampling would
+    // re-run the corpus revenue aggregate (packingManifestFrom
+    // lesson); key-cardinality sized, released in the epilogue
+    val src = df
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col(valueCol).cast("decimal(18,2)")).as("revenue"))
-      // cached before the range exchange: boundary sampling would
-      // re-run the corpus revenue aggregate (packingManifestFrom
-      // lesson); key-cardinality sized, bounded
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = src
       .repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
@@ -273,6 +274,7 @@ object Profile {
     // the result, release the CacheManager-registered intermediate
     val materialized = out.localCheckpoint()
     local.unpersist()
+    src.unpersist()
     materialized
   }
 

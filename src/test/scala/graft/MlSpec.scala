@@ -572,6 +572,12 @@ class MlSpec extends AnyFunSuite {
       denom = 4, keep = 2, canonical = true)
       .as[(Long, Long, Long)].collect().head
     assert(exact == ((15L, 20L, 160L)), s"got $exact") // 20 · 2³
+    // a scale whose cube exceeds Long saturates instead of wrapping
+    // (q = 2^22 → q³ = 2^66; the old q*q*q gave 0 or negative)
+    val huge = Graph.triangleEstimateFromSample(k6, "u", "v",
+      denom = 1 << 22, keep = 1, canonical = true)
+      .as[(Long, Long, Long)].collect().head
+    assert(huge._3 == Long.MaxValue, s"got ${huge._3}")
     // a caller-held persist is not evicted as a side effect
     val cached = k6.persist()
     cached.count()
