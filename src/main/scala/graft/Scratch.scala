@@ -192,6 +192,48 @@ object Scratch {
       println(f"[prof] bpeTrain(sequential) merges=${math.min(merges, 32)} learned=${seqLearned.length} in $dt1%.2f s")
       spark.stop(); return
     }
+    if (name == "mp_recall_profile") {
+      // r12: recall@k and probe cost of single-bucket vs Hamming-1
+      // multi-probe LSH vs exact brute force, at production
+      // (autoPlanes) sizing — the q200 analogue of the r11 ivf_probe
+      // decade study.
+      //   sbt "runMain graft.Scratch mp_recall_profile target/sf1"
+      import graft.ml.Similarity
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val base = e.filter(col("vec_id") >= 100)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = base.count()
+      val planes = Similarity.autoPlanes(n, 16)
+      val k = 10
+      val queryIds = (0L until 20L)
+      def topIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      var rSingle = 0.0; var rMulti = 0.0
+      var tSingle = 0.0; var tMulti = 0.0; var tBrute = 0.0
+      queryIds.foreach { qid =>
+        val q = e.filter(col("vec_id") === qid)
+        val t0 = System.nanoTime()
+        val brute = topIds(Similarity.bruteForceTopK(
+          base, "vec_id", "embedding", q, "embedding", k)).toSet
+        tBrute += (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val single = topIds(Similarity.lshTopK(base, "vec_id",
+          "embedding", q, "embedding", dim = 64, k = k, planes = planes))
+        tSingle += (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val multi = topIds(Similarity.lshMultiProbeTopK(base, "vec_id",
+          "embedding", q, "embedding", dim = 64, k = k, planes = planes))
+        tMulti += (System.nanoTime() - t2) / 1e9
+        rSingle += single.count(brute) / k.toDouble
+        rMulti += multi.count(brute) / k.toDouble
+      }
+      val m = queryIds.size
+      println(f"[prof] n=$n planes=$planes (autoPlanes) queries=$m k=$k")
+      println(f"[prof] recall@$k single=${rSingle / m}%.3f multi=${rMulti / m}%.3f")
+      println(f"[prof] mean probe sec brute=${tBrute / m}%.3f single=${tSingle / m}%.3f multi=${tMulti / m}%.3f")
+      base.unpersist()
+      spark.stop(); return
+    }
     if (name == "q104_profile") {
       // r12: which q104 stage grows — chunk, vocab census, vocab
       // collect, kernel encode, pack prefix-sum, final assembly.
