@@ -468,10 +468,12 @@ object Curation {
       .repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
+      // exclusive running sum via the stateful prefix-sum kernel — a
+      // window over __pid would re-shuffle the corpus a second time
+      // (the packingManifestFrom plan-audit lesson)
       .withColumn("__local",
-        coalesce(sum(col("n_tokens")).over(
-          Window.partitionBy(col("__pid")).orderBy(order: _*)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        graft.functions.PartitionPrefixSum
+          .partitionPrefixSum(col("n_tokens")))
       .persist()
     val prefixes = local.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("__t"))

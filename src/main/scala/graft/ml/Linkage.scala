@@ -151,8 +151,11 @@ object Linkage {
       .repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(order: _*)))
+      // per-partition row number via the stateful prefix-sum kernel —
+      // a row_number window over __pid would re-shuffle the corpus a
+      // second time (the packingManifestFrom plan-audit lesson)
+      .withColumn("__rn",
+        graft.functions.PartitionPrefixSum.partitionRunningTotal(lit(1L)))
       .persist()
     val offsets = local.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__t"))

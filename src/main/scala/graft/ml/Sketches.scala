@@ -432,10 +432,11 @@ object Sketches {
       .repartitionByRange(nPart, col("v"))
       .sortWithinPartitions(col("v"))
       .withColumn("__pid", spark_partition_id())
+      // inclusive running count via the stateful prefix-sum kernel —
+      // a window over __pid would re-shuffle the histogram a second
+      // time (the packingManifestFrom plan-audit lesson)
       .withColumn("__hi_local",
-        sum(col("c")).over(Window.partitionBy(col("__pid"))
-          .orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+        graft.functions.PartitionPrefixSum.partitionRunningTotal(col("c")))
       .persist()
     // ≤ `nPart` rows by construction (one per partition id); constant
     // partition key silences the global-window warning

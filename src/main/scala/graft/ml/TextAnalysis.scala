@@ -351,14 +351,19 @@ object TextAnalysis {
     // memory. (The q104 sf10 profile, r11 verdict #3.)
     val src = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // __local via the stateful PartitionPrefixSum kernel, NOT a window
+    // over __pid: Catalyst cannot prove the post-exchange data is
+    // clustered by physical partition, so the window form inserts a
+    // SECOND full shuffle (hashpartitioning(__pid)) that re-ships
+    // every payload column — the q104 plan audit caught the pack
+    // stage moving its token_ids arrays over the wire twice
     val local = src
       .repartitionByRange(p, col(idCol))
       .sortWithinPartitions(col(idCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local",
-        coalesce(sum(col(nTokensCol)).over(
-          Window.partitionBy(col("__pid")).orderBy(col(idCol))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        graft.functions.PartitionPrefixSum
+          .partitionPrefixSum(col(nTokensCol)))
       .persist()
     // one row per partition id — ≤ `p` rows by construction, so the
     // single-task window is safe; the constant partition key only
@@ -628,12 +633,16 @@ object TextAnalysis {
       // sampling otherwise re-runs the full-corpus token census (the
       // packingManifestFrom lesson — sampling cost ≈ the aggregate)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition rank via the stateful prefix-sum kernel (a
+    // row_number window over __pid re-shuffles the data a second
+    // time — the packingManifestFrom plan-audit lesson); the explicit
+    // sortWithinPartitions replaces the window's own ordering
     val local = counts
       .repartitionByRange(p, col("n").desc, col("token"))
+      .sortWithinPartitions(col("n").desc, col("token"))
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__local", row_number().over(
-        Window.partitionBy(col("__pid"))
-          .orderBy(col("n").desc, col("token"))) - 1)
+      .withColumn("__local",
+        graft.functions.PartitionPrefixSum.partitionPrefixSum(lit(1L)))
       .persist()
     // ≤ `p` rows by construction (one per partition id); constant
     // partition key silences the global-window warning

@@ -291,6 +291,68 @@ class MlSpec extends AnyFunSuite {
     assert(snap(fallback) == snap(kernel))
   }
 
+  test("PartitionPrefixSum: per-partition running sums match a window " +
+      "reference; the pack payload crosses exactly one shuffle") {
+    import graft.functions.PartitionPrefixSum._
+    import org.apache.spark.sql.expressions.Window
+    // random sizes across several partitions, both frame shapes
+    val df = (1L to 500L).map(i => (i, (i * 2654435761L % 97).toInt))
+      .toDF("id", "w")
+      .repartitionByRange(7, $"id").sortWithinPartitions($"id")
+      .withColumn("__pid", spark_partition_id())
+    val got = df
+      .withColumn("excl", partitionPrefixSum($"w"))
+      .withColumn("incl", partitionRunningTotal($"w"))
+      .withColumn("rn", partitionRunningTotal(lit(1L)))
+    val ref = df
+      .withColumn("excl", coalesce(sum($"w").over(
+        Window.partitionBy($"__pid").orderBy($"id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("incl", sum($"w").over(
+        Window.partitionBy($"__pid").orderBy($"id")
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"__pid").orderBy($"id")).cast("long"))
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id", $"excl", $"incl", $"rn")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(snap(got) == snap(ref))
+    // THE point of the kernel: the window form ships the data through
+    // a second hashpartitioning(__pid) exchange; the kernel form has
+    // exactly the one range exchange
+    def shuffles(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.toString
+        .split('\n').count(_.contains("Exchange "))
+    assert(shuffles(got) == 1, s"kernel plan has ${shuffles(got)} shuffles")
+    assert(shuffles(ref) == 2, s"window plan has ${shuffles(ref)} shuffles")
+    // the wide pack pipeline: exactly one exchange carries the payload
+    val docs = Seq((1L, "a b c", "p1"), (2L, "d e", "p2"))
+      .toDF("doc_id", "text", "payload")
+      .withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+    val packed = TextAnalysis.packingManifestFrom(docs, "doc_id",
+      "n_tokens", seqLen = 4, partitions = 2)
+    val plan = packed.queryExecution.executedPlan.toString
+    // distinct SHUFFLE exchanges (by plan_id — the cached relation's
+    // inner rendering repeats the same node) not keyed on __pid (the
+    // ≤p-row offsets aggregation is allowed its tiny exchange): the
+    // payload itself must cross exactly the one range exchange
+    val shuffleRe =
+      """Exchange (\w*partitioning\([^)]*\)).*plan_id=(\d+)""".r
+    val payloadShuffles = shuffleRe.findAllMatchIn(plan)
+      .map(m => (m.group(2), m.group(1)))
+      // keyed on __pid, or on the offsets window's pmod alias (_wN) —
+      // both live in the ≤p-row prefix-lift subtree by construction
+      .filterNot(s => s._2.contains("__pid") || s._2.contains("(_w"))
+      .toMap
+    assert(payloadShuffles.size <= 1,
+      s"payload crosses ${payloadShuffles.size} shuffles " +
+        s"(${payloadShuffles.values.toSet}):\n$plan")
+    // the ≤p-row offsets window is fine; a window keyed directly on
+    // __pid (the old payload-reshuffling form) must not reappear
+    assert(!plan.contains("windowspecdefinition(__pid"),
+      s"pack plan windows over __pid again:\n$plan")
+  }
+
   test("packingManifestFrom keeps payload columns and matches " +
       "packingManifest's offsets") {
     val df = Seq(

@@ -117,17 +117,22 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
-  test("exactQuantiles: every data-sized window is partition-local") {
+  test("exactQuantiles: no data-sized window at all (kernel prefix sum)") {
     val df = (1 to 1000).map(_.toDouble).toDF("x")
     val q = Sketches.exactQuantiles(df, "x", Seq(0.5))
     q.collect()
+    val plan = q.queryExecution.executedPlan.toString
     val specs = "windowspecdefinition\\([^)]*\\)".r
-      .findAllIn(q.queryExecution.executedPlan.toString).toList
-    // the running sum over the value histogram must carry the __pid
-    // partition key; the only global-order window is over the
+      .findAllIn(plan).toList
+    // r12: the histogram running sum is the stateful
+    // PartitionPrefixSum kernel — no window touches the value column
+    // (the old __pid-window form re-shuffled the histogram); the only
+    // window left is the global-order lift over the
     // partition-count-sized totals table (no v# reference)
-    val dataSpecs = specs.filter(_.contains("v#"))
-    assert(dataSpecs.nonEmpty && dataSpecs.forall(_.contains("__pid")))
+    assert(specs.forall(s => !s.contains("v#")),
+      s"a window still references the value column: $specs")
+    assert(plan.contains("partition_prefix_sum"),
+      "histogram running sum no longer uses the kernel")
   }
 
   // ----------------------------------------------------------- sampling
