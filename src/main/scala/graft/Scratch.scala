@@ -234,6 +234,122 @@ object Scratch {
       base.unpersist()
       spark.stop(); return
     }
+    if (name == "planted_recall_profile") {
+      // r13 (r12 verdict #1): ANN recall in the PRODUCTION regime —
+      // planted near-dup clusters (gen_sf embeddings_planted: parent +
+      // 9 twins at cosine ~U(0.90, 0.99)), where a twin query's true
+      // top-10 is its cluster. Measures recall@10 / parent-hit / mean
+      // probe sec for single-bucket LSH, blind Hamming-1 multi-probe,
+      // query-directed budget probing (r13 operator) at two plane
+      // sizings, and an IVF nprobe sweep — all over persisted indexes
+      // (spec-pinned result-identical to the in-memory paths).
+      //   sbt "runMain graft.Scratch planted_recall_profile target/sf1"
+      import graft.ml.Similarity
+      import spark.implicits._
+      val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
+        .select(col("vec_id"), col("embedding"), col("parent_id"))
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = corpus.count()
+      val k = 10
+      val nQ = if (args.length > 2) args(2).toInt else 40
+      // one query twin per cluster (the smallest twin id per parent)
+      val queries = e.filter(col("parent_id") >= 0)
+        .groupBy(col("parent_id")).agg(min(col("vec_id")).as("vec_id"))
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .orderBy(col("vec_id")).limit(nQ)
+        .select(col("vec_id"), col("parent_id"), col("embedding"))
+        .collect()
+      val planesFine   = Similarity.autoPlanes(n, 16)
+      val planesCoarse = Similarity.autoPlanes(n, 128)
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      val lshF = tmp("graft_pr_lshf"); val lshC = tmp("graft_pr_lshc")
+      val ivfDir = tmp("graft_pr_ivf")
+      Similarity.writeLshIndex(corpus, "vec_id", "embedding", lshF,
+        dim = 64, planes = planesFine)
+      Similarity.writeLshIndex(corpus, "vec_id", "embedding", lshC,
+        dim = 64, planes = planesCoarse)
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", ivfDir,
+        nlist = 0)
+      val nlist = Similarity.readIndexMeta(spark, ivfDir)("nlist").toInt
+      def maxB(p: Int) = 1 + p + p * (p - 1) / 2
+      type Q = org.apache.spark.sql.DataFrame
+      def lshMethods(dir: String, p: Int): Seq[(String, Q => Q)] = Seq(
+        s"lsh_p${p}_single" -> ((q: Q) => Similarity.lshTopKFromIndex(
+          spark, dir, "vec_id", "embedding", q, "embedding",
+          dim = 64, k = k + 1, planes = p)),
+        s"lsh_p${p}_h1" -> ((q: Q) => Similarity.lshMultiProbeTopKFromIndex(
+          spark, dir, "vec_id", "embedding", q, "embedding",
+          dim = 64, k = k + 1)),
+        s"lsh_p${p}_b4" -> ((q: Q) => Similarity.lshMultiProbeTopKBudgetFromIndex(
+          spark, dir, "vec_id", "embedding", q, "embedding",
+          dim = 64, k = k + 1, probes = 4)),
+        s"lsh_p${p}_b16" -> ((q: Q) => Similarity.lshMultiProbeTopKBudgetFromIndex(
+          spark, dir, "vec_id", "embedding", q, "embedding",
+          dim = 64, k = k + 1, probes = 16)),
+        s"lsh_p${p}_b${maxB(p)}_h2full" -> ((q: Q) =>
+          Similarity.lshMultiProbeTopKBudgetFromIndex(
+            spark, dir, "vec_id", "embedding", q, "embedding",
+            dim = 64, k = k + 1, probes = maxB(p))))
+      val methods: Seq[(String, Q => Q)] =
+        lshMethods(lshF, planesFine) ++ lshMethods(lshC, planesCoarse) ++
+          Seq(1, 2, 4, 8).map(np => s"ivf_np$np" -> ((q: Q) =>
+            Similarity.ivfTopKFromIndex(spark, ivfDir, "vec_id",
+              "embedding", q, "embedding", nprobe = np, k = k + 1)))
+      val rec = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      val ph  = scala.collection.mutable.Map.empty[String, Int]
+        .withDefaultValue(0)
+      val sec = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      var bruteSec = 0.0
+      queries.foreach { row =>
+        val qid = row.getLong(0); val parent = row.getLong(1)
+        val qdf = Seq((qid, row.getSeq[Float](2)))
+          .toDF("vec_id", "embedding")
+        // self-exclusion: the query is an indexed corpus row, so ask
+        // for k+1 and drop it from every result, ground truth included
+        def ids(df: Q): Set[Long] = df.select("vec_id").collect()
+          .map(_.getLong(0)).filter(_ != qid).take(k).toSet
+        val t0 = System.nanoTime()
+        val truth = ids(Similarity.bruteForceTopK(corpus, "vec_id",
+          "embedding", qdf, "embedding", k = k + 1))
+        bruteSec += (System.nanoTime() - t0) / 1e9
+        require(truth.contains(parent),
+          s"planted parent $parent not in brute top-$k of twin $qid")
+        methods.foreach { case (label, f) =>
+          val t1 = System.nanoTime()
+          val got = ids(f(qdf))
+          sec(label) += (System.nanoTime() - t1) / 1e9
+          rec(label) += got.intersect(truth).size / k.toDouble
+          if (got.contains(parent)) ph(label) += 1
+        }
+      }
+      val m = queries.length
+      println(f"[prof] n=$n queries=$m k=$k planesFine=$planesFine " +
+        f"planesCoarse=$planesCoarse nlist=$nlist " +
+        f"brute_mean_sec=${bruteSec / m}%.3f")
+      methods.foreach { case (label, _) =>
+        val frac =
+          if (label.startsWith("ivf_np"))
+            label.stripPrefix("ivf_np").toDouble / nlist
+          else {
+            val p = label.split('_')(1).stripPrefix("p").toInt
+            val b = label.split('_')(2) match {
+              case "single" => 1.0
+              case "h1"     => 1.0 + p
+              case s        => s.stripPrefix("b").toDouble
+            }
+            b / math.pow(2.0, p)
+          }
+        println(f"[prof] $label%-22s recall@$k=${rec(label) / m}%.3f " +
+          f"parent_hit=${ph(label).toDouble / m}%.3f " +
+          f"mean_sec=${sec(label) / m}%.3f est_scan_frac=$frac%.4f")
+      }
+      corpus.unpersist()
+      spark.stop(); return
+    }
     if (name == "q104_profile") {
       // r12: which q104 stage grows — chunk, vocab census, vocab
       // collect, kernel encode, pack prefix-sum, final assembly.

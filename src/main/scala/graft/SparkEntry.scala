@@ -2666,6 +2666,23 @@ object SparkEntry {
         dim = 64, k = 10, planes = 6)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
     }),
+
+    // Query-directed multi-probe LSH under a probe BUDGET (Lv et al.
+    // VLDB'07 §4): q200 probes all Hamming-1 flips blindly; this
+    // orders perturbations by the query's squared hyperplane margins
+    // and takes `probes` buckets total. planes = 8 with budget 12 >
+    // planes + 1 forces the sequence past the 8 single flips into
+    // Hamming-2 masks — the oracle replays the margin ordering, the
+    // mask tie-break, and the LIMIT, so the probe-set derivation
+    // itself is exact-checked, not just the rerank.
+    "q201_ann_lsh_qdprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshMultiProbeTopKBudget(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "embedding",
+        dim = 64, k = 10, planes = 8, probes = 12)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+    }),
   )
 
   /** BENCH-ONLY registry (r11 verdict #1): queries the bench measures
@@ -3428,6 +3445,56 @@ object SparkEntry {
          |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS raw
          | FROM coded c, q WHERE c.vec_id <> 0
          |   AND xor(c.bk, q.qbk) IN (0, 1, 2, 4, 8, 16, 32))
+         |SELECT vec_id, round(raw, 4) AS score FROM sc
+         |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
+    // Query-directed budget probing at planes = 8, budget 12: the
+    // oracle replays the ENGINE'S probe-set derivation — per-plane
+    // signed projections for the query, perturbation masks of Hamming
+    // ≤ 2 scored by the sum of squared flipped margins, ordered
+    // (score, mask), LIMIT budget − 1, base-code XOR — then the
+    // standard bucket-IN rerank. The margin comparisons ride the same
+    // bit-equal dot replay every sign comparison (q44/q200) already
+    // depends on.
+    "q201_ann_lsh_qdprobe" ->
+      s"""WITH ${sqlPlaneMatCte(8)},
+         |coded AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(1, 9), p ->
+         |      list_sum(list_transform(range(1, len(embedding) + 1),
+         |        i -> CAST(embedding[i] AS DOUBLE) * __mat.m[p][i]))) AS dots
+         |  FROM embeddings, __mat),
+         |ck AS MATERIALIZED (
+         |  SELECT vec_id, embedding, dots,
+         |    CAST(list_sum(list_transform(range(1, 9), p ->
+         |      CASE WHEN dots[p] >= 0 THEN (1 << (p - 1)) ELSE 0 END))
+         |      AS BIGINT) AS bk
+         |  FROM coded),
+         |q AS (SELECT embedding AS qe, bk AS qbk, dots AS qd
+         |      FROM ck WHERE vec_id = 0),
+         |masks AS (
+         |  SELECT CAST(1 << (p - 1) AS BIGINT) AS mask,
+         |         qd[p] * qd[p] AS s
+         |  FROM q, range(1, 9) t(p)
+         |  UNION ALL
+         |  SELECT CAST((1 << (p1 - 1)) | (1 << (p2 - 1)) AS BIGINT) AS mask,
+         |         qd[p1] * qd[p1] + qd[p2] * qd[p2] AS s
+         |  FROM q, range(1, 9) t1(p1), range(1, 9) t2(p2)
+         |  WHERE p1 < p2),
+         |probes AS (
+         |  SELECT xor(q.qbk, mask) AS code FROM masks, q
+         |  ORDER BY s, mask LIMIT 11),
+         |pset AS (
+         |  SELECT qbk AS code FROM q
+         |  UNION ALL SELECT code FROM probes),
+         |sc AS (SELECT c.vec_id,
+         |  list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(c.embedding,
+         |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(q.qe,
+         |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS raw
+         | FROM ck c, q
+         | WHERE c.vec_id <> 0 AND c.bk IN (SELECT code FROM pset))
          |SELECT vec_id, round(raw, 4) AS score FROM sc
          |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
     "q41_jaccard_pairs" ->

@@ -37,9 +37,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * the shared struct child once per row, so extracting n_tokens,
   * n_oov, and token_ids does not re-run the lookup loop.
   */
+/** Identity-equality wrapper for the vocabulary map. The expression is
+  * a case class, so Catalyst canonicalization and hash-based plan
+  * structures call equals/hashCode on every field — with the raw
+  * HashMap as a field that iterates all (up to 4M) entries, uncached,
+  * potentially repeatedly during optimization (r12 advice). The map
+  * reference is shared across every `copy`/`withNewChildInternal` of
+  * one expression anyway, so reference identity IS the right equality;
+  * two independently-built identical vocabularies comparing unequal
+  * only costs a missed subexpression-elimination, never correctness.
+  */
+final class VocabRef(
+    val map: java.util.HashMap[UTF8String, java.lang.Long])
+    extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case v: VocabRef => v.map eq map
+    case _           => false
+  }
+  override def hashCode(): Int = System.identityHashCode(map)
+  override def toString: String = s"VocabRef(${map.size} entries)"
+}
+
 case class VocabEncode(
     child: Expression,
-    vocab: java.util.HashMap[UTF8String, java.lang.Long],
+    vocab: VocabRef,
     oovId: Long)
     extends UnaryExpression {
 
@@ -57,14 +78,14 @@ case class VocabEncode(
     }
 
   override def nullSafeEval(input: Any): Any =
-    VocabEncode.compute(input.asInstanceOf[ArrayData], vocab, oovId)
+    VocabEncode.compute(input.asInstanceOf[ArrayData], vocab.map, oovId)
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // the vocab rides as a referenced JVM object, not literals —
     // shipped once per executor with the task binary, like a
     // broadcast table, never per row
-    val map = ctx.addReferenceObj("vocab", vocab, "java.util.HashMap")
+    val map = ctx.addReferenceObj("vocab", vocab.map, "java.util.HashMap")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
       |${ev.value} = graft.functions.VocabEncode.compute($c, $map, ${oovId}L);
@@ -85,7 +106,8 @@ object VocabEncode {
       vocab: java.util.HashMap[UTF8String, java.lang.Long],
       oovId: Long): Column =
     GraftBridge.column(
-      VocabEncode(GraftBridge.expression(tokens), vocab, oovId))
+      VocabEncode(GraftBridge.expression(tokens), new VocabRef(vocab),
+        oovId))
 
   /** Build the reference map from collected (token, token_id) rows.
     * Keys are [[UTF8String]] so the per-token probe compares the

@@ -434,6 +434,12 @@ object Graph {
     // before multiplying biases the DOULION estimator by up to ~16%
     // (r11 advice) — compute the product in double precision and
     // round the final estimate instead (error ≤ 0.5 triangles).
+    // saturate conservatively below Long.MaxValue: a double→long cast
+    // of an overflowing value throws under ANSI (wraps otherwise) —
+    // an estimate that large carries no information beyond "huge"
+    def saturating(d: Column): Column =
+      when(d >= 9.2e18, lit(Long.MaxValue))
+        .otherwise(round(d).cast("long"))
     val est: Column =
       // exact long arithmetic needs q³ < 2^63, i.e. q < 2^21 — past
       // that q*q*q silently wraps (possibly negative); such extreme
@@ -441,17 +447,17 @@ object Graph {
       // saturates instead of wrapping (r12 review finding)
       if (denom % keep == 0 && (denom / keep) < (1 << 21)) {
         val scale = { val q = (denom / keep).toLong; q * q * q }
-        col("tri_sampled") * lit(scale)
-      } else {
-        val d = col("tri_sampled").cast("double") *
-          lit(math.pow(denom.toDouble / keep, 3))
-        // saturate conservatively below Long.MaxValue: a double→long
-        // cast of an overflowing value throws under ANSI (wraps
-        // otherwise) — an estimate that large carries no information
-        // beyond "huge" anyway
-        when(d >= 9.2e18, lit(Long.MaxValue))
-          .otherwise(round(d).cast("long"))
-      }
+        // the PRODUCT must fit too: tri_sampled·scale ≥ 2^63 wraps
+        // (or throws under ANSI) even when scale alone fits, e.g.
+        // denom = 2^20, keep = 1, tri_sampled ≥ 9 — rows past the
+        // per-row fit bound take the saturating double path (r12
+        // advice)
+        when(col("tri_sampled") <= lit(Long.MaxValue / scale),
+          col("tri_sampled") * lit(scale))
+          .otherwise(saturating(
+            col("tri_sampled").cast("double") * lit(scale.toDouble)))
+      } else saturating(col("tri_sampled").cast("double") *
+        lit(math.pow(denom.toDouble / keep, 3)))
     val out = m.crossJoin(t) // two one-row frames — bounded metadata
       .select(col("sampled_edges"), col("tri_sampled"),
         est.as("est_triangles"))

@@ -413,6 +413,13 @@ object Sketches {
     * histogram's distinct values instead of scanning the data again
     * ([[graft.operators.Cleanse.flagOutliersMad]]). Rows must carry
     * unique values (a grouped histogram does by construction).
+    *
+    * CACHE OWNERSHIP: persists the histogram (twice — raw ahead of
+    * the boundary-sampling range exchange, and prefix-summed) for the
+    * lifetime of the returned LAZY frame — caller releases after
+    * materialization
+    * ([[graft.operators.PhysicalOps.releaseCaches]]); see
+    * [[graft.ml.TextAnalysis.packingManifestFrom]]'s contract note.
     */
   def exactQuantilesWeighted(
       hist0: DataFrame, valueCol: String, countCol: String,

@@ -334,6 +334,16 @@ object TextAnalysis {
     * (q104's sf10 profile). Same distributed prefix-sum: range-
     * partition on id, per-partition running sums, per-partition totals
     * (≤ `partitions` rows) broadcast back as offsets.
+    *
+    * CACHE OWNERSHIP: this operator persists two frames (the input,
+    * ahead of the boundary-sampling range exchange, and the
+    * prefix-summed partitions, which the totals and the join both
+    * consume) that must outlive the returned LAZY frame's first
+    * materialization — so it cannot release them itself. The CALLER
+    * owns release: materialize the result (write/collect/count), then
+    * [[graft.operators.PhysicalOps.releaseCaches]] (or unpersist via
+    * `spark.sparkContext.getPersistentRDDs`). A long-lived JVM that
+    * skips this accumulates session-lifetime dead blocks (r12 advice).
     */
   def packingManifestFrom(
       df: DataFrame, idCol: String, nTokensCol: String,
@@ -616,6 +626,12 @@ object TextAnalysis {
     * partition) broadcast back: the same distributed prefix-sum shape
     * as [[packingManifest]]. The only single-task step is the
     * offsets window over ≤ `partitions` rows.
+    *
+    * CACHE OWNERSHIP: persists the pruned census and the ranked
+    * partitions for the lifetime of the returned LAZY frame — caller
+    * releases after materialization
+    * ([[graft.operators.PhysicalOps.releaseCaches]]); see
+    * [[packingManifestFrom]]'s contract note.
     */
   def buildVocab(
       df: DataFrame, textCol: String,

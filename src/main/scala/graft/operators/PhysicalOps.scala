@@ -62,6 +62,24 @@ object PhysicalOps {
 
   def unpersist(df: DataFrame): DataFrame = df.unpersist()
 
+  /** Release every persisted RDD in the session — the consume side of
+    * the caller-owned cache-release contract on LAZY operators that
+    * persist internally ([[graft.ml.TextAnalysis.packingManifestFrom]],
+    * [[graft.ml.TextAnalysis.buildVocab]],
+    * [[graft.ml.Sketches.exactQuantilesWeighted]]: each caches its
+    * input ahead of a range exchange because RangePartitioner's
+    * boundary sampling re-executes the child lineage, and the cache
+    * must outlive the returned frame's first materialization, so the
+    * operator CANNOT release it). Pattern: materialize the result
+    * (write/collect/count), then call this; a long-lived multi-query
+    * JVM that skips it accumulates dead blocks (r12 advice — the
+    * Verify/Bench per-query sweep, packaged for library callers).
+    * Blocking so the executor memory is actually free on return.
+    */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+
   /** Re-split the input of a CPU-dense kernel (minhash: 64 hash
     * finalizers per shingle; k-means: nlist×dim multiply-adds per
     * vector) when the scan produced fewer splits than the cluster has

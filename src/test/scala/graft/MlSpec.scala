@@ -291,6 +291,30 @@ class MlSpec extends AnyFunSuite {
     assert(snap(fallback) == snap(kernel))
   }
 
+  test("VocabEncode equality is reference identity on the vocab map " +
+      "(r12 advice: canonicalization must not iterate 4M entries)") {
+    import graft.functions.{VocabEncode, VocabRef}
+    import org.apache.spark.unsafe.types.UTF8String
+    val m1 = VocabEncode.buildMap(Array(("a", 0L), ("b", 1L)))
+    val m2 = VocabEncode.buildMap(Array(("a", 0L), ("b", 1L)))
+    val child = org.apache.spark.sql.GraftBridge.expression(lit("x"))
+    val e1 = VocabEncode(child, new VocabRef(m1), -1L)
+    // the SAME map reference (the copy/withNewChildInternal shape) is
+    // equal; an independently-built identical map is NOT — equality
+    // never walks entries
+    assert(e1 == VocabEncode(child, new VocabRef(m1), -1L))
+    assert(e1 != VocabEncode(child, new VocabRef(m2), -1L))
+    assert(new VocabRef(m1).hashCode == new VocabRef(m1).hashCode)
+    // the kernel still computes through the holder
+    val docs = Seq((1L, "a b zz")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        VocabEncode.vocabEncode(split($"text", " "), m1, -1L).as("e"))
+      .select($"doc_id", $"e.n_tokens", $"e.n_oov", $"e.token_ids")
+      .as[(Long, Int, Int, Seq[Long])].collect().head
+    assert(got == ((1L, 3, 1, Seq(0L, 1L, -1L))))
+    assert(m1.get(UTF8String.fromString("b")) == 1L)
+  }
+
   test("PartitionPrefixSum: per-partition running sums match a window " +
       "reference; the pack payload crosses exactly one shuffle") {
     import graft.functions.PartitionPrefixSum._
@@ -374,6 +398,35 @@ class MlSpec extends AnyFunSuite {
       .select("doc_id", "n_tokens", "offset", "seq_first", "seq_last")
       .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got.map(g => (g._1, g._3, g._4, g._5, g._6)) == ref)
+  }
+
+  test("cache-ownership contract: consume-then-releaseCaches leaves no " +
+      "persistent RDDs (r12 verdict #5)") {
+    // clean slate — earlier tests in this suite may have left blocks
+    graft.operators.PhysicalOps.releaseCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val docs = Seq((1L, "a b c d"), (2L, "e f"), (3L, "g h i"))
+      .toDF("doc_id", "text")
+      .withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+    val out = TextAnalysis.packingManifestFrom(docs, "doc_id",
+      "n_tokens", seqLen = 4, partitions = 2)
+    out.queryExecution.toRdd.count() // the consume step (write/collect)
+    // the operator's internal persists legitimately outlive the call…
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "packingManifestFrom no longer persists — update its contract doc")
+    // …and the documented release step clears them all
+    graft.operators.PhysicalOps.releaseCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // same contract for buildVocab and exactQuantilesWeighted
+    TextAnalysis.buildVocab(docs, "text", minCount = 1, partitions = 2)
+      .queryExecution.toRdd.count()
+    graft.ml.Sketches.exactQuantilesWeighted(
+        docs.select($"n_tokens".as("v"), lit(1L).as("c")),
+        "v", "c", Seq(0.5), partitions = 2)
+      .queryExecution.toRdd.count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    graft.operators.PhysicalOps.releaseCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
   test("snapshotDiff classifies added/removed/changed/unchanged per key") {
@@ -640,6 +693,20 @@ class MlSpec extends AnyFunSuite {
       denom = 1 << 22, keep = 1, canonical = true)
       .as[(Long, Long, Long)].collect().head
     assert(huge._3 == Long.MaxValue, s"got ${huge._3}")
+    // the PRODUCT overflow on the exact-integer path (r12 advice):
+    // q = 2^20 < 2^21 takes the exact branch with scale = 2^60, and
+    // tri_sampled = 20 > Long.MaxValue/2^60 = 7 — must saturate, not
+    // wrap (20·2^60 under i64 wraps to a negative) or throw under ANSI
+    val prodOverflow = Graph.triangleEstimateFromSample(k6, "u", "v",
+      denom = 1 << 20, keep = 1, canonical = true)
+      .as[(Long, Long, Long)].collect().head
+    assert(prodOverflow._3 == Long.MaxValue, s"got ${prodOverflow._3}")
+    // just UNDER the per-row fit bound the exact product survives:
+    // q = 2^18 → scale = 2^54, 20·2^54 < 2^63
+    val prodExact = Graph.triangleEstimateFromSample(k6, "u", "v",
+      denom = 1 << 18, keep = 1, canonical = true)
+      .as[(Long, Long, Long)].collect().head
+    assert(prodExact._3 == 20L * (1L << 54), s"got ${prodExact._3}")
     // a caller-held persist is not evicted as a side effect
     val cached = k6.persist()
     cached.count()
@@ -1331,6 +1398,165 @@ class MlSpec extends AnyFunSuite {
       Similarity.lshMultiProbeTopKFromIndex(spark, dir, "vec_id",
         "embedding", query, "embedding", dim = 64, k = 10, planes = 8)
     }
+  }
+
+  test("probeMasks: margin-ordered, mask tie-break, Hamming-2 reach, " +
+      "budget prefix property") {
+    // squared margins: plane 0 → 0.25, plane 1 → 4.0, plane 2 → 0.01
+    val dots = Seq(0.5, -2.0, 0.1)
+    val all = Similarity.probeMasks(dots, budget = 100)
+    // every single flip and every pair, each mask once, Hamming ≤ 2
+    assert(all.size == 3 + 3 && all.distinct == all)
+    assert(all.forall(m => m != 0L && java.lang.Long.bitCount(m) <= 2))
+    // order: {2} (0.01) < {0} (0.25) < {0,2} (0.26) < {1} (4.0) <
+    // {1,2} (4.01) < {0,1} (4.25) — a PAIR of small margins outranks a
+    // large single, the query-directed property a blind Hamming sweep
+    // lacks
+    assert(all == Seq(4L, 1L, 5L, 2L, 6L, 3L))
+    // a smaller budget is a strict prefix (probe sequences nest)
+    assert(Similarity.probeMasks(dots, 4) == all.take(3))
+    assert(Similarity.probeMasks(dots, 1).isEmpty)
+  }
+
+  test("budget multi-probe: budget 1 ≡ single bucket, monotone in the " +
+      "budget, max budget covers Hamming ≤ 2 and dominates the blind " +
+      "Hamming-1 sweep") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val base  = e.filter($"vec_id" =!= 0)
+    val query = e.filter($"vec_id" === 0)
+    val planes = 6
+    val maxBudget = 1 + planes + planes * (planes - 1) / 2 // 22
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double)].collect().toSeq
+    val single = scores(Similarity.lshTopK(base, "vec_id", "embedding",
+      query, "embedding", dim = 64, k = 10, planes = planes))
+    val byBudget = Seq(1, 3, 7, 12, maxBudget).map(b =>
+      scores(Similarity.lshMultiProbeTopKBudget(base, "vec_id",
+        "embedding", query, "embedding", dim = 64, k = 10,
+        planes = planes, probes = b)))
+    assert(byBudget.head == single, "budget 1 must equal the single-bucket probe")
+    // growing budgets probe supersets ⇒ pointwise better-or-equal top-k
+    byBudget.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi.size >= lo.size)
+      lo.zip(hi).foreach { case ((_, s), (_, m)) =>
+        assert(m >= s - 1e-12, s"larger budget ranked worse: $m < $s") }
+    case _ => ()
+    }
+    // the max-budget result dominates the blind Hamming-1 sweep (its
+    // probe set is a superset: base + all singles + all pairs)
+    val h1 = scores(Similarity.lshMultiProbeTopK(base, "vec_id",
+      "embedding", query, "embedding", dim = 64, k = 10, planes = planes))
+    h1.zip(byBudget.last).foreach { case ((_, s), (_, m)) =>
+      assert(m >= s - 1e-12, s"max budget worse than Hamming-1: $m < $s") }
+    // every returned id really is within Hamming ≤ 2 of the query code
+    val ps = Similarity.hyperplanes(64, planes, 42L)
+    val coded = e.withColumn("__b", Similarity.lshCode($"embedding", ps))
+      .select($"vec_id", $"__b").as[(Long, Long)].collect().toMap
+    val qb = coded(0L)
+    byBudget.last.foreach { case (id, _) =>
+      val d = java.lang.Long.bitCount(coded(id) ^ qb)
+      assert(d <= 2, s"id $id at Hamming $d from the query bucket") }
+  }
+
+  test("budget multi-probe over a persisted index: identical to " +
+      "in-memory, partition-pruned, manifest-validated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_qd").toString
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val base  = e.filter($"vec_id" =!= 0)
+    val query = e.filter($"vec_id" === 0)
+    Similarity.writeLshIndex(base, "vec_id", "embedding", dir,
+      dim = 64, planes = 6)
+    // planes = 0 derives the count from the manifest
+    val fromIndex = Similarity.lshMultiProbeTopKBudgetFromIndex(spark,
+      dir, "vec_id", "embedding", query, "embedding", dim = 64, k = 10,
+      probes = 9)
+    val inMemory = Similarity.lshMultiProbeTopKBudget(base, "vec_id",
+      "embedding", query, "embedding", dim = 64, k = 10, planes = 6,
+      probes = 9)
+    assert(fromIndex.as[(Long, Double)].collect().toSeq ==
+      inMemory.as[(Long, Double)].collect().toSeq)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("__lsh_bucket"), s"no partition pruning in:\n$plan")
+    // a mismatched plane count fails fast instead of probing wrong dirs
+    intercept[IllegalArgumentException] {
+      Similarity.lshMultiProbeTopKBudgetFromIndex(spark, dir, "vec_id",
+        "embedding", query, "embedding", dim = 64, k = 10, planes = 8,
+        probes = 9)
+    }
+  }
+
+  test("probes surface staleness: warn-only by default, throw under " +
+      "strictStaleness, silent when fresh or pre-metadata (r12 #4)") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val query = e.filter($"vec_id" === 0)
+    // LSH index: 100 rows indexed, ~400 appended → ratio ≈ 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale_lsh").toString
+    Similarity.writeLshIndex(e.filter($"vec_id" >= 400), "vec_id",
+      "embedding", dir, dim = 64, planes = 4)
+    Similarity.appendToLshIndex(spark, dir,
+      e.filter($"vec_id" < 400 && $"vec_id" =!= 0), "vec_id",
+      "embedding", dim = 64, planes = 4)
+    val meta = Similarity.readIndexMeta(spark, dir)
+    assert(Similarity.stalenessWarning(meta, dir, 1.0).isDefined)
+    assert(Similarity.stalenessWarning(meta, dir, 10.0).isEmpty)
+    // pre-metadata (no counters): nothing to judge by — silent
+    assert(Similarity.stalenessWarning(Map.empty, dir, 1.0).isEmpty)
+    // default = warn-only: every probe entry point still answers
+    assert(Similarity.lshTopKFromIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", dim = 64, k = 5, planes = 4)
+      .count() > 0)
+    // strict mode throws at plan time on each LSH probe entry point
+    intercept[IllegalStateException] {
+      Similarity.lshTopKFromIndex(spark, dir, "vec_id", "embedding",
+        query, "embedding", dim = 64, k = 5, planes = 4,
+        strictStaleness = true)
+    }
+    intercept[IllegalStateException] {
+      Similarity.lshMultiProbeTopKFromIndex(spark, dir, "vec_id",
+        "embedding", query, "embedding", dim = 64, k = 5,
+        strictStaleness = true)
+    }
+    intercept[IllegalStateException] {
+      Similarity.lshMultiProbeTopKBudgetFromIndex(spark, dir, "vec_id",
+        "embedding", query, "embedding", dim = 64, k = 5, probes = 4,
+        strictStaleness = true)
+    }
+    // a RAISED threshold opts a knowing caller back in, even strict
+    assert(Similarity.lshTopKFromIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", dim = 64, k = 5, planes = 4,
+      maxStaleRatio = 10.0, strictStaleness = true).count() > 0)
+    // IVF probe path: stale throws under strict, fresh never does
+    val ivfStale = java.nio.file.Files
+      .createTempDirectory("graft_stale_ivf").toString
+    Similarity.writeIvfIndex(e.filter($"vec_id" >= 400), "vec_id",
+      "embedding", ivfStale, nlist = 4)
+    Similarity.appendToIvfIndex(spark, ivfStale,
+      e.filter($"vec_id" < 400 && $"vec_id" =!= 0), "vec_id", "embedding")
+    intercept[IllegalStateException] {
+      Similarity.ivfTopKFromIndex(spark, ivfStale, "vec_id",
+        "embedding", query, "embedding", nprobe = 4, k = 5,
+        strictStaleness = true)
+    }
+    val ivfFresh = java.nio.file.Files
+      .createTempDirectory("graft_fresh_ivf").toString
+    Similarity.writeIvfIndex(e.filter($"vec_id" =!= 0), "vec_id",
+      "embedding", ivfFresh, nlist = 4)
+    assert(Similarity.ivfTopKFromIndex(spark, ivfFresh, "vec_id",
+      "embedding", query, "embedding", nprobe = 4, k = 5,
+      strictStaleness = true).count() > 0)
+  }
+
+  test("writeLshIndex rejects a comma in column names (the manifest's " +
+      "columns list is comma-delimited — r12 advice)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_comma").toString
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .withColumnRenamed("label", "a,b")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.writeLshIndex(e, "vec_id", "embedding", dir,
+        dim = 64, planes = 4)
+    }
+    assert(ex.getMessage.contains("comma"))
   }
 
   test("IVF ANN: full probe is exact; partial probe finds the planted twin") {
