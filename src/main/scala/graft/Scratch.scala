@@ -164,10 +164,12 @@ object Scratch {
     if (name == "bpe_batched_profile") {
       // r11: production-merge-count BPE training wall clock —
       //   sbt "runMain graft.Scratch bpe_batched_profile /root/testdata/sf0.1"
-      // optional extra args: merges batch
+      // optional extra args: merges batch table
+      //   (table = documents_code for the r13 deep-merge-space corpus)
       val merges = if (args.length > 2) args(2).toInt else 256
       val batch  = if (args.length > 3) args(3).toInt else 64
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val table  = if (args.length > 4) args(4) else "documents"
+      val docs = spark.read.parquet(s"$sfDir/$table.parquet")
       val t0 = System.nanoTime()
       val learned = graft.ml.TextAnalysis
         .bpeTrainBatched(docs, "text", merges = merges, batch = batch)
@@ -260,22 +262,47 @@ object Scratch {
         .orderBy(col("vec_id")).limit(nQ)
         .select(col("vec_id"), col("parent_id"), col("embedding"))
         .collect()
-      val planesFine   = Similarity.autoPlanes(n, 16)
-      val planesCoarse = Similarity.autoPlanes(n, 128)
+      // directory-count cap for the PERSISTED layouts: 2^planes
+      // partition directories each hold n/2^planes rows, and past ~2^12
+      // dirs on this corpus the per-probe partition LISTING dominates
+      // (measured: p11 probes 3.3 s vs p8 0.58 s at sf1 — same data,
+      // 8x the directories; p14 at sf10 never finished a probe in
+      // minutes). On a real object store the same wall exists as
+      // LIST-call volume — a persisted index wants planes ≤
+      // log2(corpus/bucket) AND a directory budget; multi-probe is
+      // then the recall knob, which is exactly the frontier this
+      // profile measures.
+      val dirCap = 12
+      val planesFine   = math.min(Similarity.autoPlanes(n, 16), dirCap)
+      val planesCoarse = math.min(Similarity.autoPlanes(n, 128), dirCap)
+      // optional 4th arg: comma-separated label substrings — only
+      // matching methods run, and only the indexes they need build
+      val methodFilter =
+        if (args.length > 3) Some(args(3).split(",").toSeq) else None
+      def want(label: String): Boolean =
+        methodFilter.forall(_.exists(label.contains))
       def tmp(p: String) =
         java.nio.file.Files.createTempDirectory(p).toString
-      val lshF = tmp("graft_pr_lshf"); val lshC = tmp("graft_pr_lshc")
-      val ivfDir = tmp("graft_pr_ivf")
-      Similarity.writeLshIndex(corpus, "vec_id", "embedding", lshF,
-        dim = 64, planes = planesFine)
-      Similarity.writeLshIndex(corpus, "vec_id", "embedding", lshC,
-        dim = 64, planes = planesCoarse)
-      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", ivfDir,
-        nlist = 0)
-      val nlist = Similarity.readIndexMeta(spark, ivfDir)("nlist").toInt
+      lazy val lshF = {
+        val d = tmp("graft_pr_lshf")
+        Similarity.writeLshIndex(corpus, "vec_id", "embedding", d,
+          dim = 64, planes = planesFine); d
+      }
+      lazy val lshC = {
+        val d = tmp("graft_pr_lshc")
+        Similarity.writeLshIndex(corpus, "vec_id", "embedding", d,
+          dim = 64, planes = planesCoarse); d
+      }
+      lazy val ivfDir = {
+        val d = tmp("graft_pr_ivf")
+        Similarity.writeIvfIndex(corpus, "vec_id", "embedding", d,
+          nlist = 0); d
+      }
+      lazy val nlist =
+        Similarity.readIndexMeta(spark, ivfDir)("nlist").toInt
       def maxB(p: Int) = 1 + p + p * (p - 1) / 2
       type Q = org.apache.spark.sql.DataFrame
-      def lshMethods(dir: String, p: Int): Seq[(String, Q => Q)] = Seq(
+      def lshMethods(dir: => String, p: Int): Seq[(String, Q => Q)] = Seq(
         s"lsh_p${p}_single" -> ((q: Q) => Similarity.lshTopKFromIndex(
           spark, dir, "vec_id", "embedding", q, "embedding",
           dim = 64, k = k + 1, planes = p)),
@@ -293,10 +320,11 @@ object Scratch {
             spark, dir, "vec_id", "embedding", q, "embedding",
             dim = 64, k = k + 1, probes = maxB(p))))
       val methods: Seq[(String, Q => Q)] =
-        lshMethods(lshF, planesFine) ++ lshMethods(lshC, planesCoarse) ++
-          Seq(1, 2, 4, 8).map(np => s"ivf_np$np" -> ((q: Q) =>
+        (lshMethods(lshF, planesFine) ++ lshMethods(lshC, planesCoarse) ++
+          Seq(1, 2, 4, 8, 16).map(np => s"ivf_np$np" -> ((q: Q) =>
             Similarity.ivfTopKFromIndex(spark, ivfDir, "vec_id",
-              "embedding", q, "embedding", nprobe = np, k = k + 1)))
+              "embedding", q, "embedding", nprobe = np, k = k + 1))))
+          .filter { case (label, _) => want(label) }
       val rec = scala.collection.mutable.Map.empty[String, Double]
         .withDefaultValue(0.0)
       val ph  = scala.collection.mutable.Map.empty[String, Int]
@@ -327,8 +355,10 @@ object Scratch {
         }
       }
       val m = queries.length
+      val nlistStr =
+        if (methods.exists(_._1.startsWith("ivf"))) nlist.toString else "-"
       println(f"[prof] n=$n queries=$m k=$k planesFine=$planesFine " +
-        f"planesCoarse=$planesCoarse nlist=$nlist " +
+        f"planesCoarse=$planesCoarse nlist=$nlistStr " +
         f"brute_mean_sec=${bruteSec / m}%.3f")
       methods.foreach { case (label, _) =>
         val frac =
@@ -348,6 +378,40 @@ object Scratch {
           f"mean_sec=${sec(label) / m}%.3f est_scan_frac=$frac%.4f")
       }
       corpus.unpersist()
+      spark.stop(); return
+    }
+    if (name == "vocab_bytes_profile") {
+      // r12 verdict #6: the VocabEncode kernel guard counts ENTRIES;
+      // measure the serialized map (what rides the task binary via
+      // addReferenceObj, Java-serialized like the closure serializer
+      // does) at and below the limit, so the default can be derived
+      // from a BYTE budget instead of asserted.
+      //   sbt "runMain graft.Scratch vocab_bytes_profile ."
+      def measure(n: Int): (Long, Double) = {
+        val rnd = new java.util.Random(42)
+        val entries = Array.tabulate(n) { i =>
+          // identifier-ish tokens, 7-20 chars (base-36 of a random
+          // long) — the realistic shape for a word-type vocabulary
+          (java.lang.Long.toString(
+            rnd.nextLong() & Long.MaxValue, 36), i.toLong)
+        }
+        val m = graft.functions.VocabEncode.buildMap(entries)
+        val counter = new java.io.OutputStream {
+          var count = 0L
+          def write(b: Int): Unit = count += 1
+          override def write(b: Array[Byte], off: Int, len: Int): Unit =
+            count += len
+        }
+        val t0 = System.nanoTime()
+        val oos = new java.io.ObjectOutputStream(counter)
+        oos.writeObject(m); oos.close()
+        (counter.count, (System.nanoTime() - t0) / 1e9)
+      }
+      Seq(250000, 1000000, 4000000).foreach { n =>
+        val (bytes, secs) = measure(n)
+        println(f"[prof] vocab entries=$n serialized=${bytes / 1048576.0}%.1f MiB " +
+          f"(${bytes.toDouble / n}%.1f B/entry) serialize=$secs%.2f s")
+      }
       spark.stop(); return
     }
     if (name == "q104_profile") {
