@@ -562,11 +562,21 @@ object TextAnalysis {
     * the second decade (q102's 8.1x sf10 step). Past
     * `collectVocabLimit` word types the kernel path is refused and the
     * join/regroup plan runs instead — same results, spec-pinned.
+    *
+    * The default limit is a BYTE budget, not a guess (r12 verdict #6):
+    * the map Java-serializes at a measured ~39.5 B/entry flat across
+    * 250k–4M identifier-shaped entries (BENCH_sf1_spot.json
+    * `vocab_bytes_r13`; 4M entries = 150.6 MiB), and it rides the
+    * task binary via `addReferenceObj` — broadcast once per executor,
+    * but still resident per live stage. 1.6M entries ≈ 64 MiB keeps
+    * the binary in comfortable broadcast territory; vocabularies past
+    * it take the join plan unless the caller raises the limit
+    * knowingly.
     */
   def encodeDocuments(
       df: DataFrame, textCol: String, idCol: String,
       vocab: DataFrame, oovId: Long = -1L,
-      collectVocabLimit: Int = 4000000): DataFrame = {
+      collectVocabLimit: Int = 1600000): DataFrame = {
     val probe = vocab.select(col("token"), col("token_id"))
       .limit(collectVocabLimit + 1).collect()
     if (probe.length <= collectVocabLimit) {
