@@ -380,6 +380,67 @@ object Scratch {
       corpus.unpersist()
       spark.stop(); return
     }
+    if (name == "planted_pair_recall_profile") {
+      // r13: PAIR-level recall of the dedup-family candidate
+      // generators on planted clusters — the q53/q86 value claim at
+      // production thresholds. Ground truth = intra-cluster pairs
+      // with exact cosine >= minCos (computed from the parent
+      // grouping, no all-pairs scan); methods = single-table LSH at
+      // the auto sizing vs banded OR-amplification.
+      //   sbt "runMain graft.Scratch planted_pair_recall_profile target/sf1"
+      import graft.ml.Similarity
+      val minCos = if (args.length > 2) args(2).toDouble else 0.85
+      val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
+      val n = e.count()
+      // cluster members: every twin plus its parent, keyed by parent
+      val twins = e.filter(col("parent_id") >= 0)
+        .select(col("vec_id"), col("parent_id"))
+      val members = twins.unionByName(
+        twins.select(col("parent_id")).distinct()
+          .select(col("parent_id").as("vec_id"), col("parent_id")))
+      val withVec = members.join(
+        e.select(col("vec_id"), col("embedding")), "vec_id")
+      val truth = withVec.as("a").join(withVec.as("b"),
+          col("a.parent_id") === col("b.parent_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          Similarity.dot(
+            Similarity.normalize(col("a.embedding")),
+            Similarity.normalize(col("b.embedding"))).as("c"))
+        .filter(col("c") >= minCos)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[prof] n=$n planted truth pairs at cos>=$minCos: ${truth.size}")
+      val planesAuto = Similarity.autoPlanes(n, 128)
+      def run(label: String, f: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val got = f.select(col("id_a"), col("id_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        val hit = truth.count(got)
+        println(f"[prof] $label%-28s pair_recall=${hit.toDouble / truth.size}%.3f " +
+          f"pairs_returned=${got.size} sec=$dt%.1f")
+      }
+      run(s"single_p$planesAuto",
+        Similarity.nearDupPairs(e, "vec_id", "embedding", dim = 64,
+          minCosine = minCos, targetBucketSize = Some(128L)))
+      // optional 4th arg: comma list of B:r band configs (candidate
+      // volume is B·n²/2^r — r must grow with the corpus, and
+      // bandsForRecall then asks for the extra bands)
+      val configs =
+        if (args.length > 3) args(3).split(",").toSeq.map { s =>
+          val Array(b, r) = s.split(":"); (b.toInt, r.toInt)
+        }
+        else Seq((4, planesAuto), (6, 6),
+          (Similarity.bandsForRecall(minCos, 6, 0.95), 6)).distinct
+      configs.foreach { case (b, r) =>
+        run(s"banded_B${b}_r$r",
+          Similarity.nearDupPairsBanded(e, "vec_id", "embedding",
+            dim = 64, minCosine = minCos, bands = b,
+            planesPerBand = r))
+      }
+      spark.stop(); return
+    }
     if (name == "vocab_bytes_profile") {
       // r12 verdict #6: the VocabEncode kernel guard counts ENTRIES;
       // measure the serialized map (what rides the task binary via

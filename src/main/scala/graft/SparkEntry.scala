@@ -2683,6 +2683,20 @@ object SparkEntry {
         dim = 64, k = 10, planes = 8, probes = 12)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
     }),
+
+    // Banded (OR-amplified) embedding near-dup pairs — q53's recall
+    // fix for high thresholds: 3 independent 4-plane bands, candidate
+    // on ANY band collision, exact verify. Band 0 buckets exactly like
+    // q53's single table (one hyperplane draw, sliced), so this is a
+    // provable candidate superset; the oracle replays all three band
+    // bucketings, the cross-band distinct, and the normalized-dot
+    // rerank.
+    "q202_embed_pairs_banded" -> ((s, dir) =>
+      Similarity.nearDupPairsBanded(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, bands = 3, planesPerBand = 4)
+        .select(col("id_a"), col("id_b"),
+          round(col("score"), 4).as("score"))),
   )
 
   /** BENCH-ONLY registry (r11 verdict #1): queries the bench measures
@@ -3497,6 +3511,36 @@ object SparkEntry {
          | WHERE c.vec_id <> 0 AND c.bk IN (SELECT code FROM pset))
          |SELECT vec_id, round(raw, 4) AS score FROM sc
          |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
+    // Banded near-dup pairs: 12 planes = 3 bands x 4; band b buckets
+    // on planes [4b+1, 4b+4], candidates collide in ANY band
+    // (DISTINCT merges multi-band hits), exact rerank over the
+    // normalized vectors — q53's replay lifted to OR-amplification.
+    "q202_embed_pairs_banded" ->
+      s"""WITH ${sqlPlaneMatCte(12)},
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, b,
+         |    list_sum(list_transform(range(1, 5), p ->
+         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[b * 4 + p][i])) >= 0
+         |        THEN (1 << (p - 1)) ELSE 0 END)) AS code
+         |  FROM embeddings, __mat, range(0, 3) t(b)),
+         |u AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
+         |  FROM codes a JOIN codes x
+         |    ON a.b = x.b AND a.code = x.code AND a.vec_id < x.vec_id),
+         |sc AS (SELECT id_a, id_b,
+         |  list_sum(list_transform(range(1, len(a.u) + 1),
+         |    i -> a.u[i] * b2.u[i])) AS raw
+         | FROM cand JOIN u a ON a.vec_id = cand.id_a
+         |           JOIN u b2 ON b2.vec_id = cand.id_b)
+         |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
+         |WHERE raw >= 0.35""".stripMargin,
     "q41_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),

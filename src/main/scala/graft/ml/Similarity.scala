@@ -864,6 +864,106 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("x.id").as("id_b"), col("score"))
   }
 
+  /** The band count that reaches `targetRecall` for a pair AT the
+    * cosine threshold under banded sign-LSH (standard OR-amplification
+    * math — Leskovec/Rajaraman/Ullman, MMDS ch. 3, public): a single
+    * plane agrees on the pair with p = 1 − θ/π (Goemans–Williamson),
+    * a band of `planesPerBand` planes collides with p^r, and B
+    * independent bands catch the pair with 1 − (1 − p^r)^B ≥ target →
+    * B = ⌈log(1 − target) / log(1 − p^r)⌉. Sized at the THRESHOLD —
+    * pairs above it collide strictly more often, so the target is a
+    * recall floor. `planesPerBand` stays the cost dial: candidate
+    * volume per band is Σ_bucket n_b² ≈ n²/2^r at uniform spread, so
+    * raise r for bigger corpora and pay the extra bands this helper
+    * then asks for.
+    */
+  def bandsForRecall(
+      minCosine: Double, planesPerBand: Int,
+      targetRecall: Double = 0.95): Int = {
+    require(minCosine > -1.0 && minCosine < 1.0,
+      s"minCosine must be in (-1, 1), got $minCosine")
+    require(planesPerBand >= 1, s"planesPerBand must be >= 1")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val p  = 1.0 - math.acos(minCosine) / math.Pi
+    val pr = math.pow(p, planesPerBand)
+    math.max(1, math.ceil(math.log1p(-targetRecall) /
+      math.log1p(-pr)).toInt)
+  }
+
+  /** All-pairs cosine above a threshold via BANDED hyperplane LSH —
+    * the OR-amplified candidate generator high thresholds need. A
+    * SINGLE sign-LSH table's pair recall decays geometrically in its
+    * plane count — P(same bucket) = (1 − θ/π)^planes ≈ 0.21 for a
+    * cosine-0.85 pair at planes = 8, so [[nearDupPairs]] misses ~4 of
+    * 5 true near-dup pairs at production thresholds (measured on
+    * planted clusters: BENCH_sf1_spot.json `planted_pair_recall_r13`).
+    * Banding is the same OR-amplification [[Dedup.lshBandKeys]] uses
+    * over MinHash: `bands` INDEPENDENT plane families of
+    * `planesPerBand` planes each; a pair is a candidate when it
+    * collides in ANY band (P = 1 − (1 − p^r)^B — size B with
+    * [[bandsForRecall]]); exact verification keeps precision at 1.
+    *
+    * Scale posture: candidates come from a skinny (id, band, code)
+    * self-join — 24-byte rows, vectors never enter the candidate
+    * exchange (they join back by id for the verify, the PPJoin
+    * discipline) — then distinct (a pair colliding in several bands
+    * verifies once). The verify joins BROADCAST the normalized-vector
+    * table up to `broadcastVectorLimit` rows (the
+    * [[Graph.triangleCounts]] adjacency discipline): a shuffle-join
+    * verify would ship one ~8·dim-byte vector per CANDIDATE — at
+    * sf10's 240M candidates that is a ~120 GB exchange (measured: it
+    * filled this host's disk), vs a ~107 MB one-time broadcast of the
+    * 204k-row table the candidates stream against map-side. Candidate
+    * volume itself is B·Σ_bucket n_b² with an irreducible
+    * random-collision floor B·n²/2^(r+1) — r must grow ~2·log₂(n) to
+    * hold it near-linear and [[bandsForRecall]] then asks for more
+    * bands (the classic n^(1+ρ) LSH trade) — so past the corpus size
+    * where that stays affordable, contract exact dups first
+    * ([[Dedup]]'s discipline), shard the corpus, or take the IVF
+    * route (cluster-local exact pairs). All band planes come from ONE
+    * [[hyperplanes]] draw — band b uses rows [b·r, (b+1)·r) — so band
+    * 0 of (bands = B, r) buckets EXACTLY like a single-table run at
+    * `planes = r` (spec-pinned superset).
+    */
+  def nearDupPairsBanded(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double,
+      bands: Int = 6, planesPerBand: Int = 0,
+      seed: Long = 42L, targetBucketSize: Long = 128L,
+      broadcastVectorLimit: Long = 2000000L): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1 (got $bands)")
+    val n = embeddings.count()
+    val r = if (planesPerBand > 0) planesPerBand
+      else autoPlanes(n, targetBucketSize)
+    val all = hyperplanes(dim, bands * r, seed)
+    val codeCols = (0 until bands).map(b =>
+      lshCode(col(vecCol), all.slice(b * r, (b + 1) * r)).as(s"__c$b"))
+    val skinny = embeddings
+      .select(col(idCol).as("id") +: codeCols: _*)
+      .select(col("id"), posexplode(
+        array((0 until bands).map(b => col(s"__c$b")): _*))
+        .as(Seq("__band", "__code")))
+    val cand = skinny.as("a").join(skinny.as("x"),
+        col("a.__band") === col("x.__band") &&
+          col("a.__code") === col("x.__code") &&
+          col("a.id") < col("x.id"))
+      .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
+      .distinct()
+    val un0 = embeddings.select(col(idCol).as("id"),
+      normalize(col(vecCol)).as("u"))
+    // the candidate stream must NOT shuffle its joined vectors — see
+    // the scaladoc; past the limit fall back to shuffle joins (and
+    // expect to need a bigger cluster)
+    val un = if (n <= broadcastVectorLimit) broadcast(un0) else un0
+    cand
+      .join(un.select(col("id").as("id_a"), col("u").as("ua")), Seq("id_a"))
+      .join(un.select(col("id").as("id_b"), col("u").as("ub")), Seq("id_b"))
+      .withColumn("score", dot(col("ua"), col("ub")))
+      .filter(col("score") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
     * drop every embedding whose vector is near-duplicate — cosine ≥
     * `minCosine` — of a kept one, resolving chains transitively. The
@@ -886,10 +986,23 @@ object Similarity {
       dim: Int, minCosine: Double, planes: Int = 8,
       seed: Long = 42L, maxIter: Int = 20,
       checkpointDir: Option[String] = None,
-      targetBucketSize: Option[Long] = None): DataFrame = {
+      targetBucketSize: Option[Long] = None,
+      bands: Int = 1): DataFrame = {
+    // bands > 1 swaps in the OR-amplified candidate generator — at
+    // production thresholds (cosine ≥ ~0.85) the single-table bucket
+    // join misses most true pairs (see [[nearDupPairsBanded]]); size
+    // the band count with [[bandsForRecall]]
     val pairs =
-      nearDupPairs(embeddings, idCol, vecCol, dim, minCosine, planes,
-          seed, targetBucketSize)
+      (if (bands > 1)
+        nearDupPairsBanded(embeddings, idCol, vecCol, dim, minCosine,
+          bands,
+          // a targetBucketSize request keeps per-band auto sizing
+          planesPerBand = if (targetBucketSize.isDefined) 0 else planes,
+          seed = seed,
+          targetBucketSize = targetBucketSize.getOrElse(128L))
+      else
+        nearDupPairs(embeddings, idCol, vecCol, dim, minCosine, planes,
+          seed, targetBucketSize))
         .select(col("id_a"), col("id_b"))
     val losers = Graph
       .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)

@@ -1547,6 +1547,56 @@ class MlSpec extends AnyFunSuite {
       strictStaleness = true).count() > 0)
   }
 
+  test("bandsForRecall: OR-amplification sizing at the threshold") {
+    // cos 0.9 → p = 1 − acos(0.9)/π ≈ 0.8564; p^6 ≈ 0.394;
+    // (1 − 0.394)^B ≤ 0.05 → B = 6
+    assert(Similarity.bandsForRecall(0.9, 6, 0.95) == 6)
+    // fewer planes per band ⇒ each band catches more ⇒ fewer bands
+    assert(Similarity.bandsForRecall(0.9, 4, 0.95) <
+      Similarity.bandsForRecall(0.9, 8, 0.95))
+    // higher recall target ⇒ more bands
+    assert(Similarity.bandsForRecall(0.85, 6, 0.99) >
+      Similarity.bandsForRecall(0.85, 6, 0.90))
+    intercept[IllegalArgumentException] {
+      Similarity.bandsForRecall(1.0, 6, 0.95)
+    }
+  }
+
+  test("banded near-dup pairs: candidate superset of the single table, " +
+      "no duplicate pairs, strictly better recall vs the exact oracle") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    def key(r: (Long, Long, Double)) = (r._1, r._2)
+    val single = Similarity.nearDupPairs(e, "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, planes = 4)
+      .select($"id_a", $"id_b", round($"score", 4).as("score"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val banded = Similarity.nearDupPairsBanded(e, "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, bands = 3, planesPerBand = 4)
+      .select($"id_a", $"id_b", round($"score", 4).as("score"))
+      .as[(Long, Long, Double)].collect().toSeq
+    // band 0 IS the single table (one hyperplane draw, sliced), so
+    // every single-table pair appears, with an identical exact score
+    val bmap = banded.map(r => key(r) -> r._3).toMap
+    assert(banded.size == bmap.size, "duplicate pairs across bands")
+    single.foreach { r =>
+      assert(bmap.get(key(r)).contains(r._3),
+        s"single-table pair $r missing or rescored in banded") }
+    // recall against the exact all-pairs oracle strictly improves
+    val exact = Similarity.nearDupPairsExact(e, "vec_id", "embedding",
+        minCosine = 0.35)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(banded.size > single.size, "bands added no candidates")
+    assert(banded.map(key).toSet.subsetOf(exact),
+      "banded returned a pair the exact oracle does not have")
+    // semDedup routes through the banded generator: more pairs found
+    // ⇒ at most as many survivors
+    val survSingle = Similarity.semDedup(e, "vec_id", "embedding",
+      dim = 64, minCosine = 0.35, planes = 4).count()
+    val survBanded = Similarity.semDedup(e, "vec_id", "embedding",
+      dim = 64, minCosine = 0.35, planes = 4, bands = 3).count()
+    assert(survBanded <= survSingle)
+  }
+
   test("writeLshIndex rejects a comma in column names (the manifest's " +
       "columns list is comma-delimited — r12 advice)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_comma").toString
