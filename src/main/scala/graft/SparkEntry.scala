@@ -2727,6 +2727,22 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64, planes = 0,
         capPerBucket = Q196Cap, sampleSeed = Q196SampleSeed,
         targetBucketSize = Q196TargetBucket)),
+    // q202's growth twin: per-band planes from autoPlanes (cost
+    // tracks the corpus) and the band count from bandsForRecall at
+    // the SAME threshold (recall floor holds as r grows) — both
+    // data-dependent, so no static oracle; RegistrySpec pins the
+    // semantics (superset of the single table at the derived r with
+    // identical scores, subset of the exact all-pairs oracle).
+    "q203_banded_pairs_growth" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val r = Similarity.autoPlanes(e.count(), 128L)
+      Similarity.nearDupPairsBanded(e, "vec_id", "embedding",
+        dim = 64, minCosine = 0.35,
+        bands = Similarity.bandsForRecall(0.35, r, 0.95),
+        planesPerBand = r)
+        .select(col("id_a"), col("id_b"),
+          round(col("score"), 4).as("score"))
+    }),
   )
 
   /** The q44 hyperplane matrix as a DuckDB array literal — generated

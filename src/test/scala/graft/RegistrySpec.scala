@@ -60,4 +60,31 @@ class RegistrySpec extends AnyFunSuite {
       rows(q("q196_semantic_balance")(s, dir)),
       "q198 (live sizing) != q196 (pinned) on the coinciding slice")
   }
+
+  test("q203 banded growth twin: superset of the single table at the " +
+      "derived r (band-0 prefix), subset of the exact all-pairs oracle") {
+    import org.apache.spark.sql.functions._
+    import graft.ml.Similarity
+    val s = SparkFixture.spark
+    val dir = SparkFixture.sfDir
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.autoPlanes(e.count(), 128L)
+    val banded = rows(
+      SparkEntry.benchOnlyQueries("q203_banded_pairs_growth")(s, dir))
+    val single = rows(
+      Similarity.nearDupPairs(e, "vec_id", "embedding", dim = 64,
+          minCosine = 0.35, planes = r)
+        .select(col("id_a"), col("id_b"),
+          round(col("score"), 4).as("score")))
+    assert(single.subsetOf(banded),
+      "single table at the derived r is not a subset of the banded " +
+        "twin — the shared-draw band-0 prefix property broke")
+    assert(banded.size > single.size, "bands added no candidates")
+    val exact = rows(
+      Similarity.nearDupPairsExact(e, "vec_id", "embedding",
+          minCosine = 0.35)
+        .select(col("id_a"), col("id_b"), col("score")))
+    assert(banded.subsetOf(exact),
+      "banded twin returned a pair/score the exact oracle lacks")
+  }
 }
