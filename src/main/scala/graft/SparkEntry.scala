@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GlueFrame, GType}
 import graft.functions.{GlueFunctions, SimHash64}
-import graft.ml.{Curation, Dedup, Graph, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ml.{Curation, Dedup, Graph, Multimodal, ProductQuantization, Similarity, Sketches, TextAnalysis}
 import graft.operators.{ChoiceOps, FieldOps, Joins, NestedOps, Sessionize}
 import graft.operators.FieldOps.Mapping
 
@@ -2697,6 +2697,43 @@ object SparkEntry {
         dim = 64, minCosine = 0.35, bands = 3, planesPerBand = 4)
         .select(col("id_a"), col("id_b"),
           round(col("score"), 4).as("score"))),
+
+    // Flat product quantization (Jégou TPAMI'11): m = 4 subspaces of
+    // 16 dims, ksub = 4 centroids each, iters = 0 with anchors in id
+    // order — the SQL-replayable configuration. The oracle replays the
+    // WHOLE derivation: normalization, anchor subvector slicing, the
+    // per-subspace argmin with the (dist, index) tie-break, the ADC
+    // table, and the j-ordered score sum — so the encode itself is
+    // exact-checked, not just the final ranking (the q201 discipline
+    // applied to PQ).
+    "q204_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ProductQuantization.pqTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "embedding",
+        m = 4, ksub = 4, k = 10, iters = 0, initByIdOrder = true)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+    }),
+
+    // IVF-PQ under the exact-reconstruction configuration (ksub ≥ n
+    // anchors in id order, pqIters = 0 → every residual is its own
+    // centroid; full probe + exact rerank): provably equal to brute
+    // force, so the oracle is the exact top-k — the q52 discipline.
+    // Input PINNED to the Q188Cardinality slice (the q188 pattern):
+    // ksub = n is O(n²), which is an exactness-oracle cost, not the
+    // operator's; the live-sized production shape runs as the q206
+    // growth twin with lossy codebooks and linear cost.
+    "q205_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id") < Q188Cardinality)
+      ProductQuantization.ivfPqTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "embedding",
+        nlist = 4, nprobe = 4, m = 4, ksub = 1000000, k = 10,
+        coarseIters = 2, pqIters = 0, initByIdOrder = true,
+        rerankK = 30)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+    }),
   )
 
   /** BENCH-ONLY registry (r11 verdict #1): queries the bench measures
@@ -2742,6 +2779,23 @@ object SparkEntry {
         planesPerBand = r)
         .select(col("id_a"), col("id_b"),
           round(col("score"), 4).as("score"))
+    }),
+    // q205's growth twin: production-shaped IVF-PQ — auto-sized
+    // coarse list (autoNlist tracks the corpus), lossy codebooks
+    // (m = 8, ksub = 32, one Lloyd step), seeded-hash anchor init,
+    // narrow probe, FAISS-refine rerank. Linear cost (n·m·ksub·dsub
+    // encode work), unlike q205's pinned O(n²) exactness oracle. No
+    // static SQL can express the data-dependent nlist or the trained
+    // codebooks; RegistrySpec pins the semantics instead (k exact-
+    // cosine-scored rows, each dominated by the brute-force top-k).
+    "q206_ann_ivfpq_growth" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ProductQuantization.ivfPqTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "embedding",
+        nlist = 0, nprobe = 4, m = 8, ksub = 32, k = 10,
+        pqIters = 1, rerankK = 50)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
     }),
   )
 
@@ -3557,6 +3611,71 @@ object SparkEntry {
          |           JOIN u b2 ON b2.vec_id = cand.id_b)
          |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
          |WHERE raw >= 0.35""".stripMargin,
+    // Flat PQ (m = 4 × dsub = 16, ksub = 4, iters = 0, anchors by id):
+    // the oracle replays the engine's ENTIRE derivation — L2
+    // normalization, the 4 anchor rows' subvector slices as codebooks,
+    // the per-subspace argmin with the (dist, index) tie-break
+    // (row_number), the query's ADC table, and the subspace-ordered
+    // score sum (a fixed-parenthesization addition, never an
+    // unordered SUM — float addition order must match the kernel's
+    // j-ascending fold for round-4 hash equality).
+    "q204_ann_pq" ->
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings WHERE vec_id <> 0),
+        |anch AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, nv
+        |  FROM corpus ORDER BY vec_id LIMIT 4),
+        |d AS (
+        |  SELECT x.vec_id, j.j, a.c,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      (x.nv[j.j * 16 + i] - a.nv[j.j * 16 + i]) *
+        |      (x.nv[j.j * 16 + i] - a.nv[j.j * 16 + i]))) AS dist
+        |  FROM corpus x, range(0, 4) j(j), anch a),
+        |enc AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c, row_number()
+        |      OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |    FROM d) WHERE rn = 1),
+        |q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings WHERE vec_id = 0),
+        |part AS (
+        |  SELECT e.vec_id, e.j,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      q.nv[e.j * 16 + i] * a.nv[e.j * 16 + i])) AS p
+        |  FROM enc e JOIN anch a ON a.c = e.c, q),
+        |sc AS (
+        |  SELECT vec_id,
+        |    ((max(CASE WHEN j = 0 THEN p END) +
+        |      max(CASE WHEN j = 1 THEN p END)) +
+        |      max(CASE WHEN j = 2 THEN p END)) +
+        |      max(CASE WHEN j = 3 THEN p END) AS raw
+        |  FROM part GROUP BY vec_id)
+        |SELECT vec_id, round(raw, 4) AS score FROM sc
+        |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
+    // IVF-PQ exactness configuration (full probe, every residual its
+    // own centroid, exact-cosine rerank): provably the exact top-k on
+    // the pinned slice, so the oracle is brute force — the q52
+    // discipline (the rerank reuses bruteForceTopK's scoring
+    // expression, so values replay bit-identically).
+    "q205_ann_ivfpq" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT e.vec_id,
+        |  list_sum(list_transform(range(1, len(e.embedding)+1),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(e.embedding,
+        |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(q.qe,
+        |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS raw
+        | FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id < 500)
+        |SELECT vec_id, round(raw, 4) AS score FROM sc
+        |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
     "q41_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),

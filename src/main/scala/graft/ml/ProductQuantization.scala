@@ -1,0 +1,471 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{NearestCentroid, PqAdc, PqEncode, ResidualVec}
+
+/** Product-quantization ANN (Jégou/Douze/Schmid TPAMI 2011 — the
+  * IVF-PQ layout FAISS made the de-facto standard for billion-scale
+  * search). Complements the engine's existing ANN family:
+  *
+  *   - [[Similarity.bruteForceTopK]]  — exact, one full scan
+  *   - [[Similarity.lshTopK]]/multi-probe — bucket-pruned, exact rerank
+  *   - [[Similarity.ivfTopK]]         — cluster-pruned, exact rerank
+  *   - [[Similarity.quantizedTopK]]   — int8 scalar codes, full scan
+  *   - here: `m`-byte PQ codes + ADC  — the MEMORY answer: a 64-dim
+  *     float vector is 256 B; its PQ code is `m` small ints. At 100 TB
+  *     of raw vectors the code table is ~1-2 % of that, so the scan
+  *     side of ANN fits in cluster memory where raw vectors never
+  *     could, and IVF-PQ composes the cluster pruning on top.
+  *
+  * Everything is cosine semantics: both sides L2-normalize first
+  * ([[Similarity.normalize]]), so inner product == cosine and the ADC
+  * decomposition for a residual-encoded vector is exact in
+  * expectation: `dot(q, v̂) = dot(q, coarse_c) + Σ_j dot(q_j, cb_j)` —
+  * a per-cluster scalar plus `m` GLOBAL table lookups (inner-product
+  * ADC needs no per-cluster tables, unlike L2).
+  *
+  * Scale shape: codebook training shuffles only (dim, code) pairs
+  * (the [[Similarity.ivfCentroids]] two-level-mean discipline); encode
+  * and ADC scoring are map-only scan projections (codegen'd kernels,
+  * codebooks ride the task binary — m·ksub·dsub doubles, e.g.
+  * 8×256×8 = 128 KiB); top-k is TakeOrderedAndProject (per-partition
+  * heaps, k rows per partition to the driver). Nothing here collects
+  * data rows: driver-side state is the codebooks, the query vector,
+  * and the m×ksub lookup table.
+  *
+  * Determinism contract (the oracle surface): anchors-by-id init
+  * (`initByIdOrder = true`) + `iters = 0` makes the whole derivation —
+  * normalize, anchor slicing, per-subspace argmin with first-minimum
+  * tie-break, table build, j-ordered ADC sum — replayable in ANSI SQL
+  * with bit-identical doubles (q204 replays it end-to-end). Production
+  * init draws anchors by seeded hash order like the IVF build.
+  */
+object ProductQuantization {
+
+  /** Train per-subspace codebooks by k-means over subvectors.
+    *
+    * Init: the `ksub` rows first in seeded-hash order (or id order
+    * under `initByIdOrder` — the SQL-replayable variant), their
+    * subvectors sliced per subspace. Each Lloyd iteration is ONE
+    * assignment projection (the [[graft.functions.PqEncode]] kernel —
+    * all `m` argmins in one pass) plus ONE elementwise-mean
+    * aggregation shuffling (dim, code) pairs, never whole vectors
+    * twice; an empty cell keeps its centroid (the
+    * [[Similarity.ivfCentroids]] rule). Driver state: m·ksub·dsub
+    * doubles.
+    *
+    * The train projection is persisted for the duration of the build
+    * (read `iters + 1` times) and released before returning — the
+    * returned value is driver-side data, so no cache outlives the
+    * call.
+    *
+    * @return `books(j)(c)` = centroid `c` of subspace `j` (dsub
+    *         doubles); `books.length == m`,
+    *         `books(j).length == min(ksub, train rows)`.
+    */
+  def pqCodebooks(
+      train: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 2, seed: Long = 42L,
+      initByIdOrder: Boolean = false): Array[Array[Array[Double]]] = {
+    require(m > 0, "m (subspace count) must be positive")
+    require(ksub > 0, "ksub (centroids per subspace) must be positive")
+    val src = train
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ordered =
+      if (initByIdOrder) src.orderBy(col("__id"))
+      else src.orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+    val anchors: Array[Array[Double]] = ordered.limit(ksub)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(anchors.nonEmpty, "pqCodebooks: empty training set")
+    val dim = anchors(0).length
+    require(dim % m == 0,
+      s"vector dim $dim not divisible by m = $m subspaces")
+    val dsub = dim / m
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m) { j =>
+        anchors.map(a => a.slice(j * dsub, (j + 1) * dsub))
+      }
+    var it = 0
+    while (it < iters) {
+      // elementwise means per (subspace cell): explode dims once, the
+      // code for dim d is the d/dsub-th entry of the row's code array
+      val means = src
+        .select(PqEncode.pqEncode(col("__v"), books).as("__code"),
+          col("__v"))
+        .where(col("__code").isNotNull) // malformed rows never vote
+        .select(col("__code"),
+          posexplode(col("__v")).as(Seq("__d", "__x")))
+        .withColumn("__c",
+          element_at(col("__code"),
+            (col("__d") / lit(dsub)).cast("int") + 1))
+        .groupBy(col("__d"), col("__c"))
+        .agg(avg(col("__x")).as("__mean"))
+        .collect() // ≤ dim·ksub rows — bounded metadata
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        val d = r.getInt(0); val c = r.getInt(1)
+        next(d / dsub)(c)(d % dsub) = r.getDouble(2)
+      }
+      books = next
+      it += 1
+    }
+    src.unpersist()
+    books
+  }
+
+  /** The query's ADC lookup table: `table(j)(c) = dot(q_j, books(j)(c))`
+    * summed in element order (m·ksub·dsub driver-side multiplies).
+    */
+  def adcTable(
+      q: Array[Double],
+      books: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val m = books.length
+    require(m > 0 && books(0).nonEmpty, "adcTable: empty codebooks")
+    val dsub = books(0)(0).length
+    require(q.length == m * dsub,
+      s"query dim ${q.length} != m·dsub = ${m * dsub}")
+    Array.tabulate(m) { j =>
+      books(j).map { cen =>
+        var s = 0.0
+        var dd = 0
+        while (dd < dsub) { s += q(j * dsub + dd) * cen(dd); dd += 1 }
+        s
+      }
+    }
+  }
+
+  /** Flat-PQ top-k: train codebooks on the normalized corpus, encode
+    * (map-only), ADC-score against the one driver-side query vector
+    * (map-only), TakeOrdered top-k. `score` is the approximate cosine
+    * (exact when every subvector is its own centroid — the ksub ≥ n
+    * anchors-by-id configuration the specs pin against brute force).
+    *
+    * `rerankK > 0` switches to FAISS-style refine: ADC selects the
+    * top `rerankK` candidates, the final k rerank by EXACT cosine on
+    * the raw vectors — the same expression as
+    * [[Similarity.bruteForceTopK]], so reranked scores replay on any
+    * engine. Single-query API like the LSH probes (the query row is
+    * bounded driver metadata by contract).
+    */
+  def pqTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String,
+      m: Int, ksub: Int, k: Int = 10, iters: Int = 2,
+      seed: Long = 42L, initByIdOrder: Boolean = false,
+      rerankK: Int = 0): DataFrame = {
+    val corpus = embeddings.select(col(idCol), col(vecCol),
+      Similarity.normalize(col(vecCol)).as("__nvec"))
+    val books =
+      pqCodebooks(corpus, idCol, "__nvec", m, ksub, iters, seed,
+        initByIdOrder)
+    val qn = queryVector(query, queryVecCol)
+    val table = adcTable(qn, books)
+    val scored = corpus.withColumn("score",
+      PqAdc.pqAdc(PqEncode.pqEncode(col("__nvec"), books), table))
+    finish(scored, idCol, vecCol, query, queryVecCol, k, rerankK)
+  }
+
+  /** IVF-PQ top-k: coarse k-means clusters prune the scan to `nprobe`
+    * of `nlist` partitions ([[Similarity.ivfTopK]]'s pruning), PQ
+    * codes of the COARSE RESIDUALS score the survivors by ADC (Jégou
+    * §IV.B — residual spread is a fraction of the vector's, so the
+    * same ksub buys more precision). On normalized vectors the
+    * residual decomposition is two terms: a per-cluster scalar
+    * `dot(q, coarse_c)` (a `nlist`-entry literal lookup) plus the
+    * global ADC sum — no per-cluster tables.
+    *
+    * `nlist = 0` opts into [[Similarity.autoNlist]] sizing. Probe
+    * selection is driver-side (the query is one vector): the `nprobe`
+    * clusters nearest by squared L2, ascending, index tie-break —
+    * the same order [[Similarity.ivfTopK]]'s probe assignment
+    * produces. The cluster filter is an `IN` on the partition column,
+    * so against the persisted layout it prunes directories.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String,
+      nlist: Int, nprobe: Int, m: Int, ksub: Int, k: Int = 10,
+      coarseIters: Int = 3, pqIters: Int = 2, seed: Long = 42L,
+      initByIdOrder: Boolean = false, rerankK: Int = 0): DataFrame = {
+    val corpus = embeddings.select(col(idCol), col(vecCol),
+        Similarity.normalize(col(vecCol)).as("__nvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // coarse + PQ + scan reads
+    val sizedNlist =
+      if (nlist == 0) Similarity.autoNlist(corpus.count()) else nlist
+    val coarse: Array[Array[Double]] =
+      Similarity.ivfCentroids(corpus, idCol, "__nvec", sizedNlist,
+        coarseIters, seed).map(_.toArray).toArray
+    val assigned = corpus
+      .withColumn("__cluster",
+        NearestCentroid.nearestCentroid(col("__nvec"),
+          coarse.map(_.toSeq).toSeq))
+      .withColumn("__resid",
+        ResidualVec.residualVec(col("__nvec"), col("__cluster"), coarse))
+    val books = pqCodebooks(assigned.where(col("__resid").isNotNull),
+      idCol, "__resid", m, ksub, pqIters, seed, initByIdOrder)
+    val qn = queryVector(query, queryVecCol)
+    val probes = probeOrder(qn, coarse).take(math.min(nprobe, sizedNlist))
+    val table = adcTable(qn, books)
+    val coarseDots: Seq[Double] = coarse.toSeq.map(c => dotArr(qn, c))
+    val scored = assigned
+      .where(col("__cluster").isin(probes.map(Int.box): _*))
+      .withColumn("score",
+        PqAdc.pqAdc(PqEncode.pqEncode(col("__resid"), books), table)
+          + element_at(typedlit(coarseDots), col("__cluster") + 1))
+    val out = finish(scored, idCol, vecCol, query, queryVecCol, k, rerankK)
+    // the returned frame no longer references the persisted projection
+    // after TakeOrdered materializes; release eagerly via checkpointed
+    // result so no cache outlives the call
+    val materialized = out.localCheckpoint(true)
+    corpus.unpersist()
+    materialized
+  }
+
+  /** Persist an IVF-PQ index: `(id, __pq_code)` rows written
+    * partitioned by `__cluster` (`$path/vectors/__cluster=N/...`) plus
+    * the coarse centroid matrix (`$path/centroids`), the per-subspace
+    * codebooks (`$path/codebooks` — (subspace, code, centroid) rows),
+    * and the `_manifest` with layout params + staleness counters (the
+    * [[Similarity.writeIvfIndex]] discipline).
+    *
+    * THIS is where PQ pays at 100 TB: the persisted index holds `m`
+    * small ints per vector instead of the raw floats (~1-3 % of the
+    * corpus bytes), a probe reads `nprobe` partition DIRECTORIES of
+    * that already-tiny table, and the raw vectors are only ever
+    * touched again if the caller reranks against the source table.
+    * Rows whose vector is malformed land in the `__cluster=null`
+    * directory — visible, never misfiled (the
+    * [[graft.functions.NearestCentroid]] hygiene contract).
+    */
+  def writeIvfPqIndex(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int, m: Int, ksub: Int,
+      coarseIters: Int = 3, pqIters: Int = 2, seed: Long = 42L,
+      initByIdOrder: Boolean = false): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val projected = embeddings.select(col(idCol), col(vecCol))
+    val corpus = projected
+      .withColumn("__nvec", Similarity.normalize(col(vecCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK) // coarse + PQ + encode
+    val sizedNlist =
+      if (nlist == 0) Similarity.autoNlist(corpus.count()) else nlist
+    val coarse: Array[Array[Double]] =
+      Similarity.ivfCentroids(corpus, idCol, "__nvec", sizedNlist,
+        coarseIters, seed).map(_.toArray).toArray
+    val assigned = corpus
+      .withColumn("__cluster",
+        NearestCentroid.nearestCentroid(col("__nvec"),
+          coarse.map(_.toSeq).toSeq))
+      .withColumn("__resid",
+        ResidualVec.residualVec(col("__nvec"), col("__cluster"), coarse))
+    val books = pqCodebooks(assigned.where(col("__resid").isNotNull),
+      idCol, "__resid", m, ksub, pqIters, seed, initByIdOrder)
+    val encoded = assigned
+      .select(col(idCol),
+        PqEncode.pqEncode(col("__resid"), books).as("__pq_code"),
+        col("__cluster"))
+      .persist() // one encode feeds the row counter AND the write
+    val n = encoded.count()
+    encoded.write.mode("overwrite").partitionBy("__cluster")
+      .parquet(s"$path/vectors")
+    encoded.unpersist()
+    corpus.unpersist()
+    coarse.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.toSeq.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cen, c) => (j, c, cen.toSeq) }
+    }.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Similarity.writeIndexManifest(spark, path, Seq(
+      "kind" -> "ivfpq", "nlist" -> sizedNlist.toString,
+      "m" -> m.toString, "ksub" -> books(0).length.toString,
+      "coarse_iters" -> coarseIters.toString,
+      "pq_iters" -> pqIters.toString, "seed" -> seed.toString,
+      "columns" -> Similarity.columnsMeta(projected),
+      "indexed_rows" -> n.toString, "appended_rows" -> "0"))
+  }
+
+  /** Probe a persisted IVF-PQ index: probe clusters picked driver-side
+    * from the centroid metadata, the CODE scan filtered on the
+    * partition column (directory pruning), ADC scoring with the
+    * global table + per-cluster coarse dot. With `rerankK > 0` the
+    * top-`rerankK` candidate ids join back (broadcast — a k-row side)
+    * to the caller's raw-vector table for an exact-cosine FAISS-refine
+    * (the index itself stores no raw vectors — that is the point).
+    */
+  def ivfPqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, query: DataFrame, queryVecCol: String,
+      nprobe: Int = 2, k: Int = 10,
+      rerankK: Int = 0,
+      rerankSource: Option[(DataFrame, String)] = None,
+      maxStaleRatio: Double = Similarity.DefaultMaxStaleRatio,
+      strictStaleness: Boolean = false): DataFrame = {
+    Similarity.checkProbeStaleness(
+      Similarity.readIndexMeta(spark, path), path,
+      maxStaleRatio, strictStaleness)
+    val coarse = readCoarse(spark, path)
+    val books = readCodebooks(spark, path)
+    val qn = queryVector(query, queryVecCol)
+    val probes =
+      probeOrder(qn, coarse).take(math.min(nprobe, coarse.length))
+    val table = adcTable(qn, books)
+    val coarseDots: Seq[Double] = coarse.toSeq.map(c => dotArr(qn, c))
+    val scored = spark.read.parquet(s"$path/vectors")
+      .filter(col("__cluster").isin(probes.map(Int.box): _*))
+      .withColumn("score",
+        PqAdc.pqAdc(col("__pq_code"), table)
+          + element_at(typedlit(coarseDots), col("__cluster") + 1))
+    if (rerankK <= 0)
+      scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
+        .select(col(idCol), col("score"))
+    else {
+      val (src, vecCol) = rerankSource.getOrElse(throw
+        new IllegalArgumentException("rerankK > 0 needs rerankSource " +
+          "— the index stores PQ codes only; pass the raw-vector " +
+          "table as rerankSource = Some((frame, vecCol))"))
+      val cand = scored
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(math.max(rerankK, k))
+        .select(col(idCol))
+      val q = query.select(col(queryVecCol).as("__qvec"))
+      src.join(broadcast(cand), idCol) // candidate side: ≤ rerankK rows
+        .crossJoin(broadcast(q))
+        .withColumn("score", Similarity.cosine(col(vecCol), col("__qvec")))
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(k)
+        .select(col(idCol), col("score"))
+    }
+  }
+
+  /** Append new vectors to a persisted IVF-PQ index WITHOUT a rebuild:
+    * the COMMITTED coarse centroids and codebooks define the routing
+    * and the codes, so arrivals encode map-only into the existing
+    * `__cluster=` directories (dynamic-partition append) and probes
+    * see them immediately through the same ADC scan. Layout params
+    * are manifest-validated and the staleness counter bumps — recall
+    * decays as appended mass rivals indexed mass (frozen centroids
+    * AND frozen codebooks here), which [[Similarity.indexStaleness]]
+    * and the probe-time warning surface.
+    */
+  def appendToIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      embeddings: DataFrame, idCol: String, vecCol: String): Long = {
+    val meta = Similarity.readIndexMeta(spark, path)
+    Similarity.requireMetaMatch(meta, "kind", "ivfpq", path)
+    val src = meta.get("columns") match {
+      case Some(cs) =>
+        val buildCols = cs.split(",").toSeq
+        require(buildCols.contains(idCol) && buildCols.contains(vecCol),
+          s"index at $path was built over columns [$cs] — append " +
+            s"called with idCol=$idCol vecCol=$vecCol")
+        embeddings.select(buildCols.map(col): _*)
+      case None => embeddings
+    }
+    val coarse = readCoarse(spark, path)
+    val books = readCodebooks(spark, path)
+    val encoded = src
+      .withColumn("__nvec", Similarity.normalize(col(vecCol)))
+      .withColumn("__cluster",
+        NearestCentroid.nearestCentroid(col("__nvec"),
+          coarse.map(_.toSeq).toSeq))
+      .withColumn("__resid",
+        ResidualVec.residualVec(col("__nvec"), col("__cluster"), coarse))
+      .select(col(idCol),
+        PqEncode.pqEncode(col("__resid"), books).as("__pq_code"),
+        col("__cluster"))
+      .persist() // one computation feeds the count AND the write
+    val n = encoded.count()
+    encoded.write.mode("append").partitionBy("__cluster")
+      .parquet(s"$path/vectors")
+    encoded.unpersist()
+    Similarity.writeIndexManifest(spark, path,
+      Similarity.bumpAppendCounter(meta, n))
+    n
+  }
+
+  private def readCoarse(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    require(rows.nonEmpty, s"no centroids at $path — not an IVF-PQ " +
+      "index (build it with writeIvfPqIndex)")
+    rows.map(_._2.toArray)
+  }
+
+  private def readCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .as[(Int, Int, Seq[Double])].collect()
+    require(rows.nonEmpty, s"no codebooks at $path — not an IVF-PQ " +
+      "index (build it with writeIvfPqIndex)")
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cb) =>
+      cb.sortBy(_._2).map(_._3.toArray)
+    }.toArray
+  }
+
+  /** Clusters by ascending squared L2 to the query, index tie-break —
+    * [[Similarity.ivfTopK]]'s probe order, computed driver-side.
+    */
+  private[graft] def probeOrder(
+      q: Array[Double], coarse: Array[Array[Double]]): Seq[Int] =
+    coarse.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var dd = 0
+      while (dd < c.length) {
+        val diff = q(dd) - c(dd); d += diff * diff; dd += 1
+      }
+      (d, i)
+    }.sortBy(identity).map(_._2).toSeq
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** The one normalized query vector, driver-side (single-query API —
+    * bounded by contract, like the LSH probe entry points).
+    */
+  private def queryVector(
+      query: DataFrame, queryVecCol: String): Array[Double] =
+    query.select(Similarity.normalize(col(queryVecCol)))
+      .head().getSeq[Double](0).toArray
+
+  /** Shared tail: plain ADC top-k, or FAISS-refine (ADC top-rerankK →
+    * exact-cosine rerank of the raw vectors → top-k). The rerank
+    * expression IS [[Similarity.bruteForceTopK]]'s scoring, so refined
+    * results are engine-replayable and spec-comparable to brute.
+    */
+  private def finish(
+      scored: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String,
+      k: Int, rerankK: Int): DataFrame =
+    if (rerankK <= 0)
+      scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
+        .select(col(idCol), col("score"))
+    else {
+      val cand = scored
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(math.max(rerankK, k))
+      val q = query.select(col(queryVecCol).as("__qvec"))
+      cand.crossJoin(broadcast(q))
+        .withColumn("score", Similarity.cosine(col(vecCol), col("__qvec")))
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(k)
+        .select(col(idCol), col("score"))
+    }
+}

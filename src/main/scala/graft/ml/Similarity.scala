@@ -493,7 +493,7 @@ object Similarity {
     * verbatim, `appended_rows` accumulated (the [[indexStaleness]]
     * counter). Empty for a pre-metadata index — nothing to carry.
     */
-  private def bumpAppendCounter(
+  private[ml] def bumpAppendCounter(
       meta: Map[String, String], n: Long): Seq[(String, String)] =
     if (meta.isEmpty) Nil
     else (meta + ("appended_rows" ->
@@ -1031,7 +1031,7 @@ object Similarity {
     * (r11 advice), plus indexed/appended row counters so staleness is
     * observable ([[indexStaleness]]).
     */
-  private def writeIndexManifest(
+  private[ml] def writeIndexManifest(
       spark: org.apache.spark.sql.SparkSession, path: String,
       meta: Seq[(String, String)] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
@@ -1064,7 +1064,7 @@ object Similarity {
     * later appends mis-project (r12 advice) — reject it at build time,
     * where the fix (rename the column) is obvious.
     */
-  private def columnsMeta(df: DataFrame): String = {
+  private[ml] def columnsMeta(df: DataFrame): String = {
     df.columns.foreach { c =>
       require(!c.contains(","),
         s"index column name '$c' contains a comma — the manifest's " +
@@ -1108,7 +1108,7 @@ object Similarity {
     * read (r11 advice: a mismatched plane count loses the appended
     * vectors silently and permanently).
     */
-  private def requireMetaMatch(
+  private[ml] def requireMetaMatch(
       meta: Map[String, String], key: String, actual: String,
       path: String): Unit =
     meta.get(key).foreach { recorded =>
@@ -1157,7 +1157,7 @@ object Similarity {
     * pass silently — there is nothing to judge by, the same legacy
     * degrade as every other manifest consumer.
     */
-  private def checkProbeStaleness(
+  private[ml] def checkProbeStaleness(
       meta: Map[String, String], path: String,
       maxRatio: Double, strict: Boolean): Unit =
     stalenessWarning(meta, path, maxRatio).foreach { msg =>

@@ -87,4 +87,31 @@ class RegistrySpec extends AnyFunSuite {
     assert(banded.subsetOf(exact),
       "banded twin returned a pair/score the exact oracle lacks")
   }
+
+  test("q206 IVF-PQ growth twin: k rows, every score the TRUE cosine " +
+      "for its id (rerank contract), position-wise dominated by brute") {
+    import org.apache.spark.sql.functions._
+    import graft.ml.Similarity
+    val s = SparkFixture.spark
+    val dir = SparkFixture.sfDir
+    val out = SparkEntry.benchOnlyQueries("q206_ann_ivfpq_growth")(s, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(out.size == 10, s"expected k = 10 rows, got ${out.size}")
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val query  = e.filter(col("vec_id") === 0)
+    // the full exact ranking (sf0.001 — a few hundred rows)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        query, "embedding", k = 1000000)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val exactMap = exact.toMap
+    out.foreach { case (id, sc) =>
+      assert(exactMap.get(id).contains(sc),
+        s"q206 score for $id is not the true cosine: $sc vs " +
+          s"${exactMap.get(id)}") }
+    // brute top-k dominates any pruned top-k position-wise
+    exact.take(10).map(_._2).zip(out.map(_._2)).foreach { case (b, o) =>
+      assert(b >= o, s"brute score $b below q206's $o at same rank") }
+  }
 }
