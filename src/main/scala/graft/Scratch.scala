@@ -441,6 +441,148 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "pq_recall_profile") {
+      // r13: PQ-family recall on the planted clusters (the
+      // planted_recall_profile discipline applied to the new
+      // quantized paths) plus the BYTE story that motivates PQ at
+      // 100 TB — the persisted IVF-PQ vectors/ table vs the raw
+      // parquet. Flat PQ trains/encodes ONCE per (m, ksub) config and
+      // reuses the encoded table per query (the production shape —
+      // pqTopK's internal training is a per-call convenience);
+      // IVF-PQ probes the persisted index with an nprobe sweep, with
+      // and without the FAISS-refine rerank against the raw corpus.
+      //   sbt "runMain graft.Scratch pq_recall_profile target/sf1"
+      import graft.ml.{ProductQuantization => PQ, Similarity}
+      import graft.functions.{PqAdc, PqEncode}
+      import spark.implicits._
+      val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
+        .select(col("vec_id"), col("embedding"), col("parent_id"))
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = corpus.count()
+      val k = 10
+      val nQ = if (args.length > 2) args(2).toInt else 40
+      val queries = e.filter(col("parent_id") >= 0)
+        .groupBy(col("parent_id")).agg(min(col("vec_id")).as("vec_id"))
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .orderBy(col("vec_id")).limit(nQ)
+        .select(col("vec_id"), col("parent_id"), col("embedding"))
+        .collect()
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      val corpusNorm = corpus
+        .withColumn("__nvec", Similarity.normalize(col("embedding")))
+      def normQ(v: Seq[Float]): Array[Double] = {
+        val d = v.map(_.toDouble).toArray
+        val nrm = math.sqrt(d.map(x => x * x).sum)
+        d.map(_ / nrm)
+      }
+      type Q = org.apache.spark.sql.DataFrame
+      // flat PQ: one train+encode per ksub, persisted, reused per query
+      val flatKs = if (args.length > 3)
+        args(3).split(",").toSeq.map(_.toInt) else Seq(16, 64, 256)
+      val flats = flatKs.map { ks =>
+        val books =
+          PQ.pqCodebooks(corpusNorm, "vec_id", "__nvec", 8, ks, iters = 2)
+        val encoded = corpusNorm
+          .withColumn("__pq_code",
+            PqEncode.pqEncode(col("__nvec"), books))
+          .select(col("vec_id"), col("embedding"), col("__pq_code"))
+          .persist()
+        encoded.count()
+        (ks, books, encoded)
+      }
+      def flatProbe(encoded: Q, books: Array[Array[Array[Double]]],
+          qn: Array[Double], qdf: Q, rerank: Int): Q = {
+        val table = PQ.adcTable(qn, books)
+        val scored = encoded.withColumn("score",
+          PqAdc.pqAdc(col("__pq_code"), table))
+        if (rerank <= 0)
+          scored.orderBy(col("score").desc, col("vec_id").asc)
+            .limit(k + 1).select(col("vec_id"), col("score"))
+        else
+          scored.orderBy(col("score").desc, col("vec_id").asc)
+            .limit(rerank)
+            .crossJoin(broadcast(qdf.select(col("embedding").as("__qvec"))))
+            .withColumn("score",
+              Similarity.cosine(col("embedding"), col("__qvec")))
+            .orderBy(col("score").desc, col("vec_id").asc)
+            .limit(k + 1).select(col("vec_id"), col("score"))
+      }
+      // persisted IVF-PQ (auto nlist, m = 8, ksub = 64)
+      val ivfpqDir = tmp("graft_pq_ivfpq")
+      PQ.writeIvfPqIndex(corpus, "vec_id", "embedding", ivfpqDir,
+        nlist = 0, m = 8, ksub = 64)
+      val nlist = Similarity.readIndexMeta(spark, ivfpqDir)("nlist").toInt
+      def bytesOf(path: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .getContentSummary(p).getLength
+      }
+      val codeBytes = bytesOf(s"$ivfpqDir/vectors")
+      val rawBytes  = bytesOf(s"$sfDir/embeddings_planted.parquet")
+      val methods: Seq[(String, (Q, Array[Double]) => Q)] =
+        flats.flatMap { case (ks, books, encoded) => Seq(
+          s"pq_m8_k$ks" -> ((qdf: Q, qn: Array[Double]) =>
+            flatProbe(encoded, books, qn, qdf, 0)),
+          s"pq_m8_k${ks}_rr50" -> ((qdf: Q, qn: Array[Double]) =>
+            flatProbe(encoded, books, qn, qdf, 51))) } ++
+        Seq(1, 2, 4, 8, 16).map(np =>
+          s"ivfpq_np$np" -> ((qdf: Q, _: Array[Double]) =>
+            PQ.ivfPqTopKFromIndex(spark, ivfpqDir, "vec_id",
+              qdf, "embedding", nprobe = np, k = k + 1))) ++
+        Seq(2, 8).map(np =>
+          s"ivfpq_np${np}_rr50" -> ((qdf: Q, _: Array[Double]) =>
+            PQ.ivfPqTopKFromIndex(spark, ivfpqDir, "vec_id",
+              qdf, "embedding", nprobe = np, k = k + 1, rerankK = 51,
+              rerankSource = Some((corpus, "embedding")))))
+      val rec = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      val ph  = scala.collection.mutable.Map.empty[String, Int]
+        .withDefaultValue(0)
+      val sec = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      var bruteSec = 0.0
+      queries.foreach { row =>
+        val qid = row.getLong(0); val parent = row.getLong(1)
+        val qvec = row.getSeq[Float](2)
+        val qdf = Seq((qid, qvec)).toDF("vec_id", "embedding")
+        val qn = normQ(qvec)
+        def ids(df: Q): Set[Long] = df.select("vec_id").collect()
+          .map(_.getLong(0)).filter(_ != qid).take(k).toSet
+        val t0 = System.nanoTime()
+        val truth = ids(Similarity.bruteForceTopK(corpus, "vec_id",
+          "embedding", qdf, "embedding", k = k + 1))
+        bruteSec += (System.nanoTime() - t0) / 1e9
+        require(truth.contains(parent),
+          s"planted parent $parent not in brute top-$k of twin $qid")
+        methods.foreach { case (label, f) =>
+          val t1 = System.nanoTime()
+          val got = ids(f(qdf, qn))
+          sec(label) += (System.nanoTime() - t1) / 1e9
+          rec(label) += got.intersect(truth).size / k.toDouble
+          if (got.contains(parent)) ph(label) += 1
+        }
+      }
+      val m = queries.length
+      println(f"[prof] n=$n queries=$m k=$k nlist=$nlist " +
+        f"code_bytes=$codeBytes raw_bytes=$rawBytes " +
+        f"ratio=${codeBytes.toDouble / rawBytes}%.4f " +
+        f"brute_mean_sec=${bruteSec / m}%.3f")
+      methods.foreach { case (label, _) =>
+        val frac =
+          if (label.startsWith("ivfpq_np"))
+            label.stripPrefix("ivfpq_np").takeWhile(_.isDigit)
+              .toDouble / nlist
+          else 1.0
+        println(f"[prof] $label%-20s recall@$k=${rec(label) / m}%.3f " +
+          f"parent_hit=${ph(label).toDouble / m}%.3f " +
+          f"mean_sec=${sec(label) / m}%.3f est_scan_frac=$frac%.4f")
+      }
+      flats.foreach(_._3.unpersist())
+      corpus.unpersist()
+      spark.stop(); return
+    }
     if (name == "vocab_bytes_profile") {
       // r12 verdict #6: the VocabEncode kernel guard counts ENTRIES;
       // measure the serialized map (what rides the task binary via
