@@ -751,7 +751,9 @@ object Scratch {
       timed("anti-join")(out.queryExecution.toRdd.count())
       spark.stop(); return
     }
-    SparkEntry.queries.get(name).foreach { fn =>
+    // bench-only twins are runnable by name too (q197/q198/q203/q206)
+    SparkEntry.queries.get(name)
+      .orElse(SparkEntry.benchOnlyQueries.get(name)).foreach { fn =>
       if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
         fn(spark, sfDir).explain("formatted")
       val t0 = System.nanoTime()

@@ -2734,6 +2734,26 @@ object SparkEntry {
         rerankK = 30)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
     }),
+
+    // Batched ADC k-NN eval (q169's scale answer): the corpus encodes
+    // once into PQ codes, per-query ADC tables precompute driver-side,
+    // one scan scores every (row, query) pair at O(m) lookups, and
+    // the exact-cosine rerank re-ranks the bounded candidate frame.
+    // Exact-reconstruction configuration + rerank ⇒ provably equal to
+    // the brute majority-vote eval, so the oracle is q169's replay on
+    // the pinned slice (both sides < Q188Cardinality — ksub = n cost
+    // stays an oracle artifact, not the operator's; q208 runs the
+    // production shape).
+    "q207_knn_eval_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id") < Q188Cardinality)
+      ProductQuantization.knnClassifyPq(
+        e.filter(col("vec_id") % 7 =!= 0),
+        e.filter(col("vec_id") % 7 === 0),
+        "vec_id", "embedding", "label", k = 5,
+        m = 4, ksub = 1000000, iters = 0, initByIdOrder = true,
+        rerankK = 15)
+    }),
   )
 
   /** BENCH-ONLY registry (r11 verdict #1): queries the bench measures
@@ -2796,6 +2816,25 @@ object SparkEntry {
         nlist = 0, nprobe = 4, m = 8, ksub = 32, k = 10,
         pqIters = 1, rerankK = 50)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
+    }),
+    // q207's growth twin: the production ADC eval — live corpus,
+    // auto-sized coarse cells pruning each query's pair stream to
+    // ~nprobe/nlist (the lever that actually beats the brute eval —
+    // flat ADC measured SLOWER than brute at sf1: pair generation,
+    // not per-pair scoring, dominates), lossy codebooks, rerank-50
+    // refine. The eval set stays PINNED (vec_id < 2000 — the q169
+    // discipline: an eval harness scores a fixed benchmark against a
+    // growing corpus). Trained codebooks have no static oracle;
+    // RegistrySpec pins the output shape and label fidelity, PqSpec
+    // pins the machinery's exactness configuration against brute.
+    "q208_knn_eval_pq_growth" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ProductQuantization.knnClassifyPq(
+        e.filter(col("vec_id") % 7 =!= 0),
+        e.filter(col("vec_id") % 7 === 0 && col("vec_id") < 2000),
+        "vec_id", "embedding", "label", k = 5,
+        m = 8, ksub = 32, iters = 1, rerankK = 50,
+        nlist = 0, nprobe = 8)
     }),
   )
 
@@ -3676,6 +3715,38 @@ object SparkEntry {
         | FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id < 500)
         |SELECT vec_id, round(raw, 4) AS score FROM sc
         |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
+    // Batched ADC eval under the exact-reconstruction configuration +
+    // exact rerank == the brute majority-vote eval: q169's replay on
+    // the pinned slice.
+    "q207_knn_eval_pq" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+        |    label AS qlabel FROM embeddings
+        |  WHERE vec_id % 7 = 0 AND vec_id < 500),
+        |sc AS (SELECT q.qid, q.qlabel, e.vec_id AS cid,
+        |    e.label AS clabel,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE)
+        |        * CAST(q.qe[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding,
+        |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qe,
+        |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS raw
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id % 7 <> 0 AND e.vec_id < 500),
+        |nn AS (SELECT qid, qlabel, clabel,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY raw DESC, cid) AS rn
+        |  FROM sc),
+        |v AS (SELECT qid, qlabel, clabel, count(*) AS n
+        |  FROM nn WHERE rn <= 5 GROUP BY qid, qlabel, clabel),
+        |p AS (SELECT qid, qlabel, clabel,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY n DESC, clabel) AS rn
+        |  FROM v)
+        |SELECT qid AS vec_id, qlabel AS true_label,
+        |  clabel AS predicted,
+        |  CAST(qlabel = clabel AS INT) AS correct
+        |FROM p WHERE rn = 1""".stripMargin,
     "q41_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),

@@ -200,6 +200,72 @@ object PqAdc {
   }
 }
 
+/** Multi-query ADC: `Σ_j tables(qIdx)(j)(code(j))` — one precomputed
+  * m×ksub table per query in an eval BATCH, so a single scan of the
+  * code table scores every (row, query) pair at O(m) lookups instead
+  * of O(dim) multiplies (the batched form of [[PqAdc]] — the eval
+  * shape [[graft.ml.Similarity.knnClassify]] pioneered, with the
+  * query-side tables riding the task binary once per executor).
+  * NULL on a malformed code or an out-of-range query index.
+  */
+case class PqAdcMulti(
+    left: Expression, right: Expression,
+    tables: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_multi requires (array<int>, int), got ($l, $r)")
+    }
+
+  override def nullSafeEval(code: Any, qIdx: Any): Any =
+    PqAdcMulti.computeOrNull(code.asInstanceOf[ArrayData],
+      qIdx.asInstanceOf[Int], tables)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("tables", tables, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (c, q) => {
+      val r = ctx.freshName("graftPqAdcM")
+      s"""
+      |java.lang.Double $r =
+      |  graft.functions.PqAdcMulti.computeOrNull($c, $q, $t);
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $r.doubleValue(); }
+      |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcMulti =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_adc_multi"
+}
+
+object PqAdcMulti {
+
+  def pqAdcMulti(
+      code: Column, qIdx: Column,
+      tables: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqAdcMulti(GraftBridge.expression(code),
+      GraftBridge.expression(qIdx), tables))
+
+  def computeOrNull(
+      a: ArrayData, qIdx: Int,
+      tables: Array[Array[Array[Double]]]): java.lang.Double = {
+    if (qIdx < 0 || qIdx >= tables.length) return null
+    PqAdc.computeOrNull(a, tables(qIdx))
+  }
+}
+
 /** Coarse residual: `vec - centroids(cluster)`, elementwise in double —
   * what IVF-PQ actually quantizes (the residual's spread is a fraction
   * of the vector's, so the same ksub buys more precision; Jégou §IV.B).

@@ -69,7 +69,8 @@ object ProductQuantization {
   def pqCodebooks(
       train: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int = 2, seed: Long = 42L,
-      initByIdOrder: Boolean = false): Array[Array[Array[Double]]] = {
+      initByIdOrder: Boolean = false,
+      trainSampleCap: Long = -1L): Array[Array[Array[Double]]] = {
     require(m > 0, "m (subspace count) must be positive")
     require(ksub > 0, "ksub (centroids per subspace) must be positive")
     val src = train
@@ -87,6 +88,15 @@ object ProductQuantization {
     require(dim % m == 0,
       s"vector dim $dim not divisible by m = $m subspaces")
     val dsub = dim / m
+    // Lloyd refinement trains on a bounded deterministic sample (the
+    // FAISS discipline — centroids need ~tens of points each, not the
+    // corpus): anchors always draw from the FULL ordered input, so
+    // the iters = 0 oracle configurations are sample-independent.
+    val lloydSrc =
+      if (iters > 0)
+        sampleForTraining(src, "__id",
+          resolveCap(trainSampleCap, anchors.length.toLong), seed)
+      else src
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m) { j =>
         anchors.map(a => a.slice(j * dsub, (j + 1) * dsub))
@@ -95,7 +105,7 @@ object ProductQuantization {
     while (it < iters) {
       // elementwise means per (subspace cell): explode dims once, the
       // code for dim d is the d/dsub-th entry of the row's code array
-      val means = src
+      val means = lloydSrc
         .select(PqEncode.pqEncode(col("__v"), books).as("__code"),
           col("__v"))
         .where(col("__code").isNotNull) // malformed rows never vote
@@ -117,6 +127,35 @@ object ProductQuantization {
     }
     src.unpersist()
     books
+  }
+
+  /** Training-sample cap resolution: -1 = auto (max(16384, 256·k) —
+    * centroids need hundreds of training points, not the corpus; the
+    * 64·k draw measured a real recall cost at sf10 — IVF-PQ np8
+    * 0.890 → 0.830 — while 256·k matched full-data training within
+    * noise), 0 = off (train on everything), > 0 = explicit row cap.
+    */
+  private def resolveCap(cap: Long, k: Long): Long =
+    if (cap == -1L) math.max(16384L, 256L * k) else cap
+
+  /** Deterministic hash-mod sample of ~`cap` rows for k-means
+    * refinement — identity when the cap is off or the input already
+    * fits. At 100 TB this is what makes index BUILDS linear-ish:
+    * Lloyd cost drops from O(n·k·dim·iters) to O(cap·k·dim·iters)
+    * and only the single final assignment pass touches every row.
+    * xxhash64 keyed off the id keeps the draw reproducible across
+    * runs and engines (the edgeSampleKeep discipline), salted so it
+    * is independent of the anchor-order hash.
+    */
+  private def sampleForTraining(
+      df: DataFrame, idCol: String, cap: Long, seed: Long): DataFrame = {
+    if (cap <= 0) return df
+    val n = df.count()
+    if (n <= cap) return df
+    val denom = 1L << 20
+    val keep = math.max(1L, denom * cap / n)
+    df.where(pmod(xxhash64(col(idCol), lit(seed ^ 0x5a17edL)),
+      lit(denom)) < lit(keep))
   }
 
   /** The query's ADC lookup table: `table(j)(c) = dot(q_j, books(j)(c))`
@@ -192,15 +231,19 @@ object ProductQuantization {
       query: DataFrame, queryVecCol: String,
       nlist: Int, nprobe: Int, m: Int, ksub: Int, k: Int = 10,
       coarseIters: Int = 3, pqIters: Int = 2, seed: Long = 42L,
-      initByIdOrder: Boolean = false, rerankK: Int = 0): DataFrame = {
+      initByIdOrder: Boolean = false, rerankK: Int = 0,
+      trainSampleCap: Long = -1L): DataFrame = {
     val corpus = embeddings.select(col(idCol), col(vecCol),
         Similarity.normalize(col(vecCol)).as("__nvec"))
       .persist(StorageLevel.MEMORY_AND_DISK) // coarse + PQ + scan reads
     val sizedNlist =
       if (nlist == 0) Similarity.autoNlist(corpus.count()) else nlist
     val coarse: Array[Array[Double]] =
-      Similarity.ivfCentroids(corpus, idCol, "__nvec", sizedNlist,
-        coarseIters, seed).map(_.toArray).toArray
+      Similarity.ivfCentroids(
+        sampleForTraining(corpus, idCol,
+          resolveCap(trainSampleCap, sizedNlist.toLong), seed),
+        idCol, "__nvec", sizedNlist, coarseIters, seed)
+        .map(_.toArray).toArray
     val assigned = corpus
       .withColumn("__cluster",
         NearestCentroid.nearestCentroid(col("__nvec"),
@@ -208,7 +251,8 @@ object ProductQuantization {
       .withColumn("__resid",
         ResidualVec.residualVec(col("__nvec"), col("__cluster"), coarse))
     val books = pqCodebooks(assigned.where(col("__resid").isNotNull),
-      idCol, "__resid", m, ksub, pqIters, seed, initByIdOrder)
+      idCol, "__resid", m, ksub, pqIters, seed, initByIdOrder,
+      trainSampleCap)
     val qn = queryVector(query, queryVecCol)
     val probes = probeOrder(qn, coarse).take(math.min(nprobe, sizedNlist))
     val table = adcTable(qn, books)
@@ -224,6 +268,153 @@ object ProductQuantization {
     // result so no cache outlives the call
     val materialized = out.localCheckpoint(true)
     corpus.unpersist()
+    materialized
+  }
+
+  /** Batched k-NN majority-vote eval over PQ codes — the scale answer
+    * to [[Similarity.knnClassify]]'s by-contract linear scan (q169's
+    * flagged row). Two independent levers, because measurement showed
+    * which one matters:
+    *
+    *   - **Pair-volume pruning** (the one that matters): with
+    *     `nlist != -1` the corpus coarse-clusters once and each query
+    *     joins only its `nprobe` nearest cells — the (row, query)
+    *     pair stream entering the top-k heap shrinks by
+    *     ~nprobe/nlist. A flat ADC scan (`nlist = -1`) still pays the
+    *     full n·Q pair generation, which dominates the eval (measured:
+    *     flat ADC was SLOWER than brute at sf1 — cheap scoring does
+    *     not pay for an extra encode pass when pair volume is the
+    *     bottleneck).
+    *   - **O(m) scoring**: per-query ADC tables precompute driver-side
+    *     and one scan of the code table scores every surviving pair
+    *     via [[graft.functions.PqAdcMulti]] lookups.
+    *
+    * Codes are NON-residual here (global codebooks over the
+    * normalized vectors; FAISS's `by_residual = false`) so one table
+    * per query is valid across every cell — the eval's throughput
+    * shape. Candidates rerank by EXACT cosine when `rerankK > 0`
+    * (the same expression as the brute eval), then vote with
+    * [[Similarity.knnClassify]]'s exact tie-breaks (score desc,
+    * corpus id asc; votes desc, label asc).
+    *
+    * Exactness configuration (the q207 oracle): `nlist = -1` or
+    * `nprobe = nlist`, `ksub ≥ n` anchors by id, `iters = 0`,
+    * `rerankK ≥ k` — provably equal to [[Similarity.knnClassify]].
+    *
+    * The query side COLLECTS (id, label, vector) — an eval set is
+    * bounded by contract (the q169 pinning discipline), and
+    * `maxCollectQueries` makes the contract explicit (it bounds the
+    * per-executor table bytes, Q·m·ksub doubles).
+    */
+  def knnClassifyPq(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int = 5, m: Int = 8, ksub: Int = 64, iters: Int = 2,
+      seed: Long = 42L, initByIdOrder: Boolean = false,
+      trainSampleCap: Long = -1L, rerankK: Int = 0,
+      nlist: Int = -1, nprobe: Int = 8,
+      coarseIters: Int = 2,
+      maxCollectQueries: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    val enc0 = corpus.select(col(idCol).as("__cid"),
+        col(labelCol).as("__clabel"), col(vecCol).as("__cv"),
+        Similarity.normalize(col(vecCol)).as("__nvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // train + encode reads
+    val sizedNlist =
+      if (nlist == 0) Similarity.autoNlist(enc0.count())
+      else nlist // -1 = flat (no coarse stage)
+    val coarse: Array[Array[Double]] =
+      if (sizedNlist <= 0) Array.empty
+      else Similarity.ivfCentroids(
+        sampleForTraining(enc0, "__cid",
+          resolveCap(trainSampleCap, sizedNlist.toLong), seed),
+        "__cid", "__nvec", sizedNlist, coarseIters, seed)
+        .map(_.toArray).toArray
+    val books =
+      pqCodebooks(enc0, "__cid", "__nvec", m, ksub, iters, seed,
+        initByIdOrder, trainSampleCap)
+    val qRows = queries
+      .select(col(idCol), col(labelCol),
+        Similarity.normalize(col(vecCol)))
+      .limit(maxCollectQueries + 1).collect()
+    require(qRows.length <= maxCollectQueries,
+      s"eval set exceeds maxCollectQueries = $maxCollectQueries — " +
+        "the batched ADC eval precomputes one m×ksub table per query " +
+        "driver-side; shard the eval set or raise the guard knowingly")
+    val tables: Array[Array[Array[Double]]] =
+      qRows.map(r => adcTable(r.getSeq[Double](2).toArray, books))
+    // the broadcast query-index frame must enumerate qRows in TABLE
+    // order — built from the collected rows with the input's own
+    // id/label types; under coarse pruning it carries each query's
+    // probe cells, and the (qidx, cell) explode joins the corpus on
+    // the cluster id, shrinking the pair stream by ~nprobe/nlist
+    val baseFields = Seq(
+      org.apache.spark.sql.types.StructField("__qidx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      queries.schema(idCol).copy(name = "__qid"),
+      queries.schema(labelCol).copy(name = "__qlabel"))
+    val qSchema = org.apache.spark.sql.types.StructType(
+      if (coarse.isEmpty) baseFields
+      else baseFields :+ org.apache.spark.sql.types.StructField(
+        "__probes", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false),
+        nullable = false))
+    val qMeta = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.zipWithIndex.map { case (r, i) =>
+        val base = Seq[Any](i, r.get(0), r.get(1))
+        org.apache.spark.sql.Row.fromSeq(
+          if (coarse.isEmpty) base
+          else base :+ probeOrder(r.getSeq[Double](2).toArray, coarse)
+            .take(math.min(nprobe, coarse.length)))
+      }: _*), qSchema)
+    val coded = enc0.select(col("__cid"), col("__clabel"),
+      (if (coarse.isEmpty) lit(-1) else
+        NearestCentroid.nearestCentroid(col("__nvec"),
+          coarse.map(_.toSeq).toSeq)).as("__cell"),
+      PqEncode.pqEncode(col("__nvec"), books).as("__code"))
+    val paired =
+      if (coarse.isEmpty) coded.crossJoin(broadcast(qMeta))
+      else coded.join(
+        broadcast(qMeta.select(col("__qidx"), col("__qid"),
+          col("__qlabel"), explode(col("__probes")).as("__cell"))),
+        "__cell")
+    val scored = paired.select(col("__qidx"), col("__qid"),
+      col("__qlabel"), col("__cid"), col("__clabel"),
+      graft.functions.PqAdcMulti.pqAdcMulti(col("__code"),
+        col("__qidx"), tables).as("__score"))
+    val nn =
+      if (rerankK <= 0)
+        graft.operators.TopN.topNPerKey(scored, Seq("__qid"),
+          Seq(col("__score") * -1, col("__cid")), k)
+      else {
+        val cand = graft.operators.TopN.topNPerKey(scored, Seq("__qid"),
+          Seq(col("__score") * -1, col("__cid")),
+          math.max(rerankK, k))
+          .select(col("__qid"), col("__qlabel"), col("__cid"))
+        val qVecs = queries.select(col(idCol).as("__qid"),
+          col(vecCol).as("__qv"))
+        val exact = cand // Q·rerankK rows — broadcastable by contract
+          .join(enc0.select(col("__cid"), col("__clabel"), col("__cv")),
+            "__cid")
+          .join(broadcast(qVecs), "__qid")
+          .withColumn("__score",
+            Similarity.cosine(col("__cv"), col("__qv")))
+        graft.operators.TopN.topNPerKey(exact, Seq("__qid"),
+          Seq(col("__score") * -1, col("__cid")), k)
+      }
+    val votes = nn.groupBy(col("__qid"), col("__qlabel"),
+        col("__clabel"))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("__n").desc, col("__clabel").asc)
+    val out = votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__qid").as(idCol), col("__qlabel").as("true_label"),
+        col("__clabel").as("predicted"),
+        (col("__qlabel") === col("__clabel")).cast("int").as("correct"))
+    val materialized = out.localCheckpoint(true)
+    enc0.unpersist()
     materialized
   }
 
@@ -247,7 +438,8 @@ object ProductQuantization {
       embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int, m: Int, ksub: Int,
       coarseIters: Int = 3, pqIters: Int = 2, seed: Long = 42L,
-      initByIdOrder: Boolean = false): Unit = {
+      initByIdOrder: Boolean = false,
+      trainSampleCap: Long = -1L): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val projected = embeddings.select(col(idCol), col(vecCol))
@@ -257,8 +449,11 @@ object ProductQuantization {
     val sizedNlist =
       if (nlist == 0) Similarity.autoNlist(corpus.count()) else nlist
     val coarse: Array[Array[Double]] =
-      Similarity.ivfCentroids(corpus, idCol, "__nvec", sizedNlist,
-        coarseIters, seed).map(_.toArray).toArray
+      Similarity.ivfCentroids(
+        sampleForTraining(corpus, idCol,
+          resolveCap(trainSampleCap, sizedNlist.toLong), seed),
+        idCol, "__nvec", sizedNlist, coarseIters, seed)
+        .map(_.toArray).toArray
     val assigned = corpus
       .withColumn("__cluster",
         NearestCentroid.nearestCentroid(col("__nvec"),
@@ -266,7 +461,8 @@ object ProductQuantization {
       .withColumn("__resid",
         ResidualVec.residualVec(col("__nvec"), col("__cluster"), coarse))
     val books = pqCodebooks(assigned.where(col("__resid").isNotNull),
-      idCol, "__resid", m, ksub, pqIters, seed, initByIdOrder)
+      idCol, "__resid", m, ksub, pqIters, seed, initByIdOrder,
+      trainSampleCap)
     val encoded = assigned
       .select(col(idCol),
         PqEncode.pqEncode(col("__resid"), books).as("__pq_code"),

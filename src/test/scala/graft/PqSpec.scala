@@ -273,6 +273,41 @@ class PqSpec extends AnyFunSuite {
       strictStaleness = true)).nonEmpty)
   }
 
+  test("knnClassifyPq: exactness config + rerank equals the brute " +
+      "eval; the query-collect guard throws past its cap") {
+    val e = emb
+    val corpus  = e.filter($"vec_id" % 7 =!= 0)
+    val queries = e.filter($"vec_id" % 7 === 0)
+    val brute = Similarity.knnClassify(corpus, queries,
+      "vec_id", "embedding", "label", k = 5)
+      .collect().map(_.toSeq).toSet
+    val adc = PQ.knnClassifyPq(corpus, queries,
+      "vec_id", "embedding", "label", k = 5,
+      m = 4, ksub = 1000000, iters = 0, initByIdOrder = true,
+      rerankK = 15)
+      .collect().map(_.toSeq).toSet
+    assert(adc == brute, "exact-reconstruction ADC eval + exact " +
+      "rerank must equal the brute majority-vote eval")
+    // the coarse-pruned path at full probe is the same guarantee
+    val pruned = PQ.knnClassifyPq(corpus, queries,
+      "vec_id", "embedding", "label", k = 5,
+      m = 4, ksub = 1000000, iters = 0, initByIdOrder = true,
+      rerankK = 15, nlist = 4, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == brute, "full-probe coarse-pruned ADC eval must " +
+      "equal the brute majority-vote eval")
+    // lossy production config still returns one verdict per query
+    val lossy = PQ.knnClassifyPq(corpus, queries,
+      "vec_id", "embedding", "label", k = 5,
+      m = 8, ksub = 16, iters = 1, rerankK = 30)
+    assert(lossy.count() == queries.count())
+    // the driver-side table build is guarded, not unbounded
+    intercept[IllegalArgumentException] {
+      PQ.knnClassifyPq(corpus, queries, "vec_id", "embedding",
+        "label", k = 5, m = 4, ksub = 8, maxCollectQueries = 3)
+    }
+  }
+
   test("ivfPqTopK releases its build caches (at most the k-row " +
       "checkpointed result persists afterward)") {
     val base  = emb.filter($"vec_id" =!= 0)

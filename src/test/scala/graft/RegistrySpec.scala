@@ -114,4 +114,36 @@ class RegistrySpec extends AnyFunSuite {
     exact.take(10).map(_._2).zip(out.map(_._2)).foreach { case (b, o) =>
       assert(b >= o, s"brute score $b below q206's $o at same rank") }
   }
+
+  test("q208 ADC-eval growth twin: one verdict per query, labels " +
+      "faithful to the inputs, correct derived — and the eval " +
+      "MACHINERY is exactness-pinned in PqSpec (lossy-config verdicts " +
+      "legitimately diverge from brute on near-uniform noise, where " +
+      "true neighbors are quasi-ties; agreement in the planted regime " +
+      "is measured in pq_recall_r13)") {
+    import org.apache.spark.sql.functions._
+    val s = SparkFixture.spark
+    val dir = SparkFixture.sfDir
+    val out = SparkEntry.benchOnlyQueries("q208_knn_eval_pq_growth")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)))
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val qLabels = e.filter(col("vec_id") % 7 === 0 && col("vec_id") < 2000)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val corpusLabels = e.filter(col("vec_id") % 7 =!= 0)
+      .select(col("label")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(out.map(_._1).toSet == qLabels.keySet,
+      "q208 must return exactly one verdict per eval query")
+    assert(out.length == qLabels.size, "duplicate verdict rows")
+    out.foreach { case (qid, trueLabel, predicted, correct) =>
+      assert(trueLabel == qLabels(qid),
+        s"true_label for $qid does not match the query table")
+      assert(corpusLabels.contains(predicted),
+        s"predicted label $predicted for $qid outside the corpus domain")
+      assert(correct == (if (trueLabel == predicted) 1 else 0),
+        s"correct flag for $qid is not derived from the labels")
+    }
+  }
 }
