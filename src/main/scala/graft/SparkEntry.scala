@@ -2754,6 +2754,20 @@ object SparkEntry {
         m = 4, ksub = 1000000, iters = 0, initByIdOrder = true,
         rerankK = 15)
     }),
+
+    // DSIR data selection (Xie et al. NeurIPS'23): hashed-ngram
+    // importance weights in integer ppm — the FNV 1+2-gram features,
+    // the Laplace-smoothed bucket models of both sides, the per-doc
+    // BIGINT weight sum, and the top-n head are ALL replayed in SQL
+    // (integer fixed-point makes every sum order-free and hash-exact;
+    // the only float op is ln(integer) rounded to a millionth on both
+    // engines). Target = the doc_id % 5 slice standing in for a
+    // curated domain.
+    "q209_dsir_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Curation.dsirTopK(d, d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 200)
+    }),
   )
 
   /** BENCH-ONLY registry (r11 verdict #1): queries the bench measures
@@ -3747,6 +3761,59 @@ object SparkEntry {
         |  clabel AS predicted,
         |  CAST(qlabel = clabel AS INT) AS correct
         |FROM p WHERE rn = 1""".stripMargin,
+    // DSIR: FNV word 1+2-gram features masked into 8192 buckets,
+    // Laplace-smoothed bucket models of raw (all documents) and
+    // target (doc_id % 5), per-doc weight as an exact BIGINT sum of
+    // per-bucket ppm log-ratios plus n_feats·const, top-200 by
+    // (weight, id). The 2-gram window replays the engine's
+    // fewer-than-n rule (one shingle of the available tokens) via the
+    // NULL-filtered pair and greatest(len-1, 1); [:-2] drops the
+    // trailing separator (the q39 lesson).
+    "q209_dsir_select" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      t -> t <> '') AS toks
+         |  FROM documents),
+         |occ1 AS (SELECT doc_id, unnest(list_transform(toks,
+         |    t -> ${sqlFnv(
+        """flatten(list_transform(string_split(t, ''),
+          |            ch -> [unicode(ch) % 256, unicode(ch) // 256]))""".stripMargin)})) AS hu
+         |  FROM tok WHERE len(toks) >= 1),
+         |occ2 AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(toks) - 1, 1) + 1),
+         |    i -> ${sqlFnv(
+        """flatten(list_transform(
+          |            list_filter([toks[i], toks[i + 1]], t -> t IS NOT NULL),
+          |            t -> list_append(
+          |              flatten(list_transform(string_split(t, ''),
+          |                ch -> [unicode(ch) % 256, unicode(ch) // 256])), 32))
+          |          )[:-2]""".stripMargin)})) AS hu
+         |  FROM tok WHERE len(toks) >= 1),
+         |occ AS MATERIALIZED (
+         |  SELECT doc_id, CAST(hu & 8191 AS BIGINT) AS b FROM (
+         |    SELECT doc_id, hu FROM occ1
+         |    UNION ALL SELECT doc_id, hu FROM occ2)),
+         |rawc AS MATERIALIZED (SELECT b, count(*) AS c FROM occ GROUP BY b),
+         |tgtc AS MATERIALIZED (SELECT b, count(*) AS c FROM occ
+         |  WHERE doc_id % 5 = 0 GROUP BY b),
+         |tot AS (SELECT (SELECT count(*) FROM occ) AS tr,
+         |  (SELECT count(*) FROM occ WHERE doc_id % 5 = 0) AS tt),
+         |ratio AS MATERIALIZED (
+         |  SELECT r.b,
+         |    CAST(round(ln(COALESCE(t.c, 0) + 1) * 1000000, 0) AS BIGINT)
+         |    - CAST(round(ln(r.c + 1) * 1000000, 0) AS BIGINT) AS ppm
+         |  FROM rawc r LEFT JOIN tgtc t USING (b)),
+         |cst AS (SELECT
+         |    CAST(round(ln(tr + 8192) * 1000000, 0) AS BIGINT)
+         |    - CAST(round(ln(tt + 8192) * 1000000, 0) AS BIGINT) AS cppm
+         |  FROM tot),
+         |w AS (SELECT o.doc_id, SUM(ratio.ppm) AS s, count(*) AS nf
+         |  FROM occ o JOIN ratio USING (b) GROUP BY o.doc_id),
+         |wf AS (SELECT t.doc_id,
+         |    COALESCE(w.s, 0) + COALESCE(w.nf, 0) * cst.cppm AS weight_ppm
+         |  FROM tok t LEFT JOIN w ON w.doc_id = t.doc_id, cst)
+         |SELECT doc_id, CAST(weight_ppm AS BIGINT) AS weight_ppm FROM wf
+         |ORDER BY weight_ppm DESC, doc_id LIMIT 200""".stripMargin,
     "q41_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),

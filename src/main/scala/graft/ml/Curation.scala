@@ -495,4 +495,126 @@ object Curation {
     src.unpersist()
     materialized
   }
+
+  /** Fixed-point natural log for DSIR weights: `round(ln(k)·10⁶)` for
+    * an integer k ≥ 1 — the q115/q179 integer-replay discipline.
+    * Once each bucket's log maps to ONE integer, every downstream
+    * weight is an exact BIGINT sum: no float addition order, no
+    * cross-engine rounding, hash-equal oracles. (The only cross-engine
+    * surface left is ln() itself on small-integer inputs, where a
+    * 1-ulp divergence would have to land within ~2e-9 of a rounding
+    * boundary to matter.)
+    */
+  private[ml] def ilogPpm(k: Long): Long = {
+    require(k >= 1, s"ilogPpm needs k >= 1, got $k")
+    math.round(math.log(k.toDouble) * 1e6)
+  }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw document by how much more likely its hashed n-gram
+    * bag is under the TARGET distribution than under the RAW
+    * distribution. Features are the engine's FNV word 1-grams +
+    * 2-grams ([[graft.functions.ShingleHashes]] — one kernel pass per
+    * row) masked into `buckets` (a power of two); each side fits a
+    * Laplace-smoothed (α = 1) unigram model over buckets, and
+    *
+    *   weight(d) = Σ_{g∈d} [ilog(ct_b(g)+1) − ilog(cr_b(g)+1)]
+    *             + |d|·[ilog(Tr+B) − ilog(Tt+B)]
+    *
+    * in integer MILLIONTHS of a nat ([[ilogPpm]]) — an exact BIGINT
+    * sum, so the whole derivation hash-replays in SQL.
+    *
+    * Scale shape: two aggregations whose shuffles are bounded by
+    * `buckets` rows per map partition (partial counts combine
+    * map-side), a `buckets`-entry ppm table riding the scoring
+    * projection as ONE literal (≤ 64 KiB at the 8192 default), and a
+    * second map-only scan of `raw` for the per-document sum. The
+    * feature projection is deliberately NOT cached between the two
+    * raw scans: recomputing FNV hashes on a rescan is cheaper than
+    * materializing a feature column the size of the corpus at 100 TB.
+    *
+    * @return (idCol, n_feats INT, weight_ppm BIGINT)
+    */
+  def dsirWeights(
+      raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String,
+      buckets: Int = 8192): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two (bitmask bucketing), got $buckets")
+    val mask = (buckets - 1).toLong
+    def feats(df: DataFrame): DataFrame = df.select(col(idCol),
+      concat(
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), 1),
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), 2))
+        .as("__g"))
+    def bucketCounts(df: DataFrame): Array[Long] = {
+      val rows = feats(df)
+        .select(explode(col("__g")).as("__h"))
+        .groupBy(col("__h").bitwiseAND(lit(mask)).as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .collect() // ≤ buckets rows — bounded metadata
+      val cnt = new Array[Long](buckets)
+      rows.foreach(r => cnt(r.getLong(0).toInt) = r.getLong(1))
+      cnt
+    }
+    val cr = bucketCounts(raw)
+    val ct = bucketCounts(target)
+    val totalR = cr.sum
+    val totalT = ct.sum
+    val ratioPpm: Seq[Long] =
+      (0 until buckets).map(b => ilogPpm(ct(b) + 1) - ilogPpm(cr(b) + 1))
+    val constPpm =
+      ilogPpm(totalR + buckets) - ilogPpm(totalT + buckets)
+    val table = typedlit(ratioPpm)
+    feats(raw).select(col(idCol),
+      size(col("__g")).as("n_feats"),
+      (aggregate(
+        transform(col("__g"), g =>
+          element_at(table, g.bitwiseAND(lit(mask)).cast("int") + 1)),
+        lit(0L), (acc, x) => acc + x)
+        + size(col("__g")).cast("long") * lit(constPpm)).as("weight_ppm"))
+  }
+
+  /** The `n` most target-like raw documents by DSIR weight — the
+    * deterministic "take the head of the importance ranking" mode
+    * (ties break on the id). TakeOrderedAndProject: per-partition
+    * heaps, n rows to the driver per partition.
+    */
+  def dsirTopK(
+      raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      buckets: Int = 8192): DataFrame =
+    dsirWeights(raw, target, idCol, textCol, buckets)
+      .orderBy(col("weight_ppm").desc, col(idCol).asc)
+      .limit(n)
+      .select(col(idCol), col("weight_ppm"))
+
+  /** Gumbel-top-k importance RESAMPLING (the paper's actual sampling
+    * mode): add an independent Gumbel(0, 1) key to each document's
+    * weight and take the top `n` — equivalent to sampling n documents
+    * without replacement with probability ∝ exp(weight). The Gumbel
+    * draw is deterministic from the document id ([[graft.functions
+    * .Mix64]] → uniform in (0,1) → −ln(−ln(u)), in the same ppm fixed
+    * point), so a retry selects the SAME set — sampling state lives
+    * in arithmetic, not in RNG objects (the datasetSplit discipline).
+    */
+  def dsirResample(
+      raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      buckets: Int = 8192, seed: Int = 42): DataFrame = {
+    // signed mix64 / 2^64 + 0.5 ∈ [0, 1); clamp away from BOTH ends —
+    // u → 0 or the double rounding u → 1.0 would make the Gumbel key
+    // ±Inf and the long cast undefined
+    val u0 = graft.functions.Mix64
+      .mix64(col(idCol).cast("long"), seed)
+      .cast("double") / lit(2.0) / lit(Long.MaxValue.toDouble) + lit(0.5)
+    val u = least(greatest(u0, lit(1e-12)), lit(1.0 - 1e-12))
+    val gumbelPpm = round(-log(-log(u)) * lit(1e6)).cast("long")
+    dsirWeights(raw, target, idCol, textCol, buckets)
+      .withColumn("__key", col("weight_ppm") + gumbelPpm)
+      .orderBy(col("__key").desc, col(idCol).asc)
+      .limit(n)
+      .select(col(idCol), col("weight_ppm"))
+  }
 }

@@ -367,11 +367,16 @@ object ProductQuantization {
           else base :+ probeOrder(r.getSeq[Double](2).toArray, coarse)
             .take(math.min(nprobe, coarse.length)))
       }: _*), qSchema)
+    // malformed corpus vectors (null/odd-dim) are NOT neighbors: the
+    // pruned path drops them at the cell join anyway (null cell);
+    // filter the flat path explicitly so a NULL ADC score never
+    // enters the top-k heap with engine-defined null ordering
     val coded = enc0.select(col("__cid"), col("__clabel"),
       (if (coarse.isEmpty) lit(-1) else
         NearestCentroid.nearestCentroid(col("__nvec"),
           coarse.map(_.toSeq).toSeq)).as("__cell"),
       PqEncode.pqEncode(col("__nvec"), books).as("__code"))
+      .where(col("__code").isNotNull)
     val paired =
       if (coarse.isEmpty) coded.crossJoin(broadcast(qMeta))
       else coded.join(

@@ -319,4 +319,62 @@ class QualityOpsSpec extends AnyFunSuite {
     // last key's cumulative share closes at 1
     assert(got.map(_._3).max == 1.0)
   }
+
+  test("dsirWeights: target == raw zeroes every weight; target-like " +
+      "docs outrank target-unlike; empty docs carry weight 0") {
+    import graft.ml.Curation
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "gamma delta gamma delta"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "")).toDF("doc_id", "text")
+    // identical distributions: every ratio term and the totals
+    // constant cancel, so all weights are exactly 0
+    val same = Curation.dsirWeights(raw, raw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(same.values.forall(_ == 0L), s"nonzero weight under " +
+      s"target == raw: $same")
+    // target enriched in alpha/beta: doc 1 must outrank doc 2, doc 3
+    // sits between, the empty doc scores 0 features
+    val target = Seq((9L, "alpha beta alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val w = Curation.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r =>
+        r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(w(1L)._2 > w(3L)._2 && w(3L)._2 > w(2L)._2,
+      s"importance order broken: $w")
+    assert(w(4L) == ((0, 0L)), s"empty doc must be (0 feats, 0 ppm): " +
+      s"${w(4L)}")
+    // topK: correct size, ordered by (weight desc, id). Note the
+    // empty doc ranks SECOND: it is weight-neutral (0), while docs
+    // carrying target-absent n-grams (gamma/delta) score negative —
+    // the likelihood-ratio semantics, not a bug
+    val top = Curation.dsirTopK(raw, target, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top.map(_._1) == Seq(1L, 4L),
+      s"topK must lead with the most target-like docs: $top")
+    assert(w(3L)._2 < 0 && w(2L)._2 < 0,
+      "target-absent n-grams must push weights negative")
+  }
+
+  test("dsirResample is deterministic per seed, returns n rows from " +
+      "raw, and reacts to the seed") {
+    import graft.ml.Curation
+    val raw = spark.read
+      .parquet(s"${SparkFixture.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val target = raw.filter(col("doc_id") % 5 === 0)
+    def run(seed: Int): Seq[Long] =
+      Curation.dsirResample(raw, target, "doc_id", "text", n = 50,
+        seed = seed).collect().map(_.getLong(0)).toSeq
+    val a = run(1)
+    val b = run(1)
+    val c = run(2)
+    assert(a == b, "same seed must reproduce the same sample")
+    assert(a.length == 50 && a.distinct.length == 50)
+    assert(a.toSet != c.toSet || a != c,
+      "different seeds should perturb the Gumbel keys")
+    val rawIds = raw.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.forall(rawIds.contains))
+  }
 }
