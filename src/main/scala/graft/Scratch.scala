@@ -521,6 +521,7 @@ object Scratch {
       }
       val codeBytes = bytesOf(s"$ivfpqDir/vectors")
       val rawBytes  = bytesOf(s"$sfDir/embeddings_planted.parquet")
+      lazy val handle = PQ.openIvfPqIndex(spark, ivfpqDir)
       val methods: Seq[(String, (Q, Array[Double]) => Q)] =
         flats.flatMap { case (ks, books, encoded) => Seq(
           s"pq_m8_k$ks" -> ((qdf: Q, qn: Array[Double]) =>
@@ -535,7 +536,12 @@ object Scratch {
           s"ivfpq_np${np}_rr50" -> ((qdf: Q, _: Array[Double]) =>
             PQ.ivfPqTopKFromIndex(spark, ivfpqDir, "vec_id",
               qdf, "embedding", nprobe = np, k = k + 1, rerankK = 51,
-              rerankSource = Some((corpus, "embedding")))))
+              rerankSource = Some((corpus, "embedding"))))) ++
+        // the OPENED-handle probe: same scan, metadata loaded once —
+        // isolates the one-shot API's per-call parquet-read overhead
+        Seq("ivfpqH_np8" -> ((qdf: Q, _: Array[Double]) =>
+          handle.topK("vec_id", qdf, "embedding",
+            nprobe = 8, k = k + 1)))
       val rec = scala.collection.mutable.Map.empty[String, Double]
         .withDefaultValue(0.0)
       val ph  = scala.collection.mutable.Map.empty[String, Int]
@@ -571,8 +577,8 @@ object Scratch {
         f"brute_mean_sec=${bruteSec / m}%.3f")
       methods.foreach { case (label, _) =>
         val frac =
-          if (label.startsWith("ivfpq_np"))
-            label.stripPrefix("ivfpq_np").takeWhile(_.isDigit)
+          if (label.startsWith("ivfpq"))
+            label.dropWhile(!_.isDigit).takeWhile(_.isDigit)
               .toDouble / nlist
           else 1.0
         println(f"[prof] $label%-20s recall@$k=${rec(label) / m}%.3f " +

@@ -513,38 +513,9 @@ object ProductQuantization {
     Similarity.checkProbeStaleness(
       Similarity.readIndexMeta(spark, path), path,
       maxStaleRatio, strictStaleness)
-    val coarse = readCoarse(spark, path)
-    val books = readCodebooks(spark, path)
-    val qn = queryVector(query, queryVecCol)
-    val probes =
-      probeOrder(qn, coarse).take(math.min(nprobe, coarse.length))
-    val table = adcTable(qn, books)
-    val coarseDots: Seq[Double] = coarse.toSeq.map(c => dotArr(qn, c))
-    val scored = spark.read.parquet(s"$path/vectors")
-      .filter(col("__cluster").isin(probes.map(Int.box): _*))
-      .withColumn("score",
-        PqAdc.pqAdc(col("__pq_code"), table)
-          + element_at(typedlit(coarseDots), col("__cluster") + 1))
-    if (rerankK <= 0)
-      scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
-        .select(col(idCol), col("score"))
-    else {
-      val (src, vecCol) = rerankSource.getOrElse(throw
-        new IllegalArgumentException("rerankK > 0 needs rerankSource " +
-          "— the index stores PQ codes only; pass the raw-vector " +
-          "table as rerankSource = Some((frame, vecCol))"))
-      val cand = scored
-        .orderBy(col("score").desc, col(idCol).asc)
-        .limit(math.max(rerankK, k))
-        .select(col(idCol))
-      val q = query.select(col(queryVecCol).as("__qvec"))
-      src.join(broadcast(cand), idCol) // candidate side: ≤ rerankK rows
-        .crossJoin(broadcast(q))
-        .withColumn("score", Similarity.cosine(col(vecCol), col("__qvec")))
-        .orderBy(col("score").desc, col(idCol).asc)
-        .limit(k)
-        .select(col(idCol), col("score"))
-    }
+    probeIvfPq(spark, path, idCol, query, queryVecCol, nprobe, k,
+      rerankK, rerankSource, readCoarse(spark, path),
+      readCodebooks(spark, path))
   }
 
   /** Append new vectors to a persisted IVF-PQ index WITHOUT a rebuild:
@@ -591,6 +562,98 @@ object ProductQuantization {
     Similarity.writeIndexManifest(spark, path,
       Similarity.bumpAppendCounter(meta, n))
     n
+  }
+
+  /** An OPENED IVF-PQ index: coarse centroids, codebooks, and the
+    * manifest loaded ONCE and reused across probes. The one-shot
+    * [[ivfPqTopKFromIndex]] re-reads both metadata parquets per call,
+    * which DOMINATES its latency (pq_recall_r13 measured ~0.5–1.1 s
+    * mean probe vs ~0.05 s for the equivalent in-memory ADC scan) —
+    * a query batch should pay it once. Staleness is checked at
+    * [[open]] against the manifest counters of that moment; a
+    * long-lived handle over an appending index should re-open to
+    * refresh (the probe itself always reads the LIVE vectors
+    * directory, so appended rows are visible immediately — only the
+    * staleness judgment and the frozen centroids/codebooks are
+    * open-time snapshots, and those are immutable between rebuilds
+    * by construction).
+    */
+  final class IvfPqIndex private[ProductQuantization] (
+      spark: org.apache.spark.sql.SparkSession,
+      val path: String,
+      coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]) {
+
+    /** [[ivfPqTopKFromIndex]] with the open-time metadata — probe
+      * results are identical by construction (spec-pinned).
+      */
+    def topK(
+        idCol: String, query: DataFrame, queryVecCol: String,
+        nprobe: Int = 2, k: Int = 10,
+        rerankK: Int = 0,
+        rerankSource: Option[(DataFrame, String)] = None): DataFrame =
+      probeIvfPq(spark, path, idCol, query, queryVecCol, nprobe, k,
+        rerankK, rerankSource, coarse, books)
+  }
+
+  /** Open a persisted IVF-PQ index for repeated probing: one manifest
+    * validation + staleness check + two bounded metadata reads, then
+    * every [[IvfPqIndex.topK]] goes straight to the partition-pruned
+    * code scan.
+    */
+  def openIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxStaleRatio: Double = Similarity.DefaultMaxStaleRatio,
+      strictStaleness: Boolean = false): IvfPqIndex = {
+    val meta = Similarity.readIndexMeta(spark, path)
+    Similarity.requireMetaMatch(meta, "kind", "ivfpq", path)
+    Similarity.checkProbeStaleness(meta, path, maxStaleRatio,
+      strictStaleness)
+    new IvfPqIndex(spark, path, readCoarse(spark, path),
+      readCodebooks(spark, path))
+  }
+
+  /** The shared probe tail: driver-side probe selection, ADC + coarse
+    * dot scoring over the pruned partition scan, optional
+    * FAISS-refine against a caller-provided raw-vector table.
+    */
+  private def probeIvfPq(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, query: DataFrame, queryVecCol: String,
+      nprobe: Int, k: Int, rerankK: Int,
+      rerankSource: Option[(DataFrame, String)],
+      coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val qn = queryVector(query, queryVecCol)
+    val probes =
+      probeOrder(qn, coarse).take(math.min(nprobe, coarse.length))
+    val table = adcTable(qn, books)
+    val coarseDots: Seq[Double] = coarse.toSeq.map(c => dotArr(qn, c))
+    val scored = spark.read.parquet(s"$path/vectors")
+      .filter(col("__cluster").isin(probes.map(Int.box): _*))
+      .withColumn("score",
+        PqAdc.pqAdc(col("__pq_code"), table)
+          + element_at(typedlit(coarseDots), col("__cluster") + 1))
+    if (rerankK <= 0)
+      scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
+        .select(col(idCol), col("score"))
+    else {
+      val (src, vecCol) = rerankSource.getOrElse(throw
+        new IllegalArgumentException("rerankK > 0 needs rerankSource " +
+          "— the index stores PQ codes only; pass the raw-vector " +
+          "table as rerankSource = Some((frame, vecCol))"))
+      val cand = scored
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(math.max(rerankK, k))
+        .select(col(idCol))
+      val q = query.select(col(queryVecCol).as("__qvec"))
+      src.join(broadcast(cand), idCol) // candidate side: ≤ rerankK rows
+        .crossJoin(broadcast(q))
+        .withColumn("score", Similarity.cosine(col(vecCol), col("__qvec")))
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(k)
+        .select(col(idCol), col("score"))
+    }
   }
 
   private def readCoarse(

@@ -224,6 +224,22 @@ class PqSpec extends AnyFunSuite {
       PQ.ivfPqTopKFromIndex(spark, dir, "vec_id", query, "embedding",
         nprobe = 4, k = 10, rerankK = 30).collect()
     }
+    // an OPENED handle probes identically to the one-shot API (both
+    // plain and reranked) — metadata loads once, probes reuse it
+    val handle = PQ.openIvfPqIndex(spark, dir)
+    assert(scores(handle.topK("vec_id", query, "embedding",
+      nprobe = 4, k = 10)) == scores(fromIndex))
+    assert(scores(handle.topK("vec_id", query, "embedding",
+      nprobe = 4, k = 10, rerankK = 30,
+      rerankSource = Some((base, "embedding")))) == reranked)
+    // opening a non-IVF-PQ index fails fast on the manifest kind
+    val lshDir2 = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_open_kind").toString
+    Similarity.writeLshIndex(base, "vec_id", "embedding", lshDir2,
+      dim = 64, planes = 4)
+    intercept[IllegalArgumentException] {
+      PQ.openIvfPqIndex(spark, lshDir2)
+    }
   }
 
   test("IVF-PQ append: committed centroids+codebooks route arrivals, " +
