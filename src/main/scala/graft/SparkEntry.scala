@@ -2850,6 +2850,17 @@ object SparkEntry {
         m = 8, ksub = 32, iters = 1, rerankK = 50,
         nlist = 0, nprobe = 8)
     }),
+    // q209's sampling twin: the Gumbel-top-k importance RESAMPLE (the
+    // DSIR paper's actual selection mode). The Gumbel key mixes a
+    // mix64-derived uniform with ln twice — float transcendentals on
+    // non-integer inputs, outside the ppm replay discipline — so no
+    // static oracle; RegistrySpec pins determinism (same seed → same
+    // set), the exact sample size, and raw-membership.
+    "q210_dsir_resample_growth" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Curation.dsirResample(d, d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 200, seed = 13)
+    }),
   )
 
   /** The q44 hyperplane matrix as a DuckDB array literal — generated

@@ -146,4 +146,35 @@ class RegistrySpec extends AnyFunSuite {
         s"correct flag for $qid is not derived from the labels")
     }
   }
+
+  test("q210 DSIR resample twin: deterministic per seed, exact sample " +
+      "size, ids from the raw corpus, weights matching q209's ranking " +
+      "surface") {
+    import org.apache.spark.sql.functions._
+    val s = SparkFixture.spark
+    val dir = SparkFixture.sfDir
+    def run() = SparkEntry
+      .benchOnlyQueries("q210_dsir_resample_growth")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = run()
+    val b = run()
+    assert(a == b, "same seed must reproduce the same resample")
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val n = d.count()
+    assert(a.length == math.min(200L, n).toInt)
+    assert(a.map(_._1).distinct.length == a.length, "duplicate ids")
+    val rawIds = d.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.forall(p => rawIds.contains(p._1)))
+    // the emitted weight_ppm column is the SAME exact-BIGINT weight
+    // q209's oracle checks — compare against dsirWeights directly
+    val w = graft.ml.Curation.dsirWeights(
+        d.select(col("doc_id"), col("text")),
+        d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    a.foreach { case (id, ppm) =>
+      assert(w(id) == ppm, s"resample weight for $id diverged: " +
+        s"$ppm vs ${w(id)}") }
+  }
 }
