@@ -423,6 +423,11 @@ object Scratch {
       }
       run(s"single_p$planesAuto",
         Similarity.nearDupPairs(e, "vec_id", "embedding", dim = 64,
+          minCosine = minCos, targetBucketSize = Some(128L),
+          bands = 1))
+      // the r14 recall-sized DEFAULT — what a bare call now gets
+      run(s"default_auto",
+        Similarity.nearDupPairs(e, "vec_id", "embedding", dim = 64,
           minCosine = minCos, targetBucketSize = Some(128L)))
       // optional 4th arg: comma list of B:r band configs (candidate
       // volume is B·n²/2^r — r must grow with the corpus, and

@@ -1601,16 +1601,18 @@ object SparkEntry {
     // Auto-sized LSH near-dup pairs (r9 verdict #2): the q53 kernel
     // with `planes` DERIVED from corpus cardinality —
     // autoPlanes(count, targetBucket=16) — so the bucketed self-join's
-    // candidate volume stays ~n·16/2 at every scale instead of
-    // drifting quadratic on a fixed plane count. The input is PINNED
-    // to `vec_id < 500` (ADVICE r10): the oracle inlines the plane
-    // matrix for autoPlanes(500, 16), so the engine must derive the
+    // candidate volume stays ~n·16/2 per band at every scale instead
+    // of drifting quadratic on a fixed plane count; since r14 the
+    // default ALSO auto-sizes the band count (autoBands at the derived
+    // r). The input is PINNED to `vec_id < 500` (ADVICE r10): the
+    // oracle inlines the plane matrix for autoPlanes(500, 16) and the
+    // band count autoBands(0.35, 5), so the engine must derive the
     // same cardinality on every data dir — the pin (plus gen_sf.py's
     // 500-row embeddings floor) makes that true by construction
     // instead of by generator-version luck. The derivation itself is
     // still live: the engine counts the pinned frame and sizes from
-    // the count; the growth path (n=2000 → 7 planes) is exercised by
-    // MlSpec's autoPlanes cases.
+    // the count; the growth path is exercised by MlSpec's autoPlanes
+    // cases and the q197 twin.
     "q188_auto_lsh_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(
         t(s, dir, "embeddings").filter(col("vec_id") < Q188Cardinality),
@@ -2274,10 +2276,11 @@ object SparkEntry {
       Dedup.corpusOverlap(base, snap, "text")
     }),
 
-    // SemDeDup (semantic dedup over embeddings): q53's LSH-bucketed
-    // pairs -> transitive closure -> keep each cluster's min id +
-    // every unpaired vector. The oracle replays the deterministic
-    // bucketing and closes over the pair graph with a recursive CTE.
+    // SemDeDup (semantic dedup over embeddings): q53's banded pairs
+    // (the r14 recall-sized default) -> transitive closure -> keep
+    // each cluster's min id + every unpaired vector. The oracle
+    // replays the deterministic banded bucketing and closes over the
+    // pair graph with a recursive CTE.
     "q86_semdedup" -> ((s, dir) =>
       Similarity.semDedup(
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
@@ -2630,10 +2633,12 @@ object SparkEntry {
         Map("n_nationkey" -> "int", "n_regionkey" -> "int"))
     }),
 
-    // Embedding near-dup pairs via LSH buckets — the SCALE path for
-    // q50's exact variant: candidates only within a bucket, normalized
-    // dot for the score. The oracle replays the deterministic
-    // bucketing, so this is exact-checked without a recall assumption.
+    // Embedding near-dup pairs — the SCALE path for q50's exact
+    // variant, run with the r14 DEFAULT: recall-sized OR-amplified
+    // banding (autoBands(0.35, 4) = 20 bands of 4 planes), candidates
+    // on any band collision, normalized-dot verify. The oracle replays
+    // the deterministic banded bucketing end-to-end, so the default
+    // path is exact-checked without a recall assumption.
     "q53_embed_pairs_lsh" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, minCosine = 0.35, planes = 4)
@@ -2912,6 +2917,68 @@ object SparkEntry {
     */
   private def q196Planes: Int =
     graft.ml.Similarity.autoPlanes(Q188Cardinality, Q196TargetBucket)
+
+  /** q53/q86's derived band count under the r14 recall-sized banded
+    * DEFAULT: the same [[graft.ml.Similarity.autoBands]] call the
+    * engine makes for a default `nearDupPairs`/`semDedup` at
+    * minCosine = 0.35 with 4 planes per band (the q179 discipline —
+    * engine-derived constants inline into the oracle, never re-derived
+    * by hand). 20 at the current recall math.
+    */
+  private def q53Bands: Int =
+    graft.ml.Similarity.autoBands(0.35, 4)
+
+  /** q188's derived band count — [[graft.ml.Similarity.autoBands]] at
+    * the derived per-band plane count over the pinned cardinality.
+    */
+  private def q188Bands: Int =
+    graft.ml.Similarity.autoBands(0.35, q188Planes)
+
+  /** The banded near-dup candidate CTEs (codes / u / cand), shared by
+    * every oracle replaying [[graft.ml.Similarity.nearDupPairsBanded]]
+    * at a pinned (bands, planesPerBand): band b buckets on plane rows
+    * [b·r+1, b·r+r] of ONE inlined hyperplane draw (the engine's
+    * single-draw slicing, so band 0 IS the single-table bucketing),
+    * candidates collide in ANY band (DISTINCT merges multi-band hits),
+    * `u` carries the L2-normalized vectors for the exact verify.
+    * `where` pins the input slice (e.g. " WHERE vec_id < 500").
+    */
+  private def sqlBandedCandCtes(
+      bands: Int, r: Int, where: String = ""): String =
+    s"""${sqlPlaneMatCte(bands * r)},
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, b,
+       |    list_sum(list_transform(range(1, ${r + 1}), p ->
+       |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+       |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[b * $r + p][i])) >= 0
+       |        THEN (1 << (p - 1)) ELSE 0 END)) AS code
+       |  FROM embeddings, __mat, range(0, $bands) t(b)$where),
+       |u AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+       |  FROM embeddings$where),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
+       |  FROM codes a JOIN codes x
+       |    ON a.b = x.b AND a.code = x.code AND a.vec_id < x.vec_id)""".stripMargin
+
+  /** A full banded near-dup pairs oracle at (bands, r): the candidate
+    * CTEs plus the normalized-dot verify and the threshold filter —
+    * q202's replay generalized to any pinned sizing.
+    */
+  private def sqlBandedPairs(
+      bands: Int, r: Int, minCosine: Double,
+      where: String = ""): String =
+    s"""WITH ${sqlBandedCandCtes(bands, r, where)},
+       |sc AS (SELECT id_a, id_b,
+       |  list_sum(list_transform(range(1, len(a.u) + 1),
+       |    i -> a.u[i] * b2.u[i])) AS raw
+       | FROM cand JOIN u a ON a.vec_id = cand.id_a
+       |           JOIN u b2 ON b2.vec_id = cand.id_b)
+       |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
+       |WHERE raw >= $minCosine""".stripMargin
 
   /** q199's derived plane count — autoPlanes over the pinned TRAIN
     * cardinality (the engine sizes off the train side).
@@ -3649,32 +3716,7 @@ object SparkEntry {
     // on planes [4b+1, 4b+4], candidates collide in ANY band
     // (DISTINCT merges multi-band hits), exact rerank over the
     // normalized vectors — q53's replay lifted to OR-amplification.
-    "q202_embed_pairs_banded" ->
-      s"""WITH ${sqlPlaneMatCte(12)},
-         |codes AS MATERIALIZED (
-         |  SELECT vec_id, b,
-         |    list_sum(list_transform(range(1, 5), p ->
-         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[b * 4 + p][i])) >= 0
-         |        THEN (1 << (p - 1)) ELSE 0 END)) AS code
-         |  FROM embeddings, __mat, range(0, 3) t(b)),
-         |u AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-         |      sqrt(list_sum(list_transform(embedding,
-         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
-         |  FROM embeddings),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
-         |  FROM codes a JOIN codes x
-         |    ON a.b = x.b AND a.code = x.code AND a.vec_id < x.vec_id),
-         |sc AS (SELECT id_a, id_b,
-         |  list_sum(list_transform(range(1, len(a.u) + 1),
-         |    i -> a.u[i] * b2.u[i])) AS raw
-         | FROM cand JOIN u a ON a.vec_id = cand.id_a
-         |           JOIN u b2 ON b2.vec_id = cand.id_b)
-         |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
-         |WHERE raw >= 0.35""".stripMargin,
+    "q202_embed_pairs_banded" -> sqlBandedPairs(3, 4, 0.35),
     // Flat PQ (m = 4 × dsub = 16, ksub = 4, iters = 0, anchors by id):
     // the oracle replays the engine's ENTIRE derivation — L2
     // normalization, the 4 anchor rows' subvector slices as codebooks,
@@ -5918,71 +5960,32 @@ object SparkEntry {
         |      AND abs(l_extendedprice - mu) > 2.0 * sigma
         |    THEN 1 ELSE 0 END AS is_outlier
         |FROM lineitem, st""".stripMargin,
-    // Same plane-literal bucketing as q44; pairs share a bucket, score
-    // is the dot of L2-normalized vectors (4dp-stable across engines).
-    "q53_embed_pairs_lsh" ->
-      s"""WITH ${sqlPlaneMatCte(4)},
-         |coded AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-         |      sqrt(list_sum(list_transform(embedding,
-         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u,
-         |    list_sum(list_transform(range(1, 5), p ->
-         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[p][i])) >= 0
-         |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
-         |  FROM embeddings, __mat),
-         |sc AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
-         |  list_sum(list_transform(range(1, len(a.u) + 1),
-         |    i -> a.u[i] * x.u[i])) AS raw
-         | FROM coded a, coded x
-         | WHERE a.bk = x.bk AND a.vec_id < x.vec_id)
-         |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
-         |WHERE raw >= 0.35""".stripMargin,
-    // q53's replay at the DERIVED plane count (q188Planes =
-    // autoPlanes(Q188Cardinality, 16) over the pinned vec_id < 500
-    // input) — the matrix literal and the bit weights are generated
-    // from the same engine calls, so the oracle buckets bit-equal
-    // with the auto-sized run on every data dir.
+    // Recall-sized banded bucketing (the r14 DEFAULT — a default call
+    // now gets autoBands(0.35, 4) = 20 OR-amplified bands, not the
+    // measured-leaky single table): the oracle replays all 20 band
+    // bucketings off one inlined 80-plane draw, the cross-band
+    // DISTINCT, and the normalized-dot verify.
+    "q53_embed_pairs_lsh" -> sqlBandedPairs(q53Bands, 4, 0.35),
+    // The auto-sized default at the DERIVED (r, bands) — q188Planes =
+    // autoPlanes(Q188Cardinality, 16) planes per band, q188Bands =
+    // autoBands(0.35, q188Planes) bands, both computed by the SAME
+    // engine calls over the SAME pinned vec_id < 500 input, so the
+    // oracle buckets bit-equal with the auto-sized run on every data
+    // dir (banded since r14's recall-sized default).
     "q188_auto_lsh_pairs" ->
-      s"""WITH ${sqlPlaneMatCte(q188Planes)},
-         |coded AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-         |      sqrt(list_sum(list_transform(embedding,
-         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u,
-         |    list_sum(list_transform(range(1, ${q188Planes + 1}), p ->
-         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[p][i])) >= 0
-         |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
-         |  FROM embeddings, __mat WHERE vec_id < $Q188Cardinality),
-         |sc AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
-         |  list_sum(list_transform(range(1, len(a.u) + 1),
-         |    i -> a.u[i] * x.u[i])) AS raw
-         | FROM coded a, coded x
-         | WHERE a.bk = x.bk AND a.vec_id < x.vec_id)
-         |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
-         |WHERE raw >= 0.35""".stripMargin,
-    // SemDeDup: the q53 bucketing+scoring replay feeds a recursive
-    // transitive closure (the q80 pattern); survivors are unpaired
-    // vectors plus each cluster's min id.
+      sqlBandedPairs(q188Bands, q188Planes, 0.35,
+        s" WHERE vec_id < $Q188Cardinality"),
+    // SemDeDup: the q53 BANDED replay (the r14 recall-sized default —
+    // 20 bands of 4 planes) feeds a recursive transitive closure (the
+    // q80 pattern); survivors are unpaired vectors plus each cluster's
+    // min id.
     "q86_semdedup" ->
-      s"""WITH RECURSIVE ${sqlPlaneMatCte(4)},
-         |coded AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-         |      sqrt(list_sum(list_transform(embedding,
-         |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u,
-         |    list_sum(list_transform(range(1, 5), p ->
-         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[p][i])) >= 0
-         |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
-         |  FROM embeddings, __mat),
-         |p AS MATERIALIZED (SELECT a.vec_id AS id_a, x.vec_id AS id_b
-         | FROM coded a, coded x
-         | WHERE a.bk = x.bk AND a.vec_id < x.vec_id
-         |   AND list_sum(list_transform(range(1, len(a.u) + 1),
-         |     i -> a.u[i] * x.u[i])) >= 0.35),
+      s"""WITH RECURSIVE ${sqlBandedCandCtes(q53Bands, 4)},
+         |p AS MATERIALIZED (SELECT id_a, id_b
+         | FROM cand JOIN u a ON a.vec_id = cand.id_a
+         |           JOIN u b2 ON b2.vec_id = cand.id_b
+         | WHERE list_sum(list_transform(range(1, len(a.u) + 1),
+         |     i -> a.u[i] * b2.u[i])) >= 0.35),
          |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
          |        UNION ALL SELECT id_b, id_a FROM p),
          |reach(id, r) AS (

@@ -45,6 +45,9 @@ import graft.functions.{NearestCentroid, PqAdc, PqEncode, ResidualVec}
   */
 object ProductQuantization {
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.ml.ProductQuantization")
+
   /** Train per-subspace codebooks by k-means over subvectors.
     *
     * Init: the `ksub` rows first in seeded-hash order (or id order
@@ -73,6 +76,15 @@ object ProductQuantization {
       trainSampleCap: Long = -1L): Array[Array[Array[Double]]] = {
     require(m > 0, "m (subspace count) must be positive")
     require(ksub > 0, "ksub (centroids per subspace) must be positive")
+    // the anchor draw collects min(ksub, n) rows driver-side: bounded
+    // metadata at production ksub (≤ 256), but the exactness oracles
+    // pass ksub ≥ n, which is an ORACLE-ONLY cost — surface a caller
+    // doing that on a big corpus (r13 advice; the maxCollectQueries
+    // discipline, soft because the oracle configs are legitimate)
+    if (ksub > 65536)
+      log.warn(s"pqCodebooks: ksub = $ksub collects up to that many " +
+        "anchor vectors driver-side — exactness-oracle territory; " +
+        "production codebooks want ksub <= 256")
     val src = train
       .select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
@@ -233,6 +245,8 @@ object ProductQuantization {
       coarseIters: Int = 3, pqIters: Int = 2, seed: Long = 42L,
       initByIdOrder: Boolean = false, rerankK: Int = 0,
       trainSampleCap: Long = -1L): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
+      "empty probe set would silently return zero rows")
     val corpus = embeddings.select(col(idCol), col(vecCol),
         Similarity.normalize(col(vecCol)).as("__nvec"))
       .persist(StorageLevel.MEMORY_AND_DISK) // coarse + PQ + scan reads
@@ -341,6 +355,20 @@ object ProductQuantization {
       s"eval set exceeds maxCollectQueries = $maxCollectQueries — " +
         "the batched ADC eval precomputes one m×ksub table per query " +
         "driver-side; shard the eval set or raise the guard knowingly")
+    // fail fast on malformed QUERY vectors, naming the offender — the
+    // corpus side's NULL-stays-NULL hygiene has no query analogue (a
+    // null/odd-dim query would otherwise surface as an opaque
+    // driver-side NPE inside adcTable; r13 advice)
+    val qDim = books.length * books(0)(0).length
+    qRows.foreach { r =>
+      require(!r.isNullAt(2),
+        s"knnClassifyPq: query id ${r.get(0)} has a NULL/malformed " +
+          s"$vecCol — filter the eval set or fix the vector")
+      val d = r.getSeq[Double](2).length
+      require(d == qDim,
+        s"knnClassifyPq: query id ${r.get(0)} vector dim $d != the " +
+          s"corpus layout m·dsub = $qDim")
+    }
     val tables: Array[Array[Array[Double]]] =
       qRows.map(r => adcTable(r.getSeq[Double](2).toArray, books))
     // the broadcast query-index frame must enumerate qRows in TABLE
@@ -594,6 +622,31 @@ object ProductQuantization {
         rerankSource: Option[(DataFrame, String)] = None): DataFrame =
       probeIvfPq(spark, path, idCol, query, queryVecCol, nprobe, k,
         rerankK, rerankSource, coarse, books)
+
+    /** Batched retrieval over the opened index — [[topK]] for a whole
+      * query FRAME in one pruned scan (r13 verdict #2: per-probe cost
+      * is fixed overhead a batch amortizes; this is
+      * [[knnClassifyPq]]'s broadcast-query-index + per-cell join shape
+      * exposed for plain retrieval). Per-query ADC tables precompute
+      * driver-side (Q·m·ksub doubles, `maxCollectQueries`-guarded),
+      * the code scan prunes to the UNION of the batch's probe
+      * directories, [[graft.functions.PqAdcMulti]] scores every
+      * surviving (row, query) pair at O(m) lookups, and per-query
+      * heaps fold map-side. Batch-of-one is row-identical to [[topK]]
+      * (spec-pinned).
+      *
+      * @return (query_id, idCol, score) — k rows per query.
+      */
+    def topKBatch(
+        idCol: String, queries: DataFrame,
+        queryIdCol: String, queryVecCol: String,
+        nprobe: Int = 2, k: Int = 10,
+        rerankK: Int = 0,
+        rerankSource: Option[(DataFrame, String)] = None,
+        maxCollectQueries: Int = 10000): DataFrame =
+      probeIvfPqBatch(spark, path, idCol, queries, queryIdCol,
+        queryVecCol, nprobe, k, rerankK, rerankSource, coarse, books,
+        maxCollectQueries)
   }
 
   /** Open a persisted IVF-PQ index for repeated probing: one manifest
@@ -613,6 +666,93 @@ object ProductQuantization {
       readCodebooks(spark, path))
   }
 
+  /** Batched probe tail: one (qidx, query_id, cell, coarse-dot) row
+    * per probed cell broadcast against the pruned code scan,
+    * [[graft.functions.PqAdcMulti]] ADC scoring, per-query heaps,
+    * optional exact-cosine refine against the caller's raw-vector
+    * table. Driver state: Q ADC tables + Q·nprobe probe rows —
+    * bounded by `maxCollectQueries` (the [[knnClassifyPq]] contract).
+    */
+  private def probeIvfPqBatch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String,
+      nprobe: Int, k: Int, rerankK: Int,
+      rerankSource: Option[(DataFrame, String)],
+      coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      maxCollectQueries: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
+      "empty probe set would silently return zero rows")
+    val qRows = queries
+      .select(col(queryIdCol), Similarity.normalize(col(queryVecCol)))
+      .limit(maxCollectQueries + 1).collect()
+    require(qRows.length <= maxCollectQueries,
+      s"query batch exceeds maxCollectQueries = $maxCollectQueries — " +
+        "the batched probe precomputes one m×ksub ADC table per query " +
+        "driver-side; shard the batch or raise the guard knowingly")
+    val qDim = books.length * books(0)(0).length
+    qRows.foreach { r =>
+      require(!r.isNullAt(1),
+        s"topKBatch: query id ${r.get(0)} has a NULL/malformed " +
+          s"$queryVecCol — filter the batch or fix the vector")
+      require(r.getSeq[Double](1).length == qDim,
+        s"topKBatch: query id ${r.get(0)} vector dim " +
+          s"${r.getSeq[Double](1).length} != the index layout m·dsub " +
+          s"= $qDim")
+    }
+    val tables: Array[Array[Array[Double]]] =
+      qRows.map(r => adcTable(r.getSeq[Double](1).toArray, books))
+    val np = math.min(nprobe, coarse.length)
+    // one row per (query, probed cell), carrying THAT query's coarse
+    // dot for the cell — never the full nlist dot table per query
+    val probeRows = qRows.zipWithIndex.flatMap { case (r, i) =>
+      val qv = r.getSeq[Double](1).toArray
+      probeOrder(qv, coarse).take(np).map { c =>
+        org.apache.spark.sql.Row(i, r.get(0), c, dotArr(qv, coarse(c)))
+      }
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__qidx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      queries.schema(queryIdCol).copy(name = "query_id"),
+      org.apache.spark.sql.types.StructField("__cluster",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__cdot",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val qMeta = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), qSchema)
+    val cells = probeRows.map(_.getInt(2)).distinct.toSeq
+    val scored = spark.read.parquet(s"$path/vectors")
+      .filter(col("__cluster").isin(cells.map(Int.box): _*)) // pruning
+      .join(broadcast(qMeta), "__cluster")
+      .select(col("query_id"), col(idCol),
+        (graft.functions.PqAdcMulti.pqAdcMulti(col("__pq_code"),
+          col("__qidx"), tables) + col("__cdot")).as("score"))
+      .where(col("score").isNotNull) // malformed codes never rank
+    if (rerankK <= 0)
+      graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
+        Seq(col("score") * -1, col(idCol)), k)
+    else {
+      val (src, vecCol) = rerankSource.getOrElse(throw
+        new IllegalArgumentException("rerankK > 0 needs rerankSource " +
+          "— the index stores PQ codes only; pass the raw-vector " +
+          "table as rerankSource = Some((frame, vecCol))"))
+      val cand = graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
+          Seq(col("score") * -1, col(idCol)), math.max(rerankK, k))
+        .select(col("query_id"), col(idCol))
+      val qv = queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"))
+      val exact = src // candidate side ≤ Q·rerankK rows — broadcast
+        .join(broadcast(cand), idCol)
+        .join(broadcast(qv), "query_id")
+        .select(col("query_id"), col(idCol),
+          Similarity.cosine(col(vecCol), col("__qvec")).as("score"))
+      graft.operators.TopN.topNPerKey(exact, Seq("query_id"),
+        Seq(col("score") * -1, col(idCol)), k)
+    }
+  }
+
   /** The shared probe tail: driver-side probe selection, ADC + coarse
     * dot scoring over the pruned partition scan, optional
     * FAISS-refine against a caller-provided raw-vector table.
@@ -624,6 +764,8 @@ object ProductQuantization {
       rerankSource: Option[(DataFrame, String)],
       coarse: Array[Array[Double]],
       books: Array[Array[Array[Double]]]): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
+      "empty probe set would silently return zero rows")
     val qn = queryVector(query, queryVecCol)
     val probes =
       probeOrder(qn, coarse).take(math.min(nprobe, coarse.length))

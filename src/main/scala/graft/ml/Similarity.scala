@@ -567,6 +567,153 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  // -------------------------------------------------- batched probes
+
+  /** Batched LSH top-k — the retrieval shape for EVALUATING an index
+    * (r13 verdict #2: every probe API was single-query, and per-probe
+    * cost is dominated by fixed per-query overhead a batch amortizes
+    * to nothing). One distributed pass: both sides code in a
+    * projection, the bucket join pairs each query with ITS bucket's
+    * candidates only, and [[graft.operators.TopN.topNPerKey]] folds
+    * per-query heaps map-side — no driver loop, no per-query jobs, no
+    * collect of anything but the final Q·k rows. The query side
+    * BROADCASTS (eval sets are small by contract — the
+    * [[knnClassify]] discipline); the corpus streams once however
+    * large. A single-query call is exactly batch-of-one (spec-pinned
+    * against [[lshTopK]]).
+    *
+    * @return (query_id, idCol, score) — k rows per query, ties
+    *         (score desc, id asc) like every probe in the family.
+    */
+  def lshTopKBatch(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, k: Int = 10, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val ps = hyperplanes(dim, planes, seed)
+    val bucketed = embeddings.select(col(idCol), col(vecCol))
+      .withColumn("__lsh_bucket", lshCode(col(vecCol), ps))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"))
+      .withColumn("__lsh_bucket", lshCode(col("__qvec"), ps))
+    val scored = bucketed.join(broadcast(q), "__lsh_bucket")
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("__qvec")).as("score"))
+    graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
+      Seq(col("score") * -1, col(idCol)), k)
+  }
+
+  /** [[lshTopKBatch]] over a persisted [[writeLshIndex]] layout: the
+    * scan is pruned to the UNION of the batch's bucket directories
+    * (the distinct query codes — bounded driver metadata, ≤ one long
+    * per query), then the bucket join fans candidates back out to
+    * their queries. Probe cost is paid once per batch: one manifest
+    * read, one staleness check, one pruned scan.
+    */
+  def lshTopKBatchFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, k: Int = 10, planes: Int = 0, seed: Long = 42L,
+      maxStaleRatio: Double = DefaultMaxStaleRatio,
+      strictStaleness: Boolean = false): DataFrame = {
+    val meta = readIndexMeta(spark, path)
+    requireMetaMatch(meta, "kind", "lsh", path)
+    requireMetaMatch(meta, "dim", dim.toString, path)
+    requireMetaMatch(meta, "seed", seed.toString, path)
+    checkProbeStaleness(meta, path, maxStaleRatio, strictStaleness)
+    val effPlanes =
+      if (planes != 0) planes
+      else meta.getOrElse("planes", sys.error(
+        s"lshTopKBatchFromIndex(planes = 0) derives the plane count " +
+          s"from the manifest, but $path/_manifest records none"))
+        .toInt
+    requireMetaMatch(meta, "planes", effPlanes.toString, path)
+    val ps = hyperplanes(dim, effPlanes, seed)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec"))
+      .withColumn("__lsh_bucket", lshCode(col("__qvec"), ps))
+    val buckets = q.select(col("__lsh_bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ one code per query
+    val scored = spark.read.parquet(s"$path/vectors")
+      .filter(col("__lsh_bucket").isin(buckets: _*)) // partition pruning
+      .join(broadcast(q), "__lsh_bucket")
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("__qvec")).as("score"))
+    graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
+      Seq(col("score") * -1, col(idCol)), k)
+  }
+
+  /** Batched IVF top-k: the corpus assigns once, each query joins only
+    * its `nprobe` nearest cells (the probe explode is Q·nprobe rows,
+    * broadcast), exact rerank per query via map-side heaps. The
+    * batched analogue of [[ivfTopK]] — one corpus scan for the whole
+    * batch instead of one per query.
+    */
+  def ivfTopKBatch(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      nlist: Int, nprobe: Int = 2, k: Int = 10,
+      iters: Int = 3, seed: Long = 42L): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
+      "empty probe set would silently return zero rows")
+    val sizedNlist =
+      if (nlist == 0) autoNlist(embeddings.count()) else nlist
+    val centroids =
+      ivfCentroids(embeddings, idCol, vecCol, sizedNlist, iters, seed)
+    val assigned = assignClusters(embeddings, vecCol, centroids)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qvec"))
+    val qProbes = assignClustersProbe(q, "__qvec", centroids,
+        math.min(nprobe, centroids.length))
+      .select(col("query_id"), col("__qvec"),
+        explode(col("__probes")).as("__cluster"))
+    val scored = assigned.join(broadcast(qProbes), "__cluster")
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("__qvec")).as("score"))
+    graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
+      Seq(col("score") * -1, col(idCol)), k)
+  }
+
+  /** [[ivfTopKBatch]] over a persisted [[writeIvfIndex]] layout: probe
+    * cells derive from the stored centroid metadata in one distributed
+    * projection, the vector scan prunes to the UNION of the batch's
+    * probe directories, and the cell join fans candidates to their
+    * queries. One manifest read + one pruned scan per batch.
+    */
+  def ivfTopKBatchFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      nprobe: Int = 2, k: Int = 10,
+      maxStaleRatio: Double = DefaultMaxStaleRatio,
+      strictStaleness: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
+      "empty probe set would silently return zero rows")
+    checkProbeStaleness(readIndexMeta(spark, path), path,
+      maxStaleRatio, strictStaleness)
+    val centroids: Seq[Seq[Double]] =
+      spark.read.parquet(s"$path/centroids")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toSeq
+    require(centroids.nonEmpty, s"no centroids at $path — not an IVF " +
+      "index (build it with writeIvfIndex)")
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qvec"))
+    val qProbes = assignClustersProbe(q, "__qvec", centroids,
+        math.min(nprobe, centroids.length))
+      .select(col("query_id"), col("__qvec"),
+        explode(col("__probes")).as("__cluster"))
+    val cells = qProbes.select(col("__cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ Q·nprobe ints
+    val scored = spark.read.parquet(s"$path/vectors")
+      .filter(col("__cluster").isin(cells: _*)) // partition pruning
+      .join(broadcast(qProbes), "__cluster")
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("__qvec")).as("score"))
+    graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
+      Seq(col("score") * -1, col(idCol)), k)
+  }
+
   // ------------------------------------------------------------ IVF
 
   /** Deterministic IVF index: `nlist` centroids initialized from the
@@ -642,6 +789,8 @@ object Similarity {
       query: DataFrame, queryVecCol: String,
       nlist: Int, nprobe: Int = 2, k: Int = 10,
       iters: Int = 3, seed: Long = 42L): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
+      "empty probe set would silently return zero rows")
     // nlist = 0 opts into [[autoNlist]] sizing (ceil sqrt n) — the knob
     // the r9 verdict flagged as the next fixed-constant scale cliff
     val sizedNlist =
@@ -756,6 +905,8 @@ object Similarity {
       maxStaleRatio: Double = DefaultMaxStaleRatio,
       strictStaleness: Boolean = false): DataFrame = {
     import spark.implicits._
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
+      "empty probe set would silently return zero rows")
     checkProbeStaleness(readIndexMeta(spark, path), path,
       maxStaleRatio, strictStaleness)
     val centroids: Seq[(Int, Seq[Double])] =
@@ -826,21 +977,30 @@ object Similarity {
   }
 
   /** All-pairs cosine above a threshold via LSH buckets (embedding
-    * near-dup detection): pairs within the same bucket only — the
-    * candidate join key is the bucket code, so the pair count is
-    * Σ_bucket n_b², never the global n². Vectors are L2-normalized once
-    * per side BEFORE the join (the q50 lesson: cosine() per pair
-    * recomputes both norms for every pair).
+    * near-dup detection). The DEFAULT (`bands = 0`) is the
+    * OR-AMPLIFIED banded generator sized by [[autoBands]] — the r13
+    * planted-pair measurement showed a single table missing 56–78 %
+    * of true pairs at production thresholds, so recall-sized banding
+    * is what a default caller gets; `bands = 1` keeps the legacy
+    * single-table path (cheapest candidates, recall (1 − θ/π)^planes
+    * — the inlined-plane oracles and candidates-only screens), and an
+    * explicit `bands > 1` pins the band count (the q202 oracle).
     *
-    * `planes` must GROW with the corpus: 2^planes buckets over n
-    * vectors means n²/2^planes candidate pairs at uniform spread, so
-    * a fixed plane count degrades toward quadratic as n grows (the
-    * r9 sf1 sweep measured 12× on a 10× corpus at planes = 8). Pass
-    * `targetBucketSize` to size it AUTOMATICALLY as
-    * [[autoPlanes]](count, target) — one metadata-cheap count, then
-    * the plane count tracks the corpus; an explicit `planes` value
-    * remains for callers whose plane matrix is pinned externally
-    * (the inlined-plane oracles q44/q53/q86).
+    * Single-table shape: pairs within the same bucket only — the
+    * candidate join key is the bucket code, so the pair count is
+    * Σ_bucket n_b², never the global n². Vectors are L2-normalized
+    * once per side BEFORE the join (the q50 lesson: cosine() per pair
+    * recomputes both norms for every pair). Banded shape: see
+    * [[nearDupPairsBanded]].
+    *
+    * `planes` (per band, when banded) must GROW with the corpus:
+    * 2^planes buckets over n vectors means n²/2^planes candidate
+    * pairs per table at uniform spread, so a fixed plane count
+    * degrades toward quadratic as n grows (the r9 sf1 sweep measured
+    * 12× on a 10× corpus at planes = 8). Pass `targetBucketSize` to
+    * size it AUTOMATICALLY as [[autoPlanes]](count, target) — one
+    * metadata-cheap count (skipped when `knownCount` supplies it),
+    * then the plane count tracks the corpus.
     *
     * At 100 TB the coded table is written partitioned by `bk`; the
     * self-join is then partition-local with no shuffle.
@@ -849,19 +1009,36 @@ object Similarity {
       embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double, planes: Int = 8,
       seed: Long = 42L,
-      targetBucketSize: Option[Long] = None): DataFrame = {
-    val sized = targetBucketSize
-      .map(t => autoPlanes(embeddings.count(), t))
-      .getOrElse(planes)
-    val ps = hyperplanes(dim, sized, seed)
-    val b = embeddings.select(col(idCol).as("id"),
-      normalize(col(vecCol)).as("u"),
-      lshCode(col(vecCol), ps).as("bk"))
-    b.as("a").join(b.as("x"),
-        col("a.bk") === col("x.bk") && col("a.id") < col("x.id"))
-      .withColumn("score", dot(col("a.u"), col("x.u")))
-      .filter(col("score") >= minCosine)
-      .select(col("a.id").as("id_a"), col("x.id").as("id_b"), col("score"))
+      targetBucketSize: Option[Long] = None,
+      bands: Int = 0,
+      targetRecall: Double = 0.95,
+      maxBands: Int = MaxAutoBands,
+      broadcastVectorLimit: Long = 2000000L,
+      knownCount: Option[Long] = None): DataFrame = {
+    require(bands >= 0, s"bands must be >= 0 (0 = recall-sized auto; " +
+      s"got $bands)")
+    lazy val n = knownCount.getOrElse(embeddings.count())
+    val r = targetBucketSize.map(t => autoPlanes(n, t)).getOrElse(planes)
+    val b =
+      if (bands > 0) bands
+      else if (r < 1) 1 // single-bucket degenerate — nothing to band
+      else autoBands(minCosine, r, targetRecall, maxBands)
+    if (b == 1) {
+      val ps = hyperplanes(dim, math.max(r, 0), seed)
+      val coded = embeddings.select(col(idCol).as("id"),
+        normalize(col(vecCol)).as("u"),
+        lshCode(col(vecCol), ps).as("bk"))
+      coded.as("a").join(coded.as("x"),
+          col("a.bk") === col("x.bk") && col("a.id") < col("x.id"))
+        .withColumn("score", dot(col("a.u"), col("x.u")))
+        .filter(col("score") >= minCosine)
+        .select(col("a.id").as("id_a"), col("x.id").as("id_b"),
+          col("score"))
+    } else
+      nearDupPairsBanded(embeddings, idCol, vecCol, dim, minCosine,
+        bands = b, planesPerBand = r, seed = seed,
+        broadcastVectorLimit = broadcastVectorLimit,
+        knownCount = Some(n))
   }
 
   /** The band count that reaches `targetRecall` for a pair AT the
@@ -889,6 +1066,43 @@ object Similarity {
     val pr = math.pow(p, planesPerBand)
     math.max(1, math.ceil(math.log1p(-targetRecall) /
       math.log1p(-pr)).toInt)
+  }
+
+  /** The default-band cap: [[bandsForRecall]] grows ~1/p^r, which at
+    * LOW thresholds is geometric in the plane count — at minCosine =
+    * 0.35 and the plane count a 200k-row corpus wants, the 0.95 target
+    * asks for hundreds of bands (the classic n^(1+ρ) LSH wall: sign-LSH
+    * simply cannot deliver high recall at low thresholds
+    * subquadratically). 64 bands bounds the default candidate volume;
+    * a capped call logs the recall it actually bought.
+    */
+  val MaxAutoBands: Int = 64
+
+  /** Recall-sized band count with the [[MaxAutoBands]] safety valve:
+    * [[bandsForRecall]] when affordable, else the cap plus a logged
+    * warning carrying the ACHIEVED recall floor 1 − (1 − p^r)^cap so
+    * the degradation is visible, not silent. Callers out of the
+    * default regime pick their own trade: raise `maxBands`, lower
+    * `targetRecall`, lower the threshold's plane count (more
+    * candidates per band), or contract exact dups first.
+    */
+  private[graft] def autoBands(
+      minCosine: Double, planesPerBand: Int,
+      targetRecall: Double = 0.95, maxBands: Int = MaxAutoBands): Int = {
+    require(maxBands >= 1, s"maxBands must be >= 1 (got $maxBands)")
+    val want = bandsForRecall(minCosine, planesPerBand, targetRecall)
+    if (want <= maxBands) want
+    else {
+      val p  = 1.0 - math.acos(minCosine) / math.Pi
+      val pr = math.pow(p, planesPerBand)
+      val achieved = 1.0 - math.pow(1.0 - pr, maxBands)
+      log.warn(f"recall-sized banding wants $want bands for " +
+        f"recall $targetRecall%.2f at cosine >= $minCosine%.2f with " +
+        f"$planesPerBand planes/band — capped at $maxBands (recall " +
+        f"floor $achieved%.3f). Raise maxBands/lower targetRecall " +
+        "knowingly, or lower the per-band plane count.")
+      maxBands
+    }
   }
 
   /** All-pairs cosine above a threshold via BANDED hyperplane LSH —
@@ -931,9 +1145,13 @@ object Similarity {
       dim: Int, minCosine: Double,
       bands: Int = 6, planesPerBand: Int = 0,
       seed: Long = 42L, targetBucketSize: Long = 128L,
-      broadcastVectorLimit: Long = 2000000L): DataFrame = {
+      broadcastVectorLimit: Long = 2000000L,
+      knownCount: Option[Long] = None): DataFrame = {
     require(bands >= 1, s"bands must be >= 1 (got $bands)")
-    val n = embeddings.count()
+    // the count feeds only auto sizing + the broadcast-verify decision
+    // — a caller that already knows n (or cached a count upstream)
+    // passes it and saves a full input scan (r13 verdict #5)
+    val n = knownCount.getOrElse(embeddings.count())
     val r = if (planesPerBand > 0) planesPerBand
       else autoPlanes(n, targetBucketSize)
     val all = hyperplanes(dim, bands * r, seed)
@@ -974,11 +1192,19 @@ object Similarity {
     * even when A!~C directly — same reason [[Dedup.fuzzyDedup]]
     * closes over text pairs.
     *
+    * The DEFAULT candidate generator (`bands = 0`) is recall-sized
+    * OR-amplified banding — the r13 planted-pair measurement showed
+    * the single-table default missing 56–78 % of true pairs at
+    * production thresholds, i.e. a "dedup" that silently keeps most
+    * duplicates. `bands = 1` keeps the legacy single-table generator
+    * (cheapest, known-lossy); `bands > 1` pins the count. See
+    * [[nearDupPairs]].
+    *
     * Scale posture inherits from the parts: the candidate join is
-    * Σ_bucket n_b² (never global n²), the closure shuffles 16-byte
-    * (id, label) pairs only, and the final anti-join keys on the id —
-    * embeddings themselves never move after the coded projection.
-    * Pass `checkpointDir` on a real cluster (see
+    * Σ_bucket n_b² per band (never global n²), the closure shuffles
+    * 16-byte (id, label) pairs only, and the final anti-join keys on
+    * the id — embeddings themselves never move after the coded
+    * projection. Pass `checkpointDir` on a real cluster (see
     * [[Graph.connectedComponents]]).
     */
   def semDedup(
@@ -987,22 +1213,10 @@ object Similarity {
       seed: Long = 42L, maxIter: Int = 20,
       checkpointDir: Option[String] = None,
       targetBucketSize: Option[Long] = None,
-      bands: Int = 1): DataFrame = {
-    // bands > 1 swaps in the OR-amplified candidate generator — at
-    // production thresholds (cosine ≥ ~0.85) the single-table bucket
-    // join misses most true pairs (see [[nearDupPairsBanded]]); size
-    // the band count with [[bandsForRecall]]
+      bands: Int = 0): DataFrame = {
     val pairs =
-      (if (bands > 1)
-        nearDupPairsBanded(embeddings, idCol, vecCol, dim, minCosine,
-          bands,
-          // a targetBucketSize request keeps per-band auto sizing
-          planesPerBand = if (targetBucketSize.isDefined) 0 else planes,
-          seed = seed,
-          targetBucketSize = targetBucketSize.getOrElse(128L))
-      else
-        nearDupPairs(embeddings, idCol, vecCol, dim, minCosine, planes,
-          seed, targetBucketSize))
+      nearDupPairs(embeddings, idCol, vecCol, dim, minCosine, planes,
+        seed, targetBucketSize, bands)
         .select(col("id_a"), col("id_b"))
     val losers = Graph
       .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)

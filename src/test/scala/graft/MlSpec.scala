@@ -1562,12 +1562,56 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("autoBands: recall-sized default, capped where the LSH wall hits") {
+    // inside the affordable regime autoBands IS bandsForRecall
+    assert(Similarity.autoBands(0.35, 4) ==
+      Similarity.bandsForRecall(0.35, 4, 0.95))
+    assert(Similarity.autoBands(0.85, 8) < Similarity.MaxAutoBands)
+    // at a low threshold and a big-corpus plane count the math wants
+    // hundreds of bands — the cap engages (with a logged recall floor)
+    assert(Similarity.autoBands(0.35, 14) == Similarity.MaxAutoBands)
+    intercept[IllegalArgumentException] {
+      Similarity.autoBands(0.35, 4, maxBands = 0)
+    }
+  }
+
+  test("nearDupPairsBanded knownCount: identical rows, no count job at " +
+      "plan build (r13 verdict #5)") {
+    val sc = spark.sparkContext
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val n = e.count()
+    def jobsIn(group: String): Int =
+      sc.statusTracker.getJobIdsForGroup(group).length
+    // without knownCount: construction itself runs the sizing count
+    sc.setJobGroup("ndpb_nocount", "banded build without knownCount")
+    val without = Similarity.nearDupPairsBanded(e, "vec_id", "embedding",
+      dim = 64, minCosine = 0.35, bands = 2, planesPerBand = 4)
+    sc.clearJobGroup()
+    // with knownCount: construction must trigger NO job
+    sc.setJobGroup("ndpb_known", "banded build with knownCount")
+    val withCount = Similarity.nearDupPairsBanded(e, "vec_id", "embedding",
+      dim = 64, minCosine = 0.35, bands = 2, planesPerBand = 4,
+      knownCount = Some(n))
+    sc.clearJobGroup()
+    // identical plan ⇒ identical rows
+    val a = without.collect().map(_.toSeq).toSet
+    val b = withCount.collect().map(_.toSeq).toSet
+    assert(a == b, "knownCount changed the banded result")
+    // the collects above drained the listener bus FIFO past both
+    // construction windows, so the group counts are settled
+    assert(jobsIn("ndpb_nocount") >= 1,
+      "expected the no-knownCount build to run its sizing count")
+    assert(jobsIn("ndpb_known") == 0,
+      "knownCount build still ran a job during construction — the " +
+        "extra input scan the parameter exists to remove")
+  }
+
   test("banded near-dup pairs: candidate superset of the single table, " +
       "no duplicate pairs, strictly better recall vs the exact oracle") {
     val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
     def key(r: (Long, Long, Double)) = (r._1, r._2)
     val single = Similarity.nearDupPairs(e, "vec_id", "embedding",
-        dim = 64, minCosine = 0.35, planes = 4)
+        dim = 64, minCosine = 0.35, planes = 4, bands = 1)
       .select($"id_a", $"id_b", round($"score", 4).as("score"))
       .as[(Long, Long, Double)].collect().toSeq
     val banded = Similarity.nearDupPairsBanded(e, "vec_id", "embedding",
@@ -1588,13 +1632,20 @@ class MlSpec extends AnyFunSuite {
     assert(banded.size > single.size, "bands added no candidates")
     assert(banded.map(key).toSet.subsetOf(exact),
       "banded returned a pair the exact oracle does not have")
-    // semDedup routes through the banded generator: more pairs found
-    // ⇒ at most as many survivors
+    // semDedup's r14 DEFAULT is recall-sized banding (autoBands(0.35,
+    // 4) = 20 bands — a superset of any smaller band count off the
+    // same draw): more pairs found ⇒ at most as many survivors, so
+    // default <= bands-3 <= single-table
     val survSingle = Similarity.semDedup(e, "vec_id", "embedding",
-      dim = 64, minCosine = 0.35, planes = 4).count()
-    val survBanded = Similarity.semDedup(e, "vec_id", "embedding",
+      dim = 64, minCosine = 0.35, planes = 4, bands = 1).count()
+    val survBanded3 = Similarity.semDedup(e, "vec_id", "embedding",
       dim = 64, minCosine = 0.35, planes = 4, bands = 3).count()
-    assert(survBanded <= survSingle)
+    val survDefault = Similarity.semDedup(e, "vec_id", "embedding",
+      dim = 64, minCosine = 0.35, planes = 4).count()
+    assert(survBanded3 <= survSingle)
+    assert(survDefault <= survBanded3,
+      "the recall-sized default found fewer pairs than 3 explicit " +
+        "bands — the default flip regressed")
   }
 
   test("writeLshIndex rejects a comma in column names (the manifest's " +

@@ -73,7 +73,7 @@ class RegistrySpec extends AnyFunSuite {
       SparkEntry.benchOnlyQueries("q203_banded_pairs_growth")(s, dir))
     val single = rows(
       Similarity.nearDupPairs(e, "vec_id", "embedding", dim = 64,
-          minCosine = 0.35, planes = r)
+          minCosine = 0.35, planes = r, bands = 1)
         .select(col("id_a"), col("id_b"),
           round(col("score"), 4).as("score")))
     assert(single.subsetOf(banded),
