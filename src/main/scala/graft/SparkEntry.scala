@@ -2773,6 +2773,76 @@ object SparkEntry {
       Curation.dsirTopK(d, d.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", n = 200)
     }),
+
+    // Batched LSH ANN (r13 verdict #2): a query FRAME probes in ONE
+    // distributed pass — both sides code in a projection, the bucket
+    // join pairs each query with its own bucket's candidates, per-
+    // query heaps fold map-side (no driver loop, no per-query jobs).
+    // The oracle replays the q44 bucketing for every query and ranks
+    // per query_id — the whole batch semantics is exact-checked.
+    "q211_ann_lsh_batch" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopKBatch(
+        e.filter(col("vec_id") % 97 =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding",
+        dim = 64, k = 5, planes = 4)
+        .select(col("query_id"), col("vec_id"),
+          round(col("score"), 4).as("score"))
+    }),
+
+    // Batched IVF ANN under the full-probe exactness configuration
+    // (nprobe = nlist — the q52 discipline): the cluster machinery is
+    // exercised end-to-end and the result is provably each query's
+    // exact top-k, so the oracle is per-query brute force.
+    "q212_ann_ivf_batch" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopKBatch(
+        e.filter(col("vec_id") % 131 =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 131 === 0), "vec_id", "embedding",
+        nlist = 8, nprobe = 8, k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("score"), 4).as("score"))
+    }),
+
+    // Exact-dup contraction behind the banded pairs (the first escape
+    // hatch past broadcastVectorLimit, wired — r13 verdict #6): plant
+    // byte-identical twins (vec_id % 29 shifted by 1e6), contract to
+    // representatives, band THOSE, expand membership after. The
+    // oracle replays the UNCONTRACTED banded run over the same
+    // planted union — equality IS the proof the contraction loses
+    // nothing.
+    "q213_banded_pairs_contracted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") % 29 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      Similarity.nearDupPairsBandedContracted(e.unionByName(planted),
+        "vec_id", "embedding", dim = 64, minCosine = 0.35,
+        bands = 3, planesPerBand = 4)
+        .select(col("id_a"), col("id_b"),
+          round(col("score"), 4).as("score"))
+    }),
+
+    // Multimodal composition through the PQ-coded dedup path (r13
+    // verdict #7): image-embedding near-dup at codebook resolution —
+    // group by the m-subspace code word, keep each word's min id —
+    // with the media modality's typed metadata riding the survivors
+    // (packMedia byte_len). ksub = 4, m = 4, iters = 0, anchors by id:
+    // the q204 exactness config, so the oracle replays the encode,
+    // the code-word grouping, and the metadata join end-to-end.
+    "q214_multimodal_pq_dedup" -> ((s, dir) => {
+      val media = Multimodal.packMedia(
+        t(s, dir, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        "payload", "image/fake")
+        .select(col("doc_id"),
+          col("media").getField("byte_len").as("byte_len"))
+      ProductQuantization.pqCodeDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, ksub = 4, iters = 0, initByIdOrder = true)
+        .join(media, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("n_dups"), col("byte_len"))
+    }),
   )
 
   /** BENCH-ONLY registry (r11 verdict #1): queries the bench measures
@@ -2944,7 +3014,8 @@ object SparkEntry {
     * `where` pins the input slice (e.g. " WHERE vec_id < 500").
     */
   private def sqlBandedCandCtes(
-      bands: Int, r: Int, where: String = ""): String =
+      bands: Int, r: Int, where: String = "",
+      table: String = "embeddings"): String =
     s"""${sqlPlaneMatCte(bands * r)},
        |codes AS MATERIALIZED (
        |  SELECT vec_id, b,
@@ -2952,13 +3023,13 @@ object SparkEntry {
        |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
        |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[b * $r + p][i])) >= 0
        |        THEN (1 << (p - 1)) ELSE 0 END)) AS code
-       |  FROM embeddings, __mat, range(0, $bands) t(b)$where),
+       |  FROM $table, __mat, range(0, $bands) t(b)$where),
        |u AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
        |      sqrt(list_sum(list_transform(embedding,
        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
-       |  FROM embeddings$where),
+       |  FROM $table$where),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
        |  FROM codes a JOIN codes x
@@ -3867,6 +3938,104 @@ object SparkEntry {
          |  FROM tok t LEFT JOIN w ON w.doc_id = t.doc_id, cst)
          |SELECT doc_id, CAST(weight_ppm AS BIGINT) AS weight_ppm FROM wf
          |ORDER BY weight_ppm DESC, doc_id LIMIT 200""".stripMargin,
+    // Batched LSH ANN: the q44 bucketing replayed for EVERY query in
+    // the batch (vec_id % 97 = 0), ranked per query_id — row_number
+    // over (raw desc, vec_id) mirrors the engine's per-query heap
+    // tie-break.
+    "q211_ann_lsh_batch" ->
+      s"""WITH ${sqlPlaneMatCte(4)},
+         |coded AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    list_sum(list_transform(range(1, 5), p ->
+         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |          i -> CAST(embedding[i] AS DOUBLE) * __mat.m[p][i])) >= 0
+         |        THEN (1 << (p - 1)) ELSE 0 END)) AS bk
+         |  FROM embeddings, __mat),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id,
+         |  list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(c.embedding,
+         |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(q.embedding,
+         |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS raw
+         | FROM coded c JOIN coded q ON c.bk = q.bk
+         | WHERE c.vec_id % 97 <> 0 AND q.vec_id % 97 = 0),
+         |rk AS (SELECT query_id, vec_id, raw, row_number()
+         |    OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rn
+         |  FROM sc)
+         |SELECT query_id, vec_id, round(raw, 4) AS score FROM rk
+         |WHERE rn <= 5""".stripMargin,
+    // Batched IVF ANN at full probe: provably each query's exact
+    // top-k, so the oracle is per-query brute force over the corpus.
+    "q212_ann_ivf_batch" ->
+      """WITH sc AS (SELECT q.vec_id AS query_id, c.vec_id,
+        |  list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(c.embedding,
+        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(q.embedding,
+        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS raw
+        | FROM embeddings c, embeddings q
+        | WHERE c.vec_id % 131 <> 0 AND q.vec_id % 131 = 0),
+        |rk AS (SELECT query_id, vec_id, raw, row_number()
+        |    OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rn
+        |  FROM sc)
+        |SELECT query_id, vec_id, round(raw, 4) AS score FROM rk
+        |WHERE rn <= 5""".stripMargin,
+    // Contracted banded pairs: the oracle replays the UNCONTRACTED
+    // banded generation over the same planted union (base table +
+    // vec_id % 29 twins shifted by 1e6) — the contraction is exact or
+    // the hash diverges.
+    "q213_banded_pairs_contracted" ->
+      s"""WITH eu AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, embedding
+         |  FROM embeddings WHERE vec_id % 29 = 0),
+         |${sqlBandedCandCtes(3, 4, "", "eu")},
+         |sc AS (SELECT id_a, id_b,
+         |  list_sum(list_transform(range(1, len(a.u) + 1),
+         |    i -> a.u[i] * b2.u[i])) AS raw
+         | FROM cand JOIN u a ON a.vec_id = cand.id_a
+         |           JOIN u b2 ON b2.vec_id = cand.id_b)
+         |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
+         |WHERE raw >= 0.35""".stripMargin,
+    // Multimodal PQ-code dedup: the q204 encode replay over ALL
+    // embeddings (anchors = 4 smallest ids), grouped by the 4-tuple
+    // code word (min id + group size), metadata joined from the
+    // documents modality (octet_length = the packMedia byte_len).
+    "q214_multimodal_pq_dedup" ->
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings),
+        |anch AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, nv
+        |  FROM corpus ORDER BY vec_id LIMIT 4),
+        |d AS (
+        |  SELECT x.vec_id, j.j, a.c,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      (x.nv[j.j * 16 + i] - a.nv[j.j * 16 + i]) *
+        |      (x.nv[j.j * 16 + i] - a.nv[j.j * 16 + i]))) AS dist
+        |  FROM corpus x, range(0, 4) j(j), anch a),
+        |enc AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c, row_number()
+        |      OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |    FROM d) WHERE rn = 1),
+        |cw AS (SELECT vec_id,
+        |    max(CASE WHEN j = 0 THEN c END) AS c0,
+        |    max(CASE WHEN j = 1 THEN c END) AS c1,
+        |    max(CASE WHEN j = 2 THEN c END) AS c2,
+        |    max(CASE WHEN j = 3 THEN c END) AS c3
+        |  FROM enc GROUP BY vec_id),
+        |surv AS (SELECT min(vec_id) AS vec_id, count(*) AS n_dups
+        |  FROM cw GROUP BY c0, c1, c2, c3)
+        |SELECT s.vec_id, s.n_dups,
+        |  CAST(strlen(d2.text) AS BIGINT) AS byte_len
+        |FROM surv s JOIN documents d2 ON d2.doc_id = s.vec_id""".stripMargin,
     "q41_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),

@@ -451,6 +451,44 @@ object ProductQuantization {
     materialized
   }
 
+  /** PQ-code collision dedup: rows whose `m`-subspace codes ALL
+    * coincide are near-duplicates at codebook resolution; keep each
+    * code word's smallest id. The MEMORY-side semantic dedup — the
+    * grouping key is the m-byte code, so at 100 TB the shuffle
+    * carries ~m small ints per row where [[Similarity.semDedup]]'s
+    * candidate join carries band codes and the verify touches
+    * vectors. Resolution is the codebook's: coarser than a cosine
+    * threshold (tune `m`/`ksub` — more subspaces/centroids = finer
+    * cells = less aggressive dedup), with no pairwise verify at all —
+    * the image-near-dup screen for multimodal corpora where 5 % of
+    * raw bytes is the budget (q214 composes it over the media
+    * modality; the `iters = 0` anchors-by-id configuration replays
+    * end-to-end in SQL). Malformed vectors (NULL code) pass through
+    * undeduped, the kernel hygiene contract.
+    *
+    * @return (idCol, n_dups) — one survivor per code word with its
+    *         group size; NULL-code rows survive with n_dups = 1.
+    */
+  def pqCodeDedup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 2, seed: Long = 42L,
+      initByIdOrder: Boolean = false,
+      trainSampleCap: Long = -1L): DataFrame = {
+    val corpus = embeddings.select(col(idCol),
+      Similarity.normalize(col(vecCol)).as("__nvec"))
+    val books = pqCodebooks(corpus, idCol, "__nvec", m, ksub, iters,
+      seed, initByIdOrder, trainSampleCap)
+    val coded = corpus.select(col(idCol),
+      PqEncode.pqEncode(col("__nvec"), books).as("__code"))
+    val surv = coded.where(col("__code").isNotNull)
+      .groupBy(col("__code"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(col(idCol), col("n_dups"))
+    val nulls = coded.where(col("__code").isNull)
+      .select(col(idCol), lit(1L).as("n_dups"))
+    surv.unionByName(nulls)
+  }
+
   /** Persist an IVF-PQ index: `(id, __pq_code)` rows written
     * partitioned by `__cluster` (`$path/vectors/__cluster=N/...`) plus
     * the coarse centroid matrix (`$path/centroids`), the per-subspace
@@ -590,6 +628,43 @@ object ProductQuantization {
     Similarity.writeIndexManifest(spark, path,
       Similarity.bumpAppendCounter(meta, n))
     n
+  }
+
+  /** Rebuild a persisted IVF-PQ index from the CALLER'S raw-vector
+    * table — the staleness remedy for the PQ layout (r13 verdict #3).
+    * Unlike LSH/IVF rebuilds, this one cannot be self-contained: the
+    * index stores m-byte CODES only (that is the point), so re-training
+    * coarse centroids and codebooks needs the raw vectors back.
+    * Layout params (nlist, m, ksub, iterations, seed) come from the
+    * manifest — a rebuild refreshes TRAINING, not layout; pass
+    * `nlist = 0` to re-derive [[Similarity.autoNlist]] from the
+    * current corpus (the right call after heavy growth). Everything
+    * else is [[writeIvfPqIndex]]: fresh coarse + codebooks + codes,
+    * overwrite, manifest with reset counters. Returns the indexed
+    * row count.
+    */
+  def rebuildIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = -1,
+      trainSampleCap: Long = -1L): Long = {
+    val meta = Similarity.readIndexMeta(spark, path)
+    require(meta.contains("kind"),
+      s"no manifest metadata at $path — not a managed IVF-PQ index " +
+        "(build it with writeIvfPqIndex)")
+    Similarity.requireMetaMatch(meta, "kind", "ivfpq", path)
+    val buildCols = meta("columns").split(",").toSeq
+    require(buildCols.contains(idCol) && buildCols.contains(vecCol),
+      s"index at $path was built over columns [${meta("columns")}] — " +
+        s"rebuild called with idCol=$idCol vecCol=$vecCol")
+    val src = embeddings.select(buildCols.map(col): _*)
+    val sizedNlist = if (nlist < 0) meta("nlist").toInt else nlist
+    writeIvfPqIndex(src, idCol, vecCol, path,
+      nlist = sizedNlist, m = meta("m").toInt, ksub = meta("ksub").toInt,
+      coarseIters = meta("coarse_iters").toInt,
+      pqIters = meta("pq_iters").toInt, seed = meta("seed").toLong,
+      trainSampleCap = trainSampleCap)
+    Similarity.readIndexMeta(spark, path)("indexed_rows").toLong
   }
 
   /** An OPENED IVF-PQ index: coarse centroids, codebooks, and the

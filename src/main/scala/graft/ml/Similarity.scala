@@ -1182,6 +1182,73 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** [[nearDupPairsBanded]] behind an EXACT-DUPLICATE contraction —
+    * the first escape hatch the banded scaladoc names for corpora
+    * past `broadcastVectorLimit`: web-scale crawls are full of
+    * byte-identical embeddings (mirrored pages, boilerplate), every
+    * one of which lands in the same bucket of EVERY band and inflates
+    * the candidate volume quadratically per group. Contract them
+    * first (group by the vector VALUE, keep the min id as
+    * representative — [[Dedup.exactDedup]]'s discipline lifted to
+    * vectors), run the banded generation on representatives only, and
+    * expand membership after.
+    *
+    * The expansion is EXACT, not approximate: an identical vector has
+    * identical band codes, so member pairs collide iff their rep pair
+    * collides, and identical vectors normalize identically, so every
+    * expanded pair's verified score equals what the uncontracted run
+    * would compute — cross-group pairs inherit the rep pair's score,
+    * within-group pairs score dot(u, u) of the shared vector
+    * (spec-pinned and oracle-replayed equal to the uncontracted run
+    * on planted exact dups). Auto sizing (`planesPerBand = 0`) sizes
+    * off the REP count — the table the candidates actually join over.
+    *
+    * Scale shape: one shuffle of (vector → min id) to build the
+    * membership, the banded generation over reps (the contraction is
+    * exactly what shrinks its Σ n_b² candidate floor), and two skinny
+    * (rep → member) joins for the expansion whose output is pair
+    * rows the uncontracted run would have emitted anyway.
+    */
+  def nearDupPairsBandedContracted(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double,
+      bands: Int = 6, planesPerBand: Int = 0,
+      seed: Long = 42L, targetBucketSize: Long = 128L,
+      broadcastVectorLimit: Long = 2000000L): DataFrame = {
+    val withRep = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("rep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__v"))))
+    val members = withRep.select(col("id"), col("rep"))
+    val reps = withRep.filter(col("id") === col("rep"))
+      .select(col("id").as(idCol), col("__v").as(vecCol))
+    val repPairs = nearDupPairsBanded(reps, idCol, vecCol, dim,
+      minCosine, bands, planesPerBand, seed, targetBucketSize,
+      broadcastVectorLimit)
+    // cross-group: every member pair inherits its rep pair's score
+    val inter = repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("__ma")),
+        "id_a")
+      .join(members.select(col("rep").as("id_b"), col("id").as("__mb")),
+        "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("score"))
+    // within-group: identical vectors always collide; the score the
+    // uncontracted run computes for them is dot(u, u) of the shared
+    // vector (≈ 1, exactly the normalized self-dot — same expression)
+    val selfScore = reps.select(col(idCol).as("rep"),
+      element_at(transform(array(normalize(col(vecCol))), u =>
+        dot(u, u)), 1).as("score"))
+    val intra = members.as("x")
+      .join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .join(selfScore, col("x.rep") === selfScore("rep"))
+      .filter(col("score") >= minCosine)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("score"))
+    inter.unionByName(intra)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
     * drop every embedding whose vector is near-duplicate — cosine ≥
     * `minCosine` — of a kept one, resolving chains transitively. The
@@ -1226,6 +1293,140 @@ object Similarity {
   }
 
   // ------------------------------------------- index maintenance
+
+  /** Publish a rebuilt index subdirectory: the staged dir replaces the
+    * live one via two renames (live → `_old_<sub>` → delete). Renames
+    * are per-directory metadata ops, so the data never rewrites — but
+    * there IS a brief no-live-dir window between them: rebuilds assume
+    * no concurrent probe of the same index (a prober that loses the
+    * race retries; the manifest republish after the swap is what
+    * commits the rebuild for [[vacuumIndex]]). Staged/old names are
+    * `_`-prefixed so [[writeIndexManifest]]'s file census never counts
+    * them as data.
+    */
+  private[ml] def swapIndexDir(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      sub: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live   = new Path(path, sub)
+    val old    = new Path(path, s"_old_$sub")
+    val staged = new Path(path, s"_staged_$sub")
+    require(fs.exists(staged), s"no staged rebuild at $staged")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live))
+      require(fs.rename(live, old), s"could not retire $live")
+    require(fs.rename(staged, live), s"could not publish $staged")
+    fs.delete(old, true)
+  }
+
+  /** Rebuild a persisted LSH index IN PLACE from its current contents
+    * — the remedy the probe-time staleness warning points at (r13
+    * verdict #3: append-only indexes had no path back to freshness
+    * short of a manual export + rebuild). The vectors re-code under a
+    * fresh plane count — `planes` explicit, or [[autoPlanes]] when
+    * `targetBucketSize` is set (the reason LSH goes stale: the corpus
+    * outgrew the directory fan-out), or the manifest's recorded count
+    * — into a staged directory, then swap + manifest republish with
+    * `indexed_rows` = everything now indexed and `appended_rows` = 0.
+    * Codes are pure functions of (dim, planes, seed), so the rebuilt
+    * index is ROW-IDENTICAL to a from-scratch [[writeLshIndex]] over
+    * the same contents (spec-pinned). Returns the indexed row count.
+    */
+  def rebuildLshIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      planes: Int = 0,
+      targetBucketSize: Option[Long] = None): Long = {
+    val meta = readIndexMeta(spark, path)
+    require(meta.contains("kind"),
+      s"no manifest metadata at $path — pre-metadata index; rebuild " +
+        "once with writeLshIndex to upgrade it")
+    requireMetaMatch(meta, "kind", "lsh", path)
+    val dim  = meta("dim").toInt
+    val seed = meta("seed").toLong
+    val buildCols = meta("columns").split(",").toSeq
+    require(buildCols.contains(idCol) && buildCols.contains(vecCol),
+      s"index at $path was built over columns [${meta("columns")}] — " +
+        s"rebuild called with idCol=$idCol vecCol=$vecCol")
+    val src = spark.read.parquet(s"$path/vectors")
+      .select(buildCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = src.count()
+    val newPlanes =
+      if (planes > 0) planes
+      else targetBucketSize.map(t => autoPlanes(n, t))
+        .getOrElse(meta("planes").toInt)
+    src.withColumn("__lsh_bucket",
+        lshCode(col(vecCol), hyperplanes(dim, newPlanes, seed)))
+      .write.mode("overwrite").partitionBy("__lsh_bucket")
+      .parquet(s"$path/_staged_vectors")
+    src.unpersist()
+    swapIndexDir(spark, path, "vectors")
+    writeIndexManifest(spark, path, Seq(
+      "kind" -> "lsh", "dim" -> dim.toString,
+      "planes" -> newPlanes.toString, "seed" -> seed.toString,
+      "columns" -> meta("columns"),
+      "indexed_rows" -> n.toString, "appended_rows" -> "0"))
+    n
+  }
+
+  /** Rebuild a persisted IVF index IN PLACE from its current contents:
+    * centroids RE-TRAIN over everything now in the index (the
+    * staleness decay is exactly that appended mass routed through
+    * frozen centroids — see [[appendToIvfIndex]]), vectors re-assign
+    * into a staged layout, swap + manifest republish with reset
+    * counters. `nlist` < 0 keeps the manifest's recorded count, 0
+    * re-derives [[autoNlist]] from the CURRENT row count (the right
+    * default after heavy growth), > 0 pins it. Training is the same
+    * deterministic [[ivfCentroids]] the writer uses, so the rebuilt
+    * index probes row-identically to a from-scratch [[writeIvfIndex]]
+    * over the same contents (spec-pinned). Returns the indexed count.
+    */
+  def rebuildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      nlist: Int = -1): Long = {
+    import spark.implicits._
+    val meta = readIndexMeta(spark, path)
+    require(meta.contains("kind"),
+      s"no manifest metadata at $path — pre-metadata index; rebuild " +
+        "once with writeIvfIndex to upgrade it")
+    requireMetaMatch(meta, "kind", "ivf", path)
+    val iters = meta("iters").toInt
+    val seed  = meta("seed").toLong
+    val buildCols = meta("columns").split(",").toSeq
+    require(buildCols.contains(idCol) && buildCols.contains(vecCol),
+      s"index at $path was built over columns [${meta("columns")}] — " +
+        s"rebuild called with idCol=$idCol vecCol=$vecCol")
+    val src = spark.read.parquet(s"$path/vectors")
+      .select(buildCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = src.count()
+    val sizedNlist =
+      if (nlist > 0) nlist
+      else if (nlist == 0) autoNlist(n)
+      else meta("nlist").toInt
+    val centroids = ivfCentroids(src, idCol, vecCol, sizedNlist,
+      iters, seed)
+    assignClusters(src, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("__cluster")
+      .parquet(s"$path/_staged_vectors")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_staged_centroids")
+    src.unpersist()
+    swapIndexDir(spark, path, "vectors")
+    swapIndexDir(spark, path, "centroids")
+    writeIndexManifest(spark, path, Seq(
+      "kind" -> "ivf", "nlist" -> sizedNlist.toString,
+      "iters" -> iters.toString, "seed" -> seed.toString,
+      "columns" -> meta("columns"),
+      "indexed_rows" -> n.toString, "appended_rows" -> "0"))
+    n
+  }
 
   case class IndexVacuumResult(
       keptFiles: Long, droppedFiles: Long, droppedDirs: Long)

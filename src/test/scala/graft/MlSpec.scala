@@ -1606,6 +1606,68 @@ class MlSpec extends AnyFunSuite {
         "extra input scan the parameter exists to remove")
   }
 
+  test("batched probes: batch-of-one row-identical to the single-query " +
+      "APIs (LSH + IVF, in-memory + FromIndex)") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val corpus = e.filter($"vec_id" =!= 0)
+    val query  = e.filter($"vec_id" === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Double)] =
+      df.select($"vec_id", $"score").as[(Long, Double)].collect().toSet
+    // in-memory LSH
+    assert(pairs(Similarity.lshTopKBatch(corpus, "vec_id", "embedding",
+        query, "vec_id", "embedding", dim = 64, k = 7, planes = 4)) ==
+      pairs(Similarity.lshTopK(corpus, "vec_id", "embedding",
+        query, "embedding", dim = 64, k = 7, planes = 4)),
+      "lshTopKBatch batch-of-one != lshTopK")
+    // in-memory IVF
+    assert(pairs(Similarity.ivfTopKBatch(corpus, "vec_id", "embedding",
+        query, "vec_id", "embedding", nlist = 8, nprobe = 3, k = 7)) ==
+      pairs(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        query, "embedding", nlist = 8, nprobe = 3, k = 7)),
+      "ivfTopKBatch batch-of-one != ivfTopK")
+    // persisted LSH: batch prunes to the union of query buckets
+    val lshDir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_batch").toString
+    Similarity.writeLshIndex(corpus, "vec_id", "embedding", lshDir,
+      dim = 64, planes = 4)
+    val lshBatchIdx = Similarity.lshTopKBatchFromIndex(spark, lshDir,
+      "vec_id", "embedding", query, "vec_id", "embedding",
+      dim = 64, k = 7)
+    assert(pairs(lshBatchIdx) ==
+      pairs(Similarity.lshTopKFromIndex(spark, lshDir, "vec_id",
+        "embedding", query, "embedding", dim = 64, k = 7, planes = 4)),
+      "lshTopKBatchFromIndex batch-of-one != lshTopKFromIndex")
+    val lshPlan = lshBatchIdx.queryExecution.executedPlan.toString
+    assert(lshPlan.contains("PartitionFilters") &&
+      lshPlan.contains("__lsh_bucket"),
+      s"no partition pruning in the batched LSH probe:\n$lshPlan")
+    // persisted IVF: batch prunes to the union of probe cells
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_batch").toString
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", ivfDir,
+      nlist = 8)
+    val ivfBatchIdx = Similarity.ivfTopKBatchFromIndex(spark, ivfDir,
+      "vec_id", "embedding", query, "vec_id", "embedding",
+      nprobe = 3, k = 7)
+    assert(pairs(ivfBatchIdx) ==
+      pairs(Similarity.ivfTopKFromIndex(spark, ivfDir, "vec_id",
+        "embedding", query, "embedding", nprobe = 3, k = 7)),
+      "ivfTopKBatchFromIndex batch-of-one != ivfTopKFromIndex")
+    val ivfPlan = ivfBatchIdx.queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("PartitionFilters") &&
+      ivfPlan.contains("__cluster"),
+      s"no partition pruning in the batched IVF probe:\n$ivfPlan")
+    // a real batch returns k rows per query, keyed by the query id
+    val qs = e.filter($"vec_id" % 97 === 0)
+    val multi = Similarity.lshTopKBatch(
+      e.filter($"vec_id" % 97 =!= 0), "vec_id", "embedding",
+      qs, "vec_id", "embedding", dim = 64, k = 3, planes = 4)
+      .groupBy($"query_id").count().as[(Long, Long)].collect().toMap
+    assert(multi.keySet == qs.select($"vec_id").as[Long]
+      .collect().toSet, "some query lost its result group")
+    assert(multi.values.forall(_ <= 3))
+  }
+
   test("banded near-dup pairs: candidate superset of the single table, " +
       "no duplicate pairs, strictly better recall vs the exact oracle") {
     val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
@@ -1646,6 +1708,108 @@ class MlSpec extends AnyFunSuite {
     assert(survDefault <= survBanded3,
       "the recall-sized default found fewer pairs than 3 explicit " +
         "bands — the default flip regressed")
+  }
+
+  test("exact-dup contraction: banded pairs row-identical to the " +
+      "uncontracted run on planted byte-identical twins") {
+    import org.apache.spark.sql.functions.round
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = e.filter($"vec_id" % 29 === 0)
+      .withColumn("vec_id", $"vec_id" + lit(1000000L))
+    val u = e.unionByName(planted)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select($"id_a", $"id_b", round($"score", 4).as("s"))
+        .as[(Long, Long, Double)].collect().toSet
+    val contracted = rows(Similarity.nearDupPairsBandedContracted(u,
+      "vec_id", "embedding", dim = 64, minCosine = 0.35,
+      bands = 3, planesPerBand = 4))
+    val plain = rows(Similarity.nearDupPairsBanded(u,
+      "vec_id", "embedding", dim = 64, minCosine = 0.35,
+      bands = 3, planesPerBand = 4))
+    assert(contracted == plain,
+      "contraction changed the banded pair output — the identical-" +
+        "vector code/score invariants broke")
+    // the planted twins must actually appear as (base, base + 1e6)
+    // self-pairs, scored ~1 — the intra-group expansion leg
+    val twins = contracted.filter { case (a, b, _) => b - a == 1000000L }
+    assert(twins.nonEmpty && twins.forall(_._3 >= 0.9999))
+  }
+
+  test("index rebuild answers the staleness warning: counters reset, " +
+      "probes row-identical to a from-scratch build (LSH + IVF)") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val corpus = e.filter($"vec_id" =!= 0)
+    val query  = e.filter($"vec_id" === 0)
+    val half1  = corpus.filter($"vec_id" % 2 === 0)
+    val half2  = corpus.filter($"vec_id" % 2 === 1)
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.as[(Long, Double)].collect().toSeq
+    // ---- LSH: append past the ratio, warn, rebuild, fresh ----
+    val lshDir = java.nio.file.Files
+      .createTempDirectory("graft_rebuild_lsh").toString
+    Similarity.writeLshIndex(half1, "vec_id", "embedding", lshDir,
+      dim = 64, planes = 4)
+    Similarity.appendToLshIndex(spark, lshDir, half2,
+      "vec_id", "embedding", dim = 64, planes = 0)
+    assert(Similarity.stalenessWarning(
+      Similarity.readIndexMeta(spark, lshDir), lshDir, 1.0).isDefined,
+      "append of ~the indexed volume must trip the staleness warning")
+    val n = Similarity.rebuildLshIndex(spark, lshDir,
+      "vec_id", "embedding")
+    assert(n == corpus.count())
+    val st = Similarity.indexStaleness(spark, lshDir)
+    assert(st.appendedRows == 0L && st.indexedRows == n && st.ratio == 0.0)
+    assert(Similarity.stalenessWarning(
+      Similarity.readIndexMeta(spark, lshDir), lshDir, 1.0).isEmpty)
+    val scratchLsh = java.nio.file.Files
+      .createTempDirectory("graft_rebuild_lsh_scratch").toString
+    Similarity.writeLshIndex(corpus, "vec_id", "embedding", scratchLsh,
+      dim = 64, planes = 4)
+    assert(pairs(Similarity.lshTopKFromIndex(spark, lshDir, "vec_id",
+        "embedding", query, "embedding", dim = 64, k = 10, planes = 4)) ==
+      pairs(Similarity.lshTopKFromIndex(spark, scratchLsh, "vec_id",
+        "embedding", query, "embedding", dim = 64, k = 10, planes = 4)),
+      "rebuilt LSH index probes differently from a from-scratch build")
+    // rebuild can RESIZE the layout while it is at it (the autoPlanes
+    // answer to a corpus that outgrew its directory fan-out)
+    Similarity.rebuildLshIndex(spark, lshDir, "vec_id", "embedding",
+      targetBucketSize = Some(16L))
+    assert(Similarity.readIndexMeta(spark, lshDir)("planes").toInt ==
+      Similarity.autoPlanes(n, 16L))
+    // mismatched columns fail fast, nothing is swapped
+    intercept[IllegalArgumentException] {
+      Similarity.rebuildLshIndex(spark, lshDir, "vec_id", "nope")
+    }
+    // ---- IVF: same contract, centroids re-train over everything ----
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_rebuild_ivf").toString
+    // iters = 0 pins training to the anchor draw (a TOTAL-ORDER sort,
+    // split-independent), so rebuild-vs-scratch equality is exact by
+    // construction — Lloyd averaging's split-order arithmetic is
+    // covered by the same-source specs (PqSpec persisted-vs-in-memory)
+    Similarity.writeIvfIndex(half1, "vec_id", "embedding", ivfDir,
+      nlist = 4, iters = 0)
+    Similarity.appendToIvfIndex(spark, ivfDir, half2,
+      "vec_id", "embedding")
+    assert(Similarity.stalenessWarning(
+      Similarity.readIndexMeta(spark, ivfDir), ivfDir, 1.0).isDefined)
+    val nIvf = Similarity.rebuildIvfIndex(spark, ivfDir,
+      "vec_id", "embedding")
+    assert(nIvf == corpus.count())
+    val stIvf = Similarity.indexStaleness(spark, ivfDir)
+    assert(stIvf.appendedRows == 0L && stIvf.ratio == 0.0)
+    val content = spark.read.parquet(s"$ivfDir/vectors")
+      .select($"vec_id", $"embedding", $"label")
+    val scratchIvf = java.nio.file.Files
+      .createTempDirectory("graft_rebuild_ivf_scratch").toString
+    Similarity.writeIvfIndex(content, "vec_id", "embedding", scratchIvf,
+      nlist = 4, iters = 0)
+    assert(pairs(Similarity.ivfTopKFromIndex(spark, ivfDir, "vec_id",
+        "embedding", query, "embedding", nprobe = 2, k = 10)) ==
+      pairs(Similarity.ivfTopKFromIndex(spark, scratchIvf, "vec_id",
+        "embedding", query, "embedding", nprobe = 2, k = 10)),
+      "rebuilt IVF index probes differently from a from-scratch build")
   }
 
   test("writeLshIndex rejects a comma in column names (the manifest's " +

@@ -324,6 +324,109 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ rebuild: staleness resets, probes row-identical to a " +
+      "from-scratch build over the same source") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rebuild").toString
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val query  = emb.filter($"vec_id" === 0)
+    val old    = corpus.filter($"vec_id" % 2 === 0)
+    val fresh  = corpus.filter($"vec_id" % 2 === 1)
+    PQ.writeIvfPqIndex(old, "vec_id", "embedding", dir,
+      nlist = 4, m = 4, ksub = 16, pqIters = 1)
+    PQ.appendToIvfPqIndex(spark, dir, fresh, "vec_id", "embedding")
+    // stale: default probe warns, strict probe throws
+    assert(Similarity.stalenessWarning(
+      Similarity.readIndexMeta(spark, dir), dir, 1.0).isDefined)
+    intercept[IllegalStateException] {
+      PQ.ivfPqTopKFromIndex(spark, dir, "vec_id", query, "embedding",
+        nprobe = 4, k = 10, strictStaleness = true)
+    }
+    // rebuild from the raw-vector source (the index stores codes only)
+    val n = PQ.rebuildIvfPqIndex(spark, dir, corpus,
+      "vec_id", "embedding")
+    assert(n == corpus.count())
+    val st = Similarity.indexStaleness(spark, dir)
+    assert(st.appendedRows == 0L && st.ratio == 0.0)
+    // strict probe passes now, and equals a from-scratch build with
+    // the same (manifest-derived) params over the same source frame
+    val rebuilt = PQ.ivfPqTopKFromIndex(spark, dir, "vec_id",
+      query, "embedding", nprobe = 4, k = 10, strictStaleness = true)
+      .as[(Long, Double)].collect().toSeq
+    val scratchDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rebuild_scratch").toString
+    PQ.writeIvfPqIndex(corpus, "vec_id", "embedding", scratchDir,
+      nlist = 4, m = 4, ksub = 16, pqIters = 1)
+    val scratch = PQ.ivfPqTopKFromIndex(spark, scratchDir, "vec_id",
+      query, "embedding", nprobe = 4, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(rebuilt == scratch,
+      "rebuilt IVF-PQ index probes differently from a from-scratch " +
+        "build")
+    // wrong-kind and wrong-column rebuilds fail fast
+    intercept[IllegalArgumentException] {
+      PQ.rebuildIvfPqIndex(spark, dir, corpus, "vec_id", "nope")
+    }
+    val lshDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rebuild_kind").toString
+    Similarity.writeLshIndex(old, "vec_id", "embedding", lshDir,
+      dim = 64, planes = 4)
+    intercept[IllegalArgumentException] {
+      PQ.rebuildIvfPqIndex(spark, lshDir, corpus, "vec_id", "embedding")
+    }
+  }
+
+  test("batched IVF-PQ probe: topKBatch row-identical to a per-query " +
+      "topK loop (plain and reranked), with the collect/vector guards") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_batch").toString
+    val base    = emb.filter($"vec_id" % 17 =!= 0)
+    val queries = emb.filter($"vec_id" % 17 === 0 && $"vec_id" < 120)
+    PQ.writeIvfPqIndex(base, "vec_id", "embedding", dir,
+      nlist = 4, m = 4, ksub = 16, pqIters = 1)
+    val handle = PQ.openIvfPqIndex(spark, dir)
+    def asTriples(df: DataFrame): Set[(Long, Long, Double)] =
+      df.as[(Long, Long, Double)].collect().toSet
+    val qids = queries.select($"vec_id").as[Long].collect().toSeq
+    assert(qids.nonEmpty)
+    val batch = asTriples(handle.topKBatch("vec_id", queries,
+      "vec_id", "embedding", nprobe = 2, k = 5))
+    val loop = qids.flatMap { qid =>
+      scores(handle.topK("vec_id", emb.filter($"vec_id" === qid),
+        "embedding", nprobe = 2, k = 5))
+        .map { case (id, s) => (qid, id, s) }
+    }.toSet
+    assert(batch == loop,
+      "batched probe diverged from the per-query loop")
+    val batchR = asTriples(handle.topKBatch("vec_id", queries,
+      "vec_id", "embedding", nprobe = 2, k = 5, rerankK = 15,
+      rerankSource = Some((base, "embedding"))))
+    val loopR = qids.flatMap { qid =>
+      scores(handle.topK("vec_id", emb.filter($"vec_id" === qid),
+        "embedding", nprobe = 2, k = 5, rerankK = 15,
+        rerankSource = Some((base, "embedding"))))
+        .map { case (id, s) => (qid, id, s) }
+    }.toSet
+    assert(batchR == loopR,
+      "reranked batched probe diverged from the per-query loop")
+    // guards: probe width, driver-collect cap, malformed query vector
+    intercept[IllegalArgumentException] {
+      handle.topKBatch("vec_id", queries, "vec_id", "embedding",
+        nprobe = 0, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      handle.topKBatch("vec_id", queries, "vec_id", "embedding",
+        nprobe = 2, k = 5, maxCollectQueries = 1)
+    }
+    intercept[IllegalArgumentException] {
+      handle.topKBatch("vec_id",
+        queries.withColumn("embedding",
+          when($"vec_id" === qids.head, lit(null)
+            .cast("array<float>")).otherwise($"embedding")),
+        "vec_id", "embedding", nprobe = 2, k = 5)
+    }
+  }
+
   test("ivfPqTopK releases its build caches (at most the k-row " +
       "checkpointed result persists afterward)") {
     val base  = emb.filter($"vec_id" =!= 0)
