@@ -594,6 +594,165 @@ object Scratch {
       corpus.unpersist()
       spark.stop(); return
     }
+    if (name == "batch_probe_profile") {
+      // r14 verdict #2: per-query cost of the batched probe APIs vs a
+      // single-query loop — the fixed overhead (manifest reads, probe
+      // planning, per-query Spark jobs) a batch amortizes. Loop leg
+      // measured on `loopN` queries (default 20 — one-shot probes are
+      // ~0.5 s each, a 1k loop would be ~10 min of pure overhead),
+      // batch leg on the FULL query frame.
+      //   sbt "runMain graft.Scratch batch_probe_profile target/sf1 1000"
+      import graft.ml.{ProductQuantization => PQ, Similarity}
+      val batchN = if (args.length > 2) args(2).toInt else 1000
+      val loopN  = if (args.length > 3) args(3).toInt else 20
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val corpus  = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val queries = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .limit(batchN).persist()
+      val q = queries.count()
+      val qids = queries.select(col("vec_id"))
+        .limit(loopN).collect().map(_.getLong(0)).toSeq
+      def timed(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] $label%-34s rows=$rows%-7d sec=$dt%8.2f")
+      }
+      // IVF-PQ over a persisted index — the family the verdict named
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_batchprof").toString
+      PQ.writeIvfPqIndex(corpus, "vec_id", "embedding", dir,
+        nlist = 0, m = 8, ksub = 32, pqIters = 1)
+      val h = PQ.openIvfPqIndex(spark, dir)
+      timed(s"ivfpq_loop_${qids.length}q") {
+        qids.map { id =>
+          h.topK("vec_id", e.filter(col("vec_id") === id), "embedding",
+            nprobe = 4, k = 10).count()
+        }.sum
+      }
+      timed(s"ivfpq_batch_${q}q") {
+        h.topKBatch("vec_id", queries, "vec_id", "embedding",
+          nprobe = 4, k = 10).count()
+      }
+      // LSH over a persisted index
+      val lshDir = java.nio.file.Files
+        .createTempDirectory("graft_batchprof_lsh").toString
+      Similarity.writeLshIndex(corpus, "vec_id", "embedding", lshDir,
+        dim = 64, planes = Similarity.autoPlanes(corpus.count(), 128L))
+      timed(s"lsh_loop_${qids.length}q") {
+        qids.map { id =>
+          Similarity.lshTopKFromIndex(spark, lshDir, "vec_id",
+            "embedding", e.filter(col("vec_id") === id), "embedding",
+            dim = 64, k = 10,
+            planes = Similarity.autoPlanes(corpus.count(), 128L)).count()
+        }.sum
+      }
+      timed(s"lsh_batch_${q}q") {
+        Similarity.lshTopKBatchFromIndex(spark, lshDir, "vec_id",
+          "embedding", queries, "vec_id", "embedding",
+          dim = 64, k = 10).count()
+      }
+      spark.stop(); return
+    }
+    if (name == "contraction_profile") {
+      // r14 verdict #6: candidate-volume reduction from the exact-dup
+      // contraction pre-pass. Corpus = embeddings ∪ `dupFrac` planted
+      // byte-identical twins; measure the banded candidate count and
+      // wall time with and without contraction (equality is q213's
+      // oracle + MlSpec; this is the cost story).
+      //   sbt "runMain graft.Scratch contraction_profile target/sf1"
+      import graft.ml.Similarity
+      val copies = if (args.length > 2) args(2).toInt else 2
+      val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      // plant: every vec_id % 3 == 0 row duplicated `copies` times
+      val u = (1 to copies).foldLeft(e0) { (acc, c) =>
+        acc.unionByName(e0.filter(col("vec_id") % 3 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(c * 10000000L)))
+      }.persist()
+      val n = u.count()
+      val r = Similarity.autoPlanes(n, 128L)
+      val bands = Similarity.autoBands(0.85, r)
+      println(s"[prof] n=$n (dups planted) r=$r bands=$bands")
+      // candidate volume = the skinny banded self-join count (the
+      // exchange the contraction exists to shrink)
+      def candCount(df: org.apache.spark.sql.DataFrame): Long = {
+        val all = Similarity.hyperplanes(64, bands * r, 42L)
+        val codeCols = (0 until bands).map(b =>
+          Similarity.lshCode(col("embedding"),
+            all.slice(b * r, (b + 1) * r)).as(s"__c$b"))
+        val skinny = df.select(col("vec_id").as("id") +: codeCols: _*)
+          .select(col("id"), posexplode(
+            array((0 until bands).map(b => col(s"__c$b")): _*))
+            .as(Seq("__band", "__code")))
+        skinny.as("a").join(skinny.as("x"),
+            col("a.__band") === col("x.__band") &&
+              col("a.__code") === col("x.__code") &&
+              col("a.id") < col("x.id")).count()
+      }
+      val reps = u.select(col("vec_id"), col("embedding"))
+        .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+      println(s"[prof] reps=${reps.count()} of $n")
+      println(s"[prof] cand_uncontracted=${candCount(u)}")
+      println(s"[prof] cand_contracted=${candCount(
+        reps.select(col("vec_id"), col("embedding")))}")
+      def timed(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val rows = f
+        println(f"[prof] $label%-22s rows=$rows%-9d " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%8.2f")
+      }
+      timed("banded_plain") {
+        Similarity.nearDupPairsBanded(u, "vec_id", "embedding",
+          dim = 64, minCosine = 0.85, bands = bands,
+          planesPerBand = r).count()
+      }
+      timed("banded_contracted") {
+        Similarity.nearDupPairsBandedContracted(u, "vec_id",
+          "embedding", dim = 64, minCosine = 0.85, bands = bands,
+          planesPerBand = r).count()
+      }
+      spark.stop(); return
+    }
+    if (name == "pq_dedup_profile") {
+      // r14 verdict #7: PQ-code dedup recall on planted image twins —
+      // the fraction of (twin, parent) pairs that collapse into one
+      // code word at each (m, ksub), plus the survivor contraction.
+      //   sbt "runMain graft.Scratch pq_dedup_profile target/sf1"
+      import graft.ml.{ProductQuantization => PQ}
+      val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
+      val n = e.count()
+      val twinPairs = e.filter(col("parent_id") >= 0).count()
+      println(s"[prof] n=$n planted twin pairs=$twinPairs")
+      Seq((2, 16), (4, 4), (4, 16), (8, 16), (8, 64), (16, 64))
+        .foreach { case (m, ksub) =>
+        val t0 = System.nanoTime()
+        // survivors (min id per code word); a twin is CAUGHT when it
+        // is not a survivor... not exactly — recall = twin shares its
+        // parent's word. Recompute codes directly for the pair check.
+        val corpus = e.select(col("vec_id"),
+          graft.ml.Similarity.normalize(col("embedding")).as("__nvec"))
+        val books = PQ.pqCodebooks(corpus, "vec_id", "__nvec", m, ksub,
+          iters = 1, seed = 42L)
+        val coded = corpus.select(col("vec_id"),
+          graft.functions.PqEncode.pqEncode(col("__nvec"), books)
+            .as("__code"))
+        val joined = e.filter(col("parent_id") >= 0)
+          .select(col("vec_id"), col("parent_id"))
+          .join(coded.select(col("vec_id"), col("__code").as("__ct")),
+            "vec_id")
+          .join(coded.select(col("vec_id").as("parent_id"),
+            col("__code").as("__cp")), "parent_id")
+        val caught = joined
+          .filter(col("__ct") === col("__cp")).count()
+        val survivors = PQ.pqCodeDedup(e, "vec_id", "embedding",
+          m, ksub, iters = 1).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] m=$m%-3d ksub=$ksub%-4d twin_recall=" +
+          f"${caught.toDouble / twinPairs}%.3f survivors=$survivors " +
+          f"(${survivors.toDouble / n}%.2f of corpus) sec=$dt%.1f")
+      }
+      spark.stop(); return
+    }
     if (name == "vocab_bytes_profile") {
       // r12 verdict #6: the VocabEncode kernel guard counts ENTRIES;
       // measure the serialized map (what rides the task binary via
