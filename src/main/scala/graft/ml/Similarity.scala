@@ -1155,13 +1155,16 @@ object Similarity {
     val r = if (planesPerBand > 0) planesPerBand
       else autoPlanes(n, targetBucketSize)
     val all = hyperplanes(dim, bands * r, seed)
-    val codeCols = (0 until bands).map(b =>
-      lshCode(col(vecCol), all.slice(b * r, (b + 1) * r)).as(s"__c$b"))
+    // ALL band codes in one kernel pass (bit-equal to per-band
+    // lshCode slices — see the kernel scaladoc; the per-band lambda
+    // projection was the dominant term of the 64-band default at
+    // sf10: 57k literal doubles in generated code)
     val skinny = embeddings
-      .select(col(idCol).as("id") +: codeCols: _*)
-      .select(col("id"), posexplode(
-        array((0 until bands).map(b => col(s"__c$b")): _*))
-        .as(Seq("__band", "__code")))
+      .select(col(idCol).as("id"),
+        graft.functions.LshBandCodes
+          .lshBandCodes(col(vecCol), all, r).as("__codes"))
+      .select(col("id"),
+        posexplode(col("__codes")).as(Seq("__band", "__code")))
     val cand = skinny.as("a").join(skinny.as("x"),
         col("a.__band") === col("x.__band") &&
           col("a.__code") === col("x.__code") &&

@@ -1710,6 +1710,31 @@ class MlSpec extends AnyFunSuite {
         "bands — the default flip regressed")
   }
 
+  test("LshBandCodes kernel: band b bit-equal to lshCode over the " +
+      "plane slice, null vector stays null") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val bands = 3; val r = 5
+    val all = Similarity.hyperplanes(64, bands * r, 42L)
+    val viaKernel = e.select($"vec_id",
+        graft.functions.LshBandCodes
+          .lshBandCodes($"embedding", all, r).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaLambda = e.select($"vec_id",
+        array((0 until bands).map(b =>
+          Similarity.lshCode($"embedding",
+            all.slice(b * r, (b + 1) * r))): _*).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaKernel == viaLambda,
+      "kernel band codes diverged from the composed lshCode slices")
+    val withNull = e.limit(5).withColumn("embedding",
+      when($"vec_id" % 2 === 0, $"embedding"))
+    val got = withNull.select($"vec_id",
+        graft.functions.LshBandCodes
+          .lshBandCodes($"embedding", all, r).as("c"))
+      .collect().map(row => row.getLong(0) -> row.isNullAt(1)).toMap
+    got.foreach { case (id, isNull) => assert(isNull == (id % 2 != 0)) }
+  }
+
   test("exact-dup contraction: banded pairs row-identical to the " +
       "uncontracted run on planted byte-identical twins") {
     import org.apache.spark.sql.functions.round
