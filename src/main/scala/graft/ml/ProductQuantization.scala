@@ -741,6 +741,25 @@ object ProductQuantization {
       readCodebooks(spark, path))
   }
 
+  /** One-shot batched probe of a persisted IVF-PQ index —
+    * [[openIvfPqIndex]] + [[IvfPqIndex.topKBatch]] for callers
+    * probing once (the handle amortizes metadata across REPEATED
+    * batches; this amortizes it across the queries of one batch).
+    */
+  def ivfPqTopKBatchFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String,
+      nprobe: Int = 2, k: Int = 10,
+      rerankK: Int = 0,
+      rerankSource: Option[(DataFrame, String)] = None,
+      maxStaleRatio: Double = Similarity.DefaultMaxStaleRatio,
+      strictStaleness: Boolean = false,
+      maxCollectQueries: Int = 10000): DataFrame =
+    openIvfPqIndex(spark, path, maxStaleRatio, strictStaleness)
+      .topKBatch(idCol, queries, queryIdCol, queryVecCol, nprobe, k,
+        rerankK, rerankSource, maxCollectQueries)
+
   /** Batched probe tail: one (qidx, query_id, cell, coarse-dot) row
     * per probed cell broadcast against the pruned code scan,
     * [[graft.functions.PqAdcMulti]] ADC scoring, per-query heaps,

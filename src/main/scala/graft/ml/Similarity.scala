@@ -643,6 +643,77 @@ object Similarity {
       Seq(col("score") * -1, col(idCol)), k)
   }
 
+  /** Batched query-directed budget probing over a persisted LSH index
+    * — [[lshMultiProbeTopKBudgetFromIndex]] for a query FRAME: every
+    * query's signed projections compute in ONE distributed pass and
+    * collect (Q·planes doubles — bounded metadata), probe sets derive
+    * driver-side ([[probeMasks]] margin ordering, identical to the
+    * single-query path), the scan prunes to the UNION of all probe
+    * buckets, and the (query, bucket) join fans candidates to their
+    * queries for a per-query exact rerank. Batch-of-one is
+    * row-identical to the single-query API (spec-pinned).
+    */
+  def lshMultiProbeTopKBudgetBatchFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, k: Int = 10, planes: Int = 0, probes: Int = 8,
+      seed: Long = 42L,
+      maxStaleRatio: Double = DefaultMaxStaleRatio,
+      strictStaleness: Boolean = false,
+      maxCollectQueries: Int = 10000): DataFrame = {
+    require(probes >= 1, s"probe budget must be >= 1 (got $probes)")
+    val meta = readIndexMeta(spark, path)
+    requireMetaMatch(meta, "kind", "lsh", path)
+    requireMetaMatch(meta, "dim", dim.toString, path)
+    requireMetaMatch(meta, "seed", seed.toString, path)
+    val effPlanes =
+      if (planes != 0) planes
+      else meta.getOrElse("planes", sys.error(
+        s"lshMultiProbeTopKBudgetBatchFromIndex(planes = 0) derives " +
+          s"the plane count from the manifest, but $path/_manifest " +
+          "records none")).toInt
+    requireMetaMatch(meta, "planes", effPlanes.toString, path)
+    checkProbeStaleness(meta, path, maxStaleRatio, strictStaleness)
+    val ps = hyperplanes(dim, effPlanes, seed)
+    // one distributed pass computes every query's per-plane signed
+    // projections; Q·planes doubles collect — the probe-planning
+    // metadata, maxCollectQueries-guarded like the PQ batch
+    val projRows = queries
+      .select(col(queryIdCol).as("query_id"),
+        array(ps.map(p =>
+          dot(col(queryVecCol), typedlit(p.toSeq))): _*).as("__dots"))
+      .limit(maxCollectQueries + 1).collect()
+    require(projRows.length <= maxCollectQueries,
+      s"query batch exceeds maxCollectQueries = $maxCollectQueries — " +
+        "probe planning collects Q x planes projections driver-side; " +
+        "shard the batch or raise the guard knowingly")
+    val probePairs = projRows.flatMap { row =>
+      val dots = row.getSeq[Double](1)
+      val base = codeOf(dots)
+      (base +: probeMasks(dots, probes).map(base ^ _))
+        .map(code => (row.get(0), code))
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      queries.schema(queryIdCol).copy(name = "query_id"),
+      org.apache.spark.sql.types.StructField("__lsh_bucket",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val qProbe = spark.createDataFrame(
+      java.util.Arrays.asList(probePairs.map { case (id, c) =>
+        org.apache.spark.sql.Row(id, c) }: _*), qSchema)
+    val qVec = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qvec"))
+    val buckets = probePairs.map(_._2).distinct.toSeq
+    val scored = spark.read.parquet(s"$path/vectors")
+      .filter(col("__lsh_bucket").isin(buckets: _*)) // partition pruning
+      .join(broadcast(qProbe), "__lsh_bucket")
+      .join(broadcast(qVec), "query_id")
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("__qvec")).as("score"))
+    graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
+      Seq(col("score") * -1, col(idCol)), k)
+  }
+
   /** Batched IVF top-k: the corpus assigns once, each query joins only
     * its `nprobe` nearest cells (the probe explode is Q·nprobe rows,
     * broadcast), exact rerank per query via map-side heaps. The
@@ -1014,7 +1085,8 @@ object Similarity {
       targetRecall: Double = 0.95,
       maxBands: Int = MaxAutoBands,
       broadcastVectorLimit: Long = 2000000L,
-      knownCount: Option[Long] = None): DataFrame = {
+      knownCount: Option[Long] = None,
+      contractExactDups: Boolean = false): DataFrame = {
     require(bands >= 0, s"bands must be >= 0 (0 = recall-sized auto; " +
       s"got $bands)")
     lazy val n = knownCount.getOrElse(embeddings.count())
@@ -1023,6 +1095,13 @@ object Similarity {
       if (bands > 0) bands
       else if (r < 1) 1 // single-bucket degenerate — nothing to band
       else autoBands(minCosine, r, targetRecall, maxBands)
+    // the exact-dup contraction is a banded-path concern (the single
+    // table is already the cheap screen); exact by construction, see
+    // [[nearDupPairsBandedContracted]]
+    if (contractExactDups && b > 1)
+      return nearDupPairsBandedContracted(embeddings, idCol, vecCol,
+        dim, minCosine, bands = b, planesPerBand = r, seed = seed,
+        broadcastVectorLimit = broadcastVectorLimit)
     if (b == 1) {
       val ps = hyperplanes(dim, math.max(r, 0), seed)
       val coded = embeddings.select(col(idCol).as("id"),
@@ -1218,10 +1297,16 @@ object Similarity {
       bands: Int = 6, planesPerBand: Int = 0,
       seed: Long = 42L, targetBucketSize: Long = 128L,
       broadcastVectorLimit: Long = 2000000L): DataFrame = {
+    // the membership projection feeds SIX lineage branches (reps into
+    // the banded generation + self-scores, members into both sides of
+    // both expansions) — persist it for the call so the vector-keyed
+    // window runs ONCE, and return an eagerly-materialized result so
+    // no cache outlives the call (the ivfPqTopK discipline)
     val withRep = embeddings
       .select(col(idCol).as("id"), col(vecCol).as("__v"))
       .withColumn("rep", min(col("id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = withRep.select(col("id"), col("rep"))
     val reps = withRep.filter(col("id") === col("rep"))
       .select(col("id").as(idCol), col("__v").as(vecCol))
@@ -1249,7 +1334,9 @@ object Similarity {
       .filter(col("score") >= minCosine)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("score"))
-    inter.unionByName(intra)
+    val out = inter.unionByName(intra).localCheckpoint(true)
+    withRep.unpersist()
+    out
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
@@ -1283,10 +1370,12 @@ object Similarity {
       seed: Long = 42L, maxIter: Int = 20,
       checkpointDir: Option[String] = None,
       targetBucketSize: Option[Long] = None,
-      bands: Int = 0): DataFrame = {
+      bands: Int = 0,
+      contractExactDups: Boolean = false): DataFrame = {
     val pairs =
       nearDupPairs(embeddings, idCol, vecCol, dim, minCosine, planes,
-        seed, targetBucketSize, bands)
+        seed, targetBucketSize, bands,
+        contractExactDups = contractExactDups)
         .select(col("id_a"), col("id_b"))
     val losers = Graph
       .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)

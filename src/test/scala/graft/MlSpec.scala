@@ -1666,6 +1666,28 @@ class MlSpec extends AnyFunSuite {
     assert(multi.keySet == qs.select($"vec_id").as[Long]
       .collect().toSet, "some query lost its result group")
     assert(multi.values.forall(_ <= 3))
+    // budget probing: the batch derives every query's margin-ordered
+    // probe set identically to the single-query path
+    val budgetBatch = Similarity.lshMultiProbeTopKBudgetBatchFromIndex(
+      spark, lshDir, "vec_id", "embedding", qs, "vec_id", "embedding",
+      dim = 64, k = 3, probes = 5)
+      .select($"query_id", $"vec_id", $"score")
+      .as[(Long, Long, Double)].collect().toSet
+    val budgetLoop = qs.select($"vec_id").as[Long].collect().flatMap {
+      qid =>
+        Similarity.lshMultiProbeTopKBudgetFromIndex(spark, lshDir,
+            "vec_id", "embedding", e.filter($"vec_id" === qid),
+            "embedding", dim = 64, k = 3, probes = 5)
+          .as[(Long, Double)].collect()
+          .map { case (id, s) => (qid, id, s) }
+    }.toSet
+    assert(budgetBatch == budgetLoop,
+      "batched budget probing diverged from the per-query loop")
+    intercept[IllegalArgumentException] {
+      Similarity.lshMultiProbeTopKBudgetBatchFromIndex(spark, lshDir,
+        "vec_id", "embedding", qs, "vec_id", "embedding",
+        dim = 64, k = 3, probes = 5, maxCollectQueries = 1)
+    }
   }
 
   test("banded near-dup pairs: candidate superset of the single table, " +
@@ -1759,6 +1781,22 @@ class MlSpec extends AnyFunSuite {
     // self-pairs, scored ~1 — the intra-group expansion leg
     val twins = contracted.filter { case (a, b, _) => b - a == 1000000L }
     assert(twins.nonEmpty && twins.forall(_._3 >= 0.9999))
+    // the flag routes the default through the contraction with the
+    // SAME auto-sized (bands, r) — identical pairs end to end
+    assert(rows(Similarity.nearDupPairs(u, "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, planes = 4,
+        contractExactDups = true)) ==
+      rows(Similarity.nearDupPairs(u, "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, planes = 4)),
+      "contractExactDups changed the default-path output")
+    // and semDedup survivors are unchanged under the flag
+    assert(Similarity.semDedup(u, "vec_id", "embedding", dim = 64,
+        minCosine = 0.35, planes = 4, contractExactDups = true)
+        .select($"vec_id").as[Long].collect().toSet ==
+      Similarity.semDedup(u, "vec_id", "embedding", dim = 64,
+        minCosine = 0.35, planes = 4)
+        .select($"vec_id").as[Long].collect().toSet,
+      "contractExactDups changed semDedup survivors")
   }
 
   test("index rebuild answers the staleness warning: counters reset, " +

@@ -409,6 +409,10 @@ class PqSpec extends AnyFunSuite {
     }.toSet
     assert(batchR == loopR,
       "reranked batched probe diverged from the per-query loop")
+    // the one-shot wrapper (open + batch) is the same probe
+    assert(asTriples(PQ.ivfPqTopKBatchFromIndex(spark, dir, "vec_id",
+      queries, "vec_id", "embedding", nprobe = 2, k = 5)) == batch,
+      "one-shot batched probe diverged from the opened-handle batch")
     // guards: probe width, driver-collect cap, malformed query vector
     intercept[IllegalArgumentException] {
       handle.topKBatch("vec_id", queries, "vec_id", "embedding",
