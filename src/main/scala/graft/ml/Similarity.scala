@@ -590,14 +590,22 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       dim: Int, k: Int = 10, planes: Int = 8, seed: Long = 42L): DataFrame = {
     val ps = hyperplanes(dim, planes, seed)
+    // norms hoist into per-SIDE projections: a batch pairs each corpus
+    // row with many queries, so per-pair cosine() would recompute both
+    // norms per PAIR (the q50 lesson, batch edition — measured 54 s on
+    // q211's sf10 shape before the hoist). dot/(n_a·n_b) is the same
+    // expression cosine() expands to, so scores stay bit-equal.
     val bucketed = embeddings.select(col(idCol), col(vecCol))
       .withColumn("__lsh_bucket", lshCode(col(vecCol), ps))
+      .withColumn("__norm", norm(col(vecCol)))
     val q = queries.select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qvec"))
       .withColumn("__lsh_bucket", lshCode(col("__qvec"), ps))
+      .withColumn("__qnorm", norm(col("__qvec")))
     val scored = bucketed.join(broadcast(q), "__lsh_bucket")
       .select(col("query_id"), col(idCol),
-        cosine(col(vecCol), col("__qvec")).as("score"))
+        (dot(col(vecCol), col("__qvec")) /
+          (col("__norm") * col("__qnorm"))).as("score"))
     graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
       Seq(col("score") * -1, col(idCol)), k)
   }
@@ -632,13 +640,16 @@ object Similarity {
     val q = queries.select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qvec"))
       .withColumn("__lsh_bucket", lshCode(col("__qvec"), ps))
+      .withColumn("__qnorm", norm(col("__qvec")))
     val buckets = q.select(col("__lsh_bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ one code per query
     val scored = spark.read.parquet(s"$path/vectors")
       .filter(col("__lsh_bucket").isin(buckets: _*)) // partition pruning
+      .withColumn("__norm", norm(col(vecCol))) // once per ROW, not pair
       .join(broadcast(q), "__lsh_bucket")
       .select(col("query_id"), col(idCol),
-        cosine(col(vecCol), col("__qvec")).as("score"))
+        (dot(col(vecCol), col("__qvec")) /
+          (col("__norm") * col("__qnorm"))).as("score"))
     graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
       Seq(col("score") * -1, col(idCol)), k)
   }
@@ -702,14 +713,17 @@ object Similarity {
       java.util.Arrays.asList(probePairs.map { case (id, c) =>
         org.apache.spark.sql.Row(id, c) }: _*), qSchema)
     val qVec = queries.select(col(queryIdCol).as("query_id"),
-      col(queryVecCol).as("__qvec"))
+        col(queryVecCol).as("__qvec"))
+      .withColumn("__qnorm", norm(col("__qvec")))
     val buckets = probePairs.map(_._2).distinct.toSeq
     val scored = spark.read.parquet(s"$path/vectors")
       .filter(col("__lsh_bucket").isin(buckets: _*)) // partition pruning
+      .withColumn("__norm", norm(col(vecCol))) // once per ROW, not pair
       .join(broadcast(qProbe), "__lsh_bucket")
       .join(broadcast(qVec), "query_id")
       .select(col("query_id"), col(idCol),
-        cosine(col(vecCol), col("__qvec")).as("score"))
+        (dot(col(vecCol), col("__qvec")) /
+          (col("__norm") * col("__qnorm"))).as("score"))
     graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
       Seq(col("score") * -1, col(idCol)), k)
   }
@@ -732,15 +746,18 @@ object Similarity {
     val centroids =
       ivfCentroids(embeddings, idCol, vecCol, sizedNlist, iters, seed)
     val assigned = assignClusters(embeddings, vecCol, centroids)
+      .withColumn("__norm", norm(col(vecCol)))
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as("__qvec"))
     val qProbes = assignClustersProbe(q, "__qvec", centroids,
         math.min(nprobe, centroids.length))
       .select(col("query_id"), col("__qvec"),
+        norm(col("__qvec")).as("__qnorm"),
         explode(col("__probes")).as("__cluster"))
     val scored = assigned.join(broadcast(qProbes), "__cluster")
       .select(col("query_id"), col(idCol),
-        cosine(col(vecCol), col("__qvec")).as("score"))
+        (dot(col(vecCol), col("__qvec")) /
+          (col("__norm") * col("__qnorm"))).as("score"))
     graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
       Seq(col("score") * -1, col(idCol)), k)
   }
@@ -773,14 +790,17 @@ object Similarity {
     val qProbes = assignClustersProbe(q, "__qvec", centroids,
         math.min(nprobe, centroids.length))
       .select(col("query_id"), col("__qvec"),
+        norm(col("__qvec")).as("__qnorm"),
         explode(col("__probes")).as("__cluster"))
     val cells = qProbes.select(col("__cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ Q·nprobe ints
     val scored = spark.read.parquet(s"$path/vectors")
       .filter(col("__cluster").isin(cells: _*)) // partition pruning
+      .withColumn("__norm", norm(col(vecCol))) // once per ROW, not pair
       .join(broadcast(qProbes), "__cluster")
       .select(col("query_id"), col(idCol),
-        cosine(col(vecCol), col("__qvec")).as("score"))
+        (dot(col(vecCol), col("__qvec")) /
+          (col("__norm") * col("__qnorm"))).as("score"))
     graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
       Seq(col("score") * -1, col(idCol)), k)
   }
