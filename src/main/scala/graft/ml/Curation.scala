@@ -603,17 +603,18 @@ object Curation {
       raw: DataFrame, target: DataFrame,
       idCol: String, textCol: String, n: Int,
       buckets: Int = 8192, seed: Int = 42): DataFrame = {
-    // the Gumbel key derives from the id CAST TO LONG — a non-integral
-    // id column (string uuids, decimals) would cast to NULL, making
+    // the Gumbel key derives from the id CAST TO LONG — a non-NUMERIC
+    // id column (string uuids, timestamps) would cast to NULL, making
     // every __key NULL and silently degenerating the "resample" into
-    // an id-ordered head (r13 advice). Fail fast with the remedy.
+    // an id-ordered head (r13 advice). Numeric ids (including float /
+    // decimal) cast non-NULL and deterministically, so they pass —
+    // the guard targets exactly the NULL-producing class.
     val idType = raw.schema(idCol).dataType
-    require(Seq("byte", "short", "integer", "long")
-        .contains(idType.typeName),
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"dsirResample derives its deterministic Gumbel key from " +
         s"$idCol cast to long, but $idCol is ${idType.simpleString} — " +
-        "a non-integral id casts to NULL and the resample silently " +
-        "degenerates. Pre-derive an integral key (e.g. " +
+        "a non-numeric id casts to NULL and the resample silently " +
+        "degenerates. Pre-derive a numeric key (e.g. " +
         s"withColumn(\"__rid\", xxhash64(col(\"$idCol\"))) ) and pass " +
         "that as idCol.")
     // signed mix64 / 2^64 + 0.5 ∈ [0, 1); clamp away from BOTH ends —

@@ -795,6 +795,11 @@ object ProductQuantization {
           s"${r.getSeq[Double](1).length} != the index layout m·dsub " +
           s"= $qDim")
     }
+    val dupIds = qRows.groupBy(_.get(0))
+      .collect { case (id, rs) if rs.length > 1 => id }
+    require(dupIds.isEmpty,
+      s"duplicate query ids in the batch: ${dupIds.take(5).mkString(", ")}" +
+        " — deduplicate the query frame (each id ranks once)")
     val tables: Array[Array[Array[Double]]] =
       qRows.map(r => adcTable(r.getSeq[Double](1).toArray, books))
     val np = math.min(nprobe, coarse.length)
@@ -870,6 +875,10 @@ object ProductQuantization {
       .withColumn("score",
         PqAdc.pqAdc(col("__pq_code"), table)
           + element_at(typedlit(coarseDots), col("__cluster") + 1))
+      // malformed codes (NULL score) never rank — the same rule the
+      // batched probe applies, so batch-of-one stays row-identical
+      // even on corrupt cells (r14 review)
+      .where(col("score").isNotNull)
     if (rerankK <= 0)
       scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
         .select(col(idCol), col("score"))

@@ -50,6 +50,7 @@ object Similarity {
     val q = query.select(col(queryVecCol).as("__qvec"))
     embeddings.crossJoin(broadcast(q))
       .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .transform(rankable)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
@@ -229,6 +230,7 @@ object Similarity {
       .withColumn("__lsh_bucket", lshCode(col("__qvec"), ps))
     bucketed.join(broadcast(q), "__lsh_bucket")
       .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .transform(rankable)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
@@ -273,6 +275,7 @@ object Similarity {
       .filter(col("__lsh_bucket").isin(probeSet: _*)) // pruned scan
       .crossJoin(broadcast(q.select(col("__qvec"))))
       .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .transform(rankable)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
@@ -358,6 +361,7 @@ object Similarity {
       .filter(col("__lsh_bucket").isin(probeSet: _*)) // pruned scan
       .crossJoin(broadcast(q))
       .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .transform(rankable)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
@@ -383,12 +387,7 @@ object Similarity {
     requireMetaMatch(meta, "dim", dim.toString, path)
     requireMetaMatch(meta, "seed", seed.toString, path)
     val effPlanes =
-      if (planes != 0) planes
-      else meta.getOrElse("planes", sys.error(
-        s"lshMultiProbeTopKBudgetFromIndex(planes = 0) derives the " +
-          s"plane count from the manifest, but $path/_manifest records none"))
-        .toInt
-    requireMetaMatch(meta, "planes", effPlanes.toString, path)
+      resolvePlanes(meta, planes, path, "lshMultiProbeTopKBudgetFromIndex")
     checkProbeStaleness(meta, path, maxStaleRatio, strictStaleness)
     val ps = hyperplanes(dim, effPlanes, seed)
     val q = query.select(col(queryVecCol).as("__qvec"))
@@ -399,6 +398,7 @@ object Similarity {
       .filter(col("__lsh_bucket").isin(probeSet: _*)) // partition pruning
       .crossJoin(broadcast(q))
       .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .transform(rankable)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
@@ -461,13 +461,7 @@ object Similarity {
     requireMetaMatch(meta, "dim", dim.toString, path)
     requireMetaMatch(meta, "seed", seed.toString, path)
     val effPlanes =
-      if (planes != 0) planes
-      else meta.getOrElse("planes", sys.error(
-        s"appendToLshIndex(planes = 0) derives the plane count from " +
-          s"the manifest, but $path/_manifest records none " +
-          "(pre-metadata index — rebuild, or pass planes explicitly)"))
-        .toInt
-    requireMetaMatch(meta, "planes", effPlanes.toString, path)
+      resolvePlanes(meta, planes, path, "appendToLshIndex")
     val src = meta.get("columns") match {
       case Some(cs) =>
         val buildCols = cs.split(",").toSeq
@@ -522,12 +516,7 @@ object Similarity {
     requireMetaMatch(meta, "seed", seed.toString, path)
     checkProbeStaleness(meta, path, maxStaleRatio, strictStaleness)
     val effPlanes =
-      if (planes != 0) planes
-      else meta.getOrElse("planes", sys.error(
-        s"lshMultiProbeTopKFromIndex(planes = 0) derives the plane " +
-          s"count from the manifest, but $path/_manifest records none"))
-        .toInt
-    requireMetaMatch(meta, "planes", effPlanes.toString, path)
+      resolvePlanes(meta, planes, path, "lshMultiProbeTopKFromIndex")
     val ps = hyperplanes(dim, effPlanes, seed)
     val q = query.select(col(queryVecCol).as("__qvec"))
       .withColumn("__b", lshCode(col("__qvec"), ps))
@@ -537,6 +526,7 @@ object Similarity {
       .filter(col("__lsh_bucket").isin(probeSet: _*)) // partition pruning
       .crossJoin(broadcast(q.select(col("__qvec"))))
       .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .transform(rankable)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
@@ -552,8 +542,12 @@ object Similarity {
       dim: Int, k: Int = 10, planes: Int = 8, seed: Long = 42L,
       maxStaleRatio: Double = DefaultMaxStaleRatio,
       strictStaleness: Boolean = false): DataFrame = {
-    checkProbeStaleness(readIndexMeta(spark, path), path,
-      maxStaleRatio, strictStaleness)
+    val meta = readIndexMeta(spark, path)
+    requireMetaMatch(meta, "kind", "lsh", path) // wrong-kind fails fast
+    requireMetaMatch(meta, "dim", dim.toString, path)
+    requireMetaMatch(meta, "seed", seed.toString, path)
+    requireMetaMatch(meta, "planes", planes.toString, path)
+    checkProbeStaleness(meta, path, maxStaleRatio, strictStaleness)
     val ps = hyperplanes(dim, planes, seed)
     val q = query.select(col(queryVecCol).as("__qvec"))
       .withColumn("__b", lshCode(col("__qvec"), ps))
@@ -562,6 +556,7 @@ object Similarity {
       .filter(col("__lsh_bucket") === bucket) // partition pruning
       .crossJoin(broadcast(q.select(col("__qvec"))))
       .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .transform(rankable)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
@@ -580,7 +575,10 @@ object Similarity {
     * BROADCASTS (eval sets are small by contract — the
     * [[knnClassify]] discipline); the corpus streams once however
     * large. A single-query call is exactly batch-of-one (spec-pinned
-    * against [[lshTopK]]).
+    * against [[lshTopK]]). Query ids must be UNIQUE — a duplicated id
+    * multiplies its pair stream and double-counts rows inside one
+    * heap (the collect-based batches fail fast on it; the distributed
+    * ones state the contract here).
     *
     * @return (query_id, idCol, score) — k rows per query, ties
     *         (score desc, id asc) like every probe in the family.
@@ -606,7 +604,7 @@ object Similarity {
       .select(col("query_id"), col(idCol),
         (dot(col(vecCol), col("__qvec")) /
           (col("__norm") * col("__qnorm"))).as("score"))
-    graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
+    graft.operators.TopN.topNPerKey(rankable(scored), Seq("query_id"),
       Seq(col("score") * -1, col(idCol)), k)
   }
 
@@ -630,12 +628,7 @@ object Similarity {
     requireMetaMatch(meta, "seed", seed.toString, path)
     checkProbeStaleness(meta, path, maxStaleRatio, strictStaleness)
     val effPlanes =
-      if (planes != 0) planes
-      else meta.getOrElse("planes", sys.error(
-        s"lshTopKBatchFromIndex(planes = 0) derives the plane count " +
-          s"from the manifest, but $path/_manifest records none"))
-        .toInt
-    requireMetaMatch(meta, "planes", effPlanes.toString, path)
+      resolvePlanes(meta, planes, path, "lshTopKBatchFromIndex")
     val ps = hyperplanes(dim, effPlanes, seed)
     val q = queries.select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qvec"))
@@ -650,7 +643,7 @@ object Similarity {
       .select(col("query_id"), col(idCol),
         (dot(col(vecCol), col("__qvec")) /
           (col("__norm") * col("__qnorm"))).as("score"))
-    graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
+    graft.operators.TopN.topNPerKey(rankable(scored), Seq("query_id"),
       Seq(col("score") * -1, col(idCol)), k)
   }
 
@@ -679,12 +672,7 @@ object Similarity {
     requireMetaMatch(meta, "dim", dim.toString, path)
     requireMetaMatch(meta, "seed", seed.toString, path)
     val effPlanes =
-      if (planes != 0) planes
-      else meta.getOrElse("planes", sys.error(
-        s"lshMultiProbeTopKBudgetBatchFromIndex(planes = 0) derives " +
-          s"the plane count from the manifest, but $path/_manifest " +
-          "records none")).toInt
-    requireMetaMatch(meta, "planes", effPlanes.toString, path)
+      resolvePlanes(meta, planes, path, "lshMultiProbeTopKBudgetBatchFromIndex")
     checkProbeStaleness(meta, path, maxStaleRatio, strictStaleness)
     val ps = hyperplanes(dim, effPlanes, seed)
     // one distributed pass computes every query's per-plane signed
@@ -699,6 +687,13 @@ object Similarity {
       s"query batch exceeds maxCollectQueries = $maxCollectQueries — " +
         "probe planning collects Q x planes projections driver-side; " +
         "shard the batch or raise the guard knowingly")
+    // duplicate ids would multiply the scored join and stuff the same
+    // corpus rows into one query's heap — fail fast, naming them
+    val dupIds = projRows.groupBy(_.get(0))
+      .collect { case (id, rs) if rs.length > 1 => id }
+    require(dupIds.isEmpty,
+      s"duplicate query ids in the batch: ${dupIds.take(5).mkString(", ")}" +
+        " — deduplicate the query frame (each id ranks once)")
     val probePairs = projRows.flatMap { row =>
       val dots = row.getSeq[Double](1)
       val base = codeOf(dots)
@@ -724,7 +719,7 @@ object Similarity {
       .select(col("query_id"), col(idCol),
         (dot(col(vecCol), col("__qvec")) /
           (col("__norm") * col("__qnorm"))).as("score"))
-    graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
+    graft.operators.TopN.topNPerKey(rankable(scored), Seq("query_id"),
       Seq(col("score") * -1, col(idCol)), k)
   }
 
@@ -758,7 +753,7 @@ object Similarity {
       .select(col("query_id"), col(idCol),
         (dot(col(vecCol), col("__qvec")) /
           (col("__norm") * col("__qnorm"))).as("score"))
-    graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
+    graft.operators.TopN.topNPerKey(rankable(scored), Seq("query_id"),
       Seq(col("score") * -1, col(idCol)), k)
   }
 
@@ -778,8 +773,9 @@ object Similarity {
     import spark.implicits._
     require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
       "empty probe set would silently return zero rows")
-    checkProbeStaleness(readIndexMeta(spark, path), path,
-      maxStaleRatio, strictStaleness)
+    val meta = readIndexMeta(spark, path)
+    requireMetaMatch(meta, "kind", "ivf", path) // wrong-kind fails fast
+    checkProbeStaleness(meta, path, maxStaleRatio, strictStaleness)
     val centroids: Seq[Seq[Double]] =
       spark.read.parquet(s"$path/centroids")
         .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toSeq
@@ -801,7 +797,7 @@ object Similarity {
       .select(col("query_id"), col(idCol),
         (dot(col(vecCol), col("__qvec")) /
           (col("__norm") * col("__qnorm"))).as("score"))
-    graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
+    graft.operators.TopN.topNPerKey(rankable(scored), Seq("query_id"),
       Seq(col("score") * -1, col(idCol)), k)
   }
 
@@ -894,6 +890,7 @@ object Similarity {
     assigned.join(broadcast(qAssigned),
         array_contains(col("__probes"), col("__cluster")))
       .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .transform(rankable)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
@@ -998,8 +995,9 @@ object Similarity {
     import spark.implicits._
     require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
       "empty probe set would silently return zero rows")
-    checkProbeStaleness(readIndexMeta(spark, path), path,
-      maxStaleRatio, strictStaleness)
+    val meta = readIndexMeta(spark, path)
+    requireMetaMatch(meta, "kind", "ivf", path) // wrong-kind fails fast
+    checkProbeStaleness(meta, path, maxStaleRatio, strictStaleness)
     val centroids: Seq[(Int, Seq[Double])] =
       spark.read.parquet(s"$path/centroids")
         .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
@@ -1019,6 +1017,7 @@ object Similarity {
       .filter(col("__cluster").isin(probes: _*)) // partition pruning
       .crossJoin(broadcast(q))
       .withColumn("score", cosine(col(vecCol), col("__qvec")))
+      .transform(rankable)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
@@ -1646,6 +1645,36 @@ object Similarity {
           "parameters (or rebuild the index).")
     }
 
+  /** The effective plane count of a manifest-backed LSH operation:
+    * the explicit argument when nonzero, else the manifest's recorded
+    * count, validated against the manifest either way — five probe /
+    * append entry points carried this block verbatim (r14 review).
+    */
+  private[ml] def resolvePlanes(
+      meta: Map[String, String], planes: Int, path: String,
+      caller: String): Int = {
+    val eff =
+      if (planes != 0) planes
+      else meta.getOrElse("planes", sys.error(
+        s"$caller(planes = 0) derives the plane count from the " +
+          s"manifest, but $path/_manifest records none (pre-metadata " +
+          "index — rebuild, or pass planes explicitly)")).toInt
+    requireMetaMatch(meta, "planes", eff.toString, path)
+    eff
+  }
+
+  /** Only FINITE, non-NULL scores rank. A malformed vector's NULL (or
+    * a zero-norm vector's NaN) score would otherwise place by
+    * engine-specific null/NaN ordering — and DIFFERENTLY between the
+    * orderBy-based single-query probes (nulls last, NaN first) and
+    * the heap-based batches (nulls first, NaN last) (r14 review).
+    * Applied uniformly across the probe family, so batch-of-one is
+    * row-identical by construction and malformed rows simply never
+    * rank anywhere.
+    */
+  private def rankable(scored: DataFrame): DataFrame =
+    scored.where(col("score").isNotNull && !isnan(col("score")))
+
   case class IndexStaleness(
       indexedRows: Long, appendedRows: Long, ratio: Double)
 
@@ -1750,6 +1779,21 @@ object Similarity {
     // re-statting every path would cost one metadata RPC per file on
     // an object store and race against concurrent deletes
     val all = listIndexFiles(fs, root)
+    // SAFETY NET (r14 review): a rebuild that crashed between its
+    // directory swap and the manifest republish leaves a manifest
+    // listing files that no longer exist while every LIVE file is
+    // manifest-absent — a vacuum would then delete the whole working
+    // index. A manifest referencing missing files is exactly that
+    // signature; refuse to sweep until the manifest is republished
+    // (re-run the rebuild, or writeIndexManifest via a fresh build).
+    val present = all.map { case (p, _) => relativize(root, p) }.toSet
+    val ghosts = manifest.diff(present)
+    require(ghosts.isEmpty,
+      s"manifest at $path references ${ghosts.size} missing file(s) " +
+        s"(e.g. ${ghosts.take(3).mkString(", ")}) — an interrupted " +
+        "rebuild/overwrite; republish the manifest (re-run the " +
+        "rebuild) before vacuuming, or every live file would be " +
+        "treated as an orphan")
     val (kept, orphans) = all.partition { case (p, mtime) =>
       manifest.contains(relativize(root, p)) || mtime >= cutoff
     }

@@ -1732,6 +1732,58 @@ class MlSpec extends AnyFunSuite {
         "bands — the default flip regressed")
   }
 
+  test("malformed vectors never rank, single and batch probes agree; " +
+      "duplicate batch ids fail fast; vacuum refuses a ghost manifest") {
+    import org.apache.spark.sql.functions.round
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val corpus = e.filter($"vec_id" =!= 0).unionByName(
+      e.filter($"vec_id" === 1).select(lit(999999L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding"), $"label"))
+    val query = e.filter($"vec_id" === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Double)] =
+      df.select($"vec_id", round($"score", 4).as("score"))
+        .as[(Long, Double)].collect().toSet
+    // k large enough that the poisoned row would surface if ranked
+    val single = pairs(Similarity.lshTopK(corpus, "vec_id", "embedding",
+      query, "embedding", dim = 64, k = 1000, planes = 1))
+    val batch = pairs(Similarity.lshTopKBatch(corpus, "vec_id",
+      "embedding", query, "vec_id", "embedding", dim = 64, k = 1000,
+      planes = 1))
+    assert(single == batch, "single and batch diverged on a corpus " +
+      "with a malformed vector")
+    assert(!single.exists(_._1 == 999999L),
+      "a NULL-vector row ranked in the probe result")
+    // duplicate query ids fail fast in the collect-based batches
+    val lshDir = java.nio.file.Files
+      .createTempDirectory("graft_dupid").toString
+    Similarity.writeLshIndex(e.filter($"vec_id" =!= 0), "vec_id",
+      "embedding", lshDir, dim = 64, planes = 4)
+    val dupQ = query.unionByName(query)
+    intercept[IllegalArgumentException] {
+      Similarity.lshMultiProbeTopKBudgetBatchFromIndex(spark, lshDir,
+        "vec_id", "embedding", dupQ, "vec_id", "embedding",
+        dim = 64, k = 3, probes = 3)
+    }
+    // wrong-kind probes fail fast on the manifest (r14 review)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(spark, lshDir, "vec_id", "embedding",
+        query, "embedding", nprobe = 2, k = 3)
+    }
+    // a manifest referencing missing files (crashed rebuild window)
+    // blocks the vacuum instead of letting it orphan-sweep the index
+    val root = new org.apache.hadoop.fs.Path(lshDir)
+    val fs = root.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val victim = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$lshDir/vectors"), true)
+      .next().getPath
+    fs.delete(victim, false)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.vacuumIndex(spark, lshDir, minAgeHours = 0)
+    }
+    assert(ex.getMessage.contains("missing file"))
+  }
+
   test("LshBandCodes kernel: band b bit-equal to lshCode over the " +
       "plane slice, null vector stays null") {
     val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
