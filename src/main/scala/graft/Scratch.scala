@@ -713,6 +713,44 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "semdedup_profile") {
+      // r14: the DEFAULT-flip claim measured at the OPERATOR level —
+      // of the planted twins that ARE duplicates at the threshold
+      // (cosine to parent >= minCos), what fraction does semDedup
+      // actually remove? Pairs-level recall (banded_default_r14) is
+      // the mechanism; this is the user-visible outcome.
+      //   sbt "runMain graft.Scratch semdedup_profile target/sf1"
+      import graft.ml.Similarity
+      val minCos = if (args.length > 2) args(2).toDouble else 0.85
+      val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
+      val n = e.count()
+      val parents = e.select(col("vec_id").as("parent_id"),
+        col("embedding").as("__pv"))
+      val eligible = e.filter(col("parent_id") >= 0)
+        .join(parents, "parent_id")
+        .filter(Similarity.dot(
+          Similarity.normalize(col("embedding")),
+          Similarity.normalize(col("__pv"))) >= minCos)
+        .select(col("vec_id")).as[Long](org.apache.spark.sql.Encoders
+          .scalaLong).collect().toSet
+      println(s"[prof] n=$n eligible planted dups at cos>=$minCos: " +
+        s"${eligible.size}")
+      Seq(("default_auto", 0), ("single_table", 1)).foreach {
+        case (label, bands) =>
+          val t0 = System.nanoTime()
+          val surv = Similarity.semDedup(e, "vec_id", "embedding",
+              dim = 64, minCosine = minCos,
+              targetBucketSize = Some(128L), bands = bands)
+            .select(col("vec_id")).as[Long](org.apache.spark.sql
+              .Encoders.scalaLong).collect().toSet
+          val removed = eligible.count(id => !surv.contains(id))
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[prof] $label%-14s removed=$removed/${eligible.size} " +
+            f"(recall=${removed.toDouble / eligible.size}%.3f) " +
+            f"survivors=${surv.size} sec=$dt%.1f")
+      }
+      spark.stop(); return
+    }
     if (name == "pq_dedup_profile") {
       // r14 verdict #7: PQ-code dedup recall on planted image twins —
       // the fraction of (twin, parent) pairs that collapse into one
