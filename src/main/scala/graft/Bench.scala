@@ -205,8 +205,42 @@ object Bench {
           d.split('/').last + "\"").mkString("[", ",", "]")
         s""","scaling":{"dirs":$dirs,"queries":$perQuery,"flagged":$flagged}"""
       }
+    // Sentinel drift normalizer (r14 verdict: untouched rows drifted a
+    // uniform ~1.12x between rounds under hypervisor steal, eating
+    // more of the cross-round comparison signal each round). Eight
+    // never-touched rows are pinned with their r14 clean-bench sf0.1
+    // minima; the block reports each measured/ref ratio and their
+    // MEDIAN (robust to one genuinely-regressed sentinel), so a reader
+    // divides the round's totals by the median before judging
+    // regressions. Emitted only at the reference scale — the ratios
+    // mean nothing against another dir.
+    val sentinelJson =
+      if (!sfDir.endsWith("sf0.1")) ""
+      else {
+        val refs = Seq( // BENCH_r14_clean.json minima, sf0.1
+          "q129_triangles" -> 7.206, "q150_psi_drift" -> 5.306,
+          "q132_mad_outliers" -> 5.022,
+          "q110_stream_near_dedup" -> 4.663,
+          "q145_assoc_rules" -> 4.383, "q137_kcore" -> 4.056,
+          "q80_fuzzy_dedup" -> 3.767, "q119_pagerank" -> 3.500)
+        val byName = results.toMap
+        val ratios = refs.flatMap { case (n, ref) =>
+          byName.get(n).collect { case r if !r.err => (n, r.secs / ref) }
+        }
+        if (ratios.isEmpty) ""
+        else {
+          val sorted = ratios.map(_._2).sorted
+          val median =
+            if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+            else (sorted(sorted.length / 2 - 1) +
+              sorted(sorted.length / 2)) / 2.0
+          val rows = ratios.map { case (n, x) => f""""$n":$x%.3f""" }
+            .mkString("{", ",", "}")
+          f""","sentinels":{"ref":"BENCH_r14_clean","median_drift":$median%.3f,"ratios":$rows}"""
+        }
+      }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"retries":$retriesJson,"sf":"$sfDir"$scalingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"retries":$retriesJson,"sf":"$sfDir"$scalingJson$sentinelJson}"""
     println(line)
     // Also persist the full line: the driver's stdout capture keeps
     // only a tail, which truncates the per-query map on 100+ queries.

@@ -446,6 +446,165 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "incremental_semdedup_profile") {
+      // r15 verdict #1 artifact: per-increment cost of band-store
+      // incremental semDedup vs the full recompute each arrival used
+      // to pay. Same committed family on both sides, survivor sets
+      // asserted equal.
+      //   sbt "runMain graft.Scratch incremental_semdedup_profile target/sf1"
+      import graft.ml.{IncrementalSemDedup, Similarity}
+      val minCos  = if (args.length > 2) args(2).toDouble else 0.85
+      val batches = if (args.length > 3) args(3).toInt else 10
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val r = Similarity.autoPlanes(n, 128)
+      val store = s"target/scratch_isd_${System.nanoTime()}/store"
+      val b = IncrementalSemDedup.initStore(spark, store, dim = 64,
+        minCosine = minCos, planesPerBand = r, idCol = "vec_id")
+      println(s"[prof] n=$n family B=$b r=$r cos>=$minCos batches=$batches")
+      var totalIngest = 0.0
+      (0 until batches).foreach { k =>
+        val t0 = System.nanoTime()
+        val surv = IncrementalSemDedup.ingest(spark, store,
+          e.filter(pmod(col("vec_id"), lit(batches)) === k),
+          "vec_id", "embedding").count()
+        val dt = (System.nanoTime() - t0) / 1e9; totalIngest += dt
+        println(f"[prof] ingest_$k: $dt%.1f s batch_survivors=$surv")
+      }
+      val tIncr0 = System.nanoTime()
+      val incr = IncrementalSemDedup.survivors(spark, store)
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      val tIncr = (System.nanoTime() - tIncr0) / 1e9
+      // what the last arrival costs WITHOUT the store: one full
+      // recompute over the whole corpus at the same family
+      val tFull0 = System.nanoTime()
+      val full = Similarity.semDedup(e, "vec_id", "embedding",
+          dim = 64, minCosine = minCos, planes = r, bands = b,
+          knownCount = Some(n))
+        .select(col("vec_id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      val tFull = (System.nanoTime() - tFull0) / 1e9
+      println(f"[prof] survivors incr=${incr.size} full=${full.size} " +
+        s"equal=${incr == full}")
+      println(f"[prof] total_ingest=$totalIngest%.1f s " +
+        f"(mean/batch ${totalIngest / batches}%.1f) survivors_call=$tIncr%.1f " +
+        f"full_recompute=$tFull%.1f  per_arrival_ratio=" +
+        f"${totalIngest / batches / tFull}%.3f")
+      spark.stop(); return
+    }
+    if (name == "ivf_pairs_profile") {
+      // r15 verdict #5 artifact: planted-pair recall + wall of the
+      // IVF cluster-local pair generator at the LOW threshold where
+      // the banded default caps out (q197's regime), vs that capped
+      // default. Truth = intra-cluster planted pairs at the
+      // threshold, the r13 planted_pair_recall methodology.
+      //   sbt "runMain graft.Scratch ivf_pairs_profile target/sf1 0.35"
+      import graft.ml.Similarity
+      val minCos = if (args.length > 2) args(2).toDouble else 0.35
+      val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
+      val n = e.count()
+      val twins = e.filter(col("parent_id") >= 0)
+        .select(col("vec_id"), col("parent_id"))
+      val members = twins.unionByName(
+        twins.select(col("parent_id")).distinct()
+          .select(col("parent_id").as("vec_id"), col("parent_id")))
+      val withVec = members.join(
+        e.select(col("vec_id"), col("embedding")), "vec_id")
+      val truth = withVec.as("a").join(withVec.as("b"),
+          col("a.parent_id") === col("b.parent_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          Similarity.dot(
+            Similarity.normalize(col("a.embedding")),
+            Similarity.normalize(col("b.embedding"))).as("c"))
+        .filter(col("c") >= minCos)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+      println(s"[prof] n=$n planted truth pairs at cos>=$minCos: " +
+        s"${truth.size}")
+      def run(label: String, f: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val got = f.select(col("id_a"), col("id_b"))
+          .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        val hit = truth.count(got)
+        println(f"[prof] $label%-24s pair_recall=" +
+          f"${hit.toDouble / truth.size}%.3f pairs=${got.size} sec=$dt%.1f")
+      }
+      // the capped banded default (warns its recall floor here)
+      run("banded_default",
+        Similarity.nearDupPairs(e, "vec_id", "embedding", dim = 64,
+          minCosine = minCos, targetBucketSize = Some(128L),
+          knownCount = Some(n)))
+      Seq(1, 2, 4).foreach { np =>
+        run(s"ivf_auto_np$np",
+          Similarity.nearDupPairsIvf(e, "vec_id", "embedding",
+            minCosine = minCos, nlist = 0, nprobe = np,
+            knownCount = Some(n)))
+      }
+      spark.stop(); return
+    }
+    if (name == "skew_cluster_profile") {
+      // r15 verdict #7 artifact: ONE giant near-dup cluster (5–10k
+      // boilerplate embeddings, mutually cos ≈ 1 but NOT
+      // byte-identical — exact contraction can't touch them) against
+      // the banded default, then the per-bucket cap remedy.
+      //   sbt "runMain graft.Scratch skew_cluster_profile target/sf1 5000"
+      import graft.ml.Similarity
+      val k = if (args.length > 2) args(2).toInt else 5000
+      val minCos = if (args.length > 3) args(3).toDouble else 0.85
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val n0 = e.count()
+      // the boilerplate cluster: k near-copies of vec 0, each with a
+      // deterministic per-(member, element) relative jitter of ~1e-3
+      // — mutual cosine ≈ 0.999998, never byte-identical
+      val v0 = typedlit(e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble))
+      val cluster = spark.range(k.toLong)
+        .select((col("id") + 10000000L).as("vec_id"),
+          transform(v0, (x, j) => (x * (lit(1.0) +
+            (pmod(xxhash64(col("id"), j), lit(1000)).cast("double")
+              - 500.0) / 500000.0)).cast("float")).as("embedding"))
+      val planted = e.unionByName(cluster)
+      def run(label: String, f: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val pairs = f.count()
+        println(f"[prof] $label%-28s pairs=$pairs " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      }
+      println(s"[prof] base n=$n0 cluster=$k")
+      run("base_default",
+        Similarity.nearDupPairs(e, "vec_id", "embedding", dim = 64,
+          minCosine = minCos, targetBucketSize = Some(128L),
+          knownCount = Some(n0)))
+      run("cluster_default",
+        Similarity.nearDupPairs(planted, "vec_id", "embedding",
+          dim = 64, minCosine = minCos, targetBucketSize = Some(128L),
+          knownCount = Some(n0 + k)))
+      Seq(256L, 1024L).foreach { cap =>
+        run(s"cluster_cap$cap",
+          Similarity.nearDupPairs(planted, "vec_id", "embedding",
+            dim = 64, minCosine = minCos,
+            targetBucketSize = Some(128L), knownCount = Some(n0 + k),
+            maxBucketSize = cap))
+      }
+      // what dedup actually needs from the cluster: connectivity —
+      // semDedup under the cap must still drop the whole cluster
+      // minus one (every member collides with the kept min-ids in
+      // SOME band w.h.p.)
+      val t0 = System.nanoTime()
+      val surv = Similarity.semDedup(planted, "vec_id", "embedding",
+          dim = 64, minCosine = minCos, targetBucketSize = Some(128L),
+          knownCount = Some(n0 + k), maxBucketSize = 1024L)
+        .filter(col("vec_id") >= 10000000L).count()
+      println(f"[prof] capped semDedup keeps $surv of $k cluster " +
+        f"members (sec=${(System.nanoTime() - t0) / 1e9}%.1f)")
+      spark.stop(); return
+    }
     if (name == "pq_recall_profile") {
       // r13: PQ-family recall on the planted clusters (the
       // planted_recall_profile discipline applied to the new

@@ -2843,6 +2843,45 @@ object SparkEntry {
         .join(media, col("vec_id") === col("doc_id"))
         .select(col("vec_id"), col("n_dups"), col("byte_len"))
     }),
+
+    // Incremental SemDeDup (r14 verdict #1 — the last full-recompute
+    // default in the dedup family): the corpus arrives in three
+    // interleaved batches, each ingested against a persisted store
+    // (band codes + normalized vectors + verified pairs) under the
+    // committed 3×4 family; the final survivor set must EQUAL
+    // full-recompute semDedup over the union — the oracle replays the
+    // full-corpus banded closure, so batch-boundary transitivity is
+    // exact-checked, not assumed. Each batch's provisional emission
+    // is consumed (count) the way a real incremental pipeline would.
+    "q215_semdedup_incremental" -> ((s, dir) => {
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_isd_" +
+        java.util.UUID.randomUUID().toString.take(8) + "/store"
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.ml.IncrementalSemDedup.initStore(s, store, dim = 64,
+        minCosine = 0.35, planesPerBand = 4, bands = 3,
+        idCol = "vec_id")
+      (0 to 2).foreach { k =>
+        graft.ml.IncrementalSemDedup.ingest(s, store,
+          e.filter(col("vec_id") % 3 === k), "vec_id", "embedding")
+          .count()
+      }
+      graft.ml.IncrementalSemDedup.survivors(s, store)
+    }),
+
+    // IVF cluster-local exact pairs (r14 verdict #5 — the third
+    // documented escape hatch past the banding wall, now a callable
+    // operator) at the exactness configuration: nprobe = nlist means
+    // every pair shares every probed cell, so the operator provably
+    // degenerates to exact all-pairs and the oracle is the
+    // brute-force cosine join (the q205/q212 proof pattern).
+    // Production configs (nprobe << nlist) are spec-gated subsets
+    // plus the ivf_pairs_r15 planted-recall artifact.
+    "q216_pairs_ivf" -> ((s, dir) =>
+      Similarity.nearDupPairsIvf(t(s, dir, "embeddings"), "vec_id",
+        "embedding", minCosine = 0.5, nlist = 4, nprobe = 4)
+        .select(col("id_a"), col("id_b"),
+          round(col("score"), 4).as("score"))),
   )
 
   /** BENCH-ONLY registry (r11 verdict #1): queries the bench measures
@@ -3050,6 +3089,32 @@ object SparkEntry {
        |           JOIN u b2 ON b2.vec_id = cand.id_b)
        |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
        |WHERE raw >= $minCosine""".stripMargin
+
+  /** Full-recompute SemDeDup survivor replay at a pinned (bands, r):
+    * banded candidates → exact normalized-dot verify → recursive
+    * transitive closure → keep unpaired vectors plus each cluster's
+    * min id. q86 replays the r14 recall-sized default; q215 replays
+    * the incremental store's committed 3×4 family — batch-by-batch
+    * ingestion must converge to EXACTLY this full-corpus set, which
+    * is what makes incremental-vs-full equality the oracle gate.
+    */
+  private def sqlSemDedupSurvivors(
+      bands: Int, r: Int, minCosine: Double): String =
+    s"""WITH RECURSIVE ${sqlBandedCandCtes(bands, r)},
+       |p AS MATERIALIZED (SELECT id_a, id_b
+       | FROM cand JOIN u a ON a.vec_id = cand.id_a
+       |           JOIN u b2 ON b2.vec_id = cand.id_b
+       | WHERE list_sum(list_transform(range(1, len(a.u) + 1),
+       |     i -> a.u[i] * b2.u[i])) >= $minCosine),
+       |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
+       |        UNION ALL SELECT id_b, id_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+       |m AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+       |SELECT e.vec_id FROM embeddings e LEFT JOIN m ON m.id = e.vec_id
+       |WHERE m.id IS NULL OR m.mn >= e.vec_id""".stripMargin
 
   /** q199's derived plane count — autoPlanes over the pinned TRAIN
     * cardinality (the engine sizes off the train side).
@@ -4036,6 +4101,26 @@ object SparkEntry {
         |SELECT s.vec_id, s.n_dups,
         |  CAST(strlen(d2.text) AS BIGINT) AS byte_len
         |FROM surv s JOIN documents d2 ON d2.doc_id = s.vec_id""".stripMargin,
+    // Incremental SemDeDup: the oracle is full-recompute semDedup over
+    // the whole table at the store's committed 3×4 family — the
+    // batch-by-batch engine run must converge to exactly this set
+    // (decomposing candidates by arrival order loses nothing; the
+    // closure runs over the accumulated pair graph).
+    "q215_semdedup_incremental" -> sqlSemDedupSurvivors(3, 4, 0.35),
+    // IVF cluster-local exact pairs at nprobe = nlist: every pair
+    // shares every cell, so the oracle is exact all-pairs cosine (the
+    // q50 replay at the 0.5 threshold, unsliced).
+    "q216_pairs_ivf" ->
+      """WITH sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(a.embedding)+1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(a.embedding,
+        |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(b.embedding,
+        |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS raw
+        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
+        |WHERE raw >= 0.5""".stripMargin,
     "q41_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),
@@ -6148,22 +6233,7 @@ object SparkEntry {
     // 20 bands of 4 planes) feeds a recursive transitive closure (the
     // q80 pattern); survivors are unpaired vectors plus each cluster's
     // min id.
-    "q86_semdedup" ->
-      s"""WITH RECURSIVE ${sqlBandedCandCtes(q53Bands, 4)},
-         |p AS MATERIALIZED (SELECT id_a, id_b
-         | FROM cand JOIN u a ON a.vec_id = cand.id_a
-         |           JOIN u b2 ON b2.vec_id = cand.id_b
-         | WHERE list_sum(list_transform(range(1, len(a.u) + 1),
-         |     i -> a.u[i] * b2.u[i])) >= 0.35),
-         |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
-         |        UNION ALL SELECT id_b, id_a FROM p),
-         |reach(id, r) AS (
-         |  SELECT a, b FROM sym
-         |  UNION
-         |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
-         |m AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
-         |SELECT e.vec_id FROM embeddings e LEFT JOIN m ON m.id = e.vec_id
-         |WHERE m.id IS NULL OR m.mn >= e.vec_id""".stripMargin,
+    "q86_semdedup" -> sqlSemDedupSurvivors(q53Bands, 4, 0.35),
     // Dataset split: full mix64 kernel replay (seed 11), low 10 bits
     // against the 64/64/896 thresholds.
     "q91_dataset_split" ->

@@ -131,3 +131,123 @@ object NearestCentroid {
     java.lang.Integer.valueOf(best)
   }
 }
+
+/** The `nprobe` nearest centroids (0-based indices, ordered by
+  * squared-L2 distance ascending, index ascending on ties) — the
+  * [[NearestCentroid]] argmin generalized to a top-n, for operators
+  * that multi-probe EVERY CORPUS ROW (r15: `nearDupPairsIvf` assigns
+  * the whole table to its nprobe nearest cells; the lambda
+  * composition `slice(array_sort(zip_with(dists, sequence, struct)))`
+  * it replaces carries an nlist×dim literal matrix through codegen —
+  * the exact generated-code blowup [[LshBandCodes]] killed for band
+  * codes — and materializes + sorts the full nlist distance array per
+  * row). Distances accumulate in the same per-element order as the
+  * lambda's `aggregate(zip_with(...))`, and the (distance, index)
+  * ordering matches its `array_sort(struct(d, i))`, so selections are
+  * bit-identical to the composed form (spec-pinned). Malformed
+  * vectors (dim mismatch, null element) yield NULL, the
+  * [[NearestCentroid]] hygiene contract.
+  */
+case class TopNCentroids(
+    child: Expression, centroids: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"top_n_centroids requires array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TopNCentroids.computeOrNull(
+      input.asInstanceOf[ArrayData], centroids, n, isFloat)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the matrix rides as a referenced JVM object, not literals
+    val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("graftTnc")
+      s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData $r =
+      |  graft.functions.TopNCentroids.computeOrNull(
+      |    $c, $mat, $n, $isFloat);
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $r; }
+      |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TopNCentroids = copy(child = newChild)
+
+  override def prettyName: String = "top_n_centroids"
+}
+
+object TopNCentroids {
+
+  def topNCentroids(
+      vec: Column, centroids: Seq[Seq[Double]], n: Int): Column =
+    GraftBridge.column(TopNCentroids(GraftBridge.expression(vec),
+      centroids.map(_.toArray).toArray, n))
+
+  def computeOrNull(
+      a: ArrayData, m: Array[Array[Double]], n: Int,
+      isFloat: Boolean): ArrayData = {
+    if (m.length == 0) return null
+    val dim = m(0).length
+    val len = a.numElements()
+    if (len != dim) return null
+    var i = 0
+    while (i < len) { // null element → null probes (lambda parity)
+      if (a.isNullAt(i)) return null
+      i += 1
+    }
+    val dists = new Array[Double](m.length)
+    var c = 0
+    while (c < m.length) {
+      val row = m(c)
+      var d = 0.0
+      var j = 0
+      while (j < len) { // same accumulation order as the lambda fold
+        val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        val diff = x - row(j)
+        d += diff * diff
+        j += 1
+      }
+      dists(c) = d
+      c += 1
+    }
+    val k = math.min(n, m.length)
+    val idx = Array.range(0, m.length)
+    // partial selection sort on (distance, index) — O(k·nlist), no
+    // boxing, and k (= nprobe) is small by contract
+    var pos = 0
+    while (pos < k) {
+      var best = pos
+      var s = pos + 1
+      while (s < idx.length) {
+        if (dists(idx(s)) < dists(idx(best)) ||
+            (dists(idx(s)) == dists(idx(best)) && idx(s) < idx(best)))
+          best = s
+        s += 1
+      }
+      val t = idx(pos); idx(pos) = idx(best); idx(best) = t
+      pos += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOfRange(idx, 0, k))
+  }
+}

@@ -603,25 +603,43 @@ object Curation {
       raw: DataFrame, target: DataFrame,
       idCol: String, textCol: String, n: Int,
       buckets: Int = 8192, seed: Int = 42): DataFrame = {
-    // the Gumbel key derives from the id CAST TO LONG — a non-NUMERIC
-    // id column (string uuids, timestamps) would cast to NULL, making
-    // every __key NULL and silently degenerating the "resample" into
-    // an id-ordered head (r13 advice). Numeric ids (including float /
-    // decimal) cast non-NULL and deterministically, so they pass —
-    // the guard targets exactly the NULL-producing class.
+    // the Gumbel key derives from the id CAST TO LONG — an id whose
+    // VALUES don't cast (uuids, timestamps rendered as text) would
+    // cast to NULL, making every __key NULL and silently degenerating
+    // the "resample" into an id-ordered head (r13 advice). Numeric
+    // ids cast non-NULL and deterministically; STRING ids with
+    // numeric content ("123") do too, so they pass the schema check
+    // and any non-numeric VALUE raises in-plan at runtime instead of
+    // degenerating (r14 advice: the blanket non-numeric rejection
+    // broke previously-working numeric-content string callers).
     val idType = raw.schema(idCol).dataType
-    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        || idType == org.apache.spark.sql.types.StringType,
       s"dsirResample derives its deterministic Gumbel key from " +
         s"$idCol cast to long, but $idCol is ${idType.simpleString} — " +
-        "a non-numeric id casts to NULL and the resample silently " +
+        "the cast is NULL/undefined there and the resample silently " +
         "degenerates. Pre-derive a numeric key (e.g. " +
         s"withColumn(\"__rid\", xxhash64(col(\"$idCol\"))) ) and pass " +
         "that as idCol.")
+    // strings go through try_cast: under ANSI (the Spark 4 default) a
+    // plain cast raises the generic CAST_INVALID_INPUT before this
+    // operator's own diagnosis can
+    val idLong =
+      if (idType == org.apache.spark.sql.types.StringType) {
+        val idCast = col(idCol).try_cast("long")
+        when(col(idCol).isNotNull && idCast.isNull,
+          raise_error(concat(
+            lit(s"dsirResample: $idCol value '"), col(idCol),
+            lit("' is not numeric — the Gumbel key would be NULL and " +
+              "the resample silently degenerates; pre-derive a " +
+              "numeric key (e.g. xxhash64) and pass that as idCol"))))
+          .otherwise(idCast)
+      } else col(idCol).cast("long")
     // signed mix64 / 2^64 + 0.5 ∈ [0, 1); clamp away from BOTH ends —
     // u → 0 or the double rounding u → 1.0 would make the Gumbel key
     // ±Inf and the long cast undefined
     val u0 = graft.functions.Mix64
-      .mix64(col(idCol).cast("long"), seed)
+      .mix64(idLong, seed)
       .cast("double") / lit(2.0) / lit(Long.MaxValue.toDouble) + lit(0.5)
     val u = least(greatest(u0, lit(1e-12)), lit(1.0 - 1e-12))
     val gumbelPpm = round(-log(-log(u)) * lit(1e6)).cast("long")

@@ -779,7 +779,7 @@ object ProductQuantization {
     require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
       "empty probe set would silently return zero rows")
     val qRows = queries
-      .select(col(queryIdCol), Similarity.normalize(col(queryVecCol)))
+      .select(col(queryIdCol), guardedNormalize(queryVecCol))
       .limit(maxCollectQueries + 1).collect()
     require(qRows.length <= maxCollectQueries,
       s"query batch exceeds maxCollectQueries = $maxCollectQueries — " +
@@ -788,8 +788,9 @@ object ProductQuantization {
     val qDim = books.length * books(0)(0).length
     qRows.foreach { r =>
       require(!r.isNullAt(1),
-        s"topKBatch: query id ${r.get(0)} has a NULL/malformed " +
-          s"$queryVecCol — filter the batch or fix the vector")
+        s"topKBatch: query id ${r.get(0)} has a NULL, zero-norm, or " +
+          s"non-finite $queryVecCol — it cannot be cosine-normalized; " +
+          "filter the batch or fix the vector")
       require(r.getSeq[Double](1).length == qDim,
         s"topKBatch: query id ${r.get(0)} vector dim " +
           s"${r.getSeq[Double](1).length} != the index layout m·dsub " +
@@ -828,7 +829,12 @@ object ProductQuantization {
       .select(col("query_id"), col(idCol),
         (graft.functions.PqAdcMulti.pqAdcMulti(col("__pq_code"),
           col("__qidx"), tables) + col("__cdot")).as("score"))
-      .where(col("score").isNotNull) // malformed codes never rank
+      // malformed codes (NULL) and non-finite scores (a zero-norm
+      // query normalizes to NaN and passes the NULL/dim guards) never
+      // rank — the Similarity.rankable predicate, so the heap-based
+      // batch and the orderBy-based single probe stay row-identical
+      // even on that input class (r14 advice)
+      .where(col("score").isNotNull && !isnan(col("score")))
     if (rerankK <= 0)
       graft.operators.TopN.topNPerKey(scored, Seq("query_id"),
         Seq(col("score") * -1, col(idCol)), k)
@@ -875,10 +881,11 @@ object ProductQuantization {
       .withColumn("score",
         PqAdc.pqAdc(col("__pq_code"), table)
           + element_at(typedlit(coarseDots), col("__cluster") + 1))
-      // malformed codes (NULL score) never rank — the same rule the
-      // batched probe applies, so batch-of-one stays row-identical
-      // even on corrupt cells (r14 review)
-      .where(col("score").isNotNull)
+      // malformed codes (NULL score) and non-finite scores (zero-norm
+      // query → NaN ADC table) never rank — the same rule the batched
+      // probe applies, so batch-of-one stays row-identical even on
+      // corrupt cells and NaN queries (r14 review + r14 advice)
+      .where(col("score").isNotNull && !isnan(col("score")))
     if (rerankK <= 0)
       scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
         .select(col(idCol), col("score"))
@@ -949,10 +956,32 @@ object ProductQuantization {
   /** The one normalized query vector, driver-side (single-query API —
     * bounded by contract, like the LSH probe entry points).
     */
+  /** The collected, normalized query vector. A zero-norm (or
+    * non-finite) query is rejected HERE with a named error (r14
+    * advice): normalize would divide by zero — a raw ANSI error under
+    * Spark's default, or NaN scores that rank engine-specifically
+    * with ANSI off — so the guard wraps the normalize in a
+    * norm-positivity predicate and fails fast on the NULL.
+    */
   private def queryVector(
-      query: DataFrame, queryVecCol: String): Array[Double] =
-    query.select(Similarity.normalize(col(queryVecCol)))
-      .head().getSeq[Double](0).toArray
+      query: DataFrame, queryVecCol: String): Array[Double] = {
+    val row = query.select(guardedNormalize(queryVecCol)).head()
+    require(!row.isNullAt(0),
+      s"query $queryVecCol is NULL, zero-norm, or non-finite — it " +
+        "cannot be cosine-normalized; fix the query vector")
+    row.getSeq[Double](0).toArray
+  }
+
+  /** L2-normalize for the QUERY side, evaluating the division only
+    * when the norm is finite and positive — zero-norm / non-finite
+    * vectors come back NULL for the caller's fail-fast instead of an
+    * ANSI divide-by-zero (or a NaN that poisons every ADC score).
+    */
+  private def guardedNormalize(vecCol: String) = {
+    val n = Similarity.norm(col(vecCol))
+    when(n > 0.0 && !isnan(n) && n < lit(Double.PositiveInfinity),
+      Similarity.normalize(col(vecCol)))
+  }
 
   /** Shared tail: plain ADC top-k, or FAISS-refine (ADC top-rerankK →
     * exact-cosine rerank of the raw vectors → top-k). The rerank

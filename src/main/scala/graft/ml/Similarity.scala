@@ -578,7 +578,9 @@ object Similarity {
     * against [[lshTopK]]). Query ids must be UNIQUE — a duplicated id
     * multiplies its pair stream and double-counts rows inside one
     * heap (the collect-based batches fail fast on it; the distributed
-    * ones state the contract here).
+    * ones fail fast too — [[requireUniqueQueryIds]], one small job
+    * over the query side, which is bounded by the broadcast contract
+    * anyway; r14 advice).
     *
     * @return (query_id, idCol, score) — k rows per query, ties
     *         (score desc, id asc) like every probe in the family.
@@ -587,6 +589,7 @@ object Similarity {
       embeddings: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       dim: Int, k: Int = 10, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    requireUniqueQueryIds(queries, queryIdCol, "lshTopKBatch")
     val ps = hyperplanes(dim, planes, seed)
     // norms hoist into per-SIDE projections: a batch pairs each corpus
     // row with many queries, so per-pair cosine() would recompute both
@@ -622,6 +625,7 @@ object Similarity {
       dim: Int, k: Int = 10, planes: Int = 0, seed: Long = 42L,
       maxStaleRatio: Double = DefaultMaxStaleRatio,
       strictStaleness: Boolean = false): DataFrame = {
+    requireUniqueQueryIds(queries, queryIdCol, "lshTopKBatchFromIndex")
     val meta = readIndexMeta(spark, path)
     requireMetaMatch(meta, "kind", "lsh", path)
     requireMetaMatch(meta, "dim", dim.toString, path)
@@ -736,6 +740,7 @@ object Similarity {
       iters: Int = 3, seed: Long = 42L): DataFrame = {
     require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
       "empty probe set would silently return zero rows")
+    requireUniqueQueryIds(queries, queryIdCol, "ivfTopKBatch")
     val sizedNlist =
       if (nlist == 0) autoNlist(embeddings.count()) else nlist
     val centroids =
@@ -773,6 +778,7 @@ object Similarity {
     import spark.implicits._
     require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
       "empty probe set would silently return zero rows")
+    requireUniqueQueryIds(queries, queryIdCol, "ivfTopKBatchFromIndex")
     val meta = readIndexMeta(spark, path)
     requireMetaMatch(meta, "kind", "ivf", path) // wrong-kind fails fast
     checkProbeStaleness(meta, path, maxStaleRatio, strictStaleness)
@@ -1023,21 +1029,21 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
-  /** The query side probes its `nprobe` nearest centroids. */
+  /** The `nprobe` nearest centroids per row, as the native
+    * [[graft.functions.TopNCentroids]] kernel (r15: the former
+    * `slice(array_sort(zip_with(...)))` lambda carried an nlist×dim
+    * literal matrix through codegen and sorted the full distance
+    * array per row — fine for 1-row query frames, the LshBandCodes
+    * blowup once [[nearDupPairsIvf]] multi-probes the whole corpus).
+    * Same accumulation order and (distance, index) tie-break as the
+    * lambda, so probe sets are bit-identical (spec-pinned).
+    */
   private def assignClustersProbe(
       q: DataFrame, vecCol: String,
-      centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
-    val mat = typedlit(centroids)
-    val dists = transform(mat, c =>
-      aggregate(zip_with(col(vecCol), c,
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, x) => acc + x))
+      centroids: Seq[Seq[Double]], nprobe: Int): DataFrame =
     q.withColumn("__probes",
-      slice(transform(array_sort(zip_with(dists,
-          sequence(lit(0), lit(centroids.length - 1)),
-          (d, i) => struct(d.as("d"), i.as("i")))),
-        s => s.getField("i").cast("int")), 1, nprobe))
-  }
+      graft.functions.TopNCentroids
+        .topNCentroids(col(vecCol), centroids, nprobe))
 
   /** Exact all-pairs cosine above a threshold (brute force — the
     * oracle-matchable baseline for embedding near-dup detection).
@@ -1078,9 +1084,11 @@ object Similarity {
     *
     * Single-table shape: pairs within the same bucket only — the
     * candidate join key is the bucket code, so the pair count is
-    * Σ_bucket n_b², never the global n². Vectors are L2-normalized
-    * once per side BEFORE the join (the q50 lesson: cosine() per pair
-    * recomputes both norms for every pair). Banded shape: see
+    * Σ_bucket n_b², never the global n². Candidates ride a SKINNY
+    * (id, bk) self-join (16-byte rows) and vectors come back by id
+    * through the broadcast verify — the same exchange discipline as
+    * the banded path, unified in r15 (vectors used to ride the bucket
+    * self-join at ~8·dim bytes per candidate). Banded shape: see
     * [[nearDupPairsBanded]].
     *
     * `planes` (per band, when banded) must GROW with the corpus:
@@ -1105,13 +1113,27 @@ object Similarity {
       maxBands: Int = MaxAutoBands,
       broadcastVectorLimit: Long = 2000000L,
       knownCount: Option[Long] = None,
-      contractExactDups: Boolean = false): DataFrame = {
+      contractExactDups: Boolean = false,
+      checkpointDir: Option[String] = None,
+      maxBucketSize: Long = 0L): DataFrame = {
     require(bands >= 0, s"bands must be >= 0 (0 = recall-sized auto; " +
       s"got $bands)")
+    // auto sizing only holds for thresholds with a real collision
+    // probability p = 1 − θ/π ∈ (0, 1) (r14 advice — bandsForRecall's
+    // domain error never named the escape): at minCosine >= 1.0 the
+    // surviving pairs are COLINEAR vectors, which code identically in
+    // every band, so the single table is lossless there and banding
+    // buys nothing; at minCosine <= -1.0 the threshold admits EVERY
+    // pair and no LSH screen can help — that is exact-all-pairs work.
+    require(bands > 0 || minCosine > -1.0,
+      s"minCosine = $minCosine admits every pair — no LSH screen " +
+        "helps; use nearDupPairsExact, or pass bands = 1 knowingly " +
+        "for the single-table screen")
     lazy val n = knownCount.getOrElse(embeddings.count())
     val r = targetBucketSize.map(t => autoPlanes(n, t)).getOrElse(planes)
     val b =
       if (bands > 0) bands
+      else if (minCosine >= 1.0) 1 // lossless at this threshold
       else if (r < 1) 1 // single-bucket degenerate — nothing to band
       else autoBands(minCosine, r, targetRecall, maxBands)
     // the exact-dup contraction is a banded-path concern (the single
@@ -1120,23 +1142,41 @@ object Similarity {
     if (contractExactDups && b > 1)
       return nearDupPairsBandedContracted(embeddings, idCol, vecCol,
         dim, minCosine, bands = b, planesPerBand = r, seed = seed,
-        broadcastVectorLimit = broadcastVectorLimit)
+        broadcastVectorLimit = broadcastVectorLimit,
+        checkpointDir = checkpointDir)
     if (b == 1) {
+      // single-table candidates on the SAME skinny-join discipline as
+      // the banded path (r14 review #1: the coded projection used to
+      // carry the normalized vector through the bucket self-join, so
+      // ~8·dim bytes rode per CANDIDATE — exactly the exchange shape
+      // the banded path exists to avoid). Candidates join on
+      // (id, bk) only; vectors come back by id through the broadcast
+      // verify. Same pairs, same scores (dot of the same normalized
+      // projections) — one more small join against one less wide
+      // exchange. The broadcast decision forces `n` (pass
+      // `knownCount` to skip the scan, as on the banded path).
       val ps = hyperplanes(dim, math.max(r, 0), seed)
-      val coded = embeddings.select(col(idCol).as("id"),
-        normalize(col(vecCol)).as("u"),
+      val skinny = embeddings.select(col(idCol).as("id"),
         lshCode(col(vecCol), ps).as("bk"))
-      coded.as("a").join(coded.as("x"),
+      val cand = skinny.as("a").join(skinny.as("x"),
           col("a.bk") === col("x.bk") && col("a.id") < col("x.id"))
-        .withColumn("score", dot(col("a.u"), col("x.u")))
+        .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
+      val un0 = embeddings.select(col(idCol).as("id"),
+        normalize(col(vecCol)).as("u"))
+      val un = if (n <= broadcastVectorLimit) broadcast(un0) else un0
+      cand
+        .join(un.select(col("id").as("id_a"), col("u").as("ua")),
+          Seq("id_a"))
+        .join(un.select(col("id").as("id_b"), col("u").as("ub")),
+          Seq("id_b"))
+        .withColumn("score", dot(col("ua"), col("ub")))
         .filter(col("score") >= minCosine)
-        .select(col("a.id").as("id_a"), col("x.id").as("id_b"),
-          col("score"))
+        .select(col("id_a"), col("id_b"), col("score"))
     } else
       nearDupPairsBanded(embeddings, idCol, vecCol, dim, minCosine,
         bands = b, planesPerBand = r, seed = seed,
         broadcastVectorLimit = broadcastVectorLimit,
-        knownCount = Some(n))
+        knownCount = Some(n), maxBucketSize = maxBucketSize)
   }
 
   /** The band count that reaches `targetRecall` for a pair AT the
@@ -1244,7 +1284,8 @@ object Similarity {
       bands: Int = 6, planesPerBand: Int = 0,
       seed: Long = 42L, targetBucketSize: Long = 128L,
       broadcastVectorLimit: Long = 2000000L,
-      knownCount: Option[Long] = None): DataFrame = {
+      knownCount: Option[Long] = None,
+      maxBucketSize: Long = 0L): DataFrame = {
     require(bands >= 1, s"bands must be >= 1 (got $bands)")
     // the count feeds only auto sizing + the broadcast-verify decision
     // — a caller that already knows n (or cached a count upstream)
@@ -1257,12 +1298,40 @@ object Similarity {
     // lshCode slices — see the kernel scaladoc; the per-band lambda
     // projection was the dominant term of the 64-band default at
     // sf10: 57k literal doubles in generated code)
-    val skinny = embeddings
+    val skinny0 = embeddings
       .select(col(idCol).as("id"),
         graft.functions.LshBandCodes
           .lshBandCodes(col(vecCol), all, r).as("__codes"))
       .select(col("id"),
         posexplode(col("__codes")).as(Seq("__band", "__code")))
+    // OPT-IN skew valve (r14 verdict #7): one giant NEAR-dup cluster
+    // (boilerplate embeddings) lands whole in the same bucket of
+    // EVERY band, and exact-dup contraction cannot touch it (the
+    // vectors differ) — a 5k-member cluster is 12.5M verify pairs per
+    // band, quadratic and irreducible as long as every pair must be
+    // emitted (they ARE true pairs; see `skew_cluster_r15`). Callers
+    // that only need dedup CONNECTIVITY (semDedup) or bounded work
+    // cap each (band, code) bucket at its `maxBucketSize` smallest
+    // ids: pairs among the kept members still verify exactly, members
+    // past the cap keep every pair they collide into under OTHER
+    // bands. DEFINED recall loss, logged census (one extra pass over
+    // the skinny table — opt-in, so the default path pays nothing).
+    val skinny = if (maxBucketSize > 0) {
+      val truncated = skinny0
+        .groupBy(col("__band"), col("__code"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+        .count()
+      if (truncated > 0)
+        log.warn(s"nearDupPairsBanded: $truncated buckets exceed " +
+          s"maxBucketSize = $maxBucketSize and are truncated to their " +
+          "smallest ids — pairs whose every collision is inside a " +
+          "truncated tail are LOST (the documented skew-cap trade)")
+      skinny0.withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__band"), col("__code"))
+            .orderBy(col("id"))))
+        .filter(col("__rk") <= maxBucketSize).drop("__rk")
+    } else skinny0
     val cand = skinny.as("a").join(skinny.as("x"),
         col("a.__band") === col("x.__band") &&
           col("a.__code") === col("x.__code") &&
@@ -1315,7 +1384,8 @@ object Similarity {
       dim: Int, minCosine: Double,
       bands: Int = 6, planesPerBand: Int = 0,
       seed: Long = 42L, targetBucketSize: Long = 128L,
-      broadcastVectorLimit: Long = 2000000L): DataFrame = {
+      broadcastVectorLimit: Long = 2000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     // the membership projection feeds SIX lineage branches (reps into
     // the banded generation + self-scores, members into both sides of
     // both expansions) — persist it for the call so the vector-keyed
@@ -1353,9 +1423,84 @@ object Similarity {
       .filter(col("score") >= minCosine)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("score"))
-    val out = inter.unionByName(intra).localCheckpoint(true)
+    // materialize eagerly so the 6-branch lineage runs ONCE and the
+    // persist can release. localCheckpoint lives in EXECUTOR storage —
+    // fine single-node, but on a real cluster an executor loss after
+    // return kills the truncated lineage, so callers there pass
+    // `checkpointDir` for a reliable FS checkpoint (the
+    // [[Graph.connectedComponents]] pattern; r14 review #2)
+    val merged = inter.unionByName(intra)
+    val out = checkpointDir match {
+      case Some(dir) =>
+        embeddings.sparkSession.sparkContext.setCheckpointDir(dir)
+        merged.checkpoint(true)
+      case None => merged.localCheckpoint(true)
+    }
     withRep.unpersist()
     out
+  }
+
+  /** All-pairs cosine above a threshold via IVF cells — the THIRD
+    * escape hatch the banded scaladoc names, now callable (r14
+    * verdict #5): cluster-local exact pairs for the low-threshold
+    * regime where banding hits the [[MaxAutoBands]] wall. At
+    * minCosine ≈ 0.35 the 0.95 recall target wants hundreds of bands
+    * (the n^(1+ρ) sign-LSH wall — [[autoBands]] warns a recall floor
+    * it cannot fix), but low-threshold pairs are exactly the ones a
+    * coarse k-means geometry catches: every vector is assigned to its
+    * `nprobe` nearest cells (multi-probe replication, which is what
+    * recovers pairs straddling a cell boundary), candidates are pairs
+    * sharing ANY cell, verification is the same exact normalized dot
+    * as every generator in the family.
+    *
+    * Exactness configuration: at `nprobe = nlist` every pair shares
+    * every cell, so the operator degenerates to exact all-pairs — the
+    * oracle-able config (q216), the same proof pattern as the IVF-PQ
+    * q205. Recall at production configs is DATA-dependent (a pair is
+    * found iff the probe sets intersect) — unlike banding there is no
+    * threshold-only recall formula, so measure on planted pairs
+    * (`ivf_pairs_r15` in BENCH_sf1_spot.json) rather than assume.
+    *
+    * Scale posture: the probe table is skinny (id, cell) — nprobe
+    * rows of 12 bytes per vector; candidates come from its self-join,
+    * so the volume is Σ_cell n_c² over nprobe-replicated assignments
+    * (nlist sizes it: [[autoNlist]] at `nlist = 0` keeps E[n_c] ≈
+    * √n·nprobe); vectors enter only through the broadcast verify
+    * under `broadcastVectorLimit`, the banded discipline. At 100 TB
+    * write the probed table partitioned by `__cell` and the self-join
+    * is partition-local.
+    */
+  def nearDupPairsIvf(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nlist: Int, nprobe: Int = 2,
+      iters: Int = 3, seed: Long = 42L,
+      broadcastVectorLimit: Long = 2000000L,
+      knownCount: Option[Long] = None): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
+      "empty probe set would find zero pairs")
+    val n = knownCount.getOrElse(embeddings.count())
+    val sizedNlist = if (nlist == 0) autoNlist(n) else nlist
+    val centroids =
+      ivfCentroids(embeddings, idCol, vecCol, sizedNlist, iters, seed)
+    val probed = assignClustersProbe(
+        embeddings.select(col(idCol).as("id"), col(vecCol).as("__v")),
+        "__v", centroids, math.min(nprobe, centroids.length))
+      .select(col("id"), explode(col("__probes")).as("__cell"))
+    val cand = probed.as("a").join(probed.as("x"),
+        col("a.__cell") === col("x.__cell") && col("a.id") < col("x.id"))
+      .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
+      .distinct()
+    val un0 = embeddings.select(col(idCol).as("id"),
+      normalize(col(vecCol)).as("u"))
+    val un = if (n <= broadcastVectorLimit) broadcast(un0) else un0
+    cand
+      .join(un.select(col("id").as("id_a"), col("u").as("ua")),
+        Seq("id_a"))
+      .join(un.select(col("id").as("id_b"), col("u").as("ub")),
+        Seq("id_b"))
+      .withColumn("score", dot(col("ua"), col("ub")))
+      .filter(col("score") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("score"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
@@ -1390,11 +1535,26 @@ object Similarity {
       checkpointDir: Option[String] = None,
       targetBucketSize: Option[Long] = None,
       bands: Int = 0,
-      contractExactDups: Boolean = false): DataFrame = {
+      contractExactDups: Boolean = false,
+      targetRecall: Double = 0.95,
+      maxBands: Int = MaxAutoBands,
+      broadcastVectorLimit: Long = 2000000L,
+      knownCount: Option[Long] = None,
+      maxBucketSize: Long = 0L): DataFrame = {
+    // every banded knob passes through to the generator (r14 verdict
+    // item: a default semDedup call paid the auto-size count() scan
+    // that nearDupPairs(knownCount) exists to skip, and a caller in
+    // the capped low-threshold regime had to drop an API level to
+    // raise the band budget); defaults unchanged
     val pairs =
       nearDupPairs(embeddings, idCol, vecCol, dim, minCosine, planes,
         seed, targetBucketSize, bands,
-        contractExactDups = contractExactDups)
+        targetRecall = targetRecall, maxBands = maxBands,
+        broadcastVectorLimit = broadcastVectorLimit,
+        knownCount = knownCount,
+        contractExactDups = contractExactDups,
+        checkpointDir = checkpointDir,
+        maxBucketSize = maxBucketSize)
         .select(col("id_a"), col("id_b"))
     val losers = Graph
       .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)
@@ -1417,19 +1577,46 @@ object Similarity {
     */
   private[ml] def swapIndexDir(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      sub: String): Unit = {
+      sub: String): Unit = swapIndexDirs(spark, path, Seq(sub))
+
+  /** Publish SEVERAL rebuilt subdirectories as one swap, retiring
+    * EVERY live dir before publishing ANY staged one (r14 advice: the
+    * IVF rebuild's two independent swaps had a window where NEW
+    * cluster assignments were live against OLD centroids — a probe in
+    * that window, or a crash leaving it behind, silently mis-probed
+    * with nothing to detect the mismatch). With retire-first ordering
+    * every crash window leaves a MISSING subdir instead of a mixed
+    * pair: probes fail loudly on the absent path, and recovery is
+    * mechanical — restore the `_old_<sub>` dirs by renaming them back
+    * (they persist until the final cleanup), or re-run the rebuild,
+    * whose staged writes use mode(overwrite). The manifest republish
+    * AFTER the swap is what commits the rebuild for [[vacuumIndex]];
+    * its ghost-file guard refuses to sweep an index whose swap never
+    * completed.
+    */
+  private[graft] def swapIndexDirs(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      subs: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val live   = new Path(path, sub)
-    val old    = new Path(path, s"_old_$sub")
-    val staged = new Path(path, s"_staged_$sub")
-    require(fs.exists(staged), s"no staged rebuild at $staged")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live))
-      require(fs.rename(live, old), s"could not retire $live")
-    require(fs.rename(staged, live), s"could not publish $staged")
-    fs.delete(old, true)
+    def live(sub: String)   = new Path(path, sub)
+    def old(sub: String)    = new Path(path, s"_old_$sub")
+    def staged(sub: String) = new Path(path, s"_staged_$sub")
+    subs.foreach { s =>
+      require(fs.exists(staged(s)), s"no staged rebuild at ${staged(s)}")
+    }
+    subs.foreach { s =>
+      if (fs.exists(old(s))) fs.delete(old(s), true)
+      if (fs.exists(live(s)))
+        require(fs.rename(live(s), old(s)), s"could not retire ${live(s)}")
+    }
+    subs.foreach { s =>
+      require(fs.rename(staged(s), live(s)),
+        s"could not publish ${staged(s)} (pre-rebuild dirs preserved " +
+          s"at _old_<sub> under $path — rename back to recover)")
+    }
+    subs.foreach(s => fs.delete(old(s), true))
   }
 
   /** Rebuild a persisted LSH index IN PLACE from its current contents
@@ -1529,8 +1716,9 @@ object Similarity {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/_staged_centroids")
     src.unpersist()
-    swapIndexDir(spark, path, "vectors")
-    swapIndexDir(spark, path, "centroids")
+    // one retire-first swap over BOTH subdirs — never a live window
+    // pairing new assignments with old centroids (r14 advice)
+    swapIndexDirs(spark, path, Seq("vectors", "centroids"))
     writeIndexManifest(spark, path, Seq(
       "kind" -> "ivf", "nlist" -> sizedNlist.toString,
       "iters" -> iters.toString, "seed" -> seed.toString,
@@ -1661,6 +1849,26 @@ object Similarity {
           "index — rebuild, or pass planes explicitly)")).toInt
     requireMetaMatch(meta, "planes", eff.toString, path)
     eff
+  }
+
+  /** Fail fast on duplicated query ids in a DISTRIBUTED batch probe
+    * (r14 advice): a duplicated id merges two different query vectors'
+    * candidate streams into ONE top-k heap and silently returns a
+    * wrong ranking. The collect-based batches (the budget-probe and
+    * PQ planners) already fail fast from their collected metadata;
+    * this is the same check run as one small aggregation job over the
+    * QUERY side only — bounded by the batch-probe broadcast contract
+    * (eval batches are small) and paid before the corpus ever scans.
+    */
+  private def requireUniqueQueryIds(
+      queries: DataFrame, queryIdCol: String, caller: String): Unit = {
+    val dups = queries.groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(col(queryIdCol)).limit(5).collect().map(_.get(0))
+    require(dups.isEmpty,
+      s"$caller: duplicate query ids in the batch: " +
+        s"${dups.mkString(", ")} — deduplicate the query frame " +
+        "(each id ranks once)")
   }
 
   /** Only FINITE, non-NULL scores rank. A malformed vector's NULL (or

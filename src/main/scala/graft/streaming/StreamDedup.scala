@@ -235,6 +235,40 @@ object StreamDedup {
       }
       .start()
 
+  /** Wire [[graft.ml.IncrementalSemDedup.ingest]] into a streaming
+    * query — the SEMANTIC (embedding) twin of [[nearDedupStream]]:
+    * each micro-batch codes under the store's committed band family,
+    * pairs against everything ingested so far, and `emit` receives
+    * the batch rows surviving the closure SO FAR. Create the store
+    * with [[graft.ml.IncrementalSemDedup.initStore]] BEFORE starting
+    * the stream (the band family is a committed layout, not a
+    * per-batch decision). Emission is at-least-once on replay like
+    * every non-transactional foreachBatch sink, and PROVISIONAL under
+    * transitivity (a later batch can demote an emitted survivor — see
+    * the IncrementalSemDedup emission contract); the authoritative
+    * set at any point is `IncrementalSemDedup.survivors`, which
+    * equals full-recompute `semDedup` over everything ingested.
+    */
+  def semDedupStream(
+      stream: DataFrame, idCol: String, vecCol: String,
+      storePath: String, checkpointLocation: String,
+      broadcastVectorLimit: Long = 2000000L,
+      maxIter: Int = 20,
+      storeCheckpointDir: Option[String] = None)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val out = graft.ml.IncrementalSemDedup.ingest(
+          batch.sparkSession, storePath, batch.toDF(), idCol, vecCol,
+          broadcastVectorLimit, maxIter, storeCheckpointDir,
+          // a replayed micro-batch would re-ingest its ids — the
+          // collision guard is exactly the replay detector here
+          checkIdCollision = true)
+        emit(out, batchId)
+      }
+      .start()
+
   /** Wire [[dedupBatch]] into a streaming query: survivors of each
     * batch go to `emit`, fingerprints accumulate at `storePath`.
     */

@@ -2311,6 +2311,434 @@ class MlSpec extends AnyFunSuite {
     assert(sizes.toSeq == Seq(Some(32), None)) // 8×4 bytes; null passes
   }
 
+  test("distributed batch probes fail fast on duplicate query ids " +
+      "(r14 advice — the collect-based planners already did)") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val corpus = e.filter($"vec_id" > 1)
+    val dupQ = e.filter($"vec_id" === 0).unionByName(
+      e.filter($"vec_id" === 1).withColumn("vec_id", lit(0L)))
+    val exDup1 = intercept[IllegalArgumentException] {
+      Similarity.lshTopKBatch(corpus, "vec_id", "embedding",
+        dupQ, "vec_id", "embedding", dim = 64, k = 3, planes = 4)
+    }
+    assert(exDup1.getMessage.contains("duplicate query ids"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKBatch(corpus, "vec_id", "embedding",
+        dupQ, "vec_id", "embedding", nlist = 4, nprobe = 2, k = 3)
+    }
+    val lshDir = java.nio.file.Files
+      .createTempDirectory("graft_dupq_lsh").toString
+    Similarity.writeLshIndex(corpus, "vec_id", "embedding", lshDir,
+      dim = 64, planes = 4)
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopKBatchFromIndex(spark, lshDir, "vec_id",
+        "embedding", dupQ, "vec_id", "embedding", dim = 64, k = 3)
+    }
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_dupq_ivf").toString
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", ivfDir,
+      nlist = 4)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKBatchFromIndex(spark, ivfDir, "vec_id",
+        "embedding", dupQ, "vec_id", "embedding", nprobe = 2, k = 3)
+    }
+  }
+
+  test("IVF rebuild swap is retire-first: no staged dir fails before " +
+      "any live dir moves, and a crash window is LOUD (r14 advice)") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_swap_ivf").toString
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", dir, nlist = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(dir, s)
+    // one staged dir present, the other missing: the swap must refuse
+    // BEFORE retiring anything — both live dirs stay probe-able
+    fs.mkdirs(p("_staged_vectors"))
+    intercept[IllegalArgumentException] {
+      Similarity.swapIndexDirs(spark, dir, Seq("vectors", "centroids"))
+    }
+    assert(fs.exists(p("vectors")) && fs.exists(p("centroids")),
+      "a failed precondition moved live dirs")
+    val before = Similarity.ivfTopKFromIndex(spark, dir, "vec_id",
+      "embedding", e.filter($"vec_id" === 0), "embedding",
+      nprobe = 4, k = 5).collect().length
+    assert(before == 5)
+    fs.delete(p("_staged_vectors"), true)
+    // simulate the mid-swap crash window (every live dir retired,
+    // nothing published): a probe fails LOUDLY on the missing path —
+    // never a silent mixed-layout read — and the _old_ dirs restore it
+    fs.rename(p("vectors"), p("_old_vectors"))
+    fs.rename(p("centroids"), p("_old_centroids"))
+    intercept[Exception] {
+      Similarity.ivfTopKFromIndex(spark, dir, "vec_id", "embedding",
+        e.filter($"vec_id" === 0), "embedding", nprobe = 4, k = 5)
+        .collect()
+    }
+    fs.rename(p("_old_vectors"), p("vectors"))
+    fs.rename(p("_old_centroids"), p("centroids"))
+    val restored = Similarity.ivfTopKFromIndex(spark, dir, "vec_id",
+      "embedding", e.filter($"vec_id" === 0), "embedding",
+      nprobe = 4, k = 5).collect().length
+    assert(restored == 5, "documented _old_ recovery did not restore")
+  }
+
+  test("nearDupPairs threshold edges: minCosine >= 1.0 routes to the " +
+      "lossless single table; <= -1.0 names nearDupPairsExact") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // plant exact dups so the >= 1.0 threshold has pairs to find
+    val planted = e.filter($"vec_id" % 17 === 0)
+      .withColumn("vec_id", $"vec_id" + lit(1000000L))
+    val u = e.unionByName(planted)
+    val got = Similarity.nearDupPairs(u, "vec_id", "embedding",
+        dim = 64, minCosine = 1.0, planes = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val want = Similarity.nearDupPairsExact(u, "vec_id", "embedding",
+        minCosine = 1.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == want, "lossless >= 1.0 routing diverged from exact")
+    assert(want.nonEmpty, "planted exact dups produced no pairs")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(e, "vec_id", "embedding",
+        dim = 64, minCosine = -1.0, planes = 4)
+    }
+    assert(ex.getMessage.contains("nearDupPairsExact") &&
+      ex.getMessage.contains("bands = 1"))
+    // explicit bands keep the legacy screen semantics at any threshold
+    assert(Similarity.nearDupPairs(e, "vec_id", "embedding",
+      dim = 64, minCosine = -1.0, planes = 4, bands = 1).count() > 0)
+  }
+
+  test("dsirResample: numeric-content string ids resample identically " +
+      "to long ids; a non-numeric value raises in-plan (r14 advice)") {
+    val docs = spark.read
+      .parquet(s"${SparkFixture.sfDir}/documents.parquet")
+      .select($"doc_id", $"text")
+    val target = docs.filter($"doc_id" % 7 === 0)
+    val longIds = Curation.dsirResample(docs, target, "doc_id", "text",
+        n = 20).select($"doc_id".cast("long"), $"weight_ppm")
+      .as[(Long, Long)].collect().toSet
+    val strIds = Curation.dsirResample(
+        docs.withColumn("doc_id", $"doc_id".cast("string")),
+        target, "doc_id", "text", n = 20)
+      .select($"doc_id".cast("long"), $"weight_ppm")
+      .as[(Long, Long)].collect().toSet
+    assert(strIds == longIds,
+      "string-typed numeric ids changed the resampled set")
+    val bad = docs.withColumn("doc_id",
+      concat(lit("uuid-"), $"doc_id".cast("string")))
+    val ex = intercept[Exception] {
+      Curation.dsirResample(bad, target, "doc_id", "text", n = 20)
+        .collect()
+    }
+    assert(ex.getMessage.contains("not numeric"),
+      s"wrong error for non-numeric string id: ${ex.getMessage}")
+    // non-castable id TYPES still fail fast at plan time
+    intercept[IllegalArgumentException] {
+      Curation.dsirResample(
+        docs.withColumn("doc_id", array($"doc_id")),
+        target, "doc_id", "text", n = 20)
+    }
+  }
+
+  test("contraction with a reliable checkpointDir: identical pairs, " +
+      "checkpoint files on the shared FS (r14 review #2)") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = e.filter($"vec_id" % 13 === 0)
+      .withColumn("vec_id", $"vec_id" + lit(1000000L))
+    val u = e.unionByName(planted)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", round($"score", 4))
+        .as[(Long, Long, Double)].collect().toSet
+    val local = pairs(Similarity.nearDupPairsBandedContracted(
+      u, "vec_id", "embedding", dim = 64, minCosine = 0.35,
+      bands = 3, planesPerBand = 4))
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_contr_ck").toString
+    val reliable = pairs(Similarity.nearDupPairsBandedContracted(
+      u, "vec_id", "embedding", dim = 64, minCosine = 0.35,
+      bands = 3, planesPerBand = 4, checkpointDir = Some(ckDir)))
+    assert(reliable == local,
+      "reliable-checkpoint contraction changed the pairs")
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "checkpointDir got no checkpoint files")
+  }
+
+  test("semDedup banded knobs pass through: maxBands pins the band " +
+      "budget, knownCount skips the sizing scan (r14 verdict #3)") {
+    val sc = spark.sparkContext
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val n = e.count()
+    // maxBands = 3 caps autoBands(0.35, 4) (wants 20) at 3 — the same
+    // generator as an explicit bands = 3 call
+    val capped = Similarity.semDedup(e, "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, planes = 4, maxBands = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    val pinned = Similarity.semDedup(e, "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, planes = 4, bands = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(capped == pinned, "maxBands cap != explicit band count")
+    // knownCount: identical survivors, strictly fewer jobs (the
+    // sizing count() disappears; the CC jobs are identical since the
+    // pair graph is identical)
+    sc.setJobGroup("sdd_nocount", "semDedup without knownCount")
+    val without = Similarity.semDedup(e, "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, planes = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    sc.clearJobGroup()
+    sc.setJobGroup("sdd_known", "semDedup with knownCount")
+    val withCount = Similarity.semDedup(e, "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, planes = 4, knownCount = Some(n))
+      .select($"vec_id").as[Long].collect().toSet
+    sc.clearJobGroup()
+    assert(withCount == without, "knownCount changed the survivors")
+    def jobs(g: String) = sc.statusTracker.getJobIdsForGroup(g).length
+    assert(jobs("sdd_known") < jobs("sdd_nocount"),
+      "knownCount did not remove the sizing scan from semDedup")
+  }
+
+  test("single-table candidates ride the skinny (id, bk) join — " +
+      "vectors only enter through the broadcast verify (r14 review #1)") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val df = Similarity.nearDupPairs(e, "vec_id", "embedding",
+      dim = 64, minCosine = 0.35, planes = 4, bands = 1)
+    // the optimized plan's bucket self-join must see ONLY (id, bk) on
+    // both sides: the old shape carried the normalized vector u into
+    // the candidate exchange (~8·dim bytes per candidate)
+    val candJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.left.output.exists(_.name == "bk") => j
+    }
+    assert(candJoins.nonEmpty, "no bucket self-join in the plan")
+    candJoins.foreach { j =>
+      val names = (j.left.output ++ j.right.output).map(_.name).toSet
+      assert(!names.exists(Set("u", "ua", "ub")),
+        s"candidate join still carries vectors: $names")
+    }
+    // and the rework kept the output identical to the exact subset
+    // relationship the family is spec-pinned to elsewhere: every pair
+    // is a true pair of the exact oracle with the identical score
+    val got = df.select($"id_a", $"id_b", round($"score", 4).as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.nearDupPairsExact(e, "vec_id", "embedding",
+        minCosine = 0.35)
+      .select($"id_a", $"id_b", $"score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.subsetOf(exact), "skinny rework changed pair scores")
+    assert(got.nonEmpty)
+  }
+
+  test("incremental semDedup: batch-by-batch ingestion converges to " +
+      "the full-recompute survivor set (r14 verdict #1)") {
+    import graft.ml.IncrementalSemDedup
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_isd").toString + "/store"
+    val committed = IncrementalSemDedup.initStore(spark, store,
+      dim = 64, minCosine = 0.35, planesPerBand = 4, bands = 3,
+      idCol = "vec_id")
+    assert(committed == 3)
+    // three arbitrary interleaved batches — the equality must not
+    // depend on the split
+    val emitted = (0 to 2).flatMap { k =>
+      IncrementalSemDedup.ingest(spark, store,
+          e.filter($"vec_id" % 3 === k), "vec_id", "embedding")
+        .select($"vec_id").as[Long].collect()
+    }.toSet
+    val incr = IncrementalSemDedup.survivors(spark, store)
+      .as[Long].collect().toSet
+    val full = Similarity.semDedup(e, "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, planes = 4, bands = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(incr == full,
+      s"incremental survivors != full recompute (diff: " +
+        s"${(incr diff full).take(5)} / ${(full diff incr).take(5)})")
+    // provisional emissions are a SUPERSET of the final set (later
+    // batches can demote, never promote)
+    assert(full.subsetOf(emitted),
+      "a final survivor was never emitted by its own batch")
+    // replaying a batch fails fast on the id-collision guard
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalSemDedup.ingest(spark, store,
+        e.filter($"vec_id" % 3 === 0), "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("already ingested"))
+    // a second init cannot silently re-commit a different family
+    intercept[IllegalArgumentException] {
+      IncrementalSemDedup.initStore(spark, store, dim = 64,
+        minCosine = 0.35, idCol = "vec_id")
+    }
+  }
+
+  test("incremental semDedup transitivity: a later batch bridging two " +
+      "components demotes an already-emitted survivor") {
+    import graft.ml.IncrementalSemDedup
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_isd_rev").toString + "/store"
+    // v1 ⟂ v2 (cos 0 < 0.6); v3 at 45° to both (cos ≈ 0.707 ≥ 0.6)
+    val v1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val v2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val v3 = Array(0.7071f, 0.7071f, 0.0f, 0.0f)
+    def df(rows: (Long, Array[Float])*) =
+      rows.toSeq.toDF("id", "vec")
+    // many 1-plane bands so the two true pairs are found w.p. ~1
+    // under the committed seed (deterministic either way)
+    IncrementalSemDedup.initStore(spark, store, dim = 4,
+      minCosine = 0.6, planesPerBand = 1, bands = 16)
+    val out1 = IncrementalSemDedup.ingest(spark, store,
+        df(1L -> v1, 2L -> v2), "id", "vec")
+      .select($"id").as[Long].collect().toSet
+    assert(out1 == Set(1L, 2L), "orthogonal pair must both survive")
+    val out2 = IncrementalSemDedup.ingest(spark, store,
+        df(3L -> v3), "id", "vec")
+      .select($"id").as[Long].collect().toSet
+    assert(out2.isEmpty, "the bridge row must not survive")
+    // the bridge merged {1} and {2}: 2 is DEMOTED after emission —
+    // exactly the cross-batch transitivity the contract states
+    val fin = IncrementalSemDedup.survivors(spark, store)
+      .as[Long].collect().toSet
+    assert(fin == Set(1L),
+      s"expected the merged component to keep only id 1, got $fin")
+    // and that is precisely full-recompute semDedup over the union
+    val full = Similarity.semDedup(
+        df(1L -> v1, 2L -> v2, 3L -> v3), "id", "vec",
+        dim = 4, minCosine = 0.6, planes = 1, bands = 16)
+      .select($"id").as[Long].collect().toSet
+    assert(fin == full)
+  }
+
+  test("incremental semDedup guards: id-type drift, wrong id column, " +
+      "in-batch duplicates, and un-initialized stores fail fast") {
+    import graft.ml.IncrementalSemDedup
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_isd_guard").toString + "/store"
+    intercept[IllegalArgumentException] {
+      IncrementalSemDedup.ingest(spark, store,
+        Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec"), "id", "vec")
+    }
+    IncrementalSemDedup.initStore(spark, store, dim = 2,
+      minCosine = 0.8, planesPerBand = 2, bands = 2)
+    intercept[IllegalArgumentException] {
+      IncrementalSemDedup.ingest(spark, store,
+        Seq((1L, Array(1.0f, 0.0f))).toDF("doc", "vec"), "doc", "vec")
+    }
+    val dup = intercept[IllegalArgumentException] {
+      IncrementalSemDedup.ingest(spark, store,
+        Seq((1L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+          .toDF("id", "vec"), "id", "vec")
+    }
+    assert(dup.getMessage.contains("duplicate ids within the batch"))
+    IncrementalSemDedup.ingest(spark, store,
+      Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec"), "id", "vec")
+    val drift = intercept[IllegalArgumentException] {
+      IncrementalSemDedup.ingest(spark, store,
+        Seq((2, Array(0.0f, 1.0f))).toDF("id", "vec"), "id", "vec")
+    }
+    assert(drift.getMessage.contains("ids"))
+    // a batch that verifies no pair still round-trips (the empty
+    // pairs/ directory carries no parquet schema to infer)
+    val s2 = IncrementalSemDedup.ingest(spark, store,
+        Seq((2L, Array(-1.0f, 0.2f))).toDF("id", "vec"), "id", "vec")
+      .select($"id").as[Long].collect().toSet
+    assert(s2 == Set(2L))
+    assert(IncrementalSemDedup.survivors(spark, store)
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("TopNCentroids kernel matches the lambda composition bit-for-" +
+      "bit (order + ties) and keeps the malformed-row NULL contract") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val cents = Seq(
+      Seq.tabulate(64)(i => math.sin(i * 0.7)),
+      Seq.tabulate(64)(i => math.cos(i * 0.3)),
+      Seq.tabulate(64)(i => (i % 5 - 2) * 0.25),
+      Seq.tabulate(64)(i => math.sin(i * 0.7))) // dup of 0: index tie
+    val mat = typedlit(cents)
+    val dists = transform(mat, c =>
+      aggregate(zip_with($"embedding", c,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x))
+    val viaLambda = e.withColumn("__probes",
+      slice(transform(array_sort(zip_with(dists,
+          sequence(lit(0), lit(cents.length - 1)),
+          (d, i) => struct(d.as("d"), i.as("i")))),
+        s => s.getField("i").cast("int")), 1, 3))
+      .select($"vec_id", $"__probes").as[(Long, Seq[Int])]
+      .collect().toMap
+    val viaKernel = e.withColumn("__probes",
+      graft.functions.TopNCentroids
+        .topNCentroids($"embedding", cents, 3))
+      .select($"vec_id", $"__probes").as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(viaKernel == viaLambda,
+      "kernel probe sets diverged from the lambda composition")
+    // centroid 3 duplicates centroid 0: the earlier index must win
+    // the tie everywhere it ranks
+    assert(viaKernel.values.forall(p =>
+      !p.contains(3) || p.indexOf(0) < p.indexOf(3)))
+    // malformed rows (wrong dim / null element) → NULL probes
+    val bad = Seq((1L, Array(1.0f, 2.0f)),
+        (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+      .withColumn("__probes", graft.functions.TopNCentroids
+        .topNCentroids($"embedding", cents, 2))
+    assert(bad.where($"__probes".isNull).count() == 2)
+  }
+
+  test("nearDupPairsIvf: full probe IS exact all-pairs (the q216 " +
+      "exactness config), production probes are a verified subset") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", round($"score", 4))
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = pairs(Similarity.nearDupPairsExact(e, "vec_id",
+      "embedding", minCosine = 0.35))
+    val full = pairs(Similarity.nearDupPairsIvf(e, "vec_id",
+      "embedding", minCosine = 0.35, nlist = 4, nprobe = 4))
+    assert(full == exact,
+      "full-probe IVF pairs diverged from exact all-pairs")
+    val narrow = pairs(Similarity.nearDupPairsIvf(e, "vec_id",
+      "embedding", minCosine = 0.35, nlist = 4, nprobe = 2))
+    assert(narrow.subsetOf(exact),
+      "IVF returned a pair the exact oracle does not have")
+    assert(narrow.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.nearDupPairsIvf(e, "vec_id", "embedding",
+        minCosine = 0.35, nlist = 4, nprobe = 0)
+    }
+  }
+
+  test("banded per-bucket cap: capped pairs are a verified subset, a " +
+      "non-binding cap changes nothing (r14 verdict #7 remedy)") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", round($"score", 4))
+        .as[(Long, Long, Double)].collect().toSet
+    val uncapped = pairs(Similarity.nearDupPairsBanded(e, "vec_id",
+      "embedding", dim = 64, minCosine = 0.35, bands = 3,
+      planesPerBand = 4))
+    val capped = pairs(Similarity.nearDupPairsBanded(e, "vec_id",
+      "embedding", dim = 64, minCosine = 0.35, bands = 3,
+      planesPerBand = 4, maxBucketSize = 8L))
+    assert(capped.subsetOf(uncapped),
+      "the cap emitted a pair the uncapped run does not have")
+    assert(capped.size < uncapped.size,
+      "an 8-row cap did not bind on this corpus — test is vacuous")
+    // a cap no bucket reaches is the identity
+    val loose = pairs(Similarity.nearDupPairsBanded(e, "vec_id",
+      "embedding", dim = 64, minCosine = 0.35, bands = 3,
+      planesPerBand = 4, maxBucketSize = 1000000L))
+    assert(loose == uncapped, "a non-binding cap changed the pairs")
+  }
+
   test("frame extraction fans out to (frame_idx, frame_bytes) rows") {
     // 1000 bytes → FakeDecoder.frames = 1000 % 30 = 10 frames, n=4
     // samples indices 0,2,5,7 (i*10/4)

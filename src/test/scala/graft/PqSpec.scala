@@ -431,6 +431,33 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-norm query (NaN scores) never ranks: single probe and " +
+      "batch-of-one agree on the empty result (r14 advice)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_nan").toString
+    val base = emb.filter($"vec_id" =!= 0)
+    PQ.writeIvfPqIndex(base, "vec_id", "embedding", dir,
+      nlist = 4, m = 4, ksub = 8, pqIters = 0)
+    // a zero vector cannot be cosine-normalized — under ANSI the
+    // normalize is a raw divide-by-zero, with ANSI off it is NaN ADC
+    // scores that the heap batch and the orderBy probe rank
+    // differently. Both probes now reject it at the driver guard with
+    // a NAMED error, identically.
+    val zeroQ = emb.filter($"vec_id" === 0)
+      .withColumn("embedding",
+        transform($"embedding", _ => lit(0.0f)))
+    val exSingle = intercept[IllegalArgumentException] {
+      PQ.ivfPqTopKFromIndex(spark, dir, "vec_id",
+        zeroQ, "embedding", nprobe = 4, k = 5).collect()
+    }
+    assert(exSingle.getMessage.contains("zero-norm"))
+    val exBatch = intercept[IllegalArgumentException] {
+      PQ.openIvfPqIndex(spark, dir).topKBatch("vec_id",
+        zeroQ, "vec_id", "embedding", nprobe = 4, k = 5).collect()
+    }
+    assert(exBatch.getMessage.contains("zero-norm"))
+  }
+
   test("ivfPqTopK releases its build caches (at most the k-row " +
       "checkpointed result persists afterward)") {
     val base  = emb.filter($"vec_id" =!= 0)

@@ -528,4 +528,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set((1L, 104L)))
     } finally q.stop()
   }
+
+  test("semDedupStream: micro-batch ingestion over the committed band " +
+      "family equals batch-mode ingest AND full-recompute semDedup") {
+    import graft.ml.{IncrementalSemDedup, Similarity}
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("graft_sds_src").toString
+    val ckp = Files.createTempDirectory("graft_sds_ckp").toString
+    val store = Files.createTempDirectory("graft_sds_store")
+      .toString + "/s"
+    // v3 (batch 2) bridges v1 and v2 (batch 1) — the cross-batch
+    // transitivity case; v4 is novel
+    val b1 = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    val b2 = Seq(
+      (3L, Array(0.7071f, 0.7071f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, -1.0f, 0.3f)))
+    b1.toDF("id", "vec").coalesce(1).write.parquet(s"$src/f1")
+    b2.toDF("id", "vec").coalesce(1).write.parquet(s"$src/f2")
+    IncrementalSemDedup.initStore(spark, store, dim = 4,
+      minCosine = 0.6, planesPerBand = 1, bands = 16)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = StreamDedup.semDedupStream(
+      spark.readStream.schema("id LONG, vec ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").parquet(src),
+      "id", "vec", store, ckp) { (out, _) =>
+      out.select("id").as[Long].collect().foreach(emitted.add); ()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val got = emitted.toArray(Array.empty[java.lang.Long])
+      .map(_.toLong).toSet
+    // per-batch emissions: 1, 2 (batch 1 — nothing to collide with),
+    // then 4 only (3 bridges into {1,2} and loses to min id 1)
+    assert(got == Set(1L, 2L, 4L), s"stream emissions: $got")
+    // the store's authoritative set == full-recompute over the union
+    // (2 was demoted AFTER emission — the stated provisional contract)
+    val fin = IncrementalSemDedup.survivors(spark, store)
+      .as[Long].collect().toSet
+    val full = Similarity.semDedup(
+        (b1 ++ b2).toDF("id", "vec"), "id", "vec",
+        dim = 4, minCosine = 0.6, planes = 1, bands = 16)
+      .select($"id").as[Long].collect().toSet
+    assert(fin == full && fin == Set(1L, 4L),
+      s"stream store survivors $fin != full recompute $full")
+  }
 }
