@@ -70,14 +70,17 @@ import org.apache.spark.sql.functions._
   * that dominates full recomputes — the store's codes never
   * recompute); one skinny (id, band, code) join of the batch against
   * the store's pruned code scan (the store side streams; the batch
-  * side broadcasts under `broadcastVectorLimit`); a verify that joins
-  * candidates to vectors by id (broadcast under the same limit, the
-  * banded-path discipline — pass a `checkpointDir` on a real
-  * cluster); connected components over the PAIR GRAPH only (16-byte
-  * edges, not the corpus); and a batch-sized anti-join. The one term
-  * that grows with the corpus is the store-code scan — bytes
-  * proportional to n·bands·8, the same posture as the MinHash band
-  * store, and ~1% of re-reading the vectors themselves at dim 64+.
+  * side broadcasts under `broadcastVectorLimit`); a verify in which
+  * the batch's vectors broadcast and the STORE contributes only the
+  * vectors its matched candidate ids semi-select — never a
+  * corpus-sized broadcast or a per-candidate vector shuffle (pass a
+  * `checkpointDir` on a real cluster); connected components over the
+  * PAIR GRAPH only (16-byte edges, not the corpus); and a batch-sized
+  * anti-join. The terms that grow with the corpus are pruned store
+  * scans (codes for candidates, vectors for the semi-join, ids for
+  * the optional replay guard) — read-only IO proportional to n, the
+  * same posture as the MinHash band store, with no corpus-sized
+  * exchange anywhere.
   *
   * Reference for the pattern: the reference's job-bookmark
   * incremental contract (`/root/reference/awsglue/context.py`
@@ -166,13 +169,32 @@ object IncrementalSemDedup {
     }
     val all = Similarity.hyperplanes(dim, b * r, seed)
     // one kernel pass codes every band; u is the SAME normalize the
-    // batch verify uses, so scores are bit-equal with full recompute
+    // batch verify uses, so scores are bit-equal with full recompute.
+    // The normalize is guarded: a NULL / wrong-dim / zero-norm /
+    // non-finite vector nulls out instead of throwing a raw ANSI
+    // divide-by-zero from inside the first action, and the fail-fast
+    // below then NAMES the offending ids — a malformed row must never
+    // enter the store (it could not verify against anything, so it
+    // would pollute `rows/` as a permanent false survivor).
+    val nrm = Similarity.norm(col(vecCol))
     val coded = batch.select(col(idCol).as("id"),
-        Similarity.normalize(col(vecCol)).as("u"),
+        when(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+            nrm > 0.0 && !isnan(nrm) &&
+            nrm < lit(Double.PositiveInfinity),
+          Similarity.normalize(col(vecCol))).as("u"),
         graft.functions.LshBandCodes
           .lshBandCodes(col(vecCol), all, r).as("codes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every exit below (including the fail-fast guards) must release
+    // the cache — the returned plan never references `coded`
+    try {
     val batchN = coded.count()
+    val badIds = coded.filter(col("u").isNull).select(col("id"))
+      .limit(5).collect().map(_.get(0))
+    require(badIds.isEmpty,
+      s"batch rows cannot be cosine-normalized (NULL, wrong-dim, " +
+        s"zero-norm, or non-finite $vecCol): ids " +
+        s"${badIds.mkString(", ")} — filter or fix them before ingest")
     val dupIds = coded.groupBy(col("id")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select(col("id")).limit(5)
       .collect().map(_.get(0))
@@ -195,37 +217,62 @@ object IncrementalSemDedup {
       df.select(col("id"),
         posexplode(col("codes")).as(Seq("__band", "__code")))
     val newSkinny = skinny(coded)
-    val withinBatch = newSkinny.as("a").join(newSkinny.as("x"),
+    // the batch's vectors broadcast (bounded by batchN); the STORE's
+    // vectors must never broadcast whole — per-increment cost would
+    // then carry a corpus-sized broadcast build every ingest (the
+    // first cut did exactly that: ~110 MB per ingest at 200k rows) —
+    // so cross-batch verification fetches ONLY the store vectors that
+    // actually matched a candidate, via a semi-join the candidate ids
+    // drive. The store pays one column scan, never a corpus exchange.
+    val uNewB =
+      if (batchN <= broadcastVectorLimit)
+        broadcast(coded.select(col("id"), col("u")))
+      else coded.select(col("id"), col("u"))
+    val vWithin = newSkinny.as("a").join(newSkinny.as("x"),
         col("a.__band") === col("x.__band") &&
           col("a.__code") === col("x.__code") &&
           col("a.id") < col("x.id"))
       .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
-    val cand = (if (hasStore) {
-      // store side streams its pruned (id, codes) scan once; the
-      // BATCH side broadcasts (it is the small side by construction)
-      val nsk = if (batchN <= broadcastVectorLimit)
-        broadcast(newSkinny) else newSkinny
-      val crossBatch = skinny(storeRows.select(col("id"), col("codes")))
-        .as("o").join(nsk.as("n"),
-          col("o.__band") === col("n.__band") &&
-            col("o.__code") === col("n.__code"))
-        .select(least(col("o.id"), col("n.id")).as("id_a"),
-          greatest(col("o.id"), col("n.id")).as("id_b"))
-      withinBatch.unionByName(crossBatch)
-    } else withinBatch).distinct()
-    val uNew = coded.select(col("id"), col("u"))
-    val uAll = if (hasStore)
-      storeRows.select(col("id"), col("u")).unionByName(uNew)
-    else uNew
-    val un = if (priorN + batchN <= broadcastVectorLimit)
-      broadcast(uAll) else uAll
-    val verified = cand
-      .join(un.select(col("id").as("id_a"), col("u").as("ua")),
+      .distinct()
+      .join(uNewB.select(col("id").as("id_a"), col("u").as("ua")),
         Seq("id_a"))
-      .join(un.select(col("id").as("id_b"), col("u").as("ub")),
+      .join(uNewB.select(col("id").as("id_b"), col("u").as("ub")),
         Seq("id_b"))
       .filter(Similarity.dot(col("ua"), col("ub")) >= minCosine)
       .select(col("id_a"), col("id_b"))
+    val cross = if (!hasStore) None else {
+      val nsk = if (batchN <= broadcastVectorLimit)
+        broadcast(newSkinny) else newSkinny
+      // skinny store-code scan (column-pruned) vs broadcast batch
+      // codes; orientation (store id, batch id) is KEPT so each side's
+      // vectors resolve from their own table — persisted because the
+      // matched-id semi-join and the verify both read it
+      Some(skinny(storeRows.select(col("id"), col("codes")))
+        .as("o").join(nsk.as("n"),
+          col("o.__band") === col("n.__band") &&
+            col("o.__code") === col("n.__code"))
+        .select(col("o.id").as("id_s"), col("n.id").as("id_n"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    val verified = cross match {
+      case None => vWithin
+      case Some(cb) =>
+        // only MATCHED store vectors leave the scan (near-dup hits are
+        // sparse by assumption; AQE broadcasts this side when small)
+        val uOld = storeRows.select(col("id"), col("u"))
+          .join(cb.select(col("id_s").as("id")).distinct(),
+            Seq("id"), "left_semi")
+        val vCross = cb
+          .join(uOld.select(col("id").as("id_s"), col("u").as("ua")),
+            Seq("id_s"))
+          .join(uNewB.select(col("id").as("id_n"), col("u").as("ub")),
+            Seq("id_n"))
+          .filter(Similarity.dot(col("ua"), col("ub")) >= minCosine)
+          .select(least(col("id_s"), col("id_n")).as("id_a"),
+            greatest(col("id_s"), col("id_n")).as("id_b"))
+        vWithin.unionByName(vCross)
+    }
     // materialize the new pairs BEFORE any append: their plan reads
     // rows/ (the store join), and appending to rows/ would recache
     // the path under a lazy reader (the StreamDedup.dedupBatch lesson)
@@ -235,6 +282,7 @@ object IncrementalSemDedup {
         verified.checkpoint(true)
       case None => verified.localCheckpoint(true)
     }
+    cross.foreach(_.unpersist())
     newPairs.write.mode("append").parquet(s"$path/pairs")
     coded.write.mode("append").parquet(s"$path/rows")
     Similarity.writeIndexManifest(spark, path,
@@ -243,12 +291,11 @@ object IncrementalSemDedup {
         ("id_type" -> idType)).toSeq.sortBy(_._1))
     // closure over the ACCUMULATED pair graph (fresh read — both
     // appends are committed above); losers anti-join the batch
-    val out = batch.join(
+    batch.join(
       currentLosers(spark, path, idType, maxIter, checkpointDir)
         .withColumnRenamed("id", idCol),
       Seq(idCol), "left_anti")
-    coded.unpersist()
-    out
+    } finally { coded.unpersist(); () }
   }
 
   /** The authoritative survivor ids over EVERYTHING ingested so far —
@@ -270,6 +317,64 @@ object IncrementalSemDedup {
       .join(currentLosers(spark, path, meta("id_type"), maxIter,
         checkpointDir), Seq("id"), "left_anti")
       .select(col("id").as(idCol))
+  }
+
+  final case class CompactResult(
+      rowsFilesBefore: Int, rowsFilesAfter: Int,
+      pairsFilesBefore: Int, pairsFilesAfter: Int)
+
+  /** Compact the store's data directories: every ingest appends one
+    * file set to `rows/` and `pairs/`, so a long-lived store grows in
+    * FILES faster than in rows — the same small-files tax
+    * [[graft.streaming.StreamDedup.compactStore]] answers for the
+    * MinHash fingerprint store. Both directories rewrite into
+    * size-targeted files under `_staged_*` and publish through the
+    * retire-first multi-dir swap ([[Similarity.swapIndexDirs]] — every
+    * crash window is a loud missing-dir failure with `_old_*`
+    * rename-back recovery), then the manifest republishes so
+    * [[Similarity.vacuumIndex]] keeps treating the live files as
+    * committed. Content is already duplicate-free by construction
+    * (a pair verifies exactly once, in the ingest of its later-
+    * arriving side), so compaction is a pure rewrite — survivors are
+    * unchanged (spec-pinned). Run between ingests, not concurrently
+    * with one.
+    */
+  def compact(
+      spark: SparkSession, path: String,
+      targetBytes: Long = 64L << 20): CompactResult = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val meta = Similarity.readIndexMeta(spark, path)
+    require(meta.get("kind").contains("semdedup"),
+      s"no semdedup store at $path — create one with initStore")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(sub: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter { st =>
+        val nm = st.getPath.getName
+        st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+      }
+    }
+    def rewrite(sub: String): (Int, Int) = {
+      val before = dataFiles(sub)
+      if (before.isEmpty) return (0, 0)
+      val nOut = math.max(1L,
+        (before.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+      spark.read.parquet(s"$path/$sub").repartition(nOut)
+        .write.mode("overwrite").parquet(s"$path/_staged_$sub")
+      (before.length, nOut)
+    }
+    val (rb, _) = rewrite("rows")
+    val (pb, _) = rewrite("pairs")
+    val staged = Seq("rows" -> rb, "pairs" -> pb)
+      .collect { case (s, b) if b > 0 => s }
+    if (staged.nonEmpty) {
+      Similarity.swapIndexDirs(spark, path, staged)
+      Similarity.writeIndexManifest(spark, path, meta.toSeq.sortBy(_._1))
+    }
+    CompactResult(rb, dataFiles("rows").length, pb,
+      dataFiles("pairs").length)
   }
 
   /** Ids demoted by the accumulated pair graph: every component

@@ -1307,37 +1307,56 @@ object Similarity {
     // OPT-IN skew valve (r14 verdict #7): one giant NEAR-dup cluster
     // (boilerplate embeddings) lands whole in the same bucket of
     // EVERY band, and exact-dup contraction cannot touch it (the
-    // vectors differ) — a 5k-member cluster is 12.5M verify pairs per
-    // band, quadratic and irreducible as long as every pair must be
-    // emitted (they ARE true pairs; see `skew_cluster_r15`). Callers
-    // that only need dedup CONNECTIVITY (semDedup) or bounded work
-    // cap each (band, code) bucket at its `maxBucketSize` smallest
-    // ids: pairs among the kept members still verify exactly, members
-    // past the cap keep every pair they collide into under OTHER
-    // bands. DEFINED recall loss, logged census (one extra pass over
-    // the skinny table — opt-in, so the default path pays nothing).
-    val skinny = if (maxBucketSize > 0) {
-      val truncated = skinny0
+    // vectors differ) — a 5k-member cluster is 12.5M verify pairs,
+    // quadratic and irreducible as long as every pair must be emitted
+    // (they ARE true pairs; `skew_cluster_r15`). Buckets past
+    // `maxBucketSize` therefore switch to HUB candidates: every
+    // member pairs with the bucket's MIN id only — linear volume per
+    // oversized bucket, and dedup CONNECTIVITY survives because a
+    // genuine near-dup cluster verifies against its own hub (the
+    // first cut truncated oversized buckets to their smallest ids
+    // instead, and measured semDedup then KEPT 80 % of a planted 5k
+    // cluster — the same ids were kept in every band, so tail members
+    // never paired with anything; the hub shape is what the dedup
+    // caller needs). Hub candidates are a SUBSET of the uncapped
+    // bucket's pairs, so precision is untouched; pair-MINING recall
+    // inside oversized buckets deliberately drops to the star. Logged
+    // census (one extra aggregation over the skinny table — opt-in,
+    // the default path pays nothing).
+    val cand0 = if (maxBucketSize > 0) {
+      val oversized = skinny0
         .groupBy(col("__band"), col("__code"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
         .count()
-      if (truncated > 0)
-        log.warn(s"nearDupPairsBanded: $truncated buckets exceed " +
-          s"maxBucketSize = $maxBucketSize and are truncated to their " +
-          "smallest ids — pairs whose every collision is inside a " +
-          "truncated tail are LOST (the documented skew-cap trade)")
-      skinny0.withColumn("__rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__band"), col("__code"))
-            .orderBy(col("id"))))
-        .filter(col("__rk") <= maxBucketSize).drop("__rk")
-    } else skinny0
-    val cand = skinny.as("a").join(skinny.as("x"),
-        col("a.__band") === col("x.__band") &&
-          col("a.__code") === col("x.__code") &&
-          col("a.id") < col("x.id"))
-      .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
-      .distinct()
+      if (oversized > 0)
+        log.warn(s"nearDupPairsBanded: $oversized buckets exceed " +
+          s"maxBucketSize = $maxBucketSize — emitting hub (min-id) " +
+          "candidates instead of all pairs there; within-bucket " +
+          "pair-mining recall drops to the star, dedup connectivity " +
+          "rides the hub (the documented skew-cap trade)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__band"), col("__code"))
+      val sized = skinny0
+        .withColumn("__bn", count(lit(1)).over(w))
+        .withColumn("__bmin", min(col("id")).over(w))
+      val small = sized.filter(col("__bn") <= maxBucketSize)
+        .select(col("id"), col("__band"), col("__code"))
+      val smallPairs = small.as("a").join(small.as("x"),
+          col("a.__band") === col("x.__band") &&
+            col("a.__code") === col("x.__code") &&
+            col("a.id") < col("x.id"))
+        .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
+      val hubPairs = sized
+        .filter(col("__bn") > maxBucketSize && col("id") =!= col("__bmin"))
+        .select(col("__bmin").as("id_a"), col("id").as("id_b"))
+      smallPairs.unionByName(hubPairs)
+    } else
+      skinny0.as("a").join(skinny0.as("x"),
+          col("a.__band") === col("x.__band") &&
+            col("a.__code") === col("x.__code") &&
+            col("a.id") < col("x.id"))
+        .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
+    val cand = cand0.distinct()
     val un0 = embeddings.select(col(idCol).as("id"),
       normalize(col(vecCol)).as("u"))
     // the candidate stream must NOT shuffle its joined vectors — see

@@ -2634,6 +2634,16 @@ class MlSpec extends AnyFunSuite {
           .toDF("id", "vec"), "id", "vec")
     }
     assert(dup.getMessage.contains("duplicate ids within the batch"))
+    // malformed vectors are NAMED and rejected — they could never
+    // verify, so letting them in would plant permanent false
+    // survivors (and a zero-norm row would otherwise surface as a raw
+    // ANSI divide-by-zero from inside the first action)
+    val bad = intercept[IllegalArgumentException] {
+      IncrementalSemDedup.ingest(spark, store,
+        Seq((7L, Array(0.0f, 0.0f)), (8L, Array(1.0f, 0.0f, 9.9f)))
+          .toDF("id", "vec"), "id", "vec")
+    }
+    assert(bad.getMessage.contains("cannot be cosine-normalized"))
     IncrementalSemDedup.ingest(spark, store,
       Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec"), "id", "vec")
     val drift = intercept[IllegalArgumentException] {
@@ -2649,6 +2659,21 @@ class MlSpec extends AnyFunSuite {
     assert(s2 == Set(2L))
     assert(IncrementalSemDedup.survivors(spark, store)
       .as[Long].collect().toSet == Set(1L, 2L))
+    // compaction: pure rewrite — survivors identical, the store stays
+    // ingestable, file count bounded
+    val before = IncrementalSemDedup.survivors(spark, store)
+      .as[Long].collect().toSet
+    val cr = IncrementalSemDedup.compact(spark, store)
+    assert(cr.rowsFilesAfter <= cr.rowsFilesBefore &&
+      cr.rowsFilesAfter >= 1)
+    assert(IncrementalSemDedup.survivors(spark, store)
+      .as[Long].collect().toSet == before,
+      "compaction changed the survivor set")
+    val s3 = IncrementalSemDedup.ingest(spark, store,
+        Seq((3L, Array(1.0f, 1e-5f))).toDF("id", "vec"), "id", "vec")
+      .select($"id").as[Long].collect().toSet
+    assert(s3.isEmpty, // near-dup of id 1 — the compacted store sees it
+      "post-compaction ingest missed a near-dup of a stored row")
   }
 
   test("TopNCentroids kernel matches the lambda composition bit-for-" +
@@ -2715,8 +2740,9 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
-  test("banded per-bucket cap: capped pairs are a verified subset, a " +
-      "non-binding cap changes nothing (r14 verdict #7 remedy)") {
+  test("banded per-bucket cap: oversized buckets emit hub candidates " +
+      "— a verified subset; a non-binding cap changes nothing (r14 " +
+      "verdict #7 remedy)") {
     val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
       .select($"vec_id", $"embedding")
     def pairs(df: org.apache.spark.sql.DataFrame) =
@@ -2737,6 +2763,19 @@ class MlSpec extends AnyFunSuite {
       "embedding", dim = 64, minCosine = 0.35, bands = 3,
       planesPerBand = 4, maxBucketSize = 1000000L))
     assert(loose == uncapped, "a non-binding cap changed the pairs")
+    // CONNECTIVITY under the cap — the property the valve exists for
+    // (id-truncation failed it: 80% of a planted 5k cluster survived
+    // semDedup at sf1): a 60-member near-identical cluster with a cap
+    // of 10 must still collapse to ONE survivor through the hub
+    val hub = Seq.tabulate(60)(i =>
+      (100L + i, Array(1.0f, 1e-4f * i, 0.0f, 0.0f)))
+    val lone = Seq((999L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    val surv = Similarity.semDedup((hub ++ lone).toDF("id", "vec"),
+        "id", "vec", dim = 4, minCosine = 0.9, planes = 2, bands = 4,
+        maxBucketSize = 10L)
+      .select($"id").as[Long].collect().toSet
+    assert(surv == Set(100L, 999L),
+      s"capped semDedup must keep the hub + the loner, got $surv")
   }
 
   test("frame extraction fans out to (frame_idx, frame_bytes) rows") {
