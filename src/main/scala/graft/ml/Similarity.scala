@@ -1508,18 +1508,40 @@ object Similarity {
     val cand = probed.as("a").join(probed.as("x"),
         col("a.__cell") === col("x.__cell") && col("a.id") < col("x.id"))
       .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
-      .distinct()
     val un0 = embeddings.select(col(idCol).as("id"),
       normalize(col(vecCol)).as("u"))
-    val un = if (n <= broadcastVectorLimit) broadcast(un0) else un0
-    cand
-      .join(un.select(col("id").as("id_a"), col("u").as("ua")),
-        Seq("id_a"))
-      .join(un.select(col("id").as("id_b"), col("u").as("ub")),
-        Seq("id_b"))
-      .withColumn("score", dot(col("ua"), col("ub")))
-      .filter(col("score") >= minCosine)
-      .select(col("id_a"), col("id_b"), col("score"))
+    // a pair sharing k probed cells surfaces k times; where the
+    // dedup goes matters enormously. Under the broadcast verify the
+    // candidate stream flows MAP-SIDE through both vector joins and
+    // the threshold filter, so deduping the tiny ≥-threshold survivor
+    // set is nearly free — verify-then-distinct. Deduping FIRST would
+    // hash-exchange the whole multiplied candidate stream (measured:
+    // a distinct-first cut at the full-probe exactness config spent
+    // 729 s at sf1, where the 207M-pair brute oracle runs in 29 s —
+    // the 828M-row distinct WAS the query). The k-fold redundant dot
+    // products cost far less than shuffling the rows they score.
+    // Past `broadcastVectorLimit` the verify joins themselves
+    // exchange, so there distinct-first shrinks what they ship.
+    if (n <= broadcastVectorLimit) {
+      val un = broadcast(un0)
+      cand
+        .join(un.select(col("id").as("id_a"), col("u").as("ua")),
+          Seq("id_a"))
+        .join(un.select(col("id").as("id_b"), col("u").as("ub")),
+          Seq("id_b"))
+        .withColumn("score", dot(col("ua"), col("ub")))
+        .filter(col("score") >= minCosine)
+        .select(col("id_a"), col("id_b"), col("score"))
+        .distinct() // identical scores per pair — safe to dedupe last
+    } else
+      cand.distinct()
+        .join(un0.select(col("id").as("id_a"), col("u").as("ua")),
+          Seq("id_a"))
+        .join(un0.select(col("id").as("id_b"), col("u").as("ub")),
+          Seq("id_b"))
+        .withColumn("score", dot(col("ua"), col("ub")))
+        .filter(col("score") >= minCosine)
+        .select(col("id_a"), col("id_b"), col("score"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
