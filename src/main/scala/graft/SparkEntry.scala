@@ -2851,8 +2851,10 @@ object SparkEntry {
     // committed 3×4 family; the final survivor set must EQUAL
     // full-recompute semDedup over the union — the oracle replays the
     // full-corpus banded closure, so batch-boundary transitivity is
-    // exact-checked, not assumed. Each batch's provisional emission
-    // is consumed (count) the way a real incremental pipeline would.
+    // exact-checked, not assumed. Batches load through the bulk path
+    // (ingestOnly — one closure at the end, not one per batch: the
+    // replay-a-history shape); the per-batch EMISSION path is
+    // spec-gated (MlSpec/StreamingSpec pin its provisional contract).
     "q215_semdedup_incremental" -> ((s, dir) => {
       val store = s"${System.getProperty("java.io.tmpdir")}/graft_isd_" +
         java.util.UUID.randomUUID().toString.take(8) + "/store"
@@ -2862,9 +2864,8 @@ object SparkEntry {
         minCosine = 0.35, planesPerBand = 4, bands = 3,
         idCol = "vec_id")
       (0 to 2).foreach { k =>
-        graft.ml.IncrementalSemDedup.ingest(s, store,
+        graft.ml.IncrementalSemDedup.ingestOnly(s, store,
           e.filter(col("vec_id") % 3 === k), "vec_id", "embedding")
-          .count()
       }
       graft.ml.IncrementalSemDedup.survivors(s, store)
     }),

@@ -131,14 +131,15 @@ object IncrementalSemDedup {
     b
   }
 
-  /** Ingest one batch: code it under the committed family, find its
-    * pairs against the store and within itself, append (rows, pairs),
-    * and return the batch rows that survive the closure SO FAR (see
-    * the emission contract above). Batch ids must be globally unique
-    * — duplicates within the batch, or collisions with already-
-    * ingested ids, fail fast (`checkIdCollision = false` skips the
-    * store-id scan for callers whose id space guarantees it, e.g. a
-    * monotone ingestion-time key).
+  /** Ingest one batch AND return the batch rows surviving the closure
+    * so far (see the emission contract above) — [[ingestOnly]] plus a
+    * connected-components pass over the accumulated pair graph. The
+    * emission is what a streaming consumer wants per micro-batch; a
+    * BULK loader replaying history should call [[ingestOnly]] per
+    * batch and [[survivors]] once at the end instead — the closure is
+    * the one per-ingest cost that is pure overhead when nobody reads
+    * the emission (measured: the q215 shape spends roughly half its
+    * wall in per-batch closures).
     */
   def ingest(
       spark: SparkSession, path: String,
@@ -147,6 +148,30 @@ object IncrementalSemDedup {
       maxIter: Int = 20,
       checkpointDir: Option[String] = None,
       checkIdCollision: Boolean = true): DataFrame = {
+    ingestOnly(spark, path, batch, idCol, vecCol, broadcastVectorLimit,
+      checkpointDir, checkIdCollision)
+    val idType = Similarity.readIndexMeta(spark, path)("id_type")
+    batch.join(
+      currentLosers(spark, path, idType, maxIter, checkpointDir)
+        .withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Ingest one batch without computing an emission: code it under
+    * the committed family, find its pairs against the store and
+    * within itself, append (rows, pairs), republish the manifest.
+    * Returns the ingested row count. Batch ids must be globally
+    * unique — duplicates within the batch, or collisions with
+    * already-ingested ids, fail fast (`checkIdCollision = false`
+    * skips the store-id scan for callers whose id space guarantees
+    * it, e.g. a monotone ingestion-time key).
+    */
+  def ingestOnly(
+      spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      broadcastVectorLimit: Long = 2000000L,
+      checkpointDir: Option[String] = None,
+      checkIdCollision: Boolean = true): Long = {
     val meta = Similarity.readIndexMeta(spark, path)
     require(meta.get("kind").contains("semdedup"),
       s"no semdedup store at $path — create one with initStore")
@@ -289,12 +314,7 @@ object IncrementalSemDedup {
       ((meta - "ingested_rows" - "id_type") +
         ("ingested_rows" -> (priorN + batchN).toString) +
         ("id_type" -> idType)).toSeq.sortBy(_._1))
-    // closure over the ACCUMULATED pair graph (fresh read — both
-    // appends are committed above); losers anti-join the batch
-    batch.join(
-      currentLosers(spark, path, idType, maxIter, checkpointDir)
-        .withColumnRenamed("id", idCol),
-      Seq(idCol), "left_anti")
+    batchN
     } finally { coded.unpersist(); () }
   }
 
