@@ -147,9 +147,10 @@ object IncrementalSemDedup {
       broadcastVectorLimit: Long = 2000000L,
       maxIter: Int = 20,
       checkpointDir: Option[String] = None,
-      checkIdCollision: Boolean = true): DataFrame = {
+      checkIdCollision: Boolean = true,
+      skipExistingIds: Boolean = false): DataFrame = {
     ingestOnly(spark, path, batch, idCol, vecCol, broadcastVectorLimit,
-      checkpointDir, checkIdCollision)
+      checkpointDir, checkIdCollision, skipExistingIds)
     val idType = Similarity.readIndexMeta(spark, path)("id_type")
     batch.join(
       currentLosers(spark, path, idType, maxIter, checkpointDir)
@@ -164,14 +165,21 @@ object IncrementalSemDedup {
     * unique — duplicates within the batch, or collisions with
     * already-ingested ids, fail fast (`checkIdCollision = false`
     * skips the store-id scan for callers whose id space guarantees
-    * it, e.g. a monotone ingestion-time key).
+    * it, e.g. a monotone ingestion-time key). `skipExistingIds = true`
+    * replaces the collision FAILURE with a FILTER: already-ingested
+    * ids drop from the batch and only genuinely new rows ingest —
+    * the replay semantics an at-least-once delivery (foreachBatch
+    * restart, a retried loader) needs, where throwing would
+    * poison-pill the pipeline on its own recovery. A fully-replayed
+    * batch is then a no-op ingest (counters +0, nothing appended).
     */
   def ingestOnly(
       spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String,
       broadcastVectorLimit: Long = 2000000L,
       checkpointDir: Option[String] = None,
-      checkIdCollision: Boolean = true): Long = {
+      checkIdCollision: Boolean = true,
+      skipExistingIds: Boolean = false): Long = {
     val meta = Similarity.readIndexMeta(spark, path)
     require(meta.get("kind").contains("semdedup"),
       s"no semdedup store at $path — create one with initStore")
@@ -193,6 +201,14 @@ object IncrementalSemDedup {
         s"store at $path holds ${t} ids — batch brings $idType")
     }
     val all = Similarity.hyperplanes(dim, b * r, seed)
+    // replay tolerance: under skipExistingIds the already-ingested ids
+    // FILTER out here (one skinny store-id scan — the same scan the
+    // fail-fast guard pays) and everything below sees new rows only
+    val src =
+      if (skipExistingIds && priorN > 0)
+        batch.join(spark.read.parquet(s"$path/rows")
+          .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      else batch
     // one kernel pass codes every band; u is the SAME normalize the
     // batch verify uses, so scores are bit-equal with full recompute.
     // The normalize is guarded: a NULL / wrong-dim / zero-norm /
@@ -202,7 +218,7 @@ object IncrementalSemDedup {
     // enter the store (it could not verify against anything, so it
     // would pollute `rows/` as a permanent false survivor).
     val nrm = Similarity.norm(col(vecCol))
-    val coded = batch.select(col(idCol).as("id"),
+    val coded = src.select(col(idCol).as("id"),
         when(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
             nrm > 0.0 && !isnan(nrm) &&
             nrm < lit(Double.PositiveInfinity),
@@ -228,7 +244,7 @@ object IncrementalSemDedup {
         "the min-id survivor rule needs unique ids")
     val hasStore = priorN > 0
     lazy val storeRows = spark.read.parquet(s"$path/rows")
-    if (checkIdCollision && hasStore) {
+    if (checkIdCollision && !skipExistingIds && hasStore) {
       val clash = storeRows.select(col("id"))
         .join(coded.select(col("id")), Seq("id"), "left_semi")
         .limit(5).collect().map(_.get(0))

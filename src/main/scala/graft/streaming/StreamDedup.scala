@@ -262,9 +262,12 @@ object StreamDedup {
         val out = graft.ml.IncrementalSemDedup.ingest(
           batch.sparkSession, storePath, batch.toDF(), idCol, vecCol,
           broadcastVectorLimit, maxIter, storeCheckpointDir,
-          // a replayed micro-batch would re-ingest its ids — the
-          // collision guard is exactly the replay detector here
-          checkIdCollision = true)
+          // a RESTARTED stream replays its last micro-batch — the
+          // fail-fast collision guard would poison-pill the recovery,
+          // so replayed ids FILTER instead: already-ingested rows
+          // skip, the emission recomputes over the whole delivered
+          // batch (at-least-once, like every twin in this file)
+          skipExistingIds = true)
         emit(out, batchId)
       }
       .start()

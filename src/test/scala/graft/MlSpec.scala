@@ -2674,6 +2674,20 @@ class MlSpec extends AnyFunSuite {
       .select($"id").as[Long].collect().toSet
     assert(s3.isEmpty, // near-dup of id 1 — the compacted store sees it
       "post-compaction ingest missed a near-dup of a stored row")
+    // replay tolerance (the restarted-stream path): re-delivering an
+    // already-ingested batch with skipExistingIds filters instead of
+    // failing — same emission, store untouched
+    val nBefore = graft.ml.Similarity.readIndexMeta(spark, store)(
+      "ingested_rows").toLong
+    val replay = IncrementalSemDedup.ingest(spark, store,
+        Seq((3L, Array(1.0f, 1e-5f)), (2L, Array(-1.0f, 0.2f)))
+          .toDF("id", "vec"), "id", "vec", skipExistingIds = true)
+      .select($"id").as[Long].collect().toSet
+    assert(replay == Set(2L), // 3 lost to 1 before; 2 still survives
+      s"replayed batch emission wrong: $replay")
+    assert(graft.ml.Similarity.readIndexMeta(spark, store)(
+      "ingested_rows").toLong == nBefore,
+      "a fully-replayed batch changed the store counters")
   }
 
   test("TopNCentroids kernel matches the lambda composition bit-for-" +
