@@ -254,7 +254,8 @@ object StreamDedup {
       storePath: String, checkpointLocation: String,
       broadcastVectorLimit: Long = 2000000L,
       maxIter: Int = 20,
-      storeCheckpointDir: Option[String] = None)(
+      storeCheckpointDir: Option[String] = None,
+      autoCompactMinFiles: Int = 0)(
       emit: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointLocation)
@@ -267,7 +268,11 @@ object StreamDedup {
           // so replayed ids FILTER instead: already-ingested rows
           // skip, the emission recomputes over the whole delivered
           // batch (at-least-once, like every twin in this file)
-          skipExistingIds = true)
+          skipExistingIds = true,
+          // a long-lived stream appends one file set per micro-batch;
+          // a positive threshold lets the store compact itself between
+          // ingests instead of waiting for an operator (r15 finding)
+          autoCompactMinFiles = autoCompactMinFiles)
         emit(out, batchId)
       }
       .start()
