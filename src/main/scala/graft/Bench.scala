@@ -214,8 +214,14 @@ object Bench {
     // divides the round's totals by the median before judging
     // regressions. Emitted only at the reference scale — the ratios
     // mean nothing against another dir.
+    // normalize the dir before the reference-scale gate (r15 advice:
+    // a trailing separator or equivalent path spelling silently
+    // dropped the sentinels key with nothing signalling why) — strip
+    // trailing separators and compare the basename
+    val sfBase = sfDir.replaceAll("[/\\\\]+$", "")
+      .split("[/\\\\]").lastOption.getOrElse("")
     val sentinelJson =
-      if (!sfDir.endsWith("sf0.1")) ""
+      if (sfBase != "sf0.1") ""
       else {
         val refs = Seq( // BENCH_r14_clean.json minima, sf0.1
           "q129_triangles" -> 7.206, "q150_psi_drift" -> 5.306,

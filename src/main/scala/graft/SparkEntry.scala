@@ -2856,8 +2856,9 @@ object SparkEntry {
     // replay-a-history shape); the per-batch EMISSION path is
     // spec-gated (MlSpec/StreamingSpec pin its provisional contract).
     "q215_semdedup_incremental" -> ((s, dir) => {
-      val store = s"${System.getProperty("java.io.tmpdir")}/graft_isd_" +
-        java.util.UUID.randomUUID().toString.take(8) + "/store"
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_isd_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val store = s"$root/store"
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       graft.ml.IncrementalSemDedup.initStore(s, store, dim = 64,
@@ -2867,7 +2868,42 @@ object SparkEntry {
         graft.ml.IncrementalSemDedup.ingestOnly(s, store,
           e.filter(col("vec_id") % 3 === k), "vec_id", "embedding")
       }
-      graft.ml.IncrementalSemDedup.survivors(s, store)
+      // materialize BEFORE deleting the temp store (r15 advice: each
+      // bench/verify invocation used to leave an orphan UUID store —
+      // rows/ holding the whole embeddings table — under tmpdir)
+      val out = graft.ml.IncrementalSemDedup.survivors(s, store)
+        .localCheckpoint(true)
+      rmTree(s, root)
+      out
+    }),
+
+    // Store re-commit under a NEW band family from store contents
+    // (r15 verdict #3): the corpus bulk-loads under a 2×4 family at a
+    // 0.5 threshold, then rebuildStore re-codes the persisted unit
+    // vectors to the 3×4/0.35 family — survivors must EQUAL
+    // full-recompute semDedup at the TARGET family, with the oracle
+    // coding from the NORMALIZED vectors exactly as the rebuild does
+    // (sign-LSH codes are scale-invariant; the u-coded replay proves
+    // the rebuilt store equals a fresh init + re-ingest).
+    "q218_semdedup_rebuild" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_isd_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val store = s"$root/store"
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.ml.IncrementalSemDedup.initStore(s, store, dim = 64,
+        minCosine = 0.5, planesPerBand = 4, bands = 2,
+        idCol = "vec_id")
+      (0 to 1).foreach { k =>
+        graft.ml.IncrementalSemDedup.ingestOnly(s, store,
+          e.filter(col("vec_id") % 2 === k), "vec_id", "embedding")
+      }
+      graft.ml.IncrementalSemDedup.rebuildStore(s, store,
+        minCosine = 0.35, planesPerBand = 4, bands = 3)
+      val out = graft.ml.IncrementalSemDedup.survivors(s, store)
+        .localCheckpoint(true)
+      rmTree(s, root)
+      out
     }),
 
     // IVF cluster-local exact pairs (r14 verdict #5 — the third
@@ -2883,7 +2919,32 @@ object SparkEntry {
         "embedding", minCosine = 0.5, nlist = 4, nprobe = 4)
         .select(col("id_a"), col("id_b"),
           round(col("score"), 4).as("score"))),
+
+    // Hybrid candidate generator (r15 verdict #5 — banding and IVF
+    // miss DIFFERENT pairs in the low-threshold regime; their union
+    // buys recall neither reaches alone) at the exactness config:
+    // nprobe = nlist makes the IVF side exact all-pairs, so the union
+    // is too and the oracle is the unsliced brute cosine join (the
+    // q216 proof pattern). Production configs are spec-gated
+    // (union-of-parents equality + subset-of-exact) plus the
+    // hybrid_recall_r16 planted artifact.
+    "q217_pairs_hybrid" -> ((s, dir) =>
+      Similarity.nearDupPairsHybrid(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, minCosine = 0.5, bands = 3,
+        planesPerBand = 4, nlist = 4, nprobe = 4)
+        .select(col("id_a"), col("id_b"),
+          round(col("score"), 4).as("score"))),
   )
+
+  /** Recursive temp-dir cleanup for queries that stage a managed
+    * store under java.io.tmpdir (materialize the result FIRST — the
+    * returned plan must not lazily re-read the deleted directory).
+    */
+  private def rmTree(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    ()
+  }
 
   /** BENCH-ONLY registry (r11 verdict #1): queries the bench measures
     * but the driver's DuckDB comparator never sees. The oracle-gated
@@ -3102,6 +3163,49 @@ object SparkEntry {
   private def sqlSemDedupSurvivors(
       bands: Int, r: Int, minCosine: Double): String =
     s"""WITH RECURSIVE ${sqlBandedCandCtes(bands, r)},
+       |p AS MATERIALIZED (SELECT id_a, id_b
+       | FROM cand JOIN u a ON a.vec_id = cand.id_a
+       |           JOIN u b2 ON b2.vec_id = cand.id_b
+       | WHERE list_sum(list_transform(range(1, len(a.u) + 1),
+       |     i -> a.u[i] * b2.u[i])) >= $minCosine),
+       |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
+       |        UNION ALL SELECT id_b, id_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+       |m AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+       |SELECT e.vec_id FROM embeddings e LEFT JOIN m ON m.id = e.vec_id
+       |WHERE m.id IS NULL OR m.mn >= e.vec_id""".stripMargin
+
+  /** q218's rebuild replay: the same full-recompute SemDeDup survivor
+    * derivation as [[sqlSemDedupSurvivors]], except the band codes
+    * compute from the NORMALIZED vectors — exactly what
+    * `IncrementalSemDedup.rebuildStore` does (the store persists `u`,
+    * not the raw vectors; sign-LSH codes are invariant under positive
+    * scaling, and this oracle proves the bit-level parity end-to-end
+    * rather than assuming the invariance survives floating point).
+    */
+  private def sqlSemDedupSurvivorsU(
+      bands: Int, r: Int, minCosine: Double): String =
+    s"""WITH RECURSIVE ${sqlPlaneMatCte(bands * r)},
+       |u AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding,
+       |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+       |  FROM embeddings),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, b,
+       |    list_sum(list_transform(range(1, ${r + 1}), p ->
+       |      CASE WHEN list_sum(list_transform(range(1, len(u.u) + 1),
+       |          i -> u.u[i] * __mat.m[b * $r + p][i])) >= 0
+       |        THEN (1 << (p - 1)) ELSE 0 END)) AS code
+       |  FROM u, __mat, range(0, $bands) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
+       |  FROM codes a JOIN codes x
+       |    ON a.b = x.b AND a.code = x.code AND a.vec_id < x.vec_id),
        |p AS MATERIALIZED (SELECT id_a, id_b
        | FROM cand JOIN u a ON a.vec_id = cand.id_a
        |           JOIN u b2 ON b2.vec_id = cand.id_b
@@ -4122,6 +4226,24 @@ object SparkEntry {
         | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
         |WHERE raw >= 0.5""".stripMargin,
+    // Hybrid generator at nprobe = nlist: the IVF side alone is exact
+    // all-pairs, the banded side is a subset, so the union is exact —
+    // the oracle is the same unsliced brute cosine join as q216.
+    "q217_pairs_hybrid" ->
+      """WITH sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(a.embedding)+1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(a.embedding,
+        |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(b.embedding,
+        |     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS raw
+        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(raw, 4) AS score FROM sc
+        |WHERE raw >= 0.5""".stripMargin,
+    // Store rebuild: survivors after re-committing the 3×4/0.35
+    // family from the store's persisted unit vectors — the oracle
+    // codes from u exactly as the rebuild does.
+    "q218_semdedup_rebuild" -> sqlSemDedupSurvivorsU(3, 4, 0.35),
     "q41_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),

@@ -145,8 +145,14 @@ object NearestCentroid {
   * lambda's `aggregate(zip_with(...))`, and the (distance, index)
   * ordering matches its `array_sort(struct(d, i))`, so selections are
   * bit-identical to the composed form (spec-pinned). Malformed
-  * vectors (dim mismatch, null element) yield NULL, the
-  * [[NearestCentroid]] hygiene contract.
+  * vectors (dim mismatch, null element, a NaN element) yield NULL,
+  * the [[NearestCentroid]] hygiene contract — the NaN case extends
+  * it (r15 advice): a NaN distance is incomparable, so the strict-<
+  * selection here and the lambda's array_sort (which orders NaN
+  * greatest) could pick DIFFERENT probe sets; returning NULL keeps
+  * the bit-parity claim total instead of scoping it to finite
+  * inputs. Infinities stay comparable (consistently ordered by both
+  * forms) and pass through.
   */
 case class TopNCentroids(
     child: Expression, centroids: Array[Array[Double]], n: Int)
@@ -227,6 +233,8 @@ object TopNCentroids {
         d += diff * diff
         j += 1
       }
+      // a NaN distance (NaN element) is incomparable — see class doc
+      if (java.lang.Double.isNaN(d)) return null
       dists(c) = d
       c += 1
     }

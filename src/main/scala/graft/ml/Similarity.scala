@@ -1115,7 +1115,8 @@ object Similarity {
       knownCount: Option[Long] = None,
       contractExactDups: Boolean = false,
       checkpointDir: Option[String] = None,
-      maxBucketSize: Long = 0L): DataFrame = {
+      maxBucketSize: Long = 0L,
+      hubsPerBucket: Int = 3): DataFrame = {
     require(bands >= 0, s"bands must be >= 0 (0 = recall-sized auto; " +
       s"got $bands)")
     // auto sizing only holds for thresholds with a real collision
@@ -1176,7 +1177,8 @@ object Similarity {
       nearDupPairsBanded(embeddings, idCol, vecCol, dim, minCosine,
         bands = b, planesPerBand = r, seed = seed,
         broadcastVectorLimit = broadcastVectorLimit,
-        knownCount = Some(n), maxBucketSize = maxBucketSize)
+        knownCount = Some(n), maxBucketSize = maxBucketSize,
+        hubsPerBucket = hubsPerBucket)
   }
 
   /** The band count that reaches `targetRecall` for a pair AT the
@@ -1285,7 +1287,8 @@ object Similarity {
       seed: Long = 42L, targetBucketSize: Long = 128L,
       broadcastVectorLimit: Long = 2000000L,
       knownCount: Option[Long] = None,
-      maxBucketSize: Long = 0L): DataFrame = {
+      maxBucketSize: Long = 0L,
+      hubsPerBucket: Int = 3): DataFrame = {
     require(bands >= 1, s"bands must be >= 1 (got $bands)")
     // the count feeds only auto sizing + the broadcast-verify decision
     // — a caller that already knows n (or cached a count upstream)
@@ -1293,70 +1296,8 @@ object Similarity {
     val n = knownCount.getOrElse(embeddings.count())
     val r = if (planesPerBand > 0) planesPerBand
       else autoPlanes(n, targetBucketSize)
-    val all = hyperplanes(dim, bands * r, seed)
-    // ALL band codes in one kernel pass (bit-equal to per-band
-    // lshCode slices — see the kernel scaladoc; the per-band lambda
-    // projection was the dominant term of the 64-band default at
-    // sf10: 57k literal doubles in generated code)
-    val skinny0 = embeddings
-      .select(col(idCol).as("id"),
-        graft.functions.LshBandCodes
-          .lshBandCodes(col(vecCol), all, r).as("__codes"))
-      .select(col("id"),
-        posexplode(col("__codes")).as(Seq("__band", "__code")))
-    // OPT-IN skew valve (r14 verdict #7): one giant NEAR-dup cluster
-    // (boilerplate embeddings) lands whole in the same bucket of
-    // EVERY band, and exact-dup contraction cannot touch it (the
-    // vectors differ) — a 5k-member cluster is 12.5M verify pairs,
-    // quadratic and irreducible as long as every pair must be emitted
-    // (they ARE true pairs; `skew_cluster_r15`). Buckets past
-    // `maxBucketSize` therefore switch to HUB candidates: every
-    // member pairs with the bucket's MIN id only — linear volume per
-    // oversized bucket, and dedup CONNECTIVITY survives because a
-    // genuine near-dup cluster verifies against its own hub (the
-    // first cut truncated oversized buckets to their smallest ids
-    // instead, and measured semDedup then KEPT 80 % of a planted 5k
-    // cluster — the same ids were kept in every band, so tail members
-    // never paired with anything; the hub shape is what the dedup
-    // caller needs). Hub candidates are a SUBSET of the uncapped
-    // bucket's pairs, so precision is untouched; pair-MINING recall
-    // inside oversized buckets deliberately drops to the star. Logged
-    // census (one extra aggregation over the skinny table — opt-in,
-    // the default path pays nothing).
-    val cand0 = if (maxBucketSize > 0) {
-      val oversized = skinny0
-        .groupBy(col("__band"), col("__code"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
-        .count()
-      if (oversized > 0)
-        log.warn(s"nearDupPairsBanded: $oversized buckets exceed " +
-          s"maxBucketSize = $maxBucketSize — emitting hub (min-id) " +
-          "candidates instead of all pairs there; within-bucket " +
-          "pair-mining recall drops to the star, dedup connectivity " +
-          "rides the hub (the documented skew-cap trade)")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__band"), col("__code"))
-      val sized = skinny0
-        .withColumn("__bn", count(lit(1)).over(w))
-        .withColumn("__bmin", min(col("id")).over(w))
-      val small = sized.filter(col("__bn") <= maxBucketSize)
-        .select(col("id"), col("__band"), col("__code"))
-      val smallPairs = small.as("a").join(small.as("x"),
-          col("a.__band") === col("x.__band") &&
-            col("a.__code") === col("x.__code") &&
-            col("a.id") < col("x.id"))
-        .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
-      val hubPairs = sized
-        .filter(col("__bn") > maxBucketSize && col("id") =!= col("__bmin"))
-        .select(col("__bmin").as("id_a"), col("id").as("id_b"))
-      smallPairs.unionByName(hubPairs)
-    } else
-      skinny0.as("a").join(skinny0.as("x"),
-          col("a.__band") === col("x.__band") &&
-            col("a.__code") === col("x.__code") &&
-            col("a.id") < col("x.id"))
-        .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
-    val cand = cand0.distinct()
+    val cand = bandedCandidatesRaw(embeddings, idCol, vecCol, dim,
+      bands, r, seed, maxBucketSize, hubsPerBucket).distinct()
     val un0 = embeddings.select(col(idCol).as("id"),
       normalize(col(vecCol)).as("u"))
     // the candidate stream must NOT shuffle its joined vectors — see
@@ -1369,6 +1310,100 @@ object Similarity {
       .withColumn("score", dot(col("ua"), col("ub")))
       .filter(col("score") >= minCosine)
       .select(col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** The banded candidate stream, PRE-distinct (a pair colliding in
+    * several bands surfaces once per band): skinny (id, band, code)
+    * self-join, 24-byte rows, vectors never enter the exchange —
+    * shared by [[nearDupPairsBanded]] (distinct-then-verify) and
+    * [[nearDupPairsHybrid]] (union with the IVF stream, then the
+    * shared verify-then-distinct).
+    *
+    * OPT-IN skew valve (r14 verdict #7): one giant NEAR-dup cluster
+    * (boilerplate embeddings) lands whole in the same bucket of
+    * EVERY band, and exact-dup contraction cannot touch it (the
+    * vectors differ) — a 5k-member cluster is 12.5M verify pairs,
+    * quadratic and irreducible as long as every pair must be emitted
+    * (they ARE true pairs; `skew_cluster_r15`). Buckets past
+    * `maxBucketSize` therefore switch to HUB candidates: every
+    * member pairs with the bucket's `hubsPerBucket` SMALLEST ids —
+    * linear volume per oversized bucket, and dedup CONNECTIVITY
+    * survives because a genuine near-dup cluster verifies against
+    * its own hubs (the first cut truncated oversized buckets to
+    * their smallest ids instead, and measured semDedup then KEPT
+    * 80 % of a planted 5k cluster — the same ids were kept in every
+    * band, so tail members never paired with anything; the hub shape
+    * is what the dedup caller needs). Hub candidates are a SUBSET of
+    * the uncapped bucket's pairs, so precision is untouched;
+    * pair-MINING recall inside oversized buckets deliberately drops
+    * to the K-hub star. K > 1 matters because a bucket's min id can
+    * be an LSH FALSE POSITIVE (r15 advice): a collider that fails
+    * verification against the genuine cluster would, as the only
+    * hub, leave that band contributing ZERO connectivity — with K
+    * small hubs the cluster stays connected unless ALL K are
+    * non-members, at linear extra cost. Logged census (one extra
+    * aggregation over the skinny table — opt-in, the default path
+    * pays nothing).
+    */
+  private def bandedCandidatesRaw(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bands: Int, planesPerBand: Int, seed: Long,
+      maxBucketSize: Long, hubsPerBucket: Int): DataFrame = {
+    require(hubsPerBucket >= 1,
+      s"hubsPerBucket must be >= 1 (got $hubsPerBucket)")
+    val all = hyperplanes(dim, bands * planesPerBand, seed)
+    // ALL band codes in one kernel pass (bit-equal to per-band
+    // lshCode slices — see the kernel scaladoc; the per-band lambda
+    // projection was the dominant term of the 64-band default at
+    // sf10: 57k literal doubles in generated code)
+    val skinny0 = embeddings
+      .select(col(idCol).as("id"),
+        graft.functions.LshBandCodes
+          .lshBandCodes(col(vecCol), all, planesPerBand).as("__codes"))
+      .select(col("id"),
+        posexplode(col("__codes")).as(Seq("__band", "__code")))
+    if (maxBucketSize > 0) {
+      val oversized = skinny0
+        .groupBy(col("__band"), col("__code"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+        .count()
+      if (oversized > 0)
+        log.warn(s"nearDupPairsBanded: $oversized buckets exceed " +
+          s"maxBucketSize = $maxBucketSize — emitting hub " +
+          s"($hubsPerBucket smallest-id) candidates instead of all " +
+          "pairs there; within-bucket pair-mining recall drops to " +
+          "the star, dedup connectivity rides the hubs (the " +
+          "documented skew-cap trade)")
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__band"), col("__code"))
+      val wo = wp.orderBy(col("id"))
+      val sized = skinny0
+        .withColumn("__bn", count(lit(1)).over(wp))
+        .withColumn("__rk", row_number().over(wo))
+      val small = sized.filter(col("__bn") <= maxBucketSize)
+        .select(col("id"), col("__band"), col("__code"))
+      val smallPairs = small.as("a").join(small.as("x"),
+          col("a.__band") === col("x.__band") &&
+            col("a.__code") === col("x.__code") &&
+            col("a.id") < col("x.id"))
+        .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
+      val over = sized.filter(col("__bn") > maxBucketSize)
+      val hubs = over.filter(col("__rk") <= hubsPerBucket)
+        .select(col("id").as("__hub"), col("__band"), col("__code"))
+      // every member pairs with each smaller-id hub (hub-hub pairs
+      // included via the same inequality) — K·n_b rows per bucket
+      val hubPairs = hubs.join(
+          over.select(col("id"), col("__band"), col("__code")),
+          Seq("__band", "__code"))
+        .filter(col("__hub") < col("id"))
+        .select(col("__hub").as("id_a"), col("id").as("id_b"))
+      smallPairs.unionByName(hubPairs)
+    } else
+      skinny0.as("a").join(skinny0.as("x"),
+          col("a.__band") === col("x.__band") &&
+            col("a.__code") === col("x.__code") &&
+            col("a.id") < col("x.id"))
+        .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
   }
 
   /** [[nearDupPairsBanded]] behind an EXACT-DUPLICATE contraction —
@@ -1501,27 +1536,51 @@ object Similarity {
     val sizedNlist = if (nlist == 0) autoNlist(n) else nlist
     val centroids =
       ivfCentroids(embeddings, idCol, vecCol, sizedNlist, iters, seed)
+    val cand = ivfCandidatesRaw(embeddings, idCol, vecCol, centroids,
+      nprobe)
+    verifyThenDedup(embeddings, idCol, vecCol, cand, minCosine, n,
+      broadcastVectorLimit)
+  }
+
+  /** The IVF candidate stream, PRE-distinct (a pair sharing k probed
+    * cells surfaces k times): every vector replicates to its nprobe
+    * nearest cells — a skinny (id, cell) probe table, 12-byte rows —
+    * and candidates are the cell-local self-join. Shared by
+    * [[nearDupPairsIvf]], [[nearDupPairsIvfFromIndex]], and
+    * [[nearDupPairsHybrid]].
+    */
+  private def ivfCandidatesRaw(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
     val probed = assignClustersProbe(
         embeddings.select(col(idCol).as("id"), col(vecCol).as("__v")),
         "__v", centroids, math.min(nprobe, centroids.length))
       .select(col("id"), explode(col("__probes")).as("__cell"))
-    val cand = probed.as("a").join(probed.as("x"),
+    probed.as("a").join(probed.as("x"),
         col("a.__cell") === col("x.__cell") && col("a.id") < col("x.id"))
       .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
+  }
+
+  /** Exact verification of a MULTIPLIED candidate stream (a pair may
+    * surface several times); where the dedup goes matters enormously.
+    * Under the broadcast verify the candidate stream flows MAP-SIDE
+    * through both vector joins and the threshold filter, so deduping
+    * the tiny ≥-threshold survivor set is nearly free —
+    * verify-then-distinct. Deduping FIRST would hash-exchange the
+    * whole multiplied candidate stream (measured: a distinct-first
+    * cut at the full-probe exactness config spent 729 s at sf1,
+    * where the 207M-pair brute oracle runs in 29 s — the 828M-row
+    * distinct WAS the query). The k-fold redundant dot products cost
+    * far less than shuffling the rows they score. Past
+    * `broadcastVectorLimit` the verify joins themselves exchange, so
+    * there distinct-first shrinks what they ship.
+    */
+  private def verifyThenDedup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      cand: DataFrame, minCosine: Double, n: Long,
+      broadcastVectorLimit: Long): DataFrame = {
     val un0 = embeddings.select(col(idCol).as("id"),
       normalize(col(vecCol)).as("u"))
-    // a pair sharing k probed cells surfaces k times; where the
-    // dedup goes matters enormously. Under the broadcast verify the
-    // candidate stream flows MAP-SIDE through both vector joins and
-    // the threshold filter, so deduping the tiny ≥-threshold survivor
-    // set is nearly free — verify-then-distinct. Deduping FIRST would
-    // hash-exchange the whole multiplied candidate stream (measured:
-    // a distinct-first cut at the full-probe exactness config spent
-    // 729 s at sf1, where the 207M-pair brute oracle runs in 29 s —
-    // the 828M-row distinct WAS the query). The k-fold redundant dot
-    // products cost far less than shuffling the rows they score.
-    // Past `broadcastVectorLimit` the verify joins themselves
-    // exchange, so there distinct-first shrinks what they ship.
     if (n <= broadcastVectorLimit) {
       val un = broadcast(un0)
       cand
@@ -1542,6 +1601,107 @@ object Similarity {
         .withColumn("score", dot(col("ua"), col("ub")))
         .filter(col("score") >= minCosine)
         .select(col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** [[nearDupPairsIvf]] over a persisted [[writeIvfIndex]] layout —
+    * repeated pair-mining runs skip the k-means build (r15 verdict
+    * #6: the scaladoc's "persist the probed table" posture was prose,
+    * not a callable): the COMMITTED centroids load from the index's
+    * metadata table (nlist×dim doubles — driver-side metadata, the
+    * ivfTopKFromIndex discipline), every indexed vector multi-probes
+    * through the [[graft.functions.TopNCentroids]] kernel in one
+    * distributed pass, and candidates/verification are the shared
+    * [[nearDupPairsIvf]] plan. Row-identical to the in-memory
+    * operator at the same (nlist, iters, seed) over the same corpus
+    * (spec-pinned — [[ivfCentroids]] is deterministic). The row
+    * count for the broadcast-verify decision comes from the
+    * manifest's indexed/appended counters — no counting scan.
+    * Appended vectors participate through the same staleness gate as
+    * every FromIndex probe: centroids do NOT retrain on append, so
+    * past `maxStaleRatio` rebuild first ([[rebuildIvfIndex]]).
+    */
+  def nearDupPairsIvfFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      minCosine: Double, nprobe: Int = 2,
+      broadcastVectorLimit: Long = 2000000L,
+      maxStaleRatio: Double = DefaultMaxStaleRatio,
+      strictStaleness: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
+      "empty probe set would find zero pairs")
+    val meta = readIndexMeta(spark, path)
+    requireMetaMatch(meta, "kind", "ivf", path)
+    checkProbeStaleness(meta, path, maxStaleRatio, strictStaleness)
+    val centroids: Seq[Seq[Double]] =
+      spark.read.parquet(s"$path/centroids")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toSeq
+    require(centroids.nonEmpty, s"no centroids at $path — not an IVF " +
+      "index (build it with writeIvfIndex)")
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val n = (for {
+      i <- meta.get("indexed_rows"); a <- meta.get("appended_rows")
+    } yield i.toLong + a.toLong).getOrElse(vecs.count())
+    val cand = ivfCandidatesRaw(vecs, idCol, vecCol, centroids, nprobe)
+    verifyThenDedup(vecs, idCol, vecCol, cand, minCosine, n,
+      broadcastVectorLimit)
+  }
+
+  /** UNION of the banded and IVF candidate generators in front of the
+    * shared exact verify — the hybrid the r15 recall study motivates
+    * (`ivf_pairs_r15`): in the low-threshold regime the two
+    * generators miss DIFFERENT pairs (banding capped at
+    * [[MaxAutoBands]] measured 0.779 total recall; IVF at production
+    * probes 1.0 on cluster-shaped mass but 0.21 on diffuse mid-cosine
+    * mass), so their union buys recall neither can reach alone at
+    * production cost. Precision stays 1 — every candidate verifies
+    * against the same normalized dot — and the output is EXACTLY the
+    * union of the two parents' outputs at the same parameters
+    * (spec-pinned), which also inherits the exactness oracle: at
+    * `nprobe = nlist` the IVF side alone is provably exact all-pairs
+    * (q217, the q216 proof pattern).
+    *
+    * Scale posture: both candidate streams are skinny self-joins
+    * (24-byte banded rows, 12-byte probe rows) feeding ONE
+    * verify-then-distinct under `broadcastVectorLimit` — the
+    * multiplied union dedupes AFTER the map-side verify, never as a
+    * pre-verify exchange. The corpus codes once per generator (one
+    * LshBandCodes pass, one TopNCentroids pass) — still linear scans,
+    * and the k-means build is the same [[ivfCentroids]] cost the IVF
+    * parent pays.
+    */
+  def nearDupPairsHybrid(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double,
+      bands: Int = 0, planesPerBand: Int = 4,
+      targetRecall: Double = 0.95, maxBands: Int = MaxAutoBands,
+      nlist: Int = 0, nprobe: Int = 2, iters: Int = 3,
+      seed: Long = 42L,
+      broadcastVectorLimit: Long = 2000000L,
+      knownCount: Option[Long] = None,
+      maxBucketSize: Long = 0L,
+      hubsPerBucket: Int = 3): DataFrame = {
+    require(bands >= 0, s"bands must be >= 0 (0 = recall-sized auto; " +
+      s"got $bands)")
+    require(bands > 0 || minCosine > -1.0,
+      s"minCosine = $minCosine admits every pair — no LSH screen " +
+        "helps; use nearDupPairsExact")
+    require(nprobe > 0, s"nprobe must be positive (got $nprobe) — an " +
+      "empty probe set would find zero pairs")
+    val n = knownCount.getOrElse(embeddings.count())
+    val b =
+      if (bands > 0) bands
+      else if (minCosine >= 1.0) 1
+      else autoBands(minCosine, planesPerBand, targetRecall, maxBands)
+    val sizedNlist = if (nlist == 0) autoNlist(n) else nlist
+    val centroids =
+      ivfCentroids(embeddings, idCol, vecCol, sizedNlist, iters, seed)
+    val cand = bandedCandidatesRaw(embeddings, idCol, vecCol, dim,
+        b, planesPerBand, seed, maxBucketSize, hubsPerBucket)
+      .unionByName(
+        ivfCandidatesRaw(embeddings, idCol, vecCol, centroids, nprobe))
+    verifyThenDedup(embeddings, idCol, vecCol, cand, minCosine, n,
+      broadcastVectorLimit)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
@@ -1581,7 +1741,8 @@ object Similarity {
       maxBands: Int = MaxAutoBands,
       broadcastVectorLimit: Long = 2000000L,
       knownCount: Option[Long] = None,
-      maxBucketSize: Long = 0L): DataFrame = {
+      maxBucketSize: Long = 0L,
+      hubsPerBucket: Int = 3): DataFrame = {
     // every banded knob passes through to the generator (r14 verdict
     // item: a default semDedup call paid the auto-size count() scan
     // that nearDupPairs(knownCount) exists to skip, and a caller in
@@ -1595,7 +1756,8 @@ object Similarity {
         knownCount = knownCount,
         contractExactDups = contractExactDups,
         checkpointDir = checkpointDir,
-        maxBucketSize = maxBucketSize)
+        maxBucketSize = maxBucketSize,
+        hubsPerBucket = hubsPerBucket)
         .select(col("id_a"), col("id_b"))
     val losers = Graph
       .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)
