@@ -446,6 +446,187 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "incremental_closure_profile") {
+      // r16 verdict #1 artifact: per-ingest EMISSION cost with the
+      // persisted-label closure (merge only the batch's new pairs)
+      // vs the r15 shape (full connected components over the
+      // accumulated pair graph per emission — replayed here as a
+      // public-API twin after each batch). The label path should stay
+      // flat across batches where the full closure grows.
+      //   sbt "runMain graft.Scratch incremental_closure_profile target/sf1"
+      import graft.ml.{Graph, IncrementalSemDedup, Similarity}
+      val minCos  = if (args.length > 2) args(2).toDouble else 0.85
+      val batches = if (args.length > 3) args(3).toInt else 10
+      val pinnedR = if (args.length > 4) args(4).toInt else 0
+      val pinnedB = if (args.length > 5) args(5).toInt else 0
+      val planted = new java.io.File(s"$sfDir/embeddings_planted.parquet")
+      val e = spark.read.parquet(
+          if (planted.exists()) planted.getPath
+          else s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val r = if (pinnedR > 0) pinnedR else Similarity.autoPlanes(n, 128)
+      val store = s"target/scratch_icc_${System.nanoTime()}/store"
+      val b = IncrementalSemDedup.initStore(spark, store, dim = 64,
+        minCosine = minCos, planesPerBand = r, bands = pinnedB,
+        idCol = "vec_id")
+      println(s"[prof] n=$n family B=$b r=$r cos>=$minCos batches=$batches")
+      (0 until batches).foreach { k =>
+        val part = e.filter(pmod(col("vec_id"), lit(batches)) === k)
+        val tI0 = System.nanoTime()
+        // emission-path shape: labels maintained per batch (the bulk
+        // default skips upkeep and closes once in survivors)
+        IncrementalSemDedup.ingestOnly(spark, store, part,
+          "vec_id", "embedding", maintainLabels = true)
+        val tIngest = (System.nanoTime() - tI0) / 1e9
+        // label-path emission: survivors() reads components/ — the
+        // closure cost a streaming consumer now pays per micro-batch
+        val tL0 = System.nanoTime()
+        val nsurv = IncrementalSemDedup.survivors(spark, store).count()
+        val tLabels = (System.nanoTime() - tL0) / 1e9
+        // the r15 twin: full CC over everything in pairs/ (what every
+        // emission used to recompute)
+        val tC0 = System.nanoTime()
+        val pairsSoFar = spark.read.parquet(s"$store/pairs")
+        val losers = Graph.connectedComponents(pairsSoFar,
+            "id_a", "id_b")
+          .filter(col("id") =!= col("component")).count()
+        val tFullCc = (System.nanoTime() - tC0) / 1e9
+        println(f"[prof] batch_$k ingest=$tIngest%.1f s " +
+          f"label_emission=$tLabels%.2f s full_cc_twin=$tFullCc%.2f s " +
+          s"survivors=$nsurv losers=$losers")
+      }
+      spark.stop(); return
+    }
+    if (name == "guard_prune_profile") {
+      // r16 verdict #2 artifact: the replay guard's store-id scan now
+      // prunes to the batch's id range — with monotone (per-batch
+      // disjoint) ids, parquet row-group stats skip every
+      // non-overlapping file, so a replayed micro-batch's guard cost
+      // should stay FLAT as the store grows 10×.
+      //   sbt "runMain graft.Scratch guard_prune_profile target/sf1"
+      import graft.ml.IncrementalSemDedup
+      val batches = if (args.length > 2) args(2).toInt else 10
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val store = s"target/scratch_gp_${System.nanoTime()}/store"
+      IncrementalSemDedup.initStore(spark, store, dim = 64,
+        minCosine = 0.85, planesPerBand = 8, bands = 4, idCol = "vec_id")
+      def batchDf(k: Int) = e
+        .withColumn("vec_id", col("vec_id") + lit(k * 100000000L))
+      def timedReplay(label: String): Unit = {
+        // a fully-replayed first batch: every id filters out, so the
+        // wall is the guard (+ a constant empty-ingest tail)
+        val t0 = System.nanoTime()
+        IncrementalSemDedup.ingestOnly(spark, store, batchDf(0),
+          "vec_id", "embedding", skipExistingIds = true)
+        println(f"[prof] $label replay_guard_wall=" +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      (0 until batches).foreach { k =>
+        val t0 = System.nanoTime()
+        IncrementalSemDedup.ingestOnly(spark, store, batchDf(k),
+          "vec_id", "embedding", checkIdCollision = false)
+        println(f"[prof] ingest_$k: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        if (k == 0) timedReplay("store_1x")
+      }
+      timedReplay(s"store_${batches}x")
+      spark.stop(); return
+    }
+    if (name == "hybrid_recall_profile") {
+      // r16 verdict #5 artifact: union-of-generators recall at
+      // production cost in the low-threshold regime where the two
+      // parents miss DIFFERENT pairs (ivf_pairs_r15 measured banding
+      // capped at 0.779 total recall, IVF-np2 at 0.21 total / 1.0
+      // cluster recall at minCosine 0.35).
+      //   sbt "runMain graft.Scratch hybrid_recall_profile target/sf1 0.35"
+      import graft.ml.Similarity
+      val minCos = if (args.length > 2) args(2).toDouble else 0.35
+      val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
+      val n = e.count()
+      val twins = e.filter(col("parent_id") >= 0)
+        .select(col("vec_id"), col("parent_id"))
+      val members = twins.unionByName(
+        twins.select(col("parent_id")).distinct()
+          .select(col("parent_id").as("vec_id"), col("parent_id")))
+      val withVec = members.join(
+        e.select(col("vec_id"), col("embedding")), "vec_id")
+      val truth = withVec.as("a").join(withVec.as("b"),
+          col("a.parent_id") === col("b.parent_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          Similarity.dot(
+            Similarity.normalize(col("a.embedding")),
+            Similarity.normalize(col("b.embedding"))).as("c"))
+        .filter(col("c") >= minCos)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+      val tEx0 = System.nanoTime()
+      val exact = Similarity.nearDupPairsExact(e, "vec_id", "embedding",
+          minCosine = minCos)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+      println(f"[prof] n=$n planted=${truth.size} exact=${exact.size} " +
+        f"(brute ${(System.nanoTime() - tEx0) / 1e9}%.1f s)")
+      def run(label: String, f: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val got = f.select(col("id_a"), col("id_b"))
+          .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] $label%-24s planted_recall=" +
+          f"${truth.count(got).toDouble / truth.size}%.3f total_recall=" +
+          f"${exact.count(got).toDouble / exact.size}%.3f " +
+          f"pairs=${got.size} sec=$dt%.1f")
+      }
+      run("banded_default",
+        Similarity.nearDupPairs(e, "vec_id", "embedding", dim = 64,
+          minCosine = minCos, targetBucketSize = Some(128L),
+          knownCount = Some(n)))
+      run("ivf_auto_np2",
+        Similarity.nearDupPairsIvf(e, "vec_id", "embedding",
+          minCosine = minCos, nlist = 0, nprobe = 2,
+          knownCount = Some(n)))
+      val r = Similarity.autoPlanes(n, 128)
+      run("hybrid_np2",
+        Similarity.nearDupPairsHybrid(e, "vec_id", "embedding",
+          dim = 64, minCosine = minCos, planesPerBand = r,
+          nlist = 0, nprobe = 2, knownCount = Some(n)))
+      spark.stop(); return
+    }
+    if (name == "ivf_from_index_profile") {
+      // r16 verdict #6 artifact: repeated pair mining over a persisted
+      // IVF index skips the k-means build — from-index wall vs the
+      // in-memory operator, sets asserted identical.
+      //   sbt "runMain graft.Scratch ivf_from_index_profile target/sf1 0.35"
+      import graft.ml.Similarity
+      val minCos = if (args.length > 2) args(2).toDouble else 0.35
+      val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val nlist = Similarity.autoNlist(n)
+      val idx = s"target/scratch_ivfidx_${System.nanoTime()}/idx"
+      val tB0 = System.nanoTime()
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", idx,
+        nlist = nlist)
+      println(f"[prof] index build (nlist=$nlist): " +
+        f"${(System.nanoTime() - tB0) / 1e9}%.1f s")
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id_a"), col("id_b"))
+          .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+      val tM0 = System.nanoTime()
+      val mem = pairsOf(Similarity.nearDupPairsIvf(e, "vec_id",
+        "embedding", minCosine = minCos, nlist = nlist, nprobe = 2,
+        knownCount = Some(n)))
+      val tMem = (System.nanoTime() - tM0) / 1e9
+      val tI0 = System.nanoTime()
+      val fromIdx = pairsOf(Similarity.nearDupPairsIvfFromIndex(spark,
+        idx, "vec_id", "embedding", minCosine = minCos, nprobe = 2))
+      val tIdx = (System.nanoTime() - tI0) / 1e9
+      println(f"[prof] in_memory=$tMem%.1f s (trains k-means) " +
+        f"from_index=$tIdx%.1f s pairs=${fromIdx.size} " +
+        s"equal=${mem == fromIdx}")
+      spark.stop(); return
+    }
     if (name == "incremental_semdedup_profile") {
       // r15 verdict #1 artifact: per-increment cost of band-store
       // incremental semDedup vs the full recompute each arrival used

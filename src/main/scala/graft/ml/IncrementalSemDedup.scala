@@ -37,31 +37,36 @@ import org.apache.spark.sql.functions._
   *    needs.
   *  - `$path/components` — (id, component): the connected-component
   *    label of every id appearing in `pairs`, maintained
-  *    INCREMENTALLY (r15 verdict #1 — `ingest`/`survivors` used to
-  *    recompute connected components over the FULL accumulated pair
-  *    graph on every call, the one per-ingest cost that grew with
-  *    HISTORY instead of the increment). Each ingest contracts its
-  *    NEW pairs through the existing labels (endpoint → its
-  *    component, itself when unlabeled), runs the closure over that
-  *    DELTA graph alone — bounded by the batch's pair count, not the
-  *    corpus's — and folds the resulting root moves back with one
-  *    broadcast join over the label table. Each old component's
-  *    label is already its member minimum, so the delta roots are
-  *    the merged components' global minima: the folded table is
-  *    byte-for-byte what a full closure over `pairs` computes
-  *    (spec-pinned; the q215 oracle replays the full-corpus closure
-  *    in SQL). Published through the retire-first staged swap, never
-  *    rewritten in place.
+  *    INCREMENTALLY on the emission path (r15 verdict #1 —
+  *    `ingest`/`survivors` used to recompute connected components
+  *    over the FULL accumulated pair graph on every call, the one
+  *    per-ingest cost that grew with HISTORY instead of the
+  *    increment). Each [[ingest]] contracts its NEW pairs through
+  *    the existing labels (endpoint → its component, itself when
+  *    unlabeled), runs the closure over that DELTA graph alone —
+  *    bounded by the batch's pair count, not the corpus's — and
+  *    folds the resulting root moves back with one broadcast join
+  *    over the label table. Each old component's label is already
+  *    its member minimum, so the delta roots are the merged
+  *    components' global minima: the folded table is byte-for-byte
+  *    what a full closure over `pairs` computes (spec-pinned; the
+  *    q215 oracle replays the full-corpus closure in SQL). Published
+  *    through the retire-first staged swap, never rewritten in place.
   *
-  * == Label freshness (crash windows) ==
+  * == Label freshness (bulk loads and crash windows) ==
   *
   * `closed_pairs` in the manifest must equal the actual row count of
-  * `pairs/` for the labels to be trusted. A crash between the pairs
-  * append and the components swap (or the final manifest republish)
-  * leaves a mismatch; every reader then falls back to the full
-  * closure — correct, just slower — and the next ingest rebuilds the
-  * labels from the pair table, healing the store. A pre-r16 store
-  * (no `closed_pairs` key) takes the same path on its first ingest.
+  * `pairs/` for the labels to be trusted. The bulk path leaves them
+  * STALE BY DESIGN — [[ingestOnly]] skips label upkeep because
+  * per-batch closures are pure overhead when nobody reads between
+  * batches (the r15 lesson that split the two entry points) — and
+  * the first stale read ([[survivors]] at the end of the load) runs
+  * the full closure ONCE and publishes it, amortizing the cost over
+  * every later read and ingest. A crash between the pairs append
+  * and the components swap (or the final manifest republish) leaves
+  * the same detectable mismatch, with the same self-healing read. A
+  * pre-r16 store (no `closed_pairs` key) heals identically on its
+  * first read or emission-path ingest.
   *
   * == Why the result equals full recompute ==
   *
@@ -188,7 +193,7 @@ object IncrementalSemDedup {
       autoCompactMinFiles: Int = 0): DataFrame = {
     ingestOnly(spark, path, batch, idCol, vecCol, broadcastVectorLimit,
       checkpointDir, checkIdCollision, skipExistingIds, maxIter,
-      autoCompactMinFiles)
+      autoCompactMinFiles, maintainLabels = true)
     val meta = Similarity.readIndexMeta(spark, path)
     batch.join(
       currentLosers(spark, path, meta, maxIter, checkpointDir)
@@ -218,6 +223,15 @@ object IncrementalSemDedup {
     * long-lived [[graft.streaming.StreamDedup.semDedupStream]] needs
     * so one file set per micro-batch doesn't accrete until an
     * operator intervenes (r15 judge finding #2).
+    *
+    * `maintainLabels` keeps the persisted component labels current
+    * per batch — what [[ingest]] passes, because the EMISSION path
+    * reads them every micro-batch. A bulk loader replaying history
+    * leaves it false (the default): label upkeep per batch is pure
+    * overhead when nobody reads between batches — the r15 lesson
+    * that split this method from [[ingest]] in the first place —
+    * and the one closure the history needs then runs (and publishes)
+    * inside the final [[survivors]] call.
     */
   def ingestOnly(
       spark: SparkSession, path: String,
@@ -227,7 +241,8 @@ object IncrementalSemDedup {
       checkIdCollision: Boolean = true,
       skipExistingIds: Boolean = false,
       maxIter: Int = 20,
-      autoCompactMinFiles: Int = 0): Long = {
+      autoCompactMinFiles: Int = 0,
+      maintainLabels: Boolean = false): Long = {
     val meta = Similarity.readIndexMeta(spark, path)
     require(meta.get("kind").contains("semdedup"),
       s"no semdedup store at $path — create one with initStore")
@@ -387,11 +402,17 @@ object IncrementalSemDedup {
     val newPairs = materialize(spark, verified, checkpointDir)
     cross.foreach(_.unpersist())
     // ------- incremental survivor closure (r15 verdict #1) -------
-    // Stage the merged labels BEFORE the appends (the staged write
-    // reads the LIVE components dir and the checkpointed newPairs —
-    // never the directories being appended to), publish AFTER. Every
-    // crash window leaves closed_pairs ≠ count(pairs), which readers
+    // Only on the emission path (maintainLabels): stage the merged
+    // labels BEFORE the appends (the staged write reads the LIVE
+    // components dir and the checkpointed newPairs — never the
+    // directories being appended to), publish AFTER. Every crash
+    // window leaves closed_pairs ≠ count(pairs), which readers
     // detect and fall back to the full closure on (see the scaladoc).
+    // The bulk path skips all of it and leaves closed_pairs stale BY
+    // DESIGN — the final survivors() call closes and publishes once.
+    var stageLabels = false
+    var closedPairs = meta.get("closed_pairs")
+    if (maintainLabels) {
     val newPairCount = newPairs.count()
     val priorPairRows = countRows(spark, s"$path/pairs")
     val labelsFresh =
@@ -401,12 +422,14 @@ object IncrementalSemDedup {
       if (priorPairRows == 0L) emptyIdFrame(spark, idType, "id", "component")
       else if (labelsFresh) spark.read.parquet(s"$path/components")
       else {
-        // stale (crash window) or pre-r16 store: one full closure over
-        // the pair table rebuilds the labels and heals the store
+        // stale (crash window, a bulk-loaded history, or a pre-r16
+        // store): one full closure over the pair table rebuilds the
+        // labels and heals the store
         Graph.connectedComponents(loadPairs(spark, path, idType),
           "id_a", "id_b", maxIter, checkpointDir)
       }
-    val stageLabels = newPairCount > 0 || (!labelsFresh && priorPairRows > 0)
+    stageLabels = newPairCount > 0 || (!labelsFresh && priorPairRows > 0)
+    closedPairs = Some((priorPairRows + newPairCount).toString)
     if (stageLabels) {
       val merged =
         if (newPairCount == 0) priorLabels // pure heal, nothing to merge
@@ -452,6 +475,7 @@ object IncrementalSemDedup {
         }
       merged.write.mode("overwrite").parquet(s"$path/_staged_components")
     }
+    } // maintainLabels
     newPairs.write.mode("append").parquet(s"$path/pairs")
     coded.write.mode("append").parquet(s"$path/rows")
     if (stageLabels)
@@ -459,8 +483,8 @@ object IncrementalSemDedup {
     Similarity.writeIndexManifest(spark, path,
       ((meta - "ingested_rows" - "id_type" - "closed_pairs") +
         ("ingested_rows" -> (priorN + batchN).toString) +
-        ("id_type" -> idType) +
-        ("closed_pairs" -> (priorPairRows + newPairCount).toString))
+        ("id_type" -> idType) ++
+        closedPairs.map("closed_pairs" -> _))
         .toSeq.sortBy(_._1))
     if (autoCompactMinFiles > 0 &&
         dataFileCount(spark, s"$path/rows") >= autoCompactMinFiles) {
@@ -475,8 +499,11 @@ object IncrementalSemDedup {
     * row-identical to full-recompute [[Similarity.semDedup]] over the
     * union at the committed family (the q215 oracle). One column,
     * named as the committed id column. Reads the maintained component
-    * labels (one small scan + an anti-join) when they are fresh;
-    * falls back to the full closure over `pairs/` otherwise.
+    * labels (one small scan + an anti-join) when they are fresh; when
+    * stale (the bulk `ingestOnly` lifecycle leaves them so by design)
+    * runs the full closure ONCE and publishes it, so the cost
+    * amortizes across every later read and ingest. Single-writer
+    * contract: call between ingests, like [[compact]].
     */
   def survivors(
       spark: SparkSession, path: String,
@@ -660,9 +687,13 @@ object IncrementalSemDedup {
 
   /** Ids demoted by the accumulated pair graph: every component
     * member except its min. Reads the maintained labels when
-    * `closed_pairs` matches the pair table (one pruned scan); falls
-    * back to the full closure when it doesn't (crash window /
-    * pre-r16 store — see the freshness protocol in the scaladoc).
+    * `closed_pairs` matches the pair table (one pruned scan); when
+    * they are STALE — a bulk-loaded history (the designed
+    * `ingestOnly` path), a crash window, or a pre-r16 store — runs
+    * the full closure ONCE and PUBLISHES it (staged swap + manifest
+    * republish), so every later reader and ingest rides the labels.
+    * Publishing from the read path is safe under the store's
+    * single-writer contract (run between ingests, like [[compact]]).
     * Empty when no pair has ever verified.
     */
   private def currentLosers(
@@ -677,8 +708,16 @@ object IncrementalSemDedup {
       if (actualPairs == 0L)
         emptyIdFrame(spark, idType, "id", "component")
       else if (fresh) spark.read.parquet(s"$path/components")
-      else Graph.connectedComponents(loadPairs(spark, path, idType),
-        "id_a", "id_b", maxIter, checkpointDir)
+      else {
+        Graph.connectedComponents(loadPairs(spark, path, idType),
+            "id_a", "id_b", maxIter, checkpointDir)
+          .write.mode("overwrite").parquet(s"$path/_staged_components")
+        Similarity.swapIndexDirs(spark, path, Seq("components"))
+        Similarity.writeIndexManifest(spark, path,
+          ((meta - "closed_pairs") +
+            ("closed_pairs" -> actualPairs.toString)).toSeq.sortBy(_._1))
+        spark.read.parquet(s"$path/components")
+      }
     labels.filter(col("id") =!= col("component")).select(col("id"))
   }
 

@@ -2700,36 +2700,53 @@ class MlSpec extends AnyFunSuite {
       .createTempDirectory("graft_isd_cc").toString + "/store"
     IncrementalSemDedup.initStore(spark, store, dim = 64,
       minCosine = 0.35, planesPerBand = 4, bands = 3, idCol = "vec_id")
+    // BULK lifecycle: ingestOnly leaves the labels stale by design
+    // (no per-batch closure) — the first survivors() call closes
+    // once and PUBLISHES
     (0 to 1).foreach { k =>
       IncrementalSemDedup.ingestOnly(spark, store,
         e.filter($"vec_id" % 2 === k), "vec_id", "embedding")
     }
-    // the maintained labels ARE the closure: components/ holds every
-    // pair-graph node labeled with its component minimum
-    val labels = spark.read.parquet(s"$store/components")
-    val full = graft.ml.Graph.connectedComponents(
-      spark.read.parquet(s"$store/pairs"), "id_a", "id_b")
-    assert(labels.as[(Long, Long)].collect().toSet ==
-      full.as[(Long, Long)].collect().toSet,
-      "persisted labels diverge from the full closure over pairs/")
     val want = IncrementalSemDedup.survivors(spark, store)
       .as[Long].collect().toSet
+    // the published labels ARE the closure: components/ holds every
+    // pair-graph node labeled with its component minimum
+    def labelSet = spark.read.parquet(s"$store/components")
+      .as[(Long, Long)].collect().toSet
+    val full = graft.ml.Graph.connectedComponents(
+        spark.read.parquet(s"$store/pairs"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(labelSet == full,
+      "published labels diverge from the full closure over pairs/")
+    // and the manifest records exactly the pair rows they reflect
+    assert(Similarity.readIndexMeta(spark, store)("closed_pairs").toLong
+      == spark.read.parquet(s"$store/pairs").count())
     // sabotage: drop components/ — survivors must fall back to the
-    // full closure (the crash-window protocol), not fail or drift
+    // full closure (the crash-window protocol), re-publish, and not
+    // drift
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(s"$store/components"), true)
     assert(IncrementalSemDedup.survivors(spark, store)
       .as[Long].collect().toSet == want,
       "stale-label fallback changed the survivor set")
-    // the next ingest rebuilds the labels from pairs/ and heals
-    IncrementalSemDedup.ingestOnly(spark, store,
-      e.filter($"vec_id" % 2 === 1).limit(0), "vec_id", "embedding")
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/components")),
-      "a post-sabotage ingest did not republish the labels")
-    assert(IncrementalSemDedup.survivors(spark, store)
-      .as[Long].collect().toSet == want,
-      "healed labels diverge from the pre-sabotage survivors")
+      "the stale read did not re-publish the labels")
+    assert(labelSet == full, "re-published labels diverge")
+    // the EMISSION path maintains the labels incrementally: after an
+    // ingest() with new pairs, components/ must still equal the full
+    // closure over the grown pair table (merge-only, no recompute)
+    IncrementalSemDedup.ingest(spark, store,
+      e.filter($"vec_id" % 2 === 1)
+        .withColumn("vec_id", $"vec_id" + 1000000L),
+      "vec_id", "embedding")
+    val full2 = graft.ml.Graph.connectedComponents(
+        spark.read.parquet(s"$store/pairs"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(full2.size > full.size, "the second ingest added no pairs " +
+      "— the incremental-merge leg is vacuous")
+    assert(labelSet == full2,
+      "incrementally merged labels diverge from the full closure")
   }
 
   test("incremental semDedup auto-compact: ingests past the file " +
