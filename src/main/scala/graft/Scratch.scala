@@ -593,6 +593,48 @@ object Scratch {
           nlist = 0, nprobe = 2, knownCount = Some(n)))
       spark.stop(); return
     }
+    if (name == "banded_dedup_order_profile") {
+      // Experiment behind a possible r16 plan change: the hybrid
+      // artifact measured verify-then-distinct over a SUPERSET of the
+      // banded candidates (banded ∪ IVF) at 68 s where the banded
+      // default's distinct-FIRST costs 98.6 s — under the broadcast
+      // verify, deduping the multiplied candidate stream exchanges
+      // every colliding pair (including sub-threshold ones) where
+      // verify-then-distinct exchanges only the multiplied SURVIVOR
+      // set. Measure both orders on the banded candidates alone at
+      // the capped low-threshold regime AND the recall-sized high
+      // threshold before touching the audited default.
+      //   sbt "runMain graft.Scratch banded_dedup_order_profile target/sf1"
+      import graft.ml.Similarity
+      val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      def run(label: String, f: => org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+        val t0 = System.nanoTime()
+        val got = f.select(col("id_a"), col("id_b"))
+          .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+        println(f"[prof] $label%-34s pairs=${got.size} " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        got
+      }
+      Seq((0.35, "capped64"), (0.85, "sized")).foreach { case (mc, tag) =>
+        val r = Similarity.autoPlanes(n, 128)
+        val b = if (mc < 0.5) 64
+          else Similarity.bandsForRecall(mc, r, 0.95)
+        println(s"[prof] --- minCos=$mc family ${b}x$r")
+        val df = run(s"${tag}_distinct_first",
+          Similarity.nearDupPairsBanded(e, "vec_id", "embedding",
+            dim = 64, minCosine = mc, bands = b, planesPerBand = r,
+            knownCount = Some(n)))
+        val vf = run(s"${tag}_verify_then_distinct",
+          Similarity.verifyThenDedup(e, "vec_id", "embedding",
+            Similarity.bandedCandidatesRaw(e, "vec_id", "embedding",
+              64, b, r, 42L, 0L, 3),
+            mc, n, 2000000L))
+        println(s"[prof] ${tag} sets_equal=${df == vf}")
+      }
+      spark.stop(); return
+    }
     if (name == "ivf_from_index_profile") {
       // r16 verdict #6 artifact: repeated pair mining over a persisted
       // IVF index skips the k-means build — from-index wall vs the

@@ -1261,8 +1261,14 @@ object Similarity {
     * Scale posture: candidates come from a skinny (id, band, code)
     * self-join — 24-byte rows, vectors never enter the candidate
     * exchange (they join back by id for the verify, the PPJoin
-    * discipline) — then distinct (a pair colliding in several bands
-    * verifies once). The verify joins BROADCAST the normalized-vector
+    * discipline) — and dedupe AFTER the broadcast verify (r16: a
+    * pair colliding in several bands scores redundantly map-side,
+    * which costs far less than hash-exchanging the multiplied
+    * candidate stream the old distinct-first order paid — measured
+    * 1.6–1.7× across both threshold regimes,
+    * `banded_dedup_order_r16`; past `broadcastVectorLimit` the order
+    * flips back, see [[verifyThenDedup]]). The verify joins
+    * BROADCAST the normalized-vector
     * table up to `broadcastVectorLimit` rows (the
     * [[Graph.triangleCounts]] adjacency discipline): a shuffle-join
     * verify would ship one ~8·dim-byte vector per CANDIDATE — at
@@ -1296,20 +1302,22 @@ object Similarity {
     val n = knownCount.getOrElse(embeddings.count())
     val r = if (planesPerBand > 0) planesPerBand
       else autoPlanes(n, targetBucketSize)
-    val cand = bandedCandidatesRaw(embeddings, idCol, vecCol, dim,
-      bands, r, seed, maxBucketSize, hubsPerBucket).distinct()
-    val un0 = embeddings.select(col(idCol).as("id"),
-      normalize(col(vecCol)).as("u"))
-    // the candidate stream must NOT shuffle its joined vectors — see
-    // the scaladoc; past the limit fall back to shuffle joins (and
-    // expect to need a bigger cluster)
-    val un = if (n <= broadcastVectorLimit) broadcast(un0) else un0
-    cand
-      .join(un.select(col("id").as("id_a"), col("u").as("ua")), Seq("id_a"))
-      .join(un.select(col("id").as("id_b"), col("u").as("ub")), Seq("id_b"))
-      .withColumn("score", dot(col("ua"), col("ub")))
-      .filter(col("score") >= minCosine)
-      .select(col("id_a"), col("id_b"), col("score"))
+    // dedup order (r16): under the broadcast verify the candidate
+    // stream flows map-side, so the per-pair dedup moves AFTER the
+    // threshold filter — distinct-first hash-exchanged every
+    // colliding candidate (sub-threshold ones included) where
+    // verify-then-distinct exchanges only the multiplied survivor
+    // set. Measured on the banded candidates alone
+    // (`banded_dedup_order_r16`): 102 → 59 s at the capped
+    // 64-band/0.35 regime and 16.8 → 10.5 s at the recall-sized
+    // 13×8/0.85 family, identical pair sets. Past
+    // `broadcastVectorLimit` the helper flips to distinct-first,
+    // exactly the old plan — there the verify joins themselves
+    // exchange, so shrinking their input wins.
+    verifyThenDedup(embeddings, idCol, vecCol,
+      bandedCandidatesRaw(embeddings, idCol, vecCol, dim, bands, r,
+        seed, maxBucketSize, hubsPerBucket),
+      minCosine, n, broadcastVectorLimit)
   }
 
   /** The banded candidate stream, PRE-distinct (a pair colliding in
@@ -1345,7 +1353,7 @@ object Similarity {
     * aggregation over the skinny table — opt-in, the default path
     * pays nothing).
     */
-  private def bandedCandidatesRaw(
+  private[graft] def bandedCandidatesRaw(
       embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, bands: Int, planesPerBand: Int, seed: Long,
       maxBucketSize: Long, hubsPerBucket: Int): DataFrame = {
@@ -1575,7 +1583,7 @@ object Similarity {
     * `broadcastVectorLimit` the verify joins themselves exchange, so
     * there distinct-first shrinks what they ship.
     */
-  private def verifyThenDedup(
+  private[graft] def verifyThenDedup(
       embeddings: DataFrame, idCol: String, vecCol: String,
       cand: DataFrame, minCosine: Double, n: Long,
       broadcastVectorLimit: Long): DataFrame = {
