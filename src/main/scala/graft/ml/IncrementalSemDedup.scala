@@ -503,12 +503,17 @@ object IncrementalSemDedup {
     * stale (the bulk `ingestOnly` lifecycle leaves them so by design)
     * runs the full closure ONCE and publishes it, so the cost
     * amortizes across every later read and ingest. Single-writer
-    * contract: call between ingests, like [[compact]].
+    * contract: call between ingests, like [[compact]]. A consumer
+    * that does NOT own the store (a read-only mount, a replica)
+    * passes `publishOnStale = false` — the stale path then computes
+    * the closure without writing anything, at full-recompute cost
+    * every call until the owner heals the labels.
     */
   def survivors(
       spark: SparkSession, path: String,
       maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      publishOnStale: Boolean = true): DataFrame = {
     val meta = Similarity.readIndexMeta(spark, path)
     require(meta.get("kind").contains("semdedup"),
       s"no semdedup store at $path — create one with initStore")
@@ -516,8 +521,8 @@ object IncrementalSemDedup {
       s"nothing ingested at $path yet")
     val idCol = meta("id_col")
     spark.read.parquet(s"$path/rows").select(col("id"))
-      .join(currentLosers(spark, path, meta, maxIter, checkpointDir),
-        Seq("id"), "left_anti")
+      .join(currentLosers(spark, path, meta, maxIter, checkpointDir,
+        publishOnStale), Seq("id"), "left_anti")
       .select(col("id").as(idCol))
   }
 
@@ -698,7 +703,8 @@ object IncrementalSemDedup {
     */
   private def currentLosers(
       spark: SparkSession, path: String, meta: Map[String, String],
-      maxIter: Int, checkpointDir: Option[String]): DataFrame = {
+      maxIter: Int, checkpointDir: Option[String],
+      publishOnStale: Boolean = true): DataFrame = {
     val idType = meta("id_type")
     val actualPairs = countRows(spark, s"$path/pairs")
     val fresh =
@@ -708,6 +714,9 @@ object IncrementalSemDedup {
       if (actualPairs == 0L)
         emptyIdFrame(spark, idType, "id", "component")
       else if (fresh) spark.read.parquet(s"$path/components")
+      else if (!publishOnStale)
+        Graph.connectedComponents(loadPairs(spark, path, idType),
+          "id_a", "id_b", maxIter, checkpointDir)
       else {
         Graph.connectedComponents(loadPairs(spark, path, idType),
             "id_a", "id_b", maxIter, checkpointDir)

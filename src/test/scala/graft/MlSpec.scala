@@ -2733,6 +2733,17 @@ class MlSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/components")),
       "the stale read did not re-publish the labels")
     assert(labelSet == full, "re-published labels diverge")
+    // a NON-owning reader (read-only mount) opts out of the publish:
+    // same answer, nothing written
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/components"), true)
+    assert(IncrementalSemDedup.survivors(spark, store,
+        publishOnStale = false)
+      .as[Long].collect().toSet == want,
+      "publishOnStale=false changed the survivor set")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/components")),
+      "a publishOnStale=false read wrote to the store")
+    // restore via an owning read before the emission leg
+    IncrementalSemDedup.survivors(spark, store).count()
     // the EMISSION path maintains the labels incrementally: after an
     // ingest() with new pairs, components/ must still equal the full
     // closure over the grown pair table (merge-only, no recompute)
