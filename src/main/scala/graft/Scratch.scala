@@ -605,15 +605,25 @@ object Scratch {
       // the capped low-threshold regime AND the recall-sized high
       // threshold before touching the audited default.
       //   sbt "runMain graft.Scratch banded_dedup_order_profile target/sf1"
+      // At sf10 the 0.35 pair set is tens of millions of rows — pass
+      // "count" as the third arg to compare row counts instead of
+      // collecting pair sets to the driver.
       import graft.ml.Similarity
+      val countOnly = args.length > 2 && args(2) == "count"
       val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
         .select(col("vec_id"), col("embedding"))
       val n = e.count()
-      def run(label: String, f: => org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      def run(label: String, f: => org.apache.spark.sql.DataFrame): Any = {
         val t0 = System.nanoTime()
-        val got = f.select(col("id_a"), col("id_b"))
-          .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
-        println(f"[prof] $label%-34s pairs=${got.size} " +
+        val got: Any =
+          if (countOnly) f.count()
+          else f.select(col("id_a"), col("id_b"))
+            .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+        val sz = got match {
+          case s: Set[_] => s.size.toLong
+          case c: Long   => c
+        }
+        println(f"[prof] $label%-34s pairs=$sz " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
         got
       }
@@ -631,7 +641,7 @@ object Scratch {
             Similarity.bandedCandidatesRaw(e, "vec_id", "embedding",
               64, b, r, 42L, 0L, 3),
             mc, n, 2000000L))
-        println(s"[prof] ${tag} sets_equal=${df == vf}")
+        println(s"[prof] ${tag} equal=${df == vf}")
       }
       spark.stop(); return
     }
