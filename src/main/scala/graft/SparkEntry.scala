@@ -2934,6 +2934,19 @@ object SparkEntry {
         planesPerBand = 4, nlist = 4, nprobe = 4)
         .select(col("id_a"), col("id_b"),
           round(col("score"), 4).as("score"))),
+
+    // Hybrid-generator semantic dedup at the exactness config: with
+    // nprobe = nlist the pair graph IS the exact near-dup graph, so
+    // survivors equal the transitive closure over brute all-pairs —
+    // the strongest survivor statement in the family (no generator
+    // recall caveat; the oracle replays brute pairs + the recursive
+    // closure). Production (low-threshold) configs are spec-gated:
+    // hybrid survivors ⊆ banded survivors at the same family.
+    "q219_semdedup_hybrid" -> ((s, dir) =>
+      Similarity.semDedupHybrid(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, minCosine = 0.5, bands = 3,
+        planesPerBand = 4, nlist = 4, nprobe = 4)
+        .select(col("vec_id"))),
   )
 
   /** Recursive temp-dir cleanup for queries that stage a managed
@@ -4244,6 +4257,30 @@ object SparkEntry {
     // family from the store's persisted unit vectors — the oracle
     // codes from u exactly as the rebuild does.
     "q218_semdedup_rebuild" -> sqlSemDedupSurvivorsU(3, 4, 0.35),
+    // Hybrid semantic dedup at nprobe = nlist: the pair graph is the
+    // exact near-dup graph, so the oracle is brute all-pairs at the
+    // threshold plus the recursive transitive closure — no banding
+    // replay, no generator recall caveat.
+    "q219_semdedup_hybrid" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id AND
+        |    list_sum(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(a.embedding,
+        |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(b.embedding,
+        |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) >= 0.5),
+        |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
+        |        UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+        |m AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+        |SELECT e.vec_id FROM embeddings e LEFT JOIN m ON m.id = e.vec_id
+        |WHERE m.id IS NULL OR m.mn >= e.vec_id""".stripMargin,
     "q41_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),

@@ -1774,6 +1774,50 @@ object Similarity {
     embeddings.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[semDedup]] over the HYBRID candidate generator
+    * ([[nearDupPairsHybrid]]) — the low-threshold semantic dedup the
+    * r16 recall study motivates: at minCosine ≈ 0.35 the banded
+    * default caps at [[MaxAutoBands]] with a 0.779 total pair recall
+    * (`hybrid_recall_r16`), i.e. a "dedup" that keeps pairs the
+    * union generator would have caught. Same survivor rule (closure
+    * over the pair graph, keep each component's min id plus every
+    * unpaired row), richer pair graph — so the result is a SUBSET of
+    * plain `semDedup`'s survivors at the same banded family (extra
+    * edges only merge components; spec-pinned), and at the
+    * `nprobe = nlist` exactness config it equals the closure over
+    * EXACT all-pairs (the q219 oracle — the strongest semantic-dedup
+    * statement in the family: survivors of the TRUE near-dup graph,
+    * no generator recall caveat at all).
+    *
+    * Scale posture inherits from the parts: two linear coding passes
+    * (band codes + probe cells), skinny candidate self-joins, ONE
+    * shared verify-then-distinct under `broadcastVectorLimit`, a
+    * 16-byte-edge closure, and an id-keyed anti-join.
+    */
+  def semDedupHybrid(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double,
+      bands: Int = 0, planesPerBand: Int = 4,
+      targetRecall: Double = 0.95, maxBands: Int = MaxAutoBands,
+      nlist: Int = 0, nprobe: Int = 2, iters: Int = 3,
+      seed: Long = 42L, maxIter: Int = 20,
+      checkpointDir: Option[String] = None,
+      broadcastVectorLimit: Long = 2000000L,
+      knownCount: Option[Long] = None,
+      maxBucketSize: Long = 0L,
+      hubsPerBucket: Int = 3): DataFrame = {
+    val pairs = nearDupPairsHybrid(embeddings, idCol, vecCol, dim,
+        minCosine, bands, planesPerBand, targetRecall, maxBands,
+        nlist, nprobe, iters, seed, broadcastVectorLimit, knownCount,
+        maxBucketSize, hubsPerBucket)
+      .select(col("id_a"), col("id_b"))
+    val losers = Graph
+      .connectedComponents(pairs, "id_a", "id_b", maxIter, checkpointDir)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    embeddings.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------- index maintenance
 
   /** Publish a rebuilt index subdirectory: the staged dir replaces the

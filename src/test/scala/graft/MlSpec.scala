@@ -2940,6 +2940,36 @@ class MlSpec extends AnyFunSuite {
       "full-probe hybrid diverged from exact all-pairs")
   }
 
+  test("semDedupHybrid: survivors are a subset of plain semDedup at " +
+      "the same family (extra edges only merge components), and the " +
+      "exactness config equals the closure over exact pairs") {
+    val e = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id").as[Long].collect().toSet
+    val banded = ids(Similarity.semDedup(e, "vec_id", "embedding",
+      dim = 64, minCosine = 0.35, planes = 4, bands = 3))
+    val hybrid = ids(Similarity.semDedupHybrid(e, "vec_id", "embedding",
+      dim = 64, minCosine = 0.35, bands = 3, planesPerBand = 4,
+      nlist = 4, nprobe = 2))
+    assert(hybrid.subsetOf(banded),
+      "a richer pair graph must only DEMOTE survivors, never add one")
+    assert(hybrid.nonEmpty)
+    // exactness config: closure over the TRUE near-dup graph
+    val exactPairs = Similarity.nearDupPairsExact(e, "vec_id",
+      "embedding", minCosine = 0.5).select($"id_a", $"id_b")
+    val exactLosers = graft.ml.Graph
+      .connectedComponents(exactPairs, "id_a", "id_b")
+      .filter($"id" =!= $"component")
+      .select($"id".as("vec_id"))
+    val want = ids(e.join(exactLosers, Seq("vec_id"), "left_anti"))
+    val got = ids(Similarity.semDedupHybrid(e, "vec_id", "embedding",
+      dim = 64, minCosine = 0.5, bands = 3, planesPerBand = 4,
+      nlist = 4, nprobe = 4))
+    assert(got == want,
+      "full-probe hybrid dedup diverged from the exact-graph closure")
+  }
+
   test("nearDupPairsIvfFromIndex: row-identical to the in-memory " +
       "operator at the committed centroids — no k-means rebuild " +
       "(r15 verdict #6)") {
