@@ -593,6 +593,166 @@ object Scratch {
           nlist = 0, nprobe = 2, knownCount = Some(n)))
       spark.stop(); return
     }
+    if (name == "hybrid_recall_curve_profile") {
+      // r16 verdict #2: the union generator's recall-vs-cost FRONTIER
+      // at the low-threshold regime — hybrid_recall_r16 had exactly
+      // one production point (np2: 0.823 @ 68 s). Sweep nprobe
+      // {2, 4, 8, 16}, a SECOND-seed capped band family (does another
+      // independent 64-band draw buy more than more probes?), and the
+      // three-stream union, against the brute crossover.
+      //   sbt "runMain graft.Scratch hybrid_recall_curve_profile target/sf1 0.35"
+      import graft.ml.Similarity
+      val minCos = if (args.length > 2) args(2).toDouble else 0.35
+      val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
+      val n = e.count()
+      val tEx0 = System.nanoTime()
+      val exact = Similarity.nearDupPairsExact(e, "vec_id", "embedding",
+          minCosine = minCos)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+      println(f"[prof] n=$n exact=${exact.size} " +
+        f"(brute ${(System.nanoTime() - tEx0) / 1e9}%.1f s)")
+      def run(label: String, f: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val got = f.select(col("id_a"), col("id_b"))
+          .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] $label%-22s total_recall=" +
+          f"${exact.count(got).toDouble / exact.size}%.3f " +
+          f"pairs=${got.size} sec=$dt%.1f")
+      }
+      val r = Similarity.autoPlanes(n, 128)
+      Seq(2, 4, 8, 16).foreach { np =>
+        run(s"hybrid_np$np",
+          Similarity.nearDupPairsHybrid(e, "vec_id", "embedding",
+            dim = 64, minCosine = minCos, planesPerBand = r,
+            nlist = 0, nprobe = np, knownCount = Some(n)))
+      }
+      // a second INDEPENDENT capped band family (fresh plane draw):
+      // candidates union in front of the shared verify, exactly like
+      // the hybrid's IVF stream
+      def banded2(seed2: Long) =
+        Similarity.bandedCandidatesRaw(e, "vec_id", "embedding", 64,
+            64, r, 42L, 0L, 3)
+          .unionByName(Similarity.bandedCandidatesRaw(e, "vec_id",
+            "embedding", 64, 64, r, seed2, 0L, 3))
+      run("banded_two_seed",
+        Similarity.verifyThenDedup(e, "vec_id", "embedding",
+          banded2(4242L), minCos, n, 2000000L))
+      // all three streams: two band families + IVF np2 cells
+      val cents = Similarity.ivfCentroids(e.select(col("vec_id"),
+        col("embedding")), "vec_id", "embedding",
+        Similarity.autoNlist(n))
+      run("hybrid_np2_two_seed",
+        Similarity.verifyThenDedup(e, "vec_id", "embedding",
+          banded2(4242L).unionByName(Similarity.ivfCandidatesRaw(
+            e, "vec_id", "embedding", cents, 2)),
+          minCos, n, 2000000L))
+      spark.stop(); return
+    }
+    if (name == "store_hybrid_recall_profile") {
+      // r16 verdict #3 spot: the incremental store's total pair recall
+      // in the low-threshold regime — banded-only (the committed-
+      // family ceiling) vs the committed IVF leg at production probes.
+      //   sbt "runMain graft.Scratch store_hybrid_recall_profile target/sf1 0.35 4"
+      import graft.ml.{IncrementalSemDedup, Similarity}
+      val minCos  = if (args.length > 2) args(2).toDouble else 0.35
+      val batches = if (args.length > 3) args(3).toInt else 4
+      val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val tEx0 = System.nanoTime()
+      val exact = Similarity.nearDupPairsExact(e, "vec_id", "embedding",
+          minCosine = minCos)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+      println(f"[prof] n=$n exact=${exact.size} " +
+        f"(brute ${(System.nanoTime() - tEx0) / 1e9}%.1f s)")
+      val r = Similarity.autoPlanes(n, 128)
+      val b = Similarity.autoBands(minCos, r)
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding",
+        Similarity.autoNlist(n))
+      println(s"[prof] family ${b}x$r, nlist=${cents.length}, " +
+        s"$batches batches")
+      Seq(("banded_only", 0), ("hybrid_np2", 2), ("hybrid_np4", 4))
+        .foreach { case (tag, np) =>
+          val st = s"target/scratch_isd_${System.nanoTime()}/store"
+          IncrementalSemDedup.initStore(spark, st, dim = 64,
+            minCosine = minCos, planesPerBand = r, bands = b,
+            idCol = "vec_id",
+            ivfClusters = if (np > 0) cents else Seq.empty, nprobe = np)
+          val t0 = System.nanoTime()
+          (0 until batches).foreach { k =>
+            IncrementalSemDedup.ingestOnly(spark, st,
+              e.filter(col("vec_id") % batches === k),
+              "vec_id", "embedding")
+          }
+          val sv = IncrementalSemDedup.survivors(spark, st).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val got = spark.read.parquet(s"$st/pairs")
+            .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+          println(f"[prof] $tag%-14s total_recall=" +
+            f"${exact.count(got).toDouble / exact.size}%.3f " +
+            f"pairs=${got.size} survivors=$sv sec=$dt%.1f " +
+            f"(recall floor ${IncrementalSemDedup.familyPairRecall(
+              spark, st)}%.3f in the manifest)")
+        }
+      spark.stop(); return
+    }
+    if (name == "rebuild_order_profile") {
+      // r16 verdict #1 spot: rebuildStore's pair regeneration now
+      // rides verifyThenDedup — measure the full rebuild wall at the
+      // q218 shape scaled to sf1, then compare the two dedup orders
+      // like-for-like over the SAME rebuilt codes.
+      //   sbt "runMain graft.Scratch rebuild_order_profile target/sf1 0.35"
+      import graft.ml.{IncrementalSemDedup, Similarity}
+      val minCos = if (args.length > 2) args(2).toDouble else 0.35
+      val e = spark.read.parquet(s"$sfDir/embeddings_planted.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val st = s"target/scratch_isd_rb_${System.nanoTime()}/store"
+      IncrementalSemDedup.initStore(spark, st, dim = 64,
+        minCosine = 0.5, planesPerBand = 4, bands = 2, idCol = "vec_id")
+      (0 to 1).foreach { k =>
+        IncrementalSemDedup.ingestOnly(spark, st,
+          e.filter(col("vec_id") % 2 === k), "vec_id", "embedding")
+      }
+      val r = Similarity.autoPlanes(n, 128)
+      val b = Similarity.autoBands(minCos, r)
+      val t0 = System.nanoTime()
+      IncrementalSemDedup.rebuildStore(spark, st, minCosine = minCos,
+        planesPerBand = r, bands = b)
+      println(f"[prof] rebuildStore (verify-then-distinct) to " +
+        f"${b}x$r/$minCos: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // like-for-like over the rebuilt codes: regeneration only
+      val rows = spark.read.parquet(s"$st/rows")
+      val sk = rows.select(col("id"),
+        posexplode(col("codes")).as(Seq("__band", "__code")))
+      val cand = sk.as("a").join(sk.as("x"),
+          col("a.__band") === col("x.__band") &&
+            col("a.__code") === col("x.__code") &&
+            col("a.id") < col("x.id"))
+        .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
+      val t1 = System.nanoTime()
+      val nNew = Similarity.verifyThenDedup(rows, "id", "u", cand,
+        minCos, n, 2000000L, preNormalized = true).count()
+      println(f"[prof] regen verify_then_distinct: pairs=$nNew " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+      val u0 = rows.select(col("id"), col("u"))
+      val uB = broadcast(u0)
+      val t2 = System.nanoTime()
+      val nOld = cand.distinct()
+        .join(uB.select(col("id").as("id_a"), col("u").as("ua")),
+          Seq("id_a"))
+        .join(uB.select(col("id").as("id_b"), col("u").as("ub")),
+          Seq("id_b"))
+        .filter(graft.ml.Similarity.dot(col("ua"), col("ub")) >= minCos)
+        .count()
+      println(f"[prof] regen distinct_first:       pairs=$nOld " +
+        f"${(System.nanoTime() - t2) / 1e9}%.1f s count_equal=" +
+        s"${nNew == nOld}")
+      spark.stop(); return
+    }
     if (name == "banded_dedup_order_profile") {
       // Experiment behind a possible r16 plan change: the hybrid
       // artifact measured verify-then-distinct over a SUPERSET of the
@@ -641,7 +801,13 @@ object Scratch {
             Similarity.bandedCandidatesRaw(e, "vec_id", "embedding",
               64, b, r, 42L, 0L, 3),
             mc, n, 2000000L))
-        println(s"[prof] ${tag} equal=${df == vf}")
+        // label what the comparison actually proves (r16 advice): in
+        // count mode df/vf are row COUNTS — equal counts with
+        // different pairs would still print true, so don't let the
+        // artifact read as set equality
+        println(s"[prof] ${tag} " +
+          (if (countOnly) s"count_equal=${df == vf}"
+           else s"set_equal=${df == vf}"))
       }
       spark.stop(); return
     }

@@ -2947,6 +2947,37 @@ object SparkEntry {
         "embedding", dim = 64, minCosine = 0.5, bands = 3,
         planesPerBand = 4, nlist = 4, nprobe = 4)
         .select(col("vec_id"))),
+
+    // Hybrid INCREMENTAL store at the exactness config (r16 verdict
+    // #3 — the store's low-threshold recall was capped by its
+    // committed band family; batch callers got nearDupPairsHybrid,
+    // incremental corpora didn't): initStore commits an IVF leg
+    // (trained centroids + nprobe) next to the band family, every
+    // ingest unions the cell-local candidate stream with the banded
+    // one, and at nprobe = nlist every pair shares every cell — so
+    // survivors after batch-by-batch ingestion provably equal the
+    // closure over brute all-pairs (the q219 oracle, incrementally;
+    // production configs are spec-gated richer-graph subsets).
+    "q220_semdedup_store_hybrid" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_isd_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val store = s"$root/store"
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = graft.ml.Similarity.ivfCentroids(e, "vec_id",
+        "embedding", nlist = 4)
+      graft.ml.IncrementalSemDedup.initStore(s, store, dim = 64,
+        minCosine = 0.5, planesPerBand = 4, bands = 3,
+        idCol = "vec_id", ivfClusters = cents, nprobe = 4)
+      (0 to 2).foreach { k =>
+        graft.ml.IncrementalSemDedup.ingestOnly(s, store,
+          e.filter(col("vec_id") % 3 === k), "vec_id", "embedding")
+      }
+      val out = graft.ml.IncrementalSemDedup.survivors(s, store)
+        .localCheckpoint(true)
+      rmTree(s, root)
+      out
+    }),
   )
 
   /** Recursive temp-dir cleanup for queries that stage a managed
@@ -4262,6 +4293,31 @@ object SparkEntry {
     // threshold plus the recursive transitive closure — no banding
     // replay, no generator recall caveat.
     "q219_semdedup_hybrid" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id AND
+        |    list_sum(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(a.embedding,
+        |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(b.embedding,
+        |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) >= 0.5),
+        |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
+        |        UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+        |m AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+        |SELECT e.vec_id FROM embeddings e LEFT JOIN m ON m.id = e.vec_id
+        |WHERE m.id IS NULL OR m.mn >= e.vec_id""".stripMargin,
+    // Hybrid incremental store at nprobe = nlist: the IVF leg makes
+    // every pair a candidate regardless of arrival order, so the
+    // oracle is the same brute-pairs + recursive-closure replay as
+    // q219 — no banding replay, no generator recall caveat, and the
+    // batch-boundary transitivity is exact-checked.
+    "q220_semdedup_store_hybrid" ->
       """WITH RECURSIVE p AS MATERIALIZED (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a, embeddings b

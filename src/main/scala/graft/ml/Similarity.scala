@@ -1208,6 +1208,28 @@ object Similarity {
       math.log1p(-pr)).toInt)
   }
 
+  /** Analytic pair recall of a COMMITTED sign-LSH band family at a
+    * cosine threshold: P(candidate) = 1 − (1 − p^r)^B with
+    * p = 1 − acos(c)/π (the MMDS ch. 3 banding curve) — the number
+    * the capped-banding warning logs, exposed so a committed family
+    * can be AUDITED anywhere instead of the figure scrolling by once
+    * in a log (r16 verdict #5: the semdedup store's manifest records
+    * it at init/rebuild, [[IncrementalSemDedup.familyPairRecall]]
+    * reads it back). This is the recall of the BANDED generator
+    * alone: a hybrid store/operator's IVF leg adds data-dependent
+    * recall on top (measure it — `hybrid_recall_r16`), and
+    * verification never subtracts (precision stays 1).
+    */
+  def bandedPairRecall(
+      minCosine: Double, planesPerBand: Int, bands: Int): Double = {
+    require(planesPerBand >= 1,
+      s"planesPerBand must be >= 1 (got $planesPerBand)")
+    require(bands >= 1, s"bands must be >= 1 (got $bands)")
+    val c = math.max(-1.0, math.min(1.0, minCosine))
+    val p = 1.0 - math.acos(c) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, planesPerBand), bands)
+  }
+
   /** The default-band cap: [[bandsForRecall]] grows ~1/p^r, which at
     * LOW thresholds is geometric in the plane count — at minCosine =
     * 0.35 and the plane count a 200k-row corpus wants, the 0.95 target
@@ -1233,9 +1255,7 @@ object Similarity {
     val want = bandsForRecall(minCosine, planesPerBand, targetRecall)
     if (want <= maxBands) want
     else {
-      val p  = 1.0 - math.acos(minCosine) / math.Pi
-      val pr = math.pow(p, planesPerBand)
-      val achieved = 1.0 - math.pow(1.0 - pr, maxBands)
+      val achieved = bandedPairRecall(minCosine, planesPerBand, maxBands)
       log.warn(f"recall-sized banding wants $want bands for " +
         f"recall $targetRecall%.2f at cosine >= $minCosine%.2f with " +
         f"$planesPerBand planes/band — capped at $maxBands (recall " +
@@ -1557,7 +1577,7 @@ object Similarity {
     * [[nearDupPairsIvf]], [[nearDupPairsIvfFromIndex]], and
     * [[nearDupPairsHybrid]].
     */
-  private def ivfCandidatesRaw(
+  private[graft] def ivfCandidatesRaw(
       embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
     val probed = assignClustersProbe(
@@ -1586,9 +1606,16 @@ object Similarity {
   private[graft] def verifyThenDedup(
       embeddings: DataFrame, idCol: String, vecCol: String,
       cand: DataFrame, minCosine: Double, n: Long,
-      broadcastVectorLimit: Long): DataFrame = {
+      broadcastVectorLimit: Long,
+      preNormalized: Boolean = false): DataFrame = {
+    // `preNormalized` skips the normalize for callers whose vector
+    // column already holds unit vectors (the semdedup store's `u`) —
+    // re-normalizing would divide by sqrt(dot(u, u)), which is 1 only
+    // up to rounding, so scores could drift an ulp from what the
+    // original ingest verified (and from the u-coded oracle replay)
     val un0 = embeddings.select(col(idCol).as("id"),
-      normalize(col(vecCol)).as("u"))
+      (if (preNormalized) col(vecCol)
+       else normalize(col(vecCol))).as("u"))
     if (n <= broadcastVectorLimit) {
       val un = broadcast(un0)
       cand
