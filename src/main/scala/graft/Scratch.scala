@@ -446,6 +446,41 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "isd_phase_profile") {
+      // r17 optimization round: phase-level wall clock of the q215
+      // bulk shape (init + 3 bulk ingests + one publishing survivors
+      // closure) — which phase owns the bench row's seconds.
+      //   sbt "runMain graft.Scratch isd_phase_profile /root/testdata/sf0.1"
+      import graft.ml.IncrementalSemDedup
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      (0 until 2).foreach { round =>
+        val root = s"target/scratch_isdp_${System.nanoTime()}"
+        val store = s"$root/store"
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        timed(s"[$round] init") {
+          IncrementalSemDedup.initStore(spark, store, dim = 64,
+            minCosine = 0.35, planesPerBand = 4, bands = 3,
+            idCol = "vec_id")
+        }
+        (0 to 2).foreach { k =>
+          timed(s"[$round] ingest$k") {
+            IncrementalSemDedup.ingestOnly(spark, store,
+              e.filter(col("vec_id") % 3 === k), "vec_id", "embedding")
+          }
+        }
+        timed(s"[$round] survivors") {
+          IncrementalSemDedup.survivors(spark, store)
+            .localCheckpoint(true).count()
+        }
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+      spark.stop(); return
+    }
     if (name == "incremental_closure_profile") {
       // r16 verdict #1 artifact: per-ingest EMISSION cost with the
       // persisted-label closure (merge only the batch's new pairs)

@@ -1458,11 +1458,18 @@ object SparkEntry {
         .withColumn("rev_d", col("rev").cast("double"))
       val binned = graft.operators.Profile.equiDepthBins(
         custRev, "rev_d", nb = 10)
-      val tot = binned.agg(sum(col("rev")).as("__t"))
+      // ONE pass over the binned customers; the grand total is the
+      // sum of the ≤ nb per-bucket decimal sums (associative — same
+      // value as summing the rows), taken as a constant-partition
+      // window over the nb-row aggregate instead of a second
+      // execution of the whole binning subplan (r17: `binned` was
+      // referenced twice and the customer aggregate ran twice)
       binned.groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("rev")).as("__rev"))
-        .crossJoin(broadcast(tot))
+        .withColumn("__t", sum(col("__rev")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("bucket"), lit(1)))))
         .select(col("bucket"), col("n_customers"),
           col("__rev").cast("double").as("revenue"),
           (col("__rev").cast("double") / col("__t").cast("double"))

@@ -40,21 +40,33 @@ object Association {
       itemCol: String,
       minSupport: Long = 2L,
       maxBasketSize: Option[Int] = Some(10000)): DataFrame = {
-    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct()
-    val sized = maxBasketSize match {
-      case None => bi
-      case Some(cap) =>
-        val big = bi.groupBy("b").agg(count(lit(1)).as("sz"))
-          .filter(col("sz") > cap).select("b")
-        bi.join(broadcast(big), Seq("b"), "left_anti")
-    }
-    val itemCnt = sized.groupBy(col("i")).agg(count(lit(1)).as("supp"))
-    val nBaskets = sized.select(col("b")).distinct()
-      .agg(count(lit(1)).as("__n"))
-    val pairCnt = sized
-      .join(sized.withColumnRenamed("i", "j"), Seq("b"))
-      .filter(col("i") < col("j"))
+    // In-row pair expansion over each basket's sorted distinct item
+    // array (the co-purchase edge derivation's shape): ONE shuffle —
+    // the groupBy(basket), whose collect_set also subsumes the old
+    // (basket, item) DISTINCT — replaces the former distinct + basket
+    // self-join exchanges, and per-basket arrays are bounded by the
+    // size cap, not the data. Item support and the basket count read
+    // the same persisted basket table, so the heavy input collapses
+    // exactly once. Memory note: the pair generator materializes
+    // O(|basket|²) structs per row while exploding — bounded by the
+    // cap, which is the documented quadratic-cost valve either way.
+    val baskets = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .groupBy(col("b"))
+      .agg(sort_array(collect_set(col("i"))).as("ps"))
+    val sized = (maxBasketSize match {
+      case None => baskets
+      case Some(cap) => baskets.filter(size(col("ps")) <= cap)
+    }).persist()
+    val itemCnt = sized.select(explode(col("ps")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("supp"))
+    val nBaskets = sized.agg(count(lit(1)).as("__n"))
+    val pairArr = flatten(transform(col("ps"), (x, i) =>
+      transform(
+        slice(col("ps"), i + lit(2),
+          greatest(lit(0), size(col("ps")) - i - lit(1))),
+        y => struct(x.as("i"), y.as("j")))))
+    val pairCnt = sized.select(explode(pairArr).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("supp_pair"))
       .filter(col("supp_pair") >= minSupport)
@@ -62,7 +74,7 @@ object Association {
       .select(col("i").as("ante"), col("j").as("cons"), col("supp_pair"))
       .unionByName(pairCnt.select(col("j").as("ante"),
         col("i").as("cons"), col("supp_pair")))
-    directed
+    val out = directed
       .join(itemCnt.select(col("i").as("ante"),
         col("supp").as("supp_ante")), Seq("ante"))
       .join(itemCnt.select(col("i").as("cons"),
@@ -75,5 +87,11 @@ object Association {
         round(col("supp_pair").cast("double") * col("__n") /
           (col("supp_ante").cast("double") * col("supp_cons")), 6)
           .as("lift"))
+      // materialize the rule table (item-pair cardinality — far
+      // smaller than the basket relation), then release the basket
+      // cache: the jaccardPairs output/cache discipline
+      .localCheckpoint()
+    sized.unpersist()
+    out
   }
 }

@@ -410,24 +410,43 @@ object IncrementalSemDedup {
     // every exit below (including the fail-fast guards) must release
     // the cache — the returned plan never references `coded`
     try {
-    val batchN = coded.count()
-    val badIds = coded.filter(col("u").isNull).select(col("id"))
-      .limit(5).collect().map(_.get(0))
-    require(badIds.isEmpty,
-      s"batch rows cannot be cosine-normalized (NULL, wrong-dim, " +
-        s"zero-norm, or non-finite $vecCol): ids " +
-        s"${badIds.mkString(", ")} — filter or fix them before ingest")
-    val dupIds = coded.groupBy(col("id")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).select(col("id")).limit(5)
-      .collect().map(_.get(0))
-    require(dupIds.isEmpty,
-      s"duplicate ids within the batch: ${dupIds.mkString(", ")} — " +
-        "the min-id survivor rule needs unique ids")
+    // ONE aggregate pass over the cached batch serves every
+    // happy-path guard (r17 guide §1.2/§2.3: the count, the
+    // normalize/duplicate/null guards, and the collision range each
+    // ran their own job — five passes per ingest where one
+    // aggregation answers them all). The id-NAMING queries run only
+    // on the failure path, where cost is irrelevant. One behavioral
+    // corner moves, error-path only: a batch whose sole id anomaly
+    // is REPEATED NULL ids now fails the NULL-id guard instead of
+    // the duplicate-id guard (nulls are excluded from both the
+    // non-null and distinct counts).
+    val g = coded.agg(
+      count(lit(1)).as("__n"), count(col("u")).as("__nu"),
+      count(col("id")).as("__nid"),
+      countDistinct(col("id")).as("__ndist"),
+      min(col("id")).as("__idmin"), max(col("id")).as("__idmax")).head()
+    val batchN = g.getLong(0)
+    if (g.getLong(1) < batchN) {
+      val badIds = coded.filter(col("u").isNull).select(col("id"))
+        .limit(5).collect().map(_.get(0))
+      require(badIds.isEmpty,
+        s"batch rows cannot be cosine-normalized (NULL, wrong-dim, " +
+          s"zero-norm, or non-finite $vecCol): ids " +
+          s"${badIds.mkString(", ")} — filter or fix them before ingest")
+    }
+    if (g.getLong(3) < g.getLong(2)) {
+      val dupIds = coded.groupBy(col("id")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select(col("id")).limit(5)
+        .collect().map(_.get(0))
+      require(dupIds.isEmpty,
+        s"duplicate ids within the batch: ${dupIds.mkString(", ")} — " +
+          "the min-id survivor rule needs unique ids")
+    }
     // null ids are invisible to BOTH range-pruned scans below (min/max
     // ignore nulls; a null never equi-joins), so a null-id row would
     // silently enter rows/ and break the min-id survivor ordering —
     // fail fast with the other malformed-row guards (r16 advice)
-    require(coded.filter(col("id").isNull).limit(1).count() == 0L,
+    require(g.getLong(2) == batchN,
       s"batch rows with NULL $idCol — null ids pass every collision " +
         "and replay guard unmatched and would corrupt the min-id " +
         "survivor ordering; filter or key them before ingest")
@@ -435,10 +454,10 @@ object IncrementalSemDedup {
     lazy val storeRows = spark.read.parquet(s"$path/rows")
     if (checkIdCollision && !skipExistingIds && hasStore && batchN > 0) {
       // same range prune as the replay guard: only store ids inside
-      // the batch's [min, max] can possibly collide
-      val bd = coded.agg(min(col("id")), max(col("id"))).head()
+      // the batch's [min, max] can possibly collide (bounds from the
+      // fused guard aggregate — no extra pass)
       val clash = storeRows.select(col("id"))
-        .filter(col("id").between(lit(bd.get(0)), lit(bd.get(1))))
+        .filter(col("id").between(lit(g.get(4)), lit(g.get(5))))
         .join(coded.select(col("id")), Seq("id"), "left_semi")
         .limit(5).collect().map(_.get(0))
       require(clash.isEmpty,

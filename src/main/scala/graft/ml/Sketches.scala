@@ -421,6 +421,37 @@ object Sketches {
     * ([[graft.operators.PhysicalOps.releaseCaches]]); see
     * [[graft.ml.TextAnalysis.packingManifestFrom]]'s contract note.
     */
+  /** [[exactQuantiles]] materialized to DRIVER literals — `ps.length`
+    * scalars, the bounded-driver-metadata convention
+    * ([[graft.operators.Cleanse.flagOutliersMad]]'s medians, the
+    * bloom-bits/centroids discipline). Exists because quantile EDGES
+    * are almost always consumed as a broadcast row referenced from
+    * several plan branches (PSI's two bucket passes + grid, the
+    * winsorize clamp, equi-depth assignment), and each reference
+    * re-executes the whole histogram + range-prefix subplan — the
+    * r17 q150 plan held 24 parquet scans and 120 exchanges for a
+    * 4-bucket PSI. Collecting the edges once turns every consumer
+    * into a stateless projection with literal bounds. Returns the
+    * value at each fraction IN `ps` ORDER (null when the input is
+    * empty), as raw JVM values of the value column's external type.
+    */
+  def exactQuantileValues(
+      df: DataFrame, valueCol: String, ps: Seq[Double],
+      partitions: Int = 0): Seq[Any] = {
+    // release exactly the internal histogram persists this call
+    // created (collect = the materialization the cache contract
+    // wants) — never the caller's own caches, which a blanket
+    // releaseCaches() would evict out from under a pipeline
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val got = exactQuantiles(df, valueCol, ps, partitions)
+      .collect().map(r => (r.getDouble(0), r.get(1))).toMap
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) rdd.unpersist(blocking = false)
+    }
+    ps.map(p => got.getOrElse(p, null))
+  }
+
   def exactQuantilesWeighted(
       hist0: DataFrame, valueCol: String, countCol: String,
       ps: Seq[Double], partitions: Int = 0): DataFrame = {
@@ -447,14 +478,18 @@ object Sketches {
       .persist()
     // ≤ `nPart` rows by construction (one per partition id); constant
     // partition key silences the global-window warning
-    val prefixes = hist.groupBy(col("__pid"))
+    val totals = hist.groupBy(col("__pid"))
       .agg(sum(col("c")).as("__t"))
+    val prefixes = totals
       .withColumn("__prefix",
         coalesce(sum(col("__t")).over(
           Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__prefix"))
-    val ranks = hist.agg(sum(col("c")).as("__n"))
+    // total row count from the ≤ nPart-row per-partition totals, not
+    // a second full scan of the (cached) histogram — same long sum,
+    // one fewer data-sized aggregate per call (r17)
+    val ranks = totals.agg(sum(col("__t")).as("__n"))
       .select(explode(typedlit(ps.sorted)).as("p"), col("__n"))
       .select(col("p"),
         (floor(col("p") * (col("__n") - 1)) + 1).cast("long").as("__k"))

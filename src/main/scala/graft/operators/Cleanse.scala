@@ -88,14 +88,17 @@ object Cleanse {
       valueCol: String,
       loQ: Double = 0.01, hiQ: Double = 0.99): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
-    val qs = graft.ml.Sketches.exactQuantiles(df, valueCol, Seq(loQ, hiQ))
-    val bounds = qs.agg(
-      min(when(col("p") === loQ, col(valueCol))).as("__lo"),
-      min(when(col("p") === hiQ, col(valueCol))).as("__hi"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn(valueCol,
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+    // two scalars — bounded driver metadata (the flagOutliersMad
+    // convention, via [[graft.ml.Sketches.exactQuantileValues]]);
+    // the clamp is then a stateless projection with literal bounds
+    // instead of a cross join against a broadcast row whose subplan
+    // re-ran the quantile machinery per plan reference
+    val vType = df.schema(valueCol).dataType
+    val Seq(lo, hi) = graft.ml.Sketches
+      .exactQuantileValues(df, valueCol, Seq(loQ, hiQ))
+    def litOf(v: Any) = (if (v == null) lit(null) else lit(v)).cast(vType)
+    df.withColumn(valueCol,
+      least(greatest(col(valueCol), litOf(lo)), litOf(hi)))
   }
 
   /** Flag rows whose `valueCol` is a z-score outlier: |x - mean| >

@@ -155,19 +155,22 @@ object Profile {
   def equiDepthBins(df: DataFrame, valueCol: String, nb: Int): DataFrame = {
     require(nb >= 2, "need at least two bins")
     val qs = (1 until nb).map(i => i.toDouble / nb)
-    val aggs = qs.zipWithIndex.map { case (q, i) =>
-      min(when(col("p") === q, col(valueCol))).as(s"__e$i")
-    }
-    val edges = graft.ml.Sketches.exactQuantiles(df, valueCol, qs)
-      .agg(aggs.head, aggs.tail: _*)
-    val bucket = (0 until nb - 1)
-      .map(i => when(col(valueCol) > col(s"__e$i"), 1).otherwise(0))
+    // the nb−1 edges collect as bounded driver metadata
+    // ([[graft.ml.Sketches.exactQuantileValues]] — the
+    // flagOutliersMad convention): the former broadcast-row
+    // formulation re-executed the whole quantile subplan once per
+    // reference of the RETURNED frame (q176 referenced it twice),
+    // where literal edges make the assignment a stateless projection
+    val vType = df.schema(valueCol).dataType
+    val edges = graft.ml.Sketches.exactQuantileValues(df, valueCol, qs)
+    val bucket = edges
+      .map(e => when(col(valueCol) >
+        (if (e == null) lit(null) else lit(e)).cast(vType), 1)
+        .otherwise(0))
       .reduce(_ + _)
-    df.crossJoin(broadcast(edges))
-      .withColumn("bucket",
-        when(col(valueCol).isNull, lit(null).cast("int"))
-          .otherwise(bucket))
-      .drop((0 until nb - 1).map(i => s"__e$i"): _*)
+    df.withColumn("bucket",
+      when(col(valueCol).isNull, lit(null).cast("int"))
+        .otherwise(bucket))
   }
 
   /** Join fan-out pre-flight: the EXACT output cardinality a join on
