@@ -224,10 +224,14 @@ object Bench {
       if (sfBase != "sf0.1") ""
       else {
         val refs = Seq( // BENCH_r14_clean.json minima, sf0.1
-          "q129_triangles" -> 7.206, "q150_psi_drift" -> 5.306,
-          "q132_mad_outliers" -> 5.022,
+          // r17 optimization round: q150/q132/q145 left the sentinel
+          // set — their plans changed this round (psi restructure,
+          // exactQuantilesWeighted internals, pairRules in-row
+          // expansion), so their ratio would read engineering as host
+          // drift. The five remaining rows are untouched since r14.
+          "q129_triangles" -> 7.206,
           "q110_stream_near_dedup" -> 4.663,
-          "q145_assoc_rules" -> 4.383, "q137_kcore" -> 4.056,
+          "q137_kcore" -> 4.056,
           "q80_fuzzy_dedup" -> 3.767, "q119_pagerank" -> 3.500)
         val byName = results.toMap
         val ratios = refs.flatMap { case (n, ref) =>

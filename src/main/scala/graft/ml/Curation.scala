@@ -255,14 +255,18 @@ object Curation {
       .select(least(col("__sa"), col("__sb")).as("split_a"),
         greatest(col("__sa"), col("__sb")).as("split_b"),
         col("id_a"), col("id_b"))
-    val nPairs = cross.groupBy(col("split_a"), col("split_b"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val nDocs = cross
+    // ONE aggregation over the exploded endpoints serves both counts
+    // (r17: the straddling-pair table was computed twice — once for
+    // the pair count, once for the distinct-doc count — and the two
+    // aggregates then re-joined): each pair contributes exactly two
+    // endpoint rows with its own (split_a, split_b), so the pair
+    // count is the even row count halved, exactly.
+    cross
       .select(col("split_a"), col("split_b"),
         explode(array(col("id_a"), col("id_b"))).as("__id"))
       .groupBy(col("split_a"), col("split_b"))
-      .agg(countDistinct(col("__id")).as("n_docs"))
-    nPairs.join(nDocs, Seq("split_a", "split_b"))
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("__id")).as("n_docs"))
   }
 
   /** Canonical URL for dedup keying: crawls reach the same page as
