@@ -472,7 +472,19 @@ object Scratch {
               e.filter(col("vec_id") % 3 === k), "vec_id", "embedding")
           }
         }
+        timed(s"[$round] pairs-count") {
+          spark.read.parquet(s"$store/pairs").count()
+        }
+        timed(s"[$round] cc-only") {
+          graft.ml.Graph.connectedComponents(
+            spark.read.parquet(s"$store/pairs"), "id_a", "id_b")
+            .queryExecution.toRdd.count()
+        }
         timed(s"[$round] survivors") {
+          IncrementalSemDedup.survivors(spark, store)
+            .localCheckpoint(true).count()
+        }
+        timed(s"[$round] survivors-again") {
           IncrementalSemDedup.survivors(spark, store)
             .localCheckpoint(true).count()
         }

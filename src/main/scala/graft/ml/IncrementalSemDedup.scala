@@ -552,11 +552,18 @@ object IncrementalSemDedup {
             greatest(col("id_s"), col("id_n")).as("id_b"))
         vWithin.unionByName(vCross)
     }
-    // materialize the new pairs BEFORE any append: their plan reads
-    // rows/ (the store join), and appending to rows/ would recache
-    // the path under a lazy reader (the StreamDedup.dedupBatch lesson)
-    val newPairs = materialize(spark, verified, checkpointDir)
-    cross.foreach(_.unpersist())
+    // The EMISSION path materializes the new pairs before any append:
+    // the label staging reads them twice and their plan reads rows/
+    // (the store join) — appending to rows/ would recache the path
+    // under a lazy reader (the StreamDedup.dedupBatch lesson). The
+    // BULK path skips the checkpoint (r17): there the pairs APPEND
+    // below is the plan's one and only execution — it runs before the
+    // rows/ append, so it reads the pre-append store state, and
+    // nothing references the plan afterwards; the former eager
+    // checkpoint was a whole extra materialization job per ingest.
+    val newPairs =
+      if (maintainLabels) materialize(spark, verified, checkpointDir)
+      else verified
     // ------- incremental survivor closure (r15 verdict #1) -------
     // Only on the emission path (maintainLabels): stage the merged
     // labels BEFORE the appends (the staged write reads the LIVE
@@ -633,6 +640,9 @@ object IncrementalSemDedup {
     }
     } // maintainLabels
     newPairs.write.mode("append").parquet(s"$path/pairs")
+    // the candidate cache releases only after the pairs append — on
+    // the bulk path that write IS the verify plan's execution
+    cross.foreach(_.unpersist())
     coded.write.mode("append").parquet(s"$path/rows")
     if (stageLabels)
       Similarity.swapIndexDirs(spark, path, Seq("components"))
