@@ -104,6 +104,24 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(m == Seq((0.5, 1.0), (1.0, 2.0)))
   }
 
+  test("exactQuantileValues: frame-identical values in ps order, empty-safe, caches released (r17)") {
+    val df = scala.util.Random.shuffle((1 to 100).toList)
+      .map(_.toDouble).toDF("x")
+    // unsorted ps: values must come back in PS order, not value order
+    val ps = Seq(0.9, 0.0, 0.5)
+    val byP = Sketches.exactQuantiles(df, "x", ps)
+      .as[(Double, Double)].collect().toMap
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = Sketches.exactQuantileValues(df, "x", ps)
+    assert(got == ps.map(byP))
+    // the internal histogram persists release with the call — only
+    // pre-existing caches (if any) survive
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+    // empty input: one null per requested fraction
+    assert(Sketches.exactQuantileValues(
+      Seq.empty[Double].toDF("x"), "x", Seq(0.25, 0.5)) == Seq(null, null))
+  }
+
   test("exactQuantiles equals the sorted-sequence reference (seeded)") {
     val rnd = new scala.util.Random(13)
     // coarse grid → plenty of duplicate mass
