@@ -1467,9 +1467,13 @@ object SparkEntry {
       binned.groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("rev")).as("__rev"))
+        // coalesce: pmod returns NULL for a NULL bucket, which would
+        // split null-bucket rows into their own window partition and
+        // silently break the global total (r17 advice); TPC-H
+        // o_totalprice is non-null so the value is unchanged today
         .withColumn("__t", sum(col("__rev")).over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(pmod(col("bucket"), lit(1)))))
+            .partitionBy(coalesce(pmod(col("bucket"), lit(1)), lit(0)))))
         .select(col("bucket"), col("n_customers"),
           col("__rev").cast("double").as("revenue"),
           (col("__rev").cast("double") / col("__t").cast("double"))

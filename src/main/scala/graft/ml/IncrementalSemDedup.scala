@@ -936,7 +936,11 @@ object IncrementalSemDedup {
               ((meta - "closed_pairs") +
                 ("closed_pairs" -> actualPairs.toString))
                 .toSeq.sortBy(_._1))
-            spark.read.parquet(s"$path/components")
+            // the closure is already materialized in memory (the CC
+            // label leaf the write above just flushed) — serving the
+            // caller from it skips a full re-read of the directory we
+            // just published (r18: one fewer data pass per stale read)
+            closure
           } finally { fs.delete(lock, false); () }
         }
       }

@@ -364,6 +364,28 @@ class CleanseSpec extends AnyFunSuite {
     assert(lift == 0.9375) // 3*5/(4*4)
   }
 
+  test("pairRules: a basket past the in-row cap takes the chunked " +
+      "expansion and counts identically (r18 memory-cliff fix)") {
+    // one 1500-item basket (> inRowCap = 1024) routes the WHOLE pair
+    // stream through the chunked posexplode+suffix path; a second
+    // basket repeats one pair so minSupport = 2 isolates it. The old
+    // one-shot expansion would have built a ~1.1M-struct array inside
+    // a single row for the big basket.
+    val big = (0 until 1500).map(i => (1L, f"t$i%05d"))
+    val rep = Seq((2L, "t00000"), (2L, "t00001"))
+    val rules = graft.ml.Association.pairRules(
+        (big ++ rep).toDF("b", "i"), "b", "i", minSupport = 2L)
+      .select("ante", "cons", "supp_pair", "supp_ante", "supp_cons",
+        "conf", "lift")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(rules.keySet == Set(("t00000", "t00001"), ("t00001", "t00000")))
+    val (_, _, sp, sa, sc, conf, lift) = rules(("t00000", "t00001"))
+    // pair in both baskets; each item in both baskets; N = 2
+    assert(sp == 2L && sa == 2L && sc == 2L)
+    assert(conf == 1.0 && lift == 1.0) // 2*2/(2*2)
+  }
+
   test("pairRules drops oversized baskets loudly, keeps the rest") {
     val big = (1 to 50).map(i => (99L, s"i$i"))
     val small = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))

@@ -204,6 +204,25 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(cc.values.toSet == Set(1L))
   }
 
+  test("connected components: multi-partition declared-leaf loop is " +
+      "label-identical and restores the session shuffle width (r18)") {
+    // rowsPerPartition = 50 forces nPartCc > 1 on a small graph, so
+    // the loop runs the declared hash(id, nPartCc) label leaf and the
+    // pinned round republish across several partitions — the exact
+    // code path the 100 TB posture uses. Two components, one of them
+    // a diameter-60 chain (halving active past round 2).
+    val widthBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val edges = ((1L until 61L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (201L, 202L))).toDF("a", "b")
+    val cc = Graph.connectedComponents(edges, "a", "b",
+        rowsPerPartition = 50L)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.keySet == (1L to 61L).toSet ++ Set(200L, 201L, 202L))
+    assert((1L to 61L).forall(cc(_) == 1L))
+    assert(Seq(200L, 201L, 202L).forall(cc(_) == 200L))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == widthBefore)
+  }
+
   test("connected components rejects maxIter < 1") {
     val edges = Seq((1L, 2L)).toDF("a", "b")
     intercept[IllegalArgumentException] {
