@@ -2278,13 +2278,18 @@ object SparkEntry {
     // by novel text) reduce to 64-row corpus MinHash signatures; the
     // estimator is the fraction of agreeing seeds — no corpus join.
     "q90_corpus_overlap" -> ((s, dir) => {
+      // snapshot B derives 1:1 from snapshot A's rows, so both corpus
+      // signatures fuse into one scan (corpusOverlapPaired, r18) —
+      // per-seed corpus minima are order-free, value-identical to the
+      // two-pass corpusOverlap the oracle replays
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val snap = base.select(col("doc_id"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit("novel snapshot page "), col("doc_id").cast("string"),
-            lit(" fresh content "), (col("doc_id") * 17).cast("string")))
-          .otherwise(col("text")).as("text"))
-      Dedup.corpusOverlap(base, snap, "text")
+      Dedup.corpusOverlapPaired(
+        base.select(col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("novel snapshot page "), col("doc_id").cast("string"),
+              lit(" fresh content "), (col("doc_id") * 17).cast("string")))
+            .otherwise(col("text")).as("__snap_text")),
+        "text", "__snap_text")
     }),
 
     // SemDeDup (semantic dedup over embeddings): q53's banded pairs
