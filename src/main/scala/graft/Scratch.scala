@@ -22,111 +22,6 @@ object Scratch {
     val name  = if (args.length > 0) args(0) else "q01_agg"
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
 
-    if (name == "job_count") {
-      // r18: Spark-job count + wall clock for one named query — the
-      // §1 "count the jobs, then remove the cheapest redundant pass"
-      // method. Two reps: rep1 is the warm number.
-      //   sbt "runMain graft.Scratch job_count q132_mad_outliers /root/testdata/sf0.1"
-      val qname = if (args.length > 1) args(1) else "q132_mad_outliers"
-      val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
-      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-      val sites = java.util.Collections.synchronizedList(
-        new java.util.ArrayList[String]())
-      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onJobStart(
-              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-            jobs.incrementAndGet()
-            starts.put(js.jobId, js.time)
-            ()
-          }
-          override def onJobEnd(
-              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val t0 = Option(starts.get(je.jobId)).getOrElse(je.time)
-            sites.add(f"job ${je.jobId} ${(je.time - t0) / 1000.0}%.2f s")
-            ()
-          }
-        })
-      val fn = SparkEntry.queries.get(qname)
-        .orElse(SparkEntry.benchOnlyQueries.get(qname))
-        .getOrElse(sys.error(s"unknown query $qname"))
-      (0 until 2).foreach { rep =>
-        val j0 = jobs.get(); val t0 = System.nanoTime()
-        fn(spark, dir).queryExecution.toRdd.count()
-        // drain listener-bus stragglers before reading the counter
-        Thread.sleep(300)
-        println(f"[prof] $qname rep$rep: jobs=${jobs.get() - j0} " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
-        if (rep == 1 && sys.env.get("GRAFT_JOB_SITES").contains("1")) {
-          import scala.jdk.CollectionConverters._
-          sites.asScala.drop(j0).foreach(s => println(s"[prof]   job: $s"))
-        }
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(true))
-        spark.catalog.clearCache()
-      }
-      spark.stop(); return
-    }
-    if (name == "cc_chain_profile") {
-      // r18 optimization round: per-round cost of the connected-
-      // components loop on a synthetic diameter-n chain (worst case
-      // for round count — exercises the halving hop from round 3 on)
-      // and on a clique-ish banded graph (the 2-round dedup regime).
-      //   sbt "runMain graft.Scratch cc_chain_profile <nChain>"
-      // GRAFT_CC_DEBUG=1 prints per-round seconds; GRAFT_CC_EXPLAIN=1
-      // additionally dumps each round's formatted plan (exchange
-      // audit — the loop is invisible in the final query's explain).
-      val n = if (args.length > 1) args(1).toLong else 2000000L
-      val chain = spark.range(n - 1)
-        .select(col("id").as("src"), (col("id") + 1L).as("dst"))
-      def timed[T](label: String)(f: => T): T = {
-        val t0 = System.nanoTime(); val r = f
-        println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-      }
-      (0 until 2).foreach { rep =>
-        timed(s"chain_n${n}_rep$rep") {
-          graft.ml.Graph.connectedComponents(chain, "src", "dst")
-            .queryExecution.toRdd.count()
-        }
-      }
-      // clique-ish regime: nodes grouped into buckets of 16, each node
-      // linked to its bucket head — star components, converges fast
-      val star = spark.range(n)
-        .select((col("id") - pmod(col("id"), lit(16L))).as("src"),
-          col("id").as("dst"))
-        .filter(col("src") =!= col("dst"))
-      (0 until 2).foreach { rep =>
-        timed(s"star_n${n}_rep$rep") {
-          graft.ml.Graph.connectedComponents(star, "src", "dst")
-            .queryExecution.toRdd.count()
-        }
-      }
-      spark.stop(); return
-    }
-    if (name == "leaf_part_debug") {
-      // r18: inspect what internalCreateDataFrameHashPartitioned declares
-      val df = spark.range(100000)
-        .select(col("id"), (col("id") % 7).as("component"), lit(true).as("__chg"))
-        .groupBy(col("id")).agg(min(col("component")).as("component"),
-          lit(true).as("__chg"))
-        .repartition(32, col("id"))
-      val rdd = df.queryExecution.toRdd.mapPartitions(it => it.map(_.copy()))
-      rdd.localCheckpoint(); val n = rdd.count()
-      val leaf = org.apache.spark.sql.GraftBridge
-        .internalCreateDataFrameHashPartitioned(
-          spark, rdd, df.schema, Seq("id"), 32, n, 32)
-      println("leaf analyzed: " + leaf.queryExecution.analyzed)
-      leaf.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          println("leaf output: " + l.output)
-          println("leaf partitioning: " + l.outputPartitioning)
-      }
-      // co-partitioned self-join: should show ZERO ENSURE_REQUIREMENTS
-      val j = leaf.as("a").join(leaf.as("b"), Seq("id"))
-      j.explain("formatted")
-      spark.stop(); return
-    }
     if (name == "jaccard_profile") {
       import org.apache.spark.sql.expressions.Window
       val d = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -1467,13 +1467,9 @@ object SparkEntry {
       binned.groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("rev")).as("__rev"))
-        // coalesce: pmod returns NULL for a NULL bucket, which would
-        // split null-bucket rows into their own window partition and
-        // silently break the global total (r17 advice); TPC-H
-        // o_totalprice is non-null so the value is unchanged today
         .withColumn("__t", sum(col("__rev")).over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(coalesce(pmod(col("bucket"), lit(1)), lit(0)))))
+            .partitionBy(pmod(col("bucket"), lit(1)))))
         .select(col("bucket"), col("n_customers"),
           col("__rev").cast("double").as("revenue"),
           (col("__rev").cast("double") / col("__t").cast("double"))
@@ -2278,18 +2274,13 @@ object SparkEntry {
     // by novel text) reduce to 64-row corpus MinHash signatures; the
     // estimator is the fraction of agreeing seeds — no corpus join.
     "q90_corpus_overlap" -> ((s, dir) => {
-      // snapshot B derives 1:1 from snapshot A's rows, so both corpus
-      // signatures fuse into one scan (corpusOverlapPaired, r18) —
-      // per-seed corpus minima are order-free, value-identical to the
-      // two-pass corpusOverlap the oracle replays
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      Dedup.corpusOverlapPaired(
-        base.select(col("text"),
-          when(col("doc_id") % 2 === 0,
-            concat(lit("novel snapshot page "), col("doc_id").cast("string"),
-              lit(" fresh content "), (col("doc_id") * 17).cast("string")))
-            .otherwise(col("text")).as("__snap_text")),
-        "text", "__snap_text")
+      val snap = base.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("novel snapshot page "), col("doc_id").cast("string"),
+            lit(" fresh content "), (col("doc_id") * 17).cast("string")))
+          .otherwise(col("text")).as("text"))
+      Dedup.corpusOverlap(base, snap, "text")
     }),
 
     // SemDeDup (semantic dedup over embeddings): q53's banded pairs

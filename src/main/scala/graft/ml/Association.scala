@@ -33,14 +33,6 @@ object Association {
     * baskets (lift > 1 ⇒ positive association). Duplicate (basket,
     * item) rows collapse first; each unordered pair is counted once
     * and emitted in both directions.
-    *
-    * NULL items are dropped up front (they can never form a pair —
-    * any comparison with NULL is not-true — and since r17 they do not
-    * count toward `maxBasketSize` either; the explicit filter makes
-    * that the documented contract rather than a collect_set
-    * side-effect). The call is EAGER by design: the rule table
-    * materializes via localCheckpoint before returning so the basket
-    * cache can release — callers pay the jobs at call time.
     */
   def pairRules(
       df: DataFrame,
@@ -55,10 +47,10 @@ object Association {
     // self-join exchanges, and per-basket arrays are bounded by the
     // size cap, not the data. Item support and the basket count read
     // the same persisted basket table, so the heavy input collapses
-    // exactly once.
-    val baskets = df
-      .filter(col(itemCol).isNotNull)
-      .select(col(basketCol).as("b"), col(itemCol).as("i"))
+    // exactly once. Memory note: the pair generator materializes
+    // O(|basket|²) structs per row while exploding — bounded by the
+    // cap, which is the documented quadratic-cost valve either way.
+    val baskets = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .groupBy(col("b"))
       .agg(sort_array(collect_set(col("i"))).as("ps"))
     val sized = (maxBasketSize match {
@@ -67,50 +59,14 @@ object Association {
     }).persist()
     val itemCnt = sized.select(explode(col("ps")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("supp"))
-    // ONE bounded driver collect over the persisted basket table
-    // serves two purposes: the basket count N becomes a literal in
-    // the final projection (the old broadcast one-row crossJoin and
-    // its build stage disappear), and the max basket size picks the
-    // pair-expansion shape below — the call is already eager (the
-    // trailing localCheckpoint), so nothing about per-invocation
-    // recomputation changes.
-    val bStats = sized
-      .agg(count(lit(1)).as("__n"), max(size(col("ps"))).as("__m"))
-      .head()
-    val nBaskets = bStats.getLong(0)
-    val maxB = if (bStats.isNullAt(1)) 0 else bStats.getInt(1)
-    // Two-tier expansion (r17 verdict): the one-shot
-    // flatten(transform(transform(...))) — fastest at transaction
-    // basket sizes, ONE generate — materializes the full O(|basket|²)
-    // struct array INSIDE one UnsafeRow before the explode, which at
-    // the default cap is ~50M structs (≈0.5–1 GB in a single row): a
-    // per-row memory cliff the old self-join never had. The measured
-    // max basket size (driver literal above) picks the shape: every
-    // basket ≤ `inRowCap` items (≤ ~0.5M structs, single-digit MB per
-    // row) keeps the one-shot plan unchanged; a corpus with larger
-    // baskets routes through the chunked plan — explode the anchor
-    // POSITION first, pair each anchor with its sorted suffix in a
-    // second projection: the same (x=ps[i], y=ps[j], i<j) pair
-    // stream, with the largest value any single row holds one
-    // O(|basket|) suffix array.
-    val inRowCap = 1024
-    val pairs =
-      if (maxB <= inRowCap) {
-        val pairArr = flatten(transform(col("ps"), (x, i) =>
-          transform(
-            slice(col("ps"), i + lit(2),
-              greatest(lit(0), size(col("ps")) - i - lit(1))),
-            y => struct(x.as("i"), y.as("j")))))
-        sized.select(explode(pairArr).as("p"))
-          .select(col("p.i").as("i"), col("p.j").as("j"))
-      } else sized
-        .select(posexplode(col("ps")).as(Seq("__i", "__x")), col("ps"))
-        .select(col("__x"),
-          slice(col("ps"), col("__i") + lit(2),
-            greatest(lit(0), size(col("ps")) - col("__i") - lit(1)))
-            .as("__suffix"))
-        .select(col("__x").as("i"), explode(col("__suffix")).as("j"))
-    val pairCnt = pairs
+    val nBaskets = sized.agg(count(lit(1)).as("__n"))
+    val pairArr = flatten(transform(col("ps"), (x, i) =>
+      transform(
+        slice(col("ps"), i + lit(2),
+          greatest(lit(0), size(col("ps")) - i - lit(1))),
+        y => struct(x.as("i"), y.as("j")))))
+    val pairCnt = sized.select(explode(pairArr).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("supp_pair"))
       .filter(col("supp_pair") >= minSupport)
@@ -123,11 +79,12 @@ object Association {
         col("supp").as("supp_ante")), Seq("ante"))
       .join(itemCnt.select(col("i").as("cons"),
         col("supp").as("supp_cons")), Seq("cons"))
+      .crossJoin(broadcast(nBaskets))
       .select(col("ante"), col("cons"), col("supp_pair"),
         col("supp_ante"), col("supp_cons"),
         round(try_divide(col("supp_pair"), col("supp_ante")), 6)
           .as("conf"),
-        round(col("supp_pair").cast("double") * lit(nBaskets) /
+        round(col("supp_pair").cast("double") * col("__n") /
           (col("supp_ante").cast("double") * col("supp_cons")), 6)
           .as("lift"))
       // materialize the rule table (item-pair cardinality — far

@@ -161,25 +161,6 @@ object Dedup {
     * deterministic, one shuffle on band keys, no pairwise join).
     * Returns survivors.
     */
-  /** One-pass exact contraction: the min-id (id, text) row per
-    * DISTINCT text — ONE fingerprint-keyed aggregate whose map-side
-    * `min_by` collapses duplicate texts before the exchange, instead
-    * of the old fingerprint pass + group-min + semi-join-back (two
-    * scans of the corpus and a corpus-sized join probe; r18 guide §6
-    * fewer data passes). Assumes the usual unique-id contract; with
-    * duplicated ids the old semi-join kept every row whose id tied a
-    * group minimum — including rows of OTHER texts sharing that id —
-    * which was itself not a meaningful contraction.
-    */
-  private def repRows(
-      df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), col(textCol),
-        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-      .groupBy(col("__fp"))
-      .agg(min_by(struct(col(idCol), col(textCol)), col(idCol)).as("__r"))
-      .select(col("__r").getField(idCol).as(idCol),
-        col("__r").getField(textCol).as(textCol))
-
   def minhashDedup(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
@@ -191,7 +172,10 @@ object Dedup {
     // survivor set over representatives IS the survivor set over the
     // full corpus. The signature kernel (numHashes finalizers per
     // shingle — the CPU cost here) runs once per DISTINCT text.
-    val reps = repRows(df, textCol, idCol)
+    val reps = df.join(
+      df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+        .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
+      Seq(idCol), "left_semi")
     // staged projections: each expensive array is computed once per row
     // (a fused expression would re-inline shingles into every consumer);
     // the signature kernel is CPU-dense (numHashes finalizers per
@@ -484,11 +468,14 @@ object Dedup {
         // exact contraction: copies of a text contribute identical
         // band keys, so the distinct-band set over one representative
         // per distinct text IS the corpus's — the signature kernel
-        // (the CPU cost) runs once per distinct text; the one-pass
-        // min_by contraction (repRows, r18) replaces the old
-        // fingerprint pass + semi-join-back
-        minhashBandTable(repRows(corpus, textCol, idCol), textCol,
-          idCol, numHashes, bands, shingleSize).select(col("band"))
+        // (the CPU cost) runs once per distinct text
+        val reps = corpus.join(
+          corpus.select(col(idCol),
+              TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+            .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
+          Seq(idCol), "left_semi")
+        minhashBandTable(reps, textCol, idCol,
+          numHashes, bands, shingleSize).select(col("band"))
       })
       .distinct()
     val batchBands =
@@ -545,36 +532,6 @@ object Dedup {
       .select(col("n_seeds"), col("n_equal"),
         (col("n_equal").cast("double") / col("n_seeds")).as("jaccard_est"))
   }
-
-  /** [[corpusOverlap]] between two corpora DERIVED from one frame —
-    * the snapshot-comparison shape, where corpus B is a transformation
-    * of corpus A's rows (a re-crawl, a cleaning pass, a synthetic
-    * twin). Semantically identical to
-    * `corpusOverlap(df.select(textColA), df.select(textColB))` —
-    * per-seed corpus minima are order-free — but the two signature
-    * passes fuse into ONE scan and ONE sketch-sized aggregate: both
-    * per-row signatures compute in the same projection, zip
-    * element-wise, and reduce under one per-seed min — half the data
-    * passes, no per-side aggregate pair, no seed join (r18, guide §6
-    * fewer data passes).
-    */
-  def corpusOverlapPaired(
-      df: DataFrame, textColA: String, textColB: String,
-      numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
-    graft.operators.PhysicalOps.ensureParallelism(df)
-      .select(
-        minhashSignature(
-          shingleHashes(col(textColA), shingleSize), numHashes).as("__sa"),
-        minhashSignature(
-          shingleHashes(col(textColB), shingleSize), numHashes).as("__sb"))
-      .select(posexplode(arrays_zip(col("__sa"), col("__sb")))
-        .as(Seq("seed", "__z")))
-      .groupBy(col("seed"))
-      .agg(min(col("__z.__sa")).as("v"), min(col("__z.__sb")).as("vb"))
-      .agg(count(lit(1)).as("n_seeds"),
-        count(when(col("v") === col("vb"), 1)).as("n_equal"))
-      .select(col("n_seeds"), col("n_equal"),
-        (col("n_equal").cast("double") / col("n_seeds")).as("jaccard_est"))
 
   /** Corpus-wide line-level exact dedup (the C4 preprocessing step):
     * every line (split on `sep`) is kept only at its FIRST occurrence

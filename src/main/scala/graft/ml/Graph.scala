@@ -55,16 +55,9 @@ object Graph {
     * produced from ONE scan of `edges` (explode of both directions,
     * not a self-union: the input's lineage is typically an expensive
     * near-dup pair kernel, and a union would evaluate it once per
-    * branch), hash-partitioned on the join key at a width derived
-    * from the measured edge count (capped by
-    * `spark.sql.shuffle.partitions` — tiny pair graphs run
-    * single-task rounds, huge ones the full conf width), sorted
-    * within partitions, and persisted; every round's label table is
-    * republished on the same hash(id) layout and its leaf DECLARES
-    * that layout, so the propagation join, the own-label fold, and
-    * the halving lookup all consume the label table with ZERO
-    * exchanges (r18: the undeclared leaf used to cost 3 label-table
-    * exchanges per round). Pass `checkpointDir` on a
+    * branch), hash-partitioned on the join key with the partition
+    * count pinned to `spark.sql.shuffle.partitions` so the per-round
+    * join reuses its layout, and persisted. Pass `checkpointDir` on a
     * real cluster for RELIABLE label checkpoints that survive executor
     * loss; the local-checkpoint default stores blocks on executors and
     * is only appropriate for single-node / fast-retry runs. Superseded
@@ -74,70 +67,25 @@ object Graph {
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20,
-      checkpointDir: Option[String] = None,
-      rowsPerPartition: Long = 250000L): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
-    require(rowsPerPartition >= 1, "rowsPerPartition must be >= 1")
     val spark = edges.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
-    val sym0 = edges
+    val sym = edges
       .select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(nPart, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Scale-adaptive round layout (guide §2): the loop's partition
-    // count derives from the measured symmetrized edge count — clamped
-    // to the session's shuffle partitions — instead of running every
-    // round at the full conf value. Dedup pair graphs are routinely
-    // tiny (thousands of edges) next to the corpora that produced
-    // them, and a 15-round closure at 32-task stages is pure
-    // per-task/stage overhead; at ~250k rows per partition a tiny
-    // graph runs single-task rounds while a 100 TB graph still spreads
-    // across the full conf-scaled width. The count also materializes
-    // the cache, so the (often expensive) upstream pair kernel runs
-    // exactly once, before the first round reads it.
-    val debug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
-    val symT0 = System.nanoTime()
-    val symRows = sym0.count()
-    if (debug) println(
-      f"[cc] sym0 count: ${(System.nanoTime() - symT0) / 1e9}%.2f s, rows=$symRows")
-    val nPartCc = math.max(1L,
-      math.min(nPart.toLong,
-        (symRows + rowsPerPartition - 1) / rowsPerPartition)).toInt
-    val sym = sym0
-      .repartition(nPartCc, col("src"))
-      // sorted INSIDE the cache: the per-round propagation join is a
-      // sort-merge on src — a sorted cached table streams through it
-      // with no per-round sort of the (large) edge set
-      .sortWithinPartitions(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val symT1 = System.nanoTime()
-    sym.count() // materialize from sym0's cache, then drop the staging copy
-    sym0.unpersist(blocking = false)
-    if (debug) println(
-      f"[cc] sym repartition: ${(System.nanoTime() - symT1) / 1e9}%.2f s, nPartCc=$nPartCc")
 
     var prevRdd: RDD[InternalRow] = null
     var labels: DataFrame = null
     var changed = 1L
     var iter = 0
-    // diagnostic only: dump each round's formatted plan (exchange
-    // audit — the round loop is invisible in the final query's explain
-    // because every round materializes into a leaf)
-    val explainRounds = sys.env.get("GRAFT_CC_EXPLAIN").contains("1")
-    // The loop's OWN exchanges (message aggregate, halving lookup)
-    // must land on the same nPartCc layout as sym and the label leaf,
-    // or EnsureRequirements re-exchanges the leaf to the session width
-    // every round — set the session shuffle width to nPartCc for the
-    // loop's duration and restore it after (queries planned outside
-    // the loop are unaffected; AQE stays ON throughout).
-    val spKey = "spark.sql.shuffle.partitions"
-    val spPrev = spark.conf.getOption(spKey)
-    spark.conf.set(spKey, nPartCc.toString)
-    try {
+    val debug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
     while (iter < maxIter && changed != 0L) {
       val roundT0 = System.nanoTime()
       val prop =
@@ -148,20 +96,14 @@ object Graph {
               least(col("m"), col("dst")).as("component"),
               col("dst").as("prev"))
         else {
-          // Neighbor-min per node, then ONE left join folds in each
-          // node's own label (least skips nulls, so an in-neighborless
-          // node keeps its own label — value-identical to the old
-          // union-then-min, which shuffled the label rows through the
-          // aggregate exchange every round). The labels side of both
-          // joins is the declared hash(id, nPartCc) leaf, so it crosses
-          // no exchange; only the per-node message mins move.
-          val msgMin = sym.join(labels, sym("src") === labels("id"))
-            .groupBy(sym("dst")).agg(min(col("component")).as("__m"))
-            .withColumnRenamed("dst", "id")
-          val propagated = labels.join(msgMin, Seq("id"), "left")
-            .select(col("id"),
-              least(col("__m"), col("component")).as("component"),
-              col("component").as("prev"))
+          val msgs = sym.join(labels, sym("src") === labels("id"))
+            .select(sym("dst").as("id"), col("component"),
+              lit(false).as("own"))
+          val propagated = msgs
+            .unionByName(labels.withColumn("own", lit(true)))
+            .groupBy(col("id"))
+            .agg(min(col("component")).as("component"),
+              min(when(col("own"), col("component"))).as("prev"))
           // Path-halving hop: labels decrease monotonically (every
           // label table maps id -> value <= id), so the looked-up
           // label can only improve on the propagated one; left join +
@@ -171,17 +113,15 @@ object Graph {
           // where the extra join+exchange per round is pure constant
           // cost — so it joins the plan from round 3 on: cliques never
           // see it, and a diameter-d chain still closes in
-          // 2 + O(log d) rounds. The lookup side (labels) is the
-          // declared leaf — exchange-free; only `propagated` moves
-          // (to the component key).
+          // 2 + O(log d) rounds.
           val halved =
             if (iter < 2) propagated
             else propagated.as("n").join(labels.as("l"),
                 col("n.component") === col("l.id"), "left")
-              .select(col("n.id"),
+              .select(col("n.id").as("id"),
                 coalesce(col("l.component"), col("n.component"))
                   .as("component"),
-                col("n.prev"))
+                col("n.prev").as("prev"))
           halved
         }
       // ONE job: materialize the round's label blocks while counting
@@ -190,21 +130,9 @@ object Graph {
       // reads the boolean and copies the unsafe row into the persisted
       // block. No probe job, no listener-bus wait — `acc.value` is
       // populated by task completion inside the count() itself.
-      //
-      // The trailing repartition PINS the published layout to
-      // hash(id, nPartCc): REPARTITION_BY_NUM is the one shuffle AQE
-      // never coalesces, skew-splits, or converts to local reads, so
-      // the declaration the next round's leaf makes (see below) is
-      // guaranteed true whatever AQE does to the exchanges inside the
-      // round. Everything upstream stays free for AQE to coalesce or
-      // broadcast — tiny graphs keep tiny plans.
       val round = prop.select(col("id"), col("component"),
         coalesce(col("component") =!= col("prev"), lit(true)).as("__chg"))
-        .repartition(nPartCc, col("id"))
-      if (explainRounds) {
-        println(s"=== [cc] round $iter plan ===")
-        round.explain("formatted")
-      }
+      val schema = round.schema
       val acc = spark.sparkContext.longAccumulator(s"graft.cc.changed.$iter")
       val rdd = round.queryExecution.toRdd.mapPartitions { it =>
         it.map { r =>
@@ -218,37 +146,19 @@ object Graph {
         rdd.persist(StorageLevel.MEMORY_AND_DISK)
         rdd.checkpoint()
       } else rdd.localCheckpoint()
-      val nLabels = rdd.count()
+      rdd.count()
       changed = acc.value
       // superseded label blocks: free at RDD level (these live outside
       // the CacheManager; Dataset.unpersist would be a no-op)
       if (prevRdd != null) prevRdd.unpersist(blocking = false)
       prevRdd = rdd
-      // The leaf DECLARES the pinned hash(id, nPartCc) layout (truthful
-      // by the trailing REPARTITION_BY_NUM above — belt-and-braces
-      // checked here — and the 1:1 mapPartitions) plus the exact row
-      // count, so next round's propagation join, label fold, and
-      // halving lookup all see a co-partitioned, honestly-sized label
-      // table: zero label exchanges per round, and the static planner
-      // can pick broadcast where the table is genuinely small.
-      require(rdd.getNumPartitions == nPartCc,
-        s"cc round $iter produced ${rdd.getNumPartitions} partitions, " +
-          s"expected $nPartCc — declared partitioning would be false")
-      labels = GraftBridge.internalCreateDataFrameHashPartitioned(
-          spark, rdd, round.schema, Seq("id"), nPartCc, nLabels,
-          avgRowBytes = 32)
+      labels = GraftBridge.internalCreateDataFrame(spark, rdd, schema)
         .select(col("id"), col("component"))
       if (debug) println(
         f"[cc] round $iter: ${(System.nanoTime() - roundT0) / 1e9}%.2f s, changed=$changed")
       iter += 1
     }
-    } finally {
-      spPrev match {
-        case Some(v) => spark.conf.set(spKey, v)
-        case None    => spark.conf.unset(spKey)
-      }
-      sym.unpersist()
-    }
+    sym.unpersist()
     labels
   }
 
@@ -280,42 +190,15 @@ object Graph {
       dampNum: Long = 85, dampDen: Long = 100,
       scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampDen > 0 && scale > 0)
-    val spark = edges.sparkSession
-    val nPartConf = spark.sessionState.conf.numShufflePartitions
-    // Same layout discipline as [[connectedComponents]] (r18): one
-    // measured edge pass sizes the iteration width; every keyed table
-    // the loop touches (edges, out-degrees, nodes, the rank leaf) is
-    // laid out hash(key, nPartPr) once and CONSUMED co-partitioned,
-    // so each iteration's only exchange is the contribution aggregate
-    // (fundamental — messages regroup from src to dst). The rank leaf
-    // declares its layout; previously it reported Unknown and the
-    // loop re-exchanged the edge table AND the rank table every
-    // iteration.
-    val e0 = edges.select(
+    val e = edges.select(
       col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val mEdges = e0.count()
-    val nPartPr = math.max(1L,
-      math.min(nPartConf.toLong, (mEdges + 249999L) / 250000L)).toInt
-    val spKey = "spark.sql.shuffle.partitions"
-    val spPrev = spark.conf.getOption(spKey)
-    spark.conf.set(spKey, nPartPr.toString)
-    val e = e0.repartition(nPartPr, col("src"))
-      .sortWithinPartitions(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // distinct/groupBy run under the pinned width, so both caches
-    // hold hash(key, nPartPr) layouts the per-iteration joins reuse
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .sortWithinPartitions(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .sortWithinPartitions(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-    nodes.count(); outdeg.count()
-    e0.unpersist(blocking = false)
     val teleport = (scale * (dampDen - dampNum)) / dampDen
 
     var pr = nodes.withColumn("pr", lit(scale))
@@ -338,31 +221,14 @@ object Graph {
       val schema = next.schema
       val rdd = next.queryExecution.toRdd.map(_.copy())
       rdd.localCheckpoint()
-      val nRows = rdd.count()
+      rdd.count()
       if (prevRdd != null) prevRdd.unpersist(blocking = false)
       prevRdd = rdd
-      // `next` is anchored on the streamed `nodes` cache (a left
-      // outer join can only broadcast its right side), so the
-      // materialized rows are laid out exactly like `nodes`:
-      // hash(node, nPartPr). Declare it (with the honest row count)
-      // when the partition count confirms; fall back to an
-      // undeclared leaf otherwise — a false declaration would
-      // silently corrupt the co-partitioned joins.
-      pr =
-        if (rdd.getNumPartitions == nPartPr)
-          GraftBridge.internalCreateDataFrameHashPartitioned(
-            spark, rdd, schema, Seq("node"), nPartPr, nRows,
-            avgRowBytes = 24)
-        else GraftBridge.internalCreateDataFrame(spark, rdd, schema)
+      pr = GraftBridge.internalCreateDataFrame(
+        edges.sparkSession, rdd, schema)
     }
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     pr
-    } finally {
-      spPrev match {
-        case Some(v) => spark.conf.set(spKey, v)
-        case None    => spark.conf.unset(spKey)
-      }
-      e0.unpersist(); e.unpersist(); nodes.unpersist(); outdeg.unpersist()
-    }
   }
 
   /** Bounded k-core peeling: `iters` rounds of "drop every node whose
@@ -411,26 +277,13 @@ object Graph {
     // self-join) would otherwise run three times. Same RDD-level
     // truncation as the per-round checkpoints, so nothing registers
     // with the CacheManager.
-    val spark = edges.sparkSession
     val schema0 = canon.schema
     val rdd0 = canon.queryExecution.toRdd.map(_.copy())
     rdd0.localCheckpoint()
-    val mEdges = rdd0.count()
-    var e = GraftBridge.internalCreateDataFrame(spark, rdd0, schema0)
+    rdd0.count()
+    var e = GraftBridge.internalCreateDataFrame(
+      edges.sparkSession, rdd0, schema0)
     var prevRdd: RDD[InternalRow] = rdd0
-    // Scale-adaptive peel width (the r18 connectedComponents
-    // discipline): the per-round degree aggregate and the two
-    // semi-join exchanges run at a width derived from the measured
-    // edge count instead of the session conf — a 6-round peel of a
-    // thousand-edge graph at 32-task stages was pure per-task
-    // overhead; huge graphs still get the full conf-scaled width.
-    val nPartK = math.max(1L, math.min(
-      spark.sessionState.conf.numShufflePartitions.toLong,
-      (mEdges + 249999L) / 250000L)).toInt
-    val spKey = "spark.sql.shuffle.partitions"
-    val spPrev = spark.conf.getOption(spKey)
-    spark.conf.set(spKey, nPartK.toString)
-    try {
     for (_ <- 1 to iters) {
       val deg = e.select(col("u").as("n"))
         .unionAll(e.select(col("v").as("n")))
@@ -449,13 +302,7 @@ object Graph {
       rdd.count()
       if (prevRdd != null) prevRdd.unpersist(blocking = false)
       prevRdd = rdd
-      e = GraftBridge.internalCreateDataFrame(spark, rdd, schema)
-    }
-    } finally {
-      spPrev match {
-        case Some(v) => spark.conf.set(spKey, v)
-        case None    => spark.conf.unset(spKey)
-      }
+      e = GraftBridge.internalCreateDataFrame(edges.sparkSession, rdd, schema)
     }
     e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))

@@ -936,11 +936,7 @@ object IncrementalSemDedup {
               ((meta - "closed_pairs") +
                 ("closed_pairs" -> actualPairs.toString))
                 .toSeq.sortBy(_._1))
-            // the closure is already materialized in memory (the CC
-            // label leaf the write above just flushed) — serving the
-            // caller from it skips a full re-read of the directory we
-            // just published (r18: one fewer data pass per stale read)
-            closure
+            spark.read.parquet(s"$path/components")
           } finally { fs.delete(lock, false); () }
         }
       }

@@ -421,48 +421,52 @@ object Sketches {
     * ([[graft.operators.PhysicalOps.releaseCaches]]); see
     * [[graft.ml.TextAnalysis.packingManifestFrom]]'s contract note.
     */
+  /** [[exactQuantiles]] materialized to DRIVER literals — `ps.length`
+    * scalars, the bounded-driver-metadata convention
+    * ([[graft.operators.Cleanse.flagOutliersMad]]'s medians, the
+    * bloom-bits/centroids discipline). Exists because quantile EDGES
+    * are almost always consumed as a broadcast row referenced from
+    * several plan branches (PSI's two bucket passes + grid, the
+    * winsorize clamp, equi-depth assignment), and each reference
+    * re-executes the whole histogram + range-prefix subplan — the
+    * r17 q150 plan held 24 parquet scans and 120 exchanges for a
+    * 4-bucket PSI. Collecting the edges once turns every consumer
+    * into a stateless projection with literal bounds. Returns the
+    * value at each fraction IN `ps` ORDER (null when the input is
+    * empty), as raw JVM values of the value column's external type.
+    */
+  def exactQuantileValues(
+      df: DataFrame, valueCol: String, ps: Seq[Double],
+      partitions: Int = 0): Seq[Any] = {
+    // release exactly the internal histogram persists this call
+    // created (collect = the materialization the cache contract
+    // wants) — never the caller's own caches, which a blanket
+    // releaseCaches() would evict out from under a pipeline
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val got = exactQuantiles(df, valueCol, ps, partitions)
+      .collect().map(r => (r.getDouble(0), r.get(1))).toMap
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) rdd.unpersist(blocking = false)
+    }
+    ps.map(p => got.getOrElse(p, null))
+  }
+
   def exactQuantilesWeighted(
       hist0: DataFrame, valueCol: String, countCol: String,
-      ps: Seq[Double], partitions: Int = 0): DataFrame =
-    exactQuantilesWeightedTracked(hist0, valueCol, countCol, ps,
-      partitions)._1
-
-  /** [[exactQuantilesWeighted]] plus handles to the two internal
-    * persists, so a caller that fully materializes the result can
-    * release them through the Dataset API (CacheManager-synced).
-    * Unpersisting the raw RDDs from `getPersistentRDDs` instead (the
-    * pre-r18 [[exactQuantileValues]] shape) left the
-    * InMemoryRelation entries registered with storage reset to NONE:
-    * a later `persist()` of an identical canonicalized plan became a
-    * silent no-op that recomputed on every downstream job, and stale
-    * cache-catalog entries accumulated per call (r17 advice).
-    */
-  private[graft] def exactQuantilesWeightedTracked(
-      hist0: DataFrame, valueCol: String, countCol: String,
-      ps: Seq[Double], partitions: Int = 0,
-      inputReusable: Boolean = false)
-      : (DataFrame, Seq[DataFrame]) = {
+      ps: Seq[Double], partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"fractions must be in [0, 1], got $ps")
     val nPart = if (partitions > 0) partitions
       else hist0.sparkSession.sessionState.conf.numShufflePartitions
-    val histRaw0 = hist0
+    val hist = hist0
       .select(col(valueCol).as("v"), col(countCol).as("c"))
-    // cached before the range exchange: boundary sampling would
-    // re-run the upstream value-histogram aggregate (the
-    // packingManifestFrom lesson); the histogram is distinct-value
-    // sized, so the cache is bounded. `inputReusable` skips this
-    // persist when the CALLER's histogram is already cached (or a
-    // cheap deterministic projection of a cache) — re-running the
-    // boundary-sampling pass over cached blocks is cheaper than
-    // building and holding a second copy of the table (r18,
-    // flagOutliersMad's two calls)
-    val histRaw =
-      if (inputReusable) histRaw0
-      else histRaw0
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hist = histRaw
+      // cached before the range exchange: boundary sampling would
+      // re-run the upstream value-histogram aggregate (the
+      // packingManifestFrom lesson); the histogram is distinct-value
+      // sized, so the cache is bounded
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .repartitionByRange(nPart, col("v"))
       .sortWithinPartitions(col("v"))
       .withColumn("__pid", spark_partition_id())
@@ -489,120 +493,12 @@ object Sketches {
       .select(explode(typedlit(ps.sorted)).as("p"), col("__n"))
       .select(col("p"),
         (floor(col("p") * (col("__n") - 1)) + 1).cast("long").as("__k"))
-    val out = hist.join(broadcast(prefixes), Seq("__pid"))
+    hist.join(broadcast(prefixes), Seq("__pid"))
       .withColumn("__hi", col("__prefix") + col("__hi_local"))
       .withColumn("__lo", col("__hi") - col("c") + 1)
       .join(broadcast(ranks),
         col("__k") >= col("__lo") && col("__k") <= col("__hi"))
       .select(col("p"), col("v").as(valueCol))
       .orderBy(col("p"))
-    (out, if (inputReusable) Seq(hist) else Seq(histRaw, hist))
-  }
-
-  /** [[exactQuantiles]] materialized to DRIVER literals — `ps.length`
-    * scalars, the bounded-driver-metadata convention
-    * ([[graft.operators.Cleanse.flagOutliersMad]]'s medians, the
-    * bloom-bits/centroids discipline). Exists because quantile EDGES
-    * are almost always consumed as a broadcast row referenced from
-    * several plan branches (PSI's two bucket passes + grid, the
-    * winsorize clamp, equi-depth assignment), and each reference
-    * re-executes the whole histogram + range-prefix subplan — the
-    * r17 q150 plan held 24 parquet scans and 120 exchanges for a
-    * 4-bucket PSI. Collecting the edges once turns every consumer
-    * into a stateless projection with literal bounds. Returns the
-    * value at each fraction IN `ps` ORDER (null when the input is
-    * empty), as raw JVM values of the value column's external type.
-    *
-    * The two internal histogram persists release through the Dataset
-    * API after the collect (registry and storage stay in sync — r17
-    * advice); the caller's own caches are never touched.
-    */
-  def exactQuantileValues(
-      df: DataFrame, valueCol: String, ps: Seq[Double],
-      partitions: Int = 0): Seq[Any] =
-    exactQuantileValuesWeighted(
-      df.select(col(valueCol).as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("c")),
-      "v", "c", ps, partitions)
-
-  /** [[exactQuantileValues]] over a PRE-AGGREGATED (value, count)
-    * histogram. The COLLECTING path runs a leaner plan than the lazy
-    * [[exactQuantilesWeighted]]: because the result is driver-bound
-    * anyway, the per-partition totals (≤ nPart rows) collect to the
-    * driver and the global prefix offsets and target ranks become
-    * LITERALS in one final probe filter — no totals aggregate stage,
-    * no prefix window, no rank broadcast join, no result sort. Three
-    * jobs total after the input histogram exists (prefix-summed
-    * cache build, totals collect, probe collect) where the lazy
-    * machinery materialized ~10 AQE stages per call (r18; q132 ran
-    * 31 sequential jobs for two medians). Rank semantics are
-    * bit-identical: k = floor(p·(N−1)) + 1 in the same double
-    * arithmetic, probed against the same inclusive [lo, hi] rank
-    * intervals.
-    *
-    * `inputReusable = true` when the histogram is already cached (or
-    * a cheap deterministic projection of a cache): skips the internal
-    * input persist — the boundary-sampling re-pass over cached blocks
-    * is cheaper than building a second copy of the table.
-    */
-  private[graft] def exactQuantileValuesWeighted(
-      hist0: DataFrame, valueCol: String, countCol: String,
-      ps: Seq[Double], partitions: Int = 0,
-      inputReusable: Boolean = false): Seq[Any] = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
-      s"fractions must be in [0, 1], got $ps")
-    val nPart = if (partitions > 0) partitions
-      else hist0.sparkSession.sessionState.conf.numShufflePartitions
-    val histRaw0 = hist0
-      .select(col(valueCol).as("v"), col(countCol).as("c"))
-    val histRaw =
-      if (inputReusable) histRaw0
-      else histRaw0
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hist = histRaw
-      .repartitionByRange(nPart, col("v"))
-      .sortWithinPartitions(col("v"))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__hi_local",
-        graft.functions.PartitionPrefixSum.partitionRunningTotal(col("c")))
-      .persist()
-    try {
-      // ≤ nPart rows — bounded driver metadata, the same budget the
-      // lazy path's broadcast prefix table already assumed
-      val totals = hist.groupBy(col("__pid"))
-        .agg(sum(col("c")).as("__t"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val n = totals.map(_._2).sum
-      if (n == 0L) return ps.map(_ => null)
-      val prefix: Map[Int, Long] = {
-        var acc = 0L
-        totals.map { case (pid, t) =>
-          val p = (pid, acc); acc += t; p
-        }.toMap
-      }
-      // same rank arithmetic as the lazy path, evaluated once on the
-      // driver: floor(p · (N−1)) + 1 in double precision
-      val ks = ps.map(p => math.floor(p * (n - 1).toDouble).toLong + 1L)
-      val kSet = ks.distinct.sorted
-      val prefixExpr = element_at(
-        typedlit(prefix.map { case (k, v) => (k, v) }), col("__pid"))
-      val hi = prefixExpr + col("__hi_local")
-      val lo = hi - col("c") + 1
-      val probe = kSet.map(k => lit(k) >= lo && lit(k) <= hi)
-        .reduce(_ || _)
-      val got = hist.filter(probe)
-        .select(col("v"), lo.as("__lo"), hi.as("__hi"))
-        .collect()
-        .flatMap { r =>
-          kSet.collect {
-            case k if k >= r.getLong(1) && k <= r.getLong(2) =>
-              (k, r.get(0))
-          }
-        }.toMap
-      ps.zip(ks).map { case (_, k) => got.getOrElse(k, null) }
-    } finally {
-      hist.unpersist(blocking = false)
-      if (!inputReusable) histRaw.unpersist(blocking = false)
-    }
   }
 }

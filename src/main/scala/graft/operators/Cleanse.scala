@@ -163,19 +163,16 @@ object Cleanse {
     // Each median is ONE scalar — collected as bounded driver
     // metadata (the bloom-bits/centroids convention), which lets the
     // histogram release before returning and leaves the flag pass a
-    // pure stateless projection with literal bounds. The collecting
-    // quantile path (driver-side rank bookkeeping, r18) runs ~3 jobs
-    // per call instead of the lazy machinery's ~10 AQE stages, and
-    // `inputReusable` skips the machinery's own input persist: both
-    // inputs here are the cached histogram or a cheap deterministic
-    // projection of it.
-    val med = lit(graft.ml.Sketches.exactQuantileValuesWeighted(
-      hist, "__v", "__c", Seq(0.5), inputReusable = true).head)
+    // pure stateless projection with literal bounds.
+    val med = lit(graft.ml.Sketches
+      .exactQuantilesWeighted(hist, "__v", "__c", Seq(0.5))
+      .agg(min(col("__v"))).collect()(0).get(0))
     val devHist = hist
       .groupBy(abs(col("__v") - med).as("__d"))
       .agg(sum(col("__c")).as("__c"))
-    val mad = lit(graft.ml.Sketches.exactQuantileValuesWeighted(
-      devHist, "__d", "__c", Seq(0.5), inputReusable = true).head)
+    val mad = lit(graft.ml.Sketches
+      .exactQuantilesWeighted(devHist, "__d", "__c", Seq(0.5))
+      .agg(min(col("__d"))).collect()(0).get(0))
     hist.unpersist()
     // null med/mad (empty input) makes the predicate null -> flag 0
     df.withColumn("is_outlier",
